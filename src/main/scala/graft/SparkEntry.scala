@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps one entry per implemented operator from SURVEY.md §2
+  * (names carry the §2 ids: p*, j*, a*, w*, o*, s*, u* — plus training-data
+  * ops: d* dedup, n* ANN, t* text, m* multimodal). `oracleSql` holds the
+  * DuckDB twin for every SQL-expressible query; sketch/LSH internals that
+  * no other engine reproduces are covered by ScalaTest properties instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The SURVEY §7.2 spine: scan → filter → conditional agg → distinct →
+    * latest-by → join → sort → limit.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    queries("a1_conditional_agg")(spark, d)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.Relational.defs ++
+    graft.queries.TimeSeries.defs
+
+  def oracleSql: Map[String, String] =
+    graft.queries.Relational.oracles ++
+    graft.queries.TimeSeries.oracles
 }

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Core column-expression library — the primitives every operator in
+  * SURVEY.md §2 composes from. All of these are plain Catalyst expressions
+  * (whole-stage-codegen friendly); no UDFs.
+  *
+  * Determinism policy (drives the DuckDB oracle hash-match):
+  *  - floating aggregates go through exact `DecimalType` arithmetic so the
+  *    result is independent of partitioning / accumulation order, then cast
+  *    back to double for a canonical output type;
+  *  - every argmax/argmin/top-k uses a total order (unique tiebreak column);
+  *  - timestamps leave the engine as epoch seconds (BIGINT), sidestepping
+  *    engine-specific timezone/precision rendering.
+  */
+object Core {
+
+  /** Exact, order-independent sum of a double column: accumulate in
+    * Decimal(38,6) then cast back. `sum(double)` is not associative-stable
+    * across partitionings; this is, at the cost of 6-dp input rounding.
+    */
+  def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(38, 6))).cast("double")
+
+  /** dsum over a conditional — ClickHouse `sumIf` (SURVEY §2.4 A1). */
+  def dsumIf(c: Column, cond: Column): Column =
+    dsum(when(cond, c).otherwise(lit(0d)))
+
+  /** ClickHouse `countIf` (SURVEY §2.4 A1). */
+  def countIf(cond: Column): Column =
+    count_if(cond)
+
+  /** Mean as double: exact decimal sum cast to double, then double
+    * division by count — the division happens in IEEE double so the result
+    * is bit-identical to `CAST(SUM(CAST(x AS DECIMAL)) AS DOUBLE)/COUNT(x)`
+    * in any engine (SURVEY §2.4 A16).
+    */
+  def davg(c: Column): Column =
+    sum(c.cast(DecimalType(38, 6))).cast("double") / count(c)
+
+  /** ClickHouse `argMax(value, ord)` — latest-by (SURVEY §2.4 A3).
+    * `ord` must be a total order (unique) or the result is nondeterministic.
+    */
+  def latestBy(value: Column, ord: Column): Column = max_by(value, ord)
+
+  /** ClickHouse `argMin(value, ord)` (SURVEY §2.4 A4). */
+  def earliestBy(value: Column, ord: Column): Column = min_by(value, ord)
+
+  /** Timestamp → epoch seconds (BIGINT), the canonical time output type. */
+  def epochSec(ts: Column): Column = unix_timestamp(ts)
+
+  /** Epoch-second bucketing: `intDiv(toUnixTimestamp(ts), step) * step`
+    * (SURVEY §2.4 A6 — the reference's arbitrary-timeframe resampler key).
+    */
+  def bucketSec(ts: Column, stepSec: Long): Column =
+    (floor(unix_timestamp(ts) / stepSec) * stepSec).cast("long")
+
+  /** Rebucket an epoch-second bucket column onto a coarser step. */
+  def rebucket(bucket: Column, stepSec: Long): Column =
+    (floor(bucket / stepSec) * stepSec).cast("long")
+
+  /** Round a double column to `dp` decimals — for ratio outputs where exact
+    * decimal arithmetic isn't possible (divisions). Keep thresholds away
+    * from representable boundaries.
+    */
+  def round4(c: Column): Column = round(c, 4)
+
+  /** Deterministic 64-bit id from a string key — the Spark analogue of the
+    * reference's `cityHash64(denom)` surrogate ids (core/tokens.js:29-34,
+    * core/pools.js:13-19). Only determinism matters, not CityHash compat.
+    */
+  def stableId(c: Column): Column = xxhash64(c)
+
+  /** Tx-hash derivation: `upper(hex(sha256(tx_bytes)))`
+    * (reference core/parse.js:20, core/block-processor.js:93-96).
+    */
+  def txHash(c: Column): Column = upper(sha2(c, 256))
+}

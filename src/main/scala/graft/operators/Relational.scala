@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic relational operators the reference composes repeatedly.
+  * Each helper is a pure DataFrame→DataFrame function over declarative
+  * plans, so Catalyst keeps pushdown/pruning/AQE intact.
+  */
+object Relational {
+
+  /** Keep-latest dedupe: `ROW_NUMBER() OVER (PARTITION BY keys ORDER BY
+    * ord DESC) = 1` (reference phase3schema.sql:377-388 W1, `DISTINCT ON`
+    * W2, pool_state last-wins compaction S10). `ord` must be a total
+    * order within key groups for determinism.
+    *
+    * Scale note: a single shuffle on `keys`; prefer this over
+    * `dropDuplicates` when "which row survives" matters (dropDuplicates
+    * keeps an arbitrary row).
+    */
+  def dedupeKeepLatest(df: DataFrame, keys: Seq[String], ord: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord.desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Latest-value snapshot: one row per key with argMax values — the
+    * decorrelated form of the reference's `LEFT JOIN LATERAL (... ORDER BY
+    * updated_at DESC LIMIT 1)` (SURVEY J4/J5). Aggregate once, then
+    * equi-join; at scale this turns a per-row correlated probe into a
+    * single hash aggregate + (usually broadcast) join.
+    *
+    * @param values (outputName → valueColumn) pairs, each taken at max ord
+    */
+  def latestSnapshot(df: DataFrame, keys: Seq[String], ord: Column,
+                     values: Seq[(String, Column)]): DataFrame = {
+    val aggs = values.map { case (n, c) => max_by(c, ord).as(n) }
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Keyset pagination: `key > lastSeen ORDER BY key LIMIT n`
+    * (reference jobs/meta-refresher.js:50-62, SURVEY O3). Unlike
+    * OFFSET pagination this stays O(page) at any depth — the filter is
+    * pushed to the scan.
+    */
+  def keysetPage(df: DataFrame, key: String, lastSeen: Long, n: Int): DataFrame =
+    df.filter(col(key) > lastSeen).orderBy(col(key)).limit(n)
+
+  /** LIMIT/OFFSET page with a deterministic total order (SURVEY O1).
+    * Spark ≥3.4 has DataFrame.offset, pushed into a single TakeOrdered.
+    */
+  def page(df: DataFrame, order: Seq[Column], limit: Int, offset: Int): DataFrame =
+    df.orderBy(order: _*).offset(offset).limit(limit)
+
+  /** Top-k by `ord` within each key group (reference top-10 holders,
+    * SURVEY O2/A12) — rank-and-filter, one shuffle.
+    */
+  def topKPerGroup(df: DataFrame, keys: Seq[String], ord: Column, k: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord.desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Multi-key OR resolution: rank candidate matches by match quality and
+    * keep the best (reference api/util/resolve-token.js:10-28, SURVEY P6).
+    * `ranked` maps each predicate to its priority (lower wins).
+    */
+  def resolveFirst(df: DataFrame, ranked: Seq[(Column, Int)], tiebreak: Column): DataFrame = {
+    val score = ranked.foldRight(lit(Int.MaxValue)) { case ((pred, r), acc) =>
+      when(pred, r).otherwise(acc)
+    }
+    df.filter(ranked.map(_._1).reduce(_ || _))
+      .withColumn("__score", score)
+      .orderBy(col("__score"), tiebreak)
+      .limit(1)
+      .drop("__score")
+  }
+}

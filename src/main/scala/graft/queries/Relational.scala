@@ -1,0 +1,479 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.Core._
+import graft.operators.Relational._
+
+/** Projection / predicate / join / sort / set-op queries — SURVEY §2.2
+  * (P1-P6), §2.3 (J1-J9), §2.6 (O1-O6), §2.7 (U1), §2.1 (S2/S8/S10),
+  * §2.5 (W1-W4) — each expressed over the driver's TPC-H-ish tables with a
+  * DuckDB oracle twin in [[Relational.oracles]].
+  *
+  * Determinism rules (see graft.functions.Core): exact decimal sums cast
+  * to double, epoch-second time outputs, unique-order tiebreaks on every
+  * top-k / argmax / window.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+
+    // P1: projection + rename + computed column + time predicate pushdown.
+    // (reference jobs/matrix-rollups.js:30-41)
+    "p1_project_rename" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") < lit("1995-06-01").cast("timestamp"))
+        .select(
+          col("l_orderkey").as("okey"),
+          col("l_linenumber").as("line"),
+          (col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("net"))
+        .orderBy(col("okey"), col("line"))
+    },
+
+    // P2: time-window predicate anchored at max event time (the batch twin
+    // of the reference's `created_at >= now() - toIntervalMinute(m)`).
+    "p2_time_window" -> { (s, d) =>
+      val e = Tables.events(s, d)
+      val anchor = e.agg(max(col("ts")).as("anchor"))
+      e.crossJoin(anchor)
+        .filter(col("ts") >= col("anchor") - expr("INTERVAL 1 DAY"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), epochSec(col("ts")).as("ts_sec"))
+        .orderBy(col("event_id"))
+    },
+
+    // P3: enum/equality filter conjunction (jobs/leaderboards.js:35-37).
+    "p3_enum_filter" -> { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase" && col("value") > 50d &&
+          col("user_id") =!= 0L)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy(col("event_id"))
+    },
+
+    // P4: pattern predicates, incl. NOT LIKE (jobs/holders-refresher.js:219).
+    "p4_pattern_like" -> { (s, d) =>
+      Tables.documents(s, d)
+        .filter(!col("source").startsWith("src1") &&
+          col("text").contains("spark"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // P5: dynamic predicate assembly — programmatic Column composition
+    // (api/routes/trades.js:94-120). One representative instantiation.
+    "p5_dynamic_predicates" -> { (s, d) =>
+      val conds = Seq(
+        col("event_type").isin("click", "view"),
+        col("value").between(10d, 90d),
+        col("user_id") <= 20L)
+      Tables.events(s, d)
+        .filter(conds.reduce(_ && _))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    },
+
+    // P6: multi-key OR resolution ranked by match quality, best row wins
+    // (api/util/resolve-token.js:10-28).
+    "p6_or_resolve" -> { (s, d) =>
+      val p = Tables.part(s, d)
+      resolveFirst(p,
+        Seq(
+          (col("p_brand") === "Brand#3", 0),
+          (lower(col("p_type")).contains("brass"), 1),
+          (col("p_size") === 10, 2)),
+        col("p_partkey"))
+        .select(col("p_partkey"), col("p_name"), col("p_brand"))
+    },
+
+    // J1: fact ⋈ broadcast dims star join + grouped revenue
+    // (api/routes/trades.js:83-91). Dims are broadcast explicitly — at
+    // 100 TB the fact side streams, dim hash tables live on executors.
+    "j1_fact_dims" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val o  = Tables.orders(s, d)
+      val c  = Tables.customer(s, d)
+      val n  = Tables.nation(s, d)
+      val r  = Tables.region(s, d)
+      li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("r_name"))
+    },
+
+    // J2: left join to optional aggregated facts (api/routes/tokens.js:91-101).
+    "j2_left_join" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("qty"), count(lit(1)).as("n_lines"))
+      o.join(li, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey").as("okey"), col("o_totalprice"),
+          coalesce(col("qty"), lit(0d)).as("qty"),
+          coalesce(col("n_lines"), lit(0L)).as("n_lines"))
+        .orderBy(col("okey"))
+    },
+
+    // J3: join on a non-key attribute (reference joins tokens by denom,
+    // api/routes/trades.js:88-89) — many-to-many on nationkey.
+    "j3_nonkey_join" -> { (s, d) =>
+      Tables.supplier(s, d)
+        .join(Tables.customer(s, d), col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("pairs"),
+          dsum(col("c_acctbal") + col("s_acctbal")).as("bal"))
+        .orderBy(col("nationkey"))
+    },
+
+    // J4/J5: lateral-top-1 / correlated scalar subquery, decorrelated into
+    // latestSnapshot + equi-join (api/routes/trades.js:410-416).
+    "j4_lateral_top1" -> { (s, d) =>
+      val latest = latestSnapshot(Tables.events(s, d), Seq("user_id"),
+        col("event_id"), Seq("last_value" -> col("value")))
+      Tables.customer(s, d)
+        .join(broadcast(latest), col("c_custkey") === col("user_id"), "left")
+        .select(col("c_custkey").as("custkey"), col("last_value"))
+        .orderBy(col("custkey"))
+    },
+
+    // J6: semi-join via EXISTS (jobs/alerts.js:53-56).
+    "j6_semi_join" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 100000d),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // J7: composite-key equi join (api/routes/trades.js:893).
+    "j7_multicol_join" -> { (s, d) =>
+      val e = Tables.events(s, d)
+      val daily = e.groupBy(col("user_id"), col("event_type"),
+          bucketSec(col("ts"), 86400L).as("day_sec"))
+        .agg(count(lit(1)).as("n"))
+      val totals = e.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("total"))
+      daily.join(totals, Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"), col("day_sec"),
+          col("n"), col("total"))
+        .orderBy(col("user_id"), col("event_type"), col("day_sec"))
+    },
+
+    // J8: USING-style join of two aggregates on the shared bucket key
+    // (api/routes/tokens.js:1482-1484).
+    "j8_using_join" -> { (s, d) =>
+      val e = Tables.events(s, d)
+      val a = e.groupBy(bucketSec(col("ts"), 3600L).as("bucket_ts"))
+        .agg(count(lit(1)).as("n"))
+      val b = e.filter(col("event_type") === "purchase")
+        .groupBy(bucketSec(col("ts"), 3600L).as("bucket_ts"))
+        .agg(count_distinct(col("user_id")).as("buyers"))
+      a.join(b, Seq("bucket_ts"), "left")
+        .select(col("bucket_ts"), col("n"),
+          coalesce(col("buyers"), lit(0L)).as("buyers"))
+        .orderBy(col("bucket_ts"))
+    },
+
+    // J9: 1×1 cross join of two single-row aggregates — %-change
+    // (api/util/pool-select.js:98-122).
+    "j9_cross_1x1" -> { (s, d) =>
+      val e = Tables.events(s, d)
+      val daily = e.groupBy(bucketSec(col("ts"), 86400L).as("day"))
+        .agg(dsum(col("value")).as("v"))
+      val maxDay = daily.agg(max(col("day")).as("md"))
+      val lastD = daily.join(maxDay, col("day") === col("md"))
+        .select(col("v").as("last_v"))
+      val prevD = daily.join(maxDay, col("day") === col("md") - 86400L)
+        .select(col("v").as("prev_v"))
+      lastD.crossJoin(prevD)
+        .select(col("last_v"), col("prev_v"),
+          round4((col("last_v") - col("prev_v")) / col("prev_v") * 100d)
+            .as("change_pct"))
+    },
+
+    // O1: dynamic sort + LIMIT/OFFSET pagination with total-order tiebreak
+    // (api/routes/tokens.js:180-243).
+    "o1_page_offset" -> { (s, d) =>
+      page(Tables.orders(s, d).select(col("o_orderkey").as("okey"),
+        col("o_totalprice")),
+        Seq(col("o_totalprice").desc, col("okey")), limit = 20, offset = 10)
+    },
+
+    // O2: global top-k (jobs/token-security.js:66-75).
+    "o2_topk" -> { (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .limit(10)
+    },
+
+    // O3: keyset pagination (jobs/meta-refresher.js:50-62).
+    "o3_keyset_page" -> { (s, d) =>
+      keysetPage(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice")),
+        "o_orderkey", lastSeen = 1000L, n = 100)
+    },
+
+    // O4: staleness-first scheduling order, NULLs (never-refreshed) first
+    // (jobs/holders-refresher.js:211-226).
+    "o4_staleness_order" -> { (s, d) =>
+      val lastSeen = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(max(col("event_id")).as("last_seen"))
+      Tables.customer(s, d)
+        .join(broadcast(lastSeen), col("c_custkey") === col("user_id"), "left")
+        .select(col("c_custkey"), coalesce(col("last_seen"), lit(0L)).as("last_seen"))
+        .orderBy(col("last_seen").asc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // O6: router-leg combine — exact groupBy instead of the reference's
+    // oversample heuristic (api/routes/trades.js:237-321,469; SURVEY F10).
+    "o6_router_combine" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), bucketSec(col("ts"), 60L).as("bucket_ts"))
+        .agg(count(lit(1)).as("legs"),
+          dsum(col("value")).as("total_value"),
+          earliestBy(col("event_type"), col("event_id")).as("first_type"),
+          latestBy(col("event_type"), col("event_id")).as("last_type"))
+        .filter(col("legs") > 1)
+        .orderBy(col("user_id"), col("bucket_ts"))
+    },
+
+    // U1: UNION ALL of two filtered branches then aggregate
+    // (core/block-processor.js:306-308).
+    "u1_union" -> { (s, d) =>
+      val e = Tables.events(s, d)
+      val a = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("value"))
+      val b = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("value"))
+      a.unionByName(b)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+        .orderBy(col("user_id"))
+    },
+
+    // S2: tx-hash derivation — sha256 hex upper (core/parse.js:20).
+    "s2_txhash" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), txHash(col("text")).as("tx_hash"))
+        .orderBy(col("doc_id"))
+    },
+
+    // S8: dedup-on-write key projection (core/block-processor.js:64-76).
+    "s8_dedup_keys" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type")).distinct()
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
+    // S10/W1/W2: keep-latest dedupe via row_number window
+    // (phase3schema.sql:377-388, core/pool_state.js:21-25).
+    "w1_dedupe_keep_latest" -> { (s, d) =>
+      dedupeKeepLatest(Tables.events(s, d),
+        Seq("user_id", "event_type"), col("event_id"))
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
+    // W3/A13: unpartitioned count() OVER () next to page rows
+    // (api/routes/tokens.js:224-229). Note: fine for a page-sized frame;
+    // at scale pair the page with a separate scalar count instead of a
+    // single-partition window.
+    "w3_count_over" -> { (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"),
+          count(lit(1)).over(Window.partitionBy()).as("total"))
+        .orderBy(col("c_custkey"))
+        .limit(50)
+    },
+
+    // W4: first_value/last_value over unbounded frame (api/util/ohlcv.js:34-45).
+    "w4_first_last" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .select(col("user_id"),
+          first(col("value")).over(w).as("first_v"),
+          last(col("value")).over(w).as("last_v"))
+        .distinct()
+        .orderBy(col("user_id"))
+    }
+  )
+
+  /** DuckDB oracle twins. Column names/aliases match the Spark output
+    * exactly (the driver sorts columns by name before hashing).
+    */
+  val oracles: Map[String, String] = Map(
+    "p1_project_rename" ->
+      """SELECT l_orderkey AS okey, l_linenumber AS line,
+         l_extendedprice * (1 - l_discount) AS net
+         FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01'
+         ORDER BY okey, line""",
+    "p2_time_window" ->
+      """SELECT event_id, user_id, event_type, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+         FROM events
+         WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 1 DAY
+         ORDER BY event_id""",
+    "p3_enum_filter" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE event_type = 'purchase' AND value > 50 AND user_id <> 0
+         ORDER BY event_id""",
+    "p4_pattern_like" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE source NOT LIKE 'src1%' AND text LIKE '%spark%'
+         ORDER BY doc_id""",
+    "p5_dynamic_predicates" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+         WHERE event_type IN ('click','view') AND value BETWEEN 10 AND 90
+           AND user_id <= 20
+         ORDER BY event_id""",
+    "p6_or_resolve" ->
+      """SELECT p_partkey, p_name, p_brand FROM part
+         WHERE p_brand = 'Brand#3' OR lower(p_type) LIKE '%brass%' OR p_size = 10
+         ORDER BY CASE WHEN p_brand = 'Brand#3' THEN 0
+                       WHEN lower(p_type) LIKE '%brass%' THEN 1
+                       ELSE 2 END, p_partkey
+         LIMIT 1""",
+    "j1_fact_dims" ->
+      """SELECT r_name,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+         count(*) AS n_lines
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "j2_left_join" ->
+      """SELECT o_orderkey AS okey, o_totalprice,
+         coalesce(l.qty, 0) AS qty, coalesce(l.n_lines, 0) AS n_lines
+         FROM orders LEFT JOIN (
+           SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty,
+             count(*) AS n_lines
+           FROM lineitem GROUP BY l_orderkey) l
+         ON o_orderkey = l.l_orderkey
+         ORDER BY okey""",
+    "j3_nonkey_join" ->
+      """SELECT s_nationkey AS nationkey, count(*) AS pairs,
+         CAST(SUM(CAST(c_acctbal + s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
+         FROM supplier JOIN customer ON s_nationkey = c_nationkey
+         GROUP BY s_nationkey ORDER BY nationkey""",
+    "j4_lateral_top1" ->
+      """SELECT c_custkey AS custkey, lv.last_value
+         FROM customer LEFT JOIN (
+           SELECT user_id, max_by(value, event_id) AS last_value
+           FROM events GROUP BY user_id) lv
+         ON c_custkey = lv.user_id
+         ORDER BY custkey""",
+    "j6_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+         ORDER BY c_custkey""",
+    "j7_multicol_join" ->
+      """WITH daily AS (
+           SELECT user_id, event_type,
+             CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS day_sec,
+             count(*) AS n
+           FROM events GROUP BY 1,2,3),
+         totals AS (
+           SELECT user_id, event_type, count(*) AS total
+           FROM events GROUP BY 1,2)
+         SELECT d.user_id, d.event_type, d.day_sec, d.n, t.total
+         FROM daily d JOIN totals t
+           ON d.user_id = t.user_id AND d.event_type = t.event_type
+         ORDER BY d.user_id, d.event_type, d.day_sec""",
+    "j8_using_join" ->
+      """WITH a AS (
+           SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_ts,
+             count(*) AS n
+           FROM events GROUP BY 1),
+         b AS (
+           SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_ts,
+             count(DISTINCT user_id) AS buyers
+           FROM events WHERE event_type = 'purchase' GROUP BY 1)
+         SELECT bucket_ts, n, coalesce(b.buyers, 0) AS buyers
+         FROM a LEFT JOIN b USING (bucket_ts)
+         ORDER BY bucket_ts""",
+    "j9_cross_1x1" ->
+      """WITH daily AS (
+           SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+           FROM events GROUP BY 1),
+         lastd AS (SELECT v AS last_v FROM daily
+           WHERE day = (SELECT max(day) FROM daily)),
+         prevd AS (SELECT v AS prev_v FROM daily
+           WHERE day = (SELECT max(day) - 86400 FROM daily))
+         SELECT last_v, prev_v,
+           round((last_v - prev_v) / prev_v * 100, 4) AS change_pct
+         FROM lastd, prevd""",
+    "o1_page_offset" ->
+      """SELECT o_orderkey AS okey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, okey LIMIT 20 OFFSET 10""",
+    "o2_topk" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+         ORDER BY c_acctbal DESC, c_custkey LIMIT 10""",
+    "o3_keyset_page" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_orderkey > 1000 ORDER BY o_orderkey LIMIT 100""",
+    "o4_staleness_order" ->
+      """SELECT c_custkey, coalesce(lv.last_seen, 0) AS last_seen
+         FROM customer LEFT JOIN (
+           SELECT user_id, max(event_id) AS last_seen
+           FROM events GROUP BY user_id) lv
+         ON c_custkey = lv.user_id
+         ORDER BY last_seen ASC, c_custkey LIMIT 20""",
+    "o6_router_combine" ->
+      """SELECT user_id,
+           CAST(floor(epoch(ts)/60)*60 AS BIGINT) AS bucket_ts,
+           count(*) AS legs,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+           min_by(event_type, event_id) AS first_type,
+           max_by(event_type, event_id) AS last_type
+         FROM events GROUP BY 1,2 HAVING count(*) > 1
+         ORDER BY user_id, bucket_ts""",
+    "u1_union" ->
+      """SELECT user_id, count(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+         FROM (
+           SELECT user_id, value FROM events WHERE event_type = 'signup'
+           UNION ALL
+           SELECT user_id, value FROM events WHERE event_type = 'error')
+         GROUP BY user_id ORDER BY user_id""",
+    "s2_txhash" ->
+      """SELECT doc_id, upper(sha256(text)) AS tx_hash FROM documents
+         ORDER BY doc_id""",
+    "s8_dedup_keys" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
+    "w1_dedupe_keep_latest" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+           FROM events) WHERE rn = 1
+         ORDER BY user_id, event_type""",
+    "w3_count_over" ->
+      """SELECT c_custkey, c_name, count(*) OVER () AS total
+         FROM customer ORDER BY c_custkey LIMIT 50""",
+    "w4_first_last" ->
+      """SELECT DISTINCT user_id,
+           first_value(value) OVER w AS first_v,
+           last_value(value) OVER w AS last_v
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY user_id"""
+  )
+}

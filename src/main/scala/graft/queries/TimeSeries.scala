@@ -1,0 +1,403 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Core._
+import graft.operators.Ohlcv
+
+/** Aggregation / window / time-series queries — SURVEY §2.4 (A1-A16),
+  * §2.5 (W5/W6), §2.8 time functions + gap fill. The `events` table plays
+  * the `trades` role: event_type ≈ pool/direction axes, value ≈ amount,
+  * event_id ≈ unique insertion order (strictly time-ordered in the
+  * fixtures, verified — the determinism anchor for argmin/argmax).
+  */
+object TimeSeries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Hourly candles per event_type — shared input frame (SURVEY A5). */
+  private def hourly(s: SparkSession, d: String): DataFrame =
+    Ohlcv.candles(Tables.events(s, d), Seq("event_type"),
+      col("ts"), col("event_id"), col("value"), col("value"), 3600L)
+
+  private val duckHourly =
+    """SELECT event_type,
+         CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_ts,
+         min_by(value, event_id) AS open,
+         max(value) AS high, min(value) AS low,
+         max_by(value, event_id) AS close,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume,
+         count(*) AS trade_count
+       FROM events GROUP BY 1, 2"""
+
+  val defs: Map[String, Q] = Map(
+
+    // A1: conditional sums/counts — ClickHouse sumIf/countIf
+    // (jobs/matrix-rollups.js:33-36). "buy" := value >= 50.
+    "a1_conditional_agg" -> { (s, d) =>
+      val buy = col("value") >= 50d
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          dsumIf(col("value"), buy).as("vol_buy"),
+          dsumIf(col("value"), !buy).as("vol_sell"),
+          countIf(buy).as("tx_buy"),
+          countIf(!buy).as("tx_sell"),
+          count_distinct(col("user_id")).as("unique_traders"))
+        .orderBy(col("event_type"))
+    },
+
+    // A2: exact distinct count per window (jobs/matrix-rollups.js:37).
+    "a2_distinct_exact" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(bucketSec(col("ts"), 86400L).as("day"))
+        .agg(count_distinct(col("user_id")).as("uniq_users"),
+          count(lit(1)).as("n"))
+        .orderBy(col("day"))
+    },
+
+    // A2 scale path: HLL approx distinct — no oracle (sketch internals are
+    // engine-specific); ScalaTest bounds the error vs exact instead.
+    "a2_approx_distinct" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .orderBy(col("event_type"))
+    },
+
+    // A3: argMax — latest value per key (jobs/matrix-rollups.js:48).
+    "a3_argmax_latest" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(latestBy(col("value"), col("event_id")).as("last_value"),
+          max(col("event_id")).as("last_event"))
+        .orderBy(col("user_id"))
+    },
+
+    // A4: argMin (api/routes/tokens.js:1460-1465).
+    "a4_argmin_earliest" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(earliestBy(col("value"), col("event_id")).as("first_value"),
+          min(col("event_id")).as("first_event"))
+        .orderBy(col("user_id"))
+    },
+
+    // A5: OHLCV candle build (core/ohlcv.js:32-62) — single hash aggregate.
+    "a5_ohlcv_build" -> { (s, d) =>
+      hourly(s, d).orderBy(col("event_type"), col("bucket_ts"))
+    },
+
+    // A6: candle resample 1h→6h (api/routes/tokens.js:1429-1488).
+    // Oracle aggregates ticks directly at 6h — equal by the resample
+    // invariant (FIXTURES.md), which OhlcvSpec property-tests.
+    "a6_ohlcv_resample" -> { (s, d) =>
+      Ohlcv.resample(hourly(s, d), Seq("event_type"), 21600L)
+        .orderBy(col("event_type"), col("bucket_ts"))
+    },
+
+    // A7: cross-pool (here cross-type) union → one series
+    // (api/routes/tokens.js:1272-1292).
+    "a7_union_series" -> { (s, d) =>
+      Ohlcv.candles(
+        Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "click")),
+        Seq.empty, col("ts"), col("event_id"), col("value"), col("value"), 21600L)
+        .orderBy(col("bucket_ts"))
+    },
+
+    // A8: trader leaderboard (jobs/leaderboards.js:63-83).
+    "a8_leaderboard" -> { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("trades_count"),
+          dsum(col("value")).as("volume"),
+          dsum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(-col("value"))).as("gross_pnl"))
+        .orderBy(col("user_id"))
+    },
+
+    // A9: large-trade screen — value rows against the latest per-key price
+    // then threshold (jobs/leaderboards.js:86-142).
+    "a9_large_trades" -> { (s, d) =>
+      val e = Tables.events(s, d)
+      val px = e.groupBy(col("user_id"))
+        .agg(latestBy(col("value"), col("event_id")).as("px"))
+      e.filter(col("event_type") === "purchase")
+        .join(broadcast(px), Seq("user_id"))
+        .withColumn("worth", round4(col("value") * col("px")))
+        .filter(col("worth") >= 5000d)
+        .select(col("event_id"), col("user_id"), col("worth"))
+        .orderBy(col("event_id"))
+    },
+
+    // A10: TVL-style coalesce over a price-source fallback chain
+    // (jobs/matrix-rollups.js:123-189).
+    "a10_coalesce_fallback" -> { (s, d) =>
+      val e = Tables.events(s, d)
+      val users = e.select(col("user_id")).distinct()
+      def latestOf(t: String, name: String) =
+        e.filter(col("event_type") === t).groupBy(col("user_id"))
+          .agg(latestBy(col("value"), col("event_id")).as(name))
+      val avgAll = e.groupBy(col("user_id")).agg(davg(col("value")).as("p3"))
+      users
+        .join(latestOf("purchase", "p1"), Seq("user_id"), "left")
+        .join(latestOf("click", "p2"), Seq("user_id"), "left")
+        .join(avgAll, Seq("user_id"), "left")
+        .select(col("user_id"),
+          round4(coalesce(col("p1"), col("p2"), col("p3"))).as("price"))
+        .orderBy(col("user_id"))
+    },
+
+    // A12: top-10 concentration — window rank + conditional share
+    // (jobs/token-security.js:58-87).
+    "a12_top10_concentration" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(
+          dsumIf(col("c_acctbal"), col("rn") <= 10).as("top10_bal"),
+          dsum(col("c_acctbal")).as("total_bal"))
+        .withColumn("top10_pct",
+          round4(col("top10_bal") / col("total_bal") * 100d))
+        .orderBy(col("nationkey"))
+    },
+
+    // A14: multi-window rollup in ONE pass — conditional windows instead of
+    // the reference's 4× re-scan loop (jobs/matrix-rollups.js:6-11,342-348).
+    // At 100 TB this quarters the scan cost of the rollup job.
+    "a14_multi_bucket" -> { (s, d) =>
+      val e = Tables.events(s, d)
+      val anchor = e.agg(max(col("ts")).as("anchor"))
+      val withA = e.crossJoin(broadcast(anchor))
+      def win(days: Int) = col("ts") >= col("anchor") - expr(s"INTERVAL $days DAYS")
+      withA.groupBy(col("event_type"))
+        .agg(
+          dsumIf(col("value"), win(1)).as("vol_1d"),
+          dsumIf(col("value"), win(7)).as("vol_7d"),
+          dsumIf(col("value"), win(30)).as("vol_30d"),
+          countIf(win(1)).as("tx_1d"),
+          countIf(win(7)).as("tx_7d"),
+          countIf(win(30)).as("tx_30d"))
+        .orderBy(col("event_type"))
+    },
+
+    // A15: first-seen timestamps (jobs/token-security.js:89-99).
+    "a15_first_seen" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(epochSec(min(col("ts"))).as("first_seen"),
+          min(col("event_id")).as("first_event"))
+        .orderBy(col("user_id"))
+    },
+
+    // A16: windowed average fallback price (jobs/matrix-rollups.js:256-265).
+    "a16_avg_window" -> { (s, d) =>
+      val e = Tables.events(s, d)
+      val anchor = e.agg(max(col("ts")).as("anchor"))
+      e.crossJoin(broadcast(anchor))
+        .filter(col("ts") >= col("anchor") - expr("INTERVAL 1 DAY"))
+        .groupBy(col("event_type"))
+        .agg(round4(davg(col("value"))).as("avg_value"))
+        .orderBy(col("event_type"))
+    },
+
+    // W5/T5: prev-close continuity via lag (core/ohlcv.js:121-154).
+    "w5_prev_close_carry" -> { (s, d) =>
+      Ohlcv.withPrevCloseOpen(hourly(s, d), Seq("event_type"))
+        .select(col("event_type"), col("bucket_ts"), col("open"), col("close"))
+        .orderBy(col("event_type"), col("bucket_ts"))
+    },
+
+    // W6: % change over N: last close vs close as-of cutoff
+    // (api/util/pool-select.js:84-126).
+    "w6_pct_change" -> { (s, d) =>
+      val c = hourly(s, d)
+      val cutoff = c.agg((max(col("bucket_ts")) - 7L * 86400L).as("cut"))
+      Ohlcv.pctChange(c.crossJoin(broadcast(cutoff)), Seq("event_type"),
+        col("cut"))
+        .select(col("event_type"), col("last_close"), col("prev_close"),
+          col("change_pct"))
+        .orderBy(col("event_type"))
+    },
+
+    // O5: gainers — order by computed change desc (api/routes/tokens.js:320-416).
+    "o5_gainers" -> { (s, d) =>
+      val c = hourly(s, d)
+      val cutoff = c.agg((max(col("bucket_ts")) - 7L * 86400L).as("cut"))
+      Ohlcv.pctChange(c.crossJoin(broadcast(cutoff)), Seq("event_type"),
+        col("cut"))
+        .select(col("event_type"), col("change_pct"))
+        .orderBy(col("change_pct").desc, col("event_type"))
+    },
+
+    // Gap fill: sequence+explode spine, prev-fill carry
+    // (api/routes/tokens.js:1491-1558; PG-era generate_series).
+    "g_gapfill_prev" -> { (s, d) =>
+      Ohlcv.gapFill(
+        hourly(s, d).filter(col("event_type") === "purchase"),
+        Seq("event_type"), 3600L, mode = "prev")
+        .select(col("event_type"), col("bucket_ts"), col("open"),
+          col("close"), col("volume"), col("trade_count"))
+        .orderBy(col("bucket_ts"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a1_conditional_agg" ->
+      """SELECT event_type,
+         CAST(SUM(CAST(CASE WHEN value >= 50 THEN value ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE) AS vol_buy,
+         CAST(SUM(CAST(CASE WHEN NOT (value >= 50) THEN value ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE) AS vol_sell,
+         count(*) FILTER (WHERE value >= 50) AS tx_buy,
+         count(*) FILTER (WHERE NOT (value >= 50)) AS tx_sell,
+         count(DISTINCT user_id) AS unique_traders
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "a2_distinct_exact" ->
+      """SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS day,
+         count(DISTINCT user_id) AS uniq_users, count(*) AS n
+         FROM events GROUP BY 1 ORDER BY day""",
+    "a3_argmax_latest" ->
+      """SELECT user_id, max_by(value, event_id) AS last_value,
+         max(event_id) AS last_event
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "a4_argmin_earliest" ->
+      """SELECT user_id, min_by(value, event_id) AS first_value,
+         min(event_id) AS first_event
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "a5_ohlcv_build" ->
+      (duckHourly + " ORDER BY 1, 2"),
+    "a6_ohlcv_resample" ->
+      """SELECT event_type,
+         CAST(floor(epoch(ts)/21600)*21600 AS BIGINT) AS bucket_ts,
+         min_by(value, event_id) AS open,
+         max(value) AS high, min(value) AS low,
+         max_by(value, event_id) AS close,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume,
+         count(*) AS trade_count
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "a7_union_series" ->
+      """SELECT CAST(floor(epoch(ts)/21600)*21600 AS BIGINT) AS bucket_ts,
+         min_by(value, event_id) AS open,
+         max(value) AS high, min(value) AS low,
+         max_by(value, event_id) AS close,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume,
+         count(*) AS trade_count
+         FROM events WHERE event_type IN ('purchase','click')
+         GROUP BY 1 ORDER BY 1""",
+    "a8_leaderboard" ->
+      """SELECT user_id, count(*) AS trades_count,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume,
+         CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE -value END AS DECIMAL(38,6))) AS DOUBLE) AS gross_pnl
+         FROM events WHERE event_type IN ('purchase','click')
+         GROUP BY user_id ORDER BY user_id""",
+    "a9_large_trades" ->
+      """SELECT e.event_id, e.user_id, round(e.value * px.px, 4) AS worth
+         FROM events e JOIN (
+           SELECT user_id, max_by(value, event_id) AS px
+           FROM events GROUP BY user_id) px
+         ON e.user_id = px.user_id
+         WHERE e.event_type = 'purchase' AND round(e.value * px.px, 4) >= 5000
+         ORDER BY e.event_id""",
+    "a10_coalesce_fallback" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         p1 AS (SELECT user_id, max_by(value, event_id) AS p1 FROM events
+                WHERE event_type = 'purchase' GROUP BY user_id),
+         p2 AS (SELECT user_id, max_by(value, event_id) AS p2 FROM events
+                WHERE event_type = 'click' GROUP BY user_id),
+         p3 AS (SELECT user_id,
+                CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)/count(value) AS p3
+                FROM events GROUP BY user_id)
+         SELECT u.user_id, round(coalesce(p1.p1, p2.p2, p3.p3), 4) AS price
+         FROM u LEFT JOIN p1 USING (user_id) LEFT JOIN p2 USING (user_id)
+                LEFT JOIN p3 USING (user_id)
+         ORDER BY u.user_id""",
+    "a12_top10_concentration" ->
+      """WITH r AS (
+           SELECT c_nationkey, c_acctbal, row_number() OVER (
+             PARTITION BY c_nationkey
+             ORDER BY c_acctbal DESC, c_custkey) AS rn
+           FROM customer),
+         agg AS (
+           SELECT c_nationkey AS nationkey,
+             CAST(SUM(CAST(CASE WHEN rn <= 10 THEN c_acctbal ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE) AS top10_bal,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+           FROM r GROUP BY 1)
+         SELECT nationkey, top10_bal, total_bal,
+           round(top10_bal / total_bal * 100, 4) AS top10_pct
+         FROM agg ORDER BY nationkey""",
+    "a14_multi_bucket" ->
+      """WITH a AS (SELECT max(ts) AS anchor FROM events)
+         SELECT event_type,
+         CAST(SUM(CAST(CASE WHEN ts >= anchor - INTERVAL 1 DAY THEN value ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE) AS vol_1d,
+         CAST(SUM(CAST(CASE WHEN ts >= anchor - INTERVAL 7 DAY THEN value ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE) AS vol_7d,
+         CAST(SUM(CAST(CASE WHEN ts >= anchor - INTERVAL 30 DAY THEN value ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE) AS vol_30d,
+         count(*) FILTER (WHERE ts >= anchor - INTERVAL 1 DAY) AS tx_1d,
+         count(*) FILTER (WHERE ts >= anchor - INTERVAL 7 DAY) AS tx_7d,
+         count(*) FILTER (WHERE ts >= anchor - INTERVAL 30 DAY) AS tx_30d
+         FROM events, a GROUP BY event_type ORDER BY event_type""",
+    "a15_first_seen" ->
+      """SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS first_seen,
+         min(event_id) AS first_event
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "a16_avg_window" ->
+      """SELECT event_type,
+         round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)/count(value), 4) AS avg_value
+         FROM events
+         WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 1 DAY
+         GROUP BY event_type ORDER BY event_type""",
+    "w5_prev_close_carry" ->
+      s"""WITH c AS ($duckHourly)
+         SELECT event_type, bucket_ts,
+           coalesce(lag(close) OVER (PARTITION BY event_type ORDER BY bucket_ts), open) AS open,
+           close
+         FROM c ORDER BY event_type, bucket_ts""",
+    "w6_pct_change" ->
+      s"""WITH c AS ($duckHourly),
+         cut AS (SELECT max(bucket_ts) - 7*86400 AS cut FROM c),
+         lastc AS (SELECT event_type, max_by(close, bucket_ts) AS last_close
+                   FROM c GROUP BY 1),
+         prevc AS (SELECT event_type, max_by(close, bucket_ts) AS prev_close
+                   FROM c, cut WHERE bucket_ts <= cut GROUP BY 1)
+         SELECT l.event_type, l.last_close, p.prev_close,
+           round((l.last_close - p.prev_close) / p.prev_close * 100, 4) AS change_pct
+         FROM lastc l LEFT JOIN prevc p USING (event_type)
+         ORDER BY event_type""",
+    "o5_gainers" ->
+      s"""WITH c AS ($duckHourly),
+         cut AS (SELECT max(bucket_ts) - 7*86400 AS cut FROM c),
+         lastc AS (SELECT event_type, max_by(close, bucket_ts) AS last_close
+                   FROM c GROUP BY 1),
+         prevc AS (SELECT event_type, max_by(close, bucket_ts) AS prev_close
+                   FROM c, cut WHERE bucket_ts <= cut GROUP BY 1)
+         SELECT l.event_type,
+           round((l.last_close - p.prev_close) / p.prev_close * 100, 4) AS change_pct
+         FROM lastc l LEFT JOIN prevc p USING (event_type)
+         ORDER BY change_pct DESC, event_type""",
+    "g_gapfill_prev" ->
+      s"""WITH c AS ($duckHourly),
+         cc AS (SELECT * FROM c WHERE event_type = 'purchase'),
+         spine AS (
+           SELECT 'purchase' AS event_type,
+             unnest(generate_series(min(bucket_ts), max(bucket_ts), 3600)) AS bucket_ts
+           FROM cc),
+         j AS (SELECT s.event_type, s.bucket_ts, cc.open, cc.high, cc.low,
+                 cc.close, cc.volume, cc.trade_count
+               FROM spine s LEFT JOIN cc
+                 ON s.event_type = cc.event_type AND s.bucket_ts = cc.bucket_ts),
+         k AS (SELECT *, last_value(close IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY bucket_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry
+               FROM j)
+         SELECT event_type, bucket_ts,
+           coalesce(open, carry) AS open,
+           coalesce(close, carry) AS close,
+           coalesce(volume, 0) AS volume,
+           coalesce(trade_count, 0) AS trade_count
+         FROM k ORDER BY bucket_ts"""
+  )
+}
