@@ -78,4 +78,18 @@ object Core {
     * (reference core/parse.js:20, core/block-processor.js:93-96).
     */
   def txHash(c: Column): Column = upper(sha2(c, 256))
+
+  /** Collect `max(ts) - sec` as a literal timestamp. The reference anchors
+    * sliding windows at `now()`; the batch twin anchors at max event time.
+    * Computing the anchor in-plan (crossJoin of an aggregate) makes the time
+    * predicate non-constant, so it can never prune parquet row groups — at
+    * 100 TB that is two full scans. One tiny driver-side job for the anchor
+    * turns the main-scan filter into a pushable constant instead.
+    * Microsecond precision is preserved (java.sql.Timestamp carries nanos).
+    */
+  def anchorMinusSec(df: org.apache.spark.sql.DataFrame, ts: Column,
+                     sec: Long): Column = {
+    val anchor = df.agg(max(ts)).head.getTimestamp(0)
+    lit(anchor.toInstant.minusSeconds(sec))
+  }
 }

@@ -36,11 +36,13 @@ object Relational {
 
     // P2: time-window predicate anchored at max event time (the batch twin
     // of the reference's `created_at >= now() - toIntervalMinute(m)`).
+    // The anchor is collected as a literal (one tiny job) so the main-scan
+    // filter is a constant predicate that can prune parquet row groups —
+    // an in-plan anchor forces two full scans with zero pruning at 100 TB.
     "p2_time_window" -> { (s, d) =>
       val e = Tables.events(s, d)
-      val anchor = e.agg(max(col("ts")).as("anchor"))
-      e.crossJoin(anchor)
-        .filter(col("ts") >= col("anchor") - expr("INTERVAL 1 DAY"))
+      val cut = anchorMinusSec(e, col("ts"), 86400L)
+      e.filter(col("ts") >= cut)
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), epochSec(col("ts")).as("ts_sec"))
         .orderBy(col("event_id"))
@@ -136,11 +138,14 @@ object Relational {
 
     // J4/J5: lateral-top-1 / correlated scalar subquery, decorrelated into
     // latestSnapshot + equi-join (api/routes/trades.js:410-416).
+    // No broadcast hint: `latest` is a per-user aggregate whose cardinality
+    // grows with the data — forcing it into a broadcast is an OOM at 100×.
+    // AQE broadcasts it anyway when it is actually small.
     "j4_lateral_top1" -> { (s, d) =>
       val latest = latestSnapshot(Tables.events(s, d), Seq("user_id"),
         col("event_id"), Seq("last_value" -> col("value")))
       Tables.customer(s, d)
-        .join(broadcast(latest), col("c_custkey") === col("user_id"), "left")
+        .join(latest, col("c_custkey") === col("user_id"), "left")
         .select(col("c_custkey").as("custkey"), col("last_value"))
         .orderBy(col("custkey"))
     },
@@ -224,12 +229,13 @@ object Relational {
     },
 
     // O4: staleness-first scheduling order, NULLs (never-refreshed) first
-    // (jobs/holders-refresher.js:211-226).
+    // (jobs/holders-refresher.js:211-226). `lastSeen` is an unbounded
+    // per-user aggregate — no broadcast hint; AQE decides.
     "o4_staleness_order" -> { (s, d) =>
       val lastSeen = Tables.events(s, d).groupBy(col("user_id"))
         .agg(max(col("event_id")).as("last_seen"))
       Tables.customer(s, d)
-        .join(broadcast(lastSeen), col("c_custkey") === col("user_id"), "left")
+        .join(lastSeen, col("c_custkey") === col("user_id"), "left")
         .select(col("c_custkey"), coalesce(col("last_seen"), lit(0L)).as("last_seen"))
         .orderBy(col("last_seen").asc, col("c_custkey"))
         .limit(20)
@@ -285,27 +291,26 @@ object Relational {
         .orderBy(col("user_id"), col("event_type"))
     },
 
-    // W3/A13: unpartitioned count() OVER () next to page rows
-    // (api/routes/tokens.js:224-229). Note: fine for a page-sized frame;
-    // at scale pair the page with a separate scalar count instead of a
-    // single-partition window.
+    // W3/A13: total count alongside a page (api/routes/tokens.js:224-229).
+    // `count() OVER ()` funnels every row through a single partition — the
+    // scale-safe form is a scalar count (distributed agg, tiny result)
+    // attached as a literal. Same output, no single-partition window.
     "w3_count_over" -> { (s, d) =>
-      Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_name"),
-          count(lit(1)).over(Window.partitionBy()).as("total"))
+      val c = Tables.customer(s, d)
+      val total = c.count()
+      c.select(col("c_custkey"), col("c_name"), lit(total).as("total"))
         .orderBy(col("c_custkey"))
         .limit(50)
     },
 
-    // W4: first_value/last_value over unbounded frame (api/util/ohlcv.js:34-45).
+    // W4: first/last per key (api/util/ohlcv.js:34-45). The window+distinct
+    // form double-scans and full-row-distincts; min_by/max_by computes the
+    // same thing in one hash aggregate with map-side partial agg.
     "w4_first_last" -> { (s, d) =>
-      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       Tables.events(s, d)
-        .select(col("user_id"),
-          first(col("value")).over(w).as("first_v"),
-          last(col("value")).over(w).as("last_v"))
-        .distinct()
+        .groupBy(col("user_id"))
+        .agg(earliestBy(col("value"), col("event_id")).as("first_v"),
+          latestBy(col("value"), col("event_id")).as("last_v"))
         .orderBy(col("user_id"))
     }
   )

@@ -120,13 +120,15 @@ object TimeSeries {
     },
 
     // A9: large-trade screen — value rows against the latest per-key price
-    // then threshold (jobs/leaderboards.js:86-142).
+    // then threshold (jobs/leaderboards.js:86-142). `px` is an unbounded
+    // per-user aggregate: no broadcast hint (AQE decides) — forcing it is
+    // an OOM at 100×.
     "a9_large_trades" -> { (s, d) =>
       val e = Tables.events(s, d)
       val px = e.groupBy(col("user_id"))
         .agg(latestBy(col("value"), col("event_id")).as("px"))
       e.filter(col("event_type") === "purchase")
-        .join(broadcast(px), Seq("user_id"))
+        .join(px, Seq("user_id"))
         .withColumn("worth", round4(col("value") * col("px")))
         .filter(col("worth") >= 5000d)
         .select(col("event_id"), col("user_id"), col("worth"))
@@ -134,18 +136,19 @@ object TimeSeries {
     },
 
     // A10: TVL-style coalesce over a price-source fallback chain
-    // (jobs/matrix-rollups.js:123-189).
+    // (jobs/matrix-rollups.js:123-189). ONE pass: each fallback source is a
+    // conditional max_by (rows where the condition fails carry a NULL
+    // ordering key, which max_by skips), so the 5-scan/3-join plan the
+    // round-1 verdict flagged collapses into a single hash aggregate.
     "a10_coalesce_fallback" -> { (s, d) =>
-      val e = Tables.events(s, d)
-      val users = e.select(col("user_id")).distinct()
-      def latestOf(t: String, name: String) =
-        e.filter(col("event_type") === t).groupBy(col("user_id"))
-          .agg(latestBy(col("value"), col("event_id")).as(name))
-      val avgAll = e.groupBy(col("user_id")).agg(davg(col("value")).as("p3"))
-      users
-        .join(latestOf("purchase", "p1"), Seq("user_id"), "left")
-        .join(latestOf("click", "p2"), Seq("user_id"), "left")
-        .join(avgAll, Seq("user_id"), "left")
+      def latestIf(t: String) =
+        latestBy(col("value"),
+          when(col("event_type") === t, col("event_id")))
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(latestIf("purchase").as("p1"),
+          latestIf("click").as("p2"),
+          davg(col("value")).as("p3"))
         .select(col("user_id"),
           round4(coalesce(col("p1"), col("p2"), col("p3"))).as("price"))
         .orderBy(col("user_id"))
@@ -173,10 +176,11 @@ object TimeSeries {
     // At 100 TB this quarters the scan cost of the rollup job.
     "a14_multi_bucket" -> { (s, d) =>
       val e = Tables.events(s, d)
-      val anchor = e.agg(max(col("ts")).as("anchor"))
-      val withA = e.crossJoin(broadcast(anchor))
-      def win(days: Int) = col("ts") >= col("anchor") - expr(s"INTERVAL $days DAYS")
-      withA.groupBy(col("event_type"))
+      // Literal anchor (one tiny job) instead of an in-plan crossJoin: the
+      // widest window's predicate becomes a pushable constant.
+      def win(days: Int) =
+        col("ts") >= anchorMinusSec(e, col("ts"), days * 86400L)
+      e.groupBy(col("event_type"))
         .agg(
           dsumIf(col("value"), win(1)).as("vol_1d"),
           dsumIf(col("value"), win(7)).as("vol_7d"),
@@ -199,9 +203,7 @@ object TimeSeries {
     // A16: windowed average fallback price (jobs/matrix-rollups.js:256-265).
     "a16_avg_window" -> { (s, d) =>
       val e = Tables.events(s, d)
-      val anchor = e.agg(max(col("ts")).as("anchor"))
-      e.crossJoin(broadcast(anchor))
-        .filter(col("ts") >= col("anchor") - expr("INTERVAL 1 DAY"))
+      e.filter(col("ts") >= anchorMinusSec(e, col("ts"), 86400L))
         .groupBy(col("event_type"))
         .agg(round4(davg(col("value"))).as("avg_value"))
         .orderBy(col("event_type"))
@@ -218,9 +220,8 @@ object TimeSeries {
     // (api/util/pool-select.js:84-126).
     "w6_pct_change" -> { (s, d) =>
       val c = hourly(s, d)
-      val cutoff = c.agg((max(col("bucket_ts")) - 7L * 86400L).as("cut"))
-      Ohlcv.pctChange(c.crossJoin(broadcast(cutoff)), Seq("event_type"),
-        col("cut"))
+      val cut = c.agg(max(col("bucket_ts"))).head.getLong(0) - 7L * 86400L
+      Ohlcv.pctChange(c, Seq("event_type"), lit(cut))
         .select(col("event_type"), col("last_close"), col("prev_close"),
           col("change_pct"))
         .orderBy(col("event_type"))
@@ -229,9 +230,8 @@ object TimeSeries {
     // O5: gainers — order by computed change desc (api/routes/tokens.js:320-416).
     "o5_gainers" -> { (s, d) =>
       val c = hourly(s, d)
-      val cutoff = c.agg((max(col("bucket_ts")) - 7L * 86400L).as("cut"))
-      Ohlcv.pctChange(c.crossJoin(broadcast(cutoff)), Seq("event_type"),
-        col("cut"))
+      val cut = c.agg(max(col("bucket_ts"))).head.getLong(0) - 7L * 86400L
+      Ohlcv.pctChange(c, Seq("event_type"), lit(cut))
         .select(col("event_type"), col("change_pct"))
         .orderBy(col("change_pct").desc, col("event_type"))
     },
