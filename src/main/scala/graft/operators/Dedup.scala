@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Core._
+import graft.functions.Text
+
+/** Deduplication operators for the training-data pipeline: exact
+  * (hash-of-normalized-text), brute-force n-gram Jaccard (correctness
+  * baseline), and MinHash+LSH banded near-dup (the 100 TB path).
+  *
+  * Scale design: the LSH path never materializes the O(n²) pair space —
+  * signatures compute map-side per doc (array expressions, no explode
+  * until banding), candidate pairs come from an equi-join on
+  * (band, band_hash) — a hash-partitioned shuffle whose cost tracks the
+  * number of colliding docs, not n² — and only candidates are verified
+  * with exact Jaccard. The brute-force variant exists as the oracle-
+  * checkable baseline and for small inputs.
+  */
+object Dedup {
+
+  /** doc_id + distinct word-n-gram shingle set. */
+  def shingleFrame(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      Text.shingleSet(col("text"), n).as("sh"))
+
+  /** Exact dedup: group by md5 of normalized text, keep the first doc_id
+    * (one hash aggregate; at scale this is the standard
+    * hash-groupBy-keep-first over the corpus).
+    */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(Text.normalize(col("text"))).as("fp"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** All pairs with Jaccard(shingle sets) ≥ theta, by exact computation:
+    * explode shingles, self-join on shingle, count intersections, derive
+    * the union size from set sizes. Correct at any scale but the shingle
+    * self-join is the classic candidate explosion — use [[minhashNearDup]]
+    * beyond small corpora.
+    */
+  def jaccardBruteForce(docs: DataFrame, n: Int, theta: Double): DataFrame = {
+    val sf = shingleFrame(docs, n)
+    val ex = sf.select(col("doc_id"), explode(col("sh")).as("s"))
+    val inter = ex.as("a")
+      .join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sz = sf.select(col("doc_id"), size(col("sh")).as("n"))
+    inter
+      .join(sz.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sz.as("y"), col("doc_b") === col("y.doc_id"))
+      .withColumn("jaccard_raw",
+        col("inter") / (col("x.n") + col("y.n") - col("inter")))
+      .filter(col("jaccard_raw") >= theta)
+      .select(col("doc_a"), col("doc_b"),
+        round4(col("jaccard_raw")).as("jaccard"))
+  }
+
+  /** Candidate near-dup pairs via MinHash+LSH banding: signature per doc
+    * (map-side), explode into `bands` (band, band_hash) keys, equi-join
+    * within buckets. Output: distinct (doc_a, doc_b) with doc_a < doc_b.
+    */
+  def minhashCandidates(sf: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    val banded = sf
+      .select(col("doc_id"),
+        Text.bandHashes(Text.minhashSig(col("sh"), numHashes), bands, r)
+          .as("bh"))
+      .select(col("doc_id"), explode(col("bh")).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs, exact-verified: candidates from banding,
+    * then true Jaccard via array_intersect/array_union on the shingle sets
+    * — identical values to [[jaccardBruteForce]], so the same brute-force
+    * oracle checks it (miss probability at theta=0.8 with 32×4 banding is
+    * ~5e-8; see Text.bandHashes).
+    */
+  def minhashNearDup(docs: DataFrame, n: Int, theta: Double,
+                     numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    val sf = shingleFrame(docs, n)
+    val cands = minhashCandidates(sf, numHashes, bands)
+    cands
+      .join(sf.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+      .join(sf.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+      .withColumn("jaccard_raw",
+        size(array_intersect(col("sa"), col("sb"))) /
+          size(array_union(col("sa"), col("sb"))))
+      .filter(col("jaccard_raw") >= theta)
+      .select(col("doc_a"), col("doc_b"),
+        round4(col("jaccard_raw")).as("jaccard"))
+  }
+
+  /** DuckDB oracle for the Jaccard pair queries (both the brute-force
+    * baseline and — because verification is exact and band misses are
+    * ~1e-8 — the LSH variant).
+    */
+  def jaccardOracleSql(n: Int, theta: Double): String = {
+    val span = n - 1
+    s"""WITH t AS (SELECT doc_id,
+          regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+        FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+$span], ' ') AS s
+             FROM t, unnest(generate_series(1, len(w)-$span)) AS g(i)),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  count(*) AS inter
+                FROM sh a JOIN sh b
+                  ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+        round(inter / (x.n + y.n - inter), 4) AS jaccard
+      FROM pairs
+      JOIN sz x ON doc_a = x.doc_id
+      JOIN sz y ON doc_b = y.doc_id
+      WHERE inter / (x.n + y.n - inter) >= $theta
+      ORDER BY doc_a, doc_b"""
+  }
+}

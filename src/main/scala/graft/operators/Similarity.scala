@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Core._
+
+/** Embedding-similarity operators: deterministic cosine, brute-force
+  * top-k ANN (baseline), and random-hyperplane LSH bucketed ANN (the
+  * scale path).
+  *
+  * Determinism policy for the DuckDB oracle: dot products and norms are
+  * accumulated as SCALED LONGS — each elementwise product is floored at
+  * 1e16 fixed-point — so the sum is integer arithmetic, independent of
+  * accumulation order and bit-identical across engines. (A double sum
+  * depends on order; a decimal sum hits Spark's decimal-precision
+  * promotion rules. Integers sidestep both.) The final cosine divides the
+  * scaled integers in double with an expression shape mirrored exactly in
+  * the oracle SQL.
+  */
+object Similarity {
+
+  private val SCALE = 1e16
+
+  /** Σ floor(a[i]·b[i]·1e16) as LONG (order-independent exact integer). */
+  def dotScaled(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b,
+        (x, y) => floor(x.cast("double") * y.cast("double") * SCALE)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Σ floor(a[i]²·1e16) as LONG. */
+  def normScaled(a: Column): Column = dotScaled(a, a)
+
+  /** cosine from scaled-long dot and norms; double division exactly
+    * mirrors the oracle: dot / (sqrt(na) * sqrt(nb)).
+    */
+  def cosineFromScaled(dot: Column, na: Column, nb: Column): Column =
+    dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
+  /** All pairs (a < b) with cosine ≥ theta — brute force. Correctness
+    * baseline / small inputs; the LSH variant is the 100 TB path.
+    */
+  def cosinePairs(vecs: DataFrame, theta: Double): DataFrame = {
+    val v = vecs.select(col("vec_id"), col("embedding"),
+      normScaled(col("embedding")).as("nn"))
+    v.as("a")
+      .join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosineFromScaled(
+        dotScaled(col("a.embedding"), col("b.embedding")),
+        col("a.nn"), col("b.nn")))
+      .filter(col("cos") >= theta)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round4(col("cos")).as("cosine"))
+  }
+
+  /** Brute-force cosine top-k: for each probe row, rank every other vector
+    * by (cosine desc, vec_id) and keep k. The probe side is expected to be
+    * small (broadcast); the candidate side streams — one shuffle for the
+    * per-probe ranking window.
+    */
+  def bruteForceTopK(probes: DataFrame, vecs: DataFrame, k: Int): DataFrame = {
+    val p = probes.select(col("vec_id").as("probe_id"),
+      col("embedding").as("pe"), normScaled(col("embedding")).as("pn"))
+    val v = vecs.select(col("vec_id").as("cand_id"),
+      col("embedding").as("ce"), normScaled(col("embedding")).as("cn"))
+    val scored = v.join(broadcast(p), col("probe_id") =!= col("cand_id"))
+      .withColumn("cos", cosineFromScaled(
+        dotScaled(col("pe"), col("ce")), col("pn"), col("cn")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("cand_id").as("neighbor_id"), round4(col("cos")).as("cosine"))
+  }
+
+  /** Deterministic ±1 hyperplane weights for table t, bit b (seeded
+    * splitmix64 — plain Scala, fixed across runs/partitions).
+    */
+  private def planeWeights(t: Int, b: Int, dim: Int): Seq[Double] = {
+    def splitmix64(seed: Long): Long = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (0 until dim).map { d =>
+      if ((splitmix64(t.toLong * 1000003L + b * 131L + d) & 1L) == 0L) -1d
+      else 1d
+    }
+  }
+
+  /** LSH bucket codes: `tables` independent codes of `bits` sign-bits each,
+    * as an array of (table, code) structs — computed map-side per row.
+    */
+  def lshCodes(emb: Column, tables: Int, bits: Int, dim: Int): Column =
+    array((0 until tables).map { t =>
+      val code = (0 until bits).map { b =>
+        val proj = aggregate(
+          zip_with(emb, typedLit(planeWeights(t, b, dim)),
+            (x, wt) => x.cast("double") * wt),
+          lit(0d), (acc, x) => acc + x)
+        when(proj > 0d, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("table"), code.as("code"))
+    }: _*)
+
+  /** Bucketed ANN: candidates = vectors sharing any (table, code) bucket
+    * with the probe, then exact cosine top-k within candidates. Recall is
+    * tunable via (tables, bits): more tables → higher recall, more
+    * candidates. Never scores the full n² space — the candidate join is an
+    * equi-join on the bucket key, so cost tracks bucket occupancy. On
+    * clustered real-world embeddings small (tables, bits) suffice; the
+    * isotropic synthetic fixture needs several short-code tables (see
+    * SimilaritySpec for the measured recall bound).
+    */
+  def lshTopK(probes: DataFrame, vecs: DataFrame, k: Int,
+              tables: Int = 8, bits: Int = 4, dim: Int = 64): DataFrame = {
+    def coded(df: DataFrame, idName: String) = df
+      .select(col("vec_id").as(idName), col("embedding"),
+        explode(lshCodes(col("embedding"), tables, bits, dim)).as("tc"))
+      .select(col(idName), col("embedding"),
+        col("tc.table").as("table"), col("tc.code").as("code"))
+    val p = coded(probes, "probe_id")
+      .withColumnRenamed("embedding", "pe")
+    val v = coded(vecs, "cand_id")
+      .withColumnRenamed("embedding", "ce")
+    val cands = v.join(broadcast(p), Seq("table", "code"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("pe"), col("cand_id"), col("ce"))
+      .dropDuplicates("probe_id", "cand_id")
+    val scored = cands.withColumn("cos", cosineFromScaled(
+      dotScaled(col("pe"), col("ce")),
+      normScaled(col("pe")), normScaled(col("ce"))))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("cand_id").as("neighbor_id"), round4(col("cos")).as("cosine"))
+  }
+
+  /** DuckDB oracle twin of the scaled-long cosine between two positionally
+    * unnested embedding tables (shared by the d5/n1 oracle SQL).
+    */
+  val cosineOracleExpr: String =
+    "CAST(SUM(CAST(floor(ax*bx*1e16) AS BIGINT)) AS DOUBLE) / " +
+      "(sqrt(CAST(SUM(CAST(floor(ax*ax*1e16) AS BIGINT)) AS DOUBLE)) * " +
+      "sqrt(CAST(SUM(CAST(floor(bx*bx*1e16) AS BIGINT)) AS DOUBLE)))"
+}

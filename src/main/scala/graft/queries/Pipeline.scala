@@ -1,0 +1,308 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Core._
+import graft.functions.Text
+import graft.operators.{Dedup, Similarity}
+
+/** Training-data pipeline queries — the operators a 100 TB LLM-corpus
+  * build needs on top of the reference's own surface: deduplication
+  * (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine),
+  * similarity search (brute-force + LSH-bucketed ANN), text analysis
+  * (stats, language-ID, quality, token counts, fingerprints), and
+  * multimodal column plumbing. Naming: d* dedup, n* ANN, t* text,
+  * m* multimodal (reserved in SparkEntry since round 1).
+  *
+  * Oracle policy: everything SQL-expressible has a DuckDB twin computing
+  * bit-identical values (see Similarity's scaled-long cosine and Text's
+  * md5-based SimHash). The two LSH paths (d2 band misses ~5e-8, so its
+  * brute-force oracle still applies; n2 recall < 1 by design, so it is
+  * rows-only here and recall-bounded in SimilaritySpec).
+  */
+object Pipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic fake "media decode" output — the real thing would be a
+    * Pandas-UDF/mapInPandas image decode; the container has no media libs,
+    * so the decode is a stub while the Spark-side plumbing (binary payload,
+    * per-partition batch iteration, typed output schema) is real.
+    */
+  final case class MediaFeat(doc_id: Long, frame_count: Long, feat0: Double)
+
+  val defs: Map[String, Q] = Map(
+
+    // D1: exact dedup — md5-of-normalized-text hash groupBy, keep-first.
+    "d1_exact_dedup" -> { (s, d) =>
+      Dedup.exactDedup(Tables.documents(s, d))
+        .orderBy(col("keep_doc_id"))
+    },
+
+    // D2: MinHash+LSH near-dup (the 100 TB dedup path): banded signatures →
+    // bucket equi-join candidates → exact-Jaccard verify. Never O(n²).
+    "d2_minhash_neardup" -> { (s, d) =>
+      Dedup.minhashNearDup(Tables.documents(s, d), n = 3, theta = 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // D3: SimHash document sketch (32-bit, md5-backed so the oracle can
+    // recompute it exactly).
+    "d3_simhash" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Text.simhash32(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+
+    // D4: n-gram Jaccard brute force — the correctness baseline d2 is
+    // checked against (same pair values, lower threshold).
+    "d4_ngram_jaccard" -> { (s, d) =>
+      Dedup.jaccardBruteForce(Tables.documents(s, d), n = 3, theta = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // D5: embedding-cosine near-dup, brute force over the pair space
+    // (baseline; n2 is the bucketed scale path).
+    "d5_embedding_neardup" -> { (s, d) =>
+      Similarity.cosinePairs(Tables.embeddings(s, d), theta = 0.4)
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+
+    // N1: brute-force cosine top-k ANN (probes = vec_id < 10, k = 5).
+    "n1_ann_topk" -> { (s, d) =>
+      val v = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(v.filter(col("vec_id") < 10), v, k = 5)
+        .orderBy(col("probe_id"), col("rank"))
+    },
+
+    // N2: LSH-bucketed ANN — same output shape as n1, candidates from
+    // random-hyperplane buckets only. Recall < 1 by design → no SQL
+    // oracle (rows-only here); SimilaritySpec bounds recall vs n1.
+    "n2_ann_lsh" -> { (s, d) =>
+      val v = Tables.embeddings(s, d)
+      Similarity.lshTopK(v.filter(col("vec_id") < 10), v, k = 5)
+        .orderBy(col("probe_id"), col("rank"))
+    },
+
+    // T1: per-source corpus stats (doc counts, language spread, length
+    // moments) — the triage pass before any filtering decision.
+    "t1_text_stats" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("wc", size(Text.words(col("text"))))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("lang")).as("n_langs"),
+          round4(davg(col("n_chars"))).as("avg_chars"),
+          round4(davg(col("wc"))).as("avg_words"),
+          max(col("wc")).cast("long").as("max_words"))
+        .orderBy(col("source"))
+    },
+
+    // T2: marker-word language-ID heuristic with fixed-precedence argmax.
+    "t2_langid" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("lang_pred", Text.langPredict(col("text")))
+        .select(col("doc_id"), col("lang"), col("lang_pred"),
+          (col("lang") === col("lang_pred")).as("is_match"))
+        .orderBy(col("doc_id"))
+    },
+
+    // T3: rational-arithmetic quality score (stopword ratio + length
+    // saturation + alpha ratio).
+    "t3_quality_score" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // T4: token counting — whitespace tokens + BPE-ish greedy chunk count.
+    "t4_token_count" -> { (s, d) =>
+      val norm = Text.normalize(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(norm).cast("long").as("n_chars_norm"),
+          size(Text.words(col("text"))).cast("long").as("ws_tokens"),
+          regexp_count(norm, lit("[a-z0-9]{1,3}")).cast("long")
+            .as("subword_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    // T5: document fingerprints — whole-doc md5 + min-shingle-hash
+    // (winnowing-style representative hash).
+    "t5_fingerprint" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(Text.normalize(col("text"))).as("doc_fp"),
+          array_min(transform(Text.shingleSet(col("text"), 3), x => md5(x)))
+            .as("min_shingle_fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // M1: multimodal metadata join — documents ⋈ embeddings with an opaque
+    // binary payload column (md5 bytes standing in for media bytes) and
+    // typed metadata projected out of it.
+    "m1_multimodal_meta" -> { (s, d) =>
+      val m = md5(col("text"))
+      Tables.documents(s, d)
+        .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"),
+          col("label").cast("long").as("label"),
+          length(unhex(m)).cast("long").as("n_bytes"),
+          size(col("embedding")).cast("long").as("emb_dim"),
+          substring(m, 1, 8).as("header_hex"))
+        .orderBy(col("doc_id"))
+    },
+
+    // M2: per-partition media "decode" — the mapPartitions shape a real
+    // image/audio decode runs in (batch iteration, one codec instance per
+    // partition, typed output). Decode itself is a deterministic stub
+    // (first md5 byte) because the container ships no media libs.
+    "m2_media_extract" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          val digest = java.security.MessageDigest.getInstance("MD5")
+          it.map { case (id, text) =>
+            val payload = digest.digest(text.getBytes("UTF-8"))
+            val b0 = payload(0) & 0xff
+            MediaFeat(id, (b0 % 5) + 1L,
+              BigDecimal(b0 / 255.0)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+        }
+        .toDF()
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  // ---- oracle SQL ----
+
+  /** DuckDB twin of Text.markerCount (space-padded split-count). */
+  private def duckMarker(m: String): String =
+    s"(len(string_split(' ' || regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') || ' ', ' $m ')) - 1)"
+
+  private def duckLangScore(lang: String): String =
+    Text.langMarkers.toMap.apply(lang).map(duckMarker).mkString(" + ")
+
+  /** Fixed-precedence argmax CASE chain mirroring Text.langPredict. */
+  private val duckLangCase: String = {
+    val langs = Text.langMarkers.map(_._1)
+    val branches = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1)
+      val cond = rest.map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }
+    s"CASE ${branches.mkString(" ")} ELSE '${langs.last}' END"
+  }
+
+  private def duckCos(a: String, b: String): String =
+    s"CAST(SUM(CAST(floor($a*$b*1e16) AS BIGINT)) AS DOUBLE) / " +
+      s"(sqrt(CAST(SUM(CAST(floor($a*$a*1e16) AS BIGINT)) AS DOUBLE)) * " +
+      s"sqrt(CAST(SUM(CAST(floor($b*$b*1e16) AS BIGINT)) AS DOUBLE)))"
+
+  private val duckUnnest =
+    """SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS i
+       FROM embeddings"""
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+           min(doc_id) AS keep_doc_id, count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY keep_doc_id""",
+    "d2_minhash_neardup" -> Dedup.jaccardOracleSql(3, 0.8),
+    "d3_simhash" -> Text.simhash32OracleSql,
+    "d4_ngram_jaccard" -> Dedup.jaccardOracleSql(3, 0.5),
+    "d5_embedding_neardup" ->
+      s"""WITH u AS ($duckUnnest),
+         p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 ${duckCos("a.x", "b.x")} AS cos
+               FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+               GROUP BY 1, 2)
+         SELECT vec_a, vec_b, round(cos, 4) AS cosine
+         FROM p WHERE cos >= 0.4 ORDER BY vec_a, vec_b""",
+    "n1_ann_topk" ->
+      s"""WITH u AS ($duckUnnest),
+         sc AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+                  ${duckCos("a.x", "b.x")} AS cos
+                FROM u a JOIN u b
+                  ON a.i = b.i AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+                GROUP BY 1, 2),
+         r AS (SELECT probe_id, neighbor_id, cos, row_number() OVER (
+                 PARTITION BY probe_id ORDER BY cos DESC, neighbor_id)
+                 AS rank FROM sc)
+         SELECT probe_id, rank, neighbor_id, round(cos, 4) AS cosine
+         FROM r WHERE rank <= 5 ORDER BY probe_id, rank""",
+    "t1_text_stats" ->
+      """WITH d AS (SELECT source, lang, n_chars,
+           len(regexp_split_to_array(trim(lower(text)), '\s+')) AS wc
+         FROM documents)
+         SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+           round(CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE)/count(n_chars), 4) AS avg_chars,
+           round(CAST(SUM(CAST(wc AS DECIMAL(38,6))) AS DOUBLE)/count(wc), 4) AS avg_words,
+           max(wc) AS max_words
+         FROM d GROUP BY source ORDER BY source""",
+    "t2_langid" -> {
+      val scores = Text.langMarkers.map { case (l, _) =>
+        s"${duckLangScore(l)} AS s_$l"
+      }.mkString(", ")
+      s"""WITH sc AS (SELECT doc_id, lang, $scores FROM documents)
+         SELECT doc_id, lang, $duckLangCase AS lang_pred,
+           lang = $duckLangCase AS is_match
+         FROM sc ORDER BY doc_id"""
+    },
+    "t3_quality_score" -> {
+      val stop = Text.stopwords.map(duckMarker).mkString(" + ")
+      s"""WITH d AS (SELECT doc_id,
+           len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS wc,
+           ($stop) AS stopc,
+           len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+             x -> regexp_full_match(x, '^[a-z]+$$'))) AS alphac
+         FROM documents)
+         SELECT doc_id,
+           round(100.0 * (0.5 * (CAST(stopc AS DOUBLE) / wc)
+             + 0.3 * (CAST(least(wc, 50) AS DOUBLE) / 50.0)
+             + 0.2 * (CAST(alphac AS DOUBLE) / wc)), 4) AS quality
+         FROM d ORDER BY doc_id"""
+    },
+    "t4_token_count" ->
+      """WITH n AS (SELECT doc_id,
+           regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+         FROM documents)
+         SELECT doc_id, length(t) AS n_chars_norm,
+           len(string_split(t, ' ')) AS ws_tokens,
+           len(regexp_extract_all(t, '[a-z0-9]{1,3}')) AS subword_tokens
+         FROM n ORDER BY doc_id""",
+    "t5_fingerprint" ->
+      """WITH t AS (SELECT doc_id, text,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS w
+         FROM documents),
+         sh AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+                FROM t, unnest(generate_series(1, len(w)-2)) AS g(i)),
+         m AS (SELECT doc_id, min(md5(s)) AS min_shingle_fp
+               FROM sh GROUP BY 1)
+         SELECT d.doc_id,
+           md5(regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g')) AS doc_fp,
+           m.min_shingle_fp
+         FROM documents d JOIN m ON d.doc_id = m.doc_id
+         ORDER BY d.doc_id""",
+    "m1_multimodal_meta" ->
+      """SELECT d.doc_id, d.lang, CAST(e.label AS BIGINT) AS label,
+           octet_length(unhex(md5(d.text))) AS n_bytes,
+           len(e.embedding) AS emb_dim,
+           substr(md5(d.text), 1, 8) AS header_hex
+         FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+         ORDER BY d.doc_id""",
+    "m2_media_extract" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS m FROM documents),
+         b AS (SELECT doc_id,
+           16*(strpos('0123456789abcdef', substr(m, 1, 1))-1)
+             + (strpos('0123456789abcdef', substr(m, 2, 1))-1) AS b0
+         FROM h)
+         SELECT doc_id, CAST((b0 % 5) + 1 AS BIGINT) AS frame_count,
+           round(b0 / 255.0, 4) AS feat0
+         FROM b ORDER BY doc_id"""
+  )
+}
