@@ -40,11 +40,20 @@ object Text {
     * (hash family h_j(s) = xxhash64(j, s)); signature[j] = min over the
     * shingle set. One array column per doc — no explode, no shuffle; the
     * signature computes map-side wherever the doc row lives.
+    *
+    * Built as a SINGLE aggregate with an array accumulator (elementwise
+    * `least` against the k seeded hashes of each shingle). The obvious
+    * k × array_min(transform(...)) form duplicates the shingle expression
+    * k times once Catalyst collapses projections and produces a codegen
+    * blob that falls back to interpretation — ~50× slower in practice.
     */
-  def minhashSig(shingleSet: Column, k: Int): Column =
-    array((0 until k).map { j =>
-      array_min(transform(shingleSet, s => xxhash64(lit(j), s)))
-    }: _*)
+  def minhashSig(shingleSet: Column, k: Int): Column = {
+    val init = typedLit(Seq.fill(k)(Long.MaxValue))
+    val seeds = typedLit((0 until k).toList)
+    aggregate(shingleSet, init, (acc, s) =>
+      zip_with(acc, transform(seeds, j => xxhash64(j, s)),
+        (a, h) => least(a, h)))
+  }
 
   /** LSH banding of a MinHash signature: `bands` hashes of `r`-row slices,
     * as an array of (band, bh) structs. Two docs with Jaccard s collide in
@@ -59,29 +68,42 @@ object Text {
     }: _*)
 
   /** 32-bit SimHash over the word multiset. Word hash = first 8 hex digits
-    * of md5 (so a DuckDB oracle can reproduce it bit-for-bit); per bit i,
-    * sum ±1 over words and set the bit when the sum is positive.
+    * of md5 as a 32-bit integer (so a DuckDB oracle can reproduce it
+    * bit-for-bit); per bit i, sum ±1 over words and set the bit when the
+    * sum is positive.
+    *
+    * Single aggregate with a 32-long array accumulator — same rationale as
+    * [[minhashSig]]: 32 separate per-bit aggregates would replicate the
+    * md5 pipeline 32× after projection collapse. Bit i is extracted as
+    * floor(wh / 2^i) % 2 (powers of two are exact doubles, wh < 2^32, so
+    * the division is exact) because shiftright only takes literal shifts.
     */
   def simhash32(c: Column): Column = {
-    val hashes = transform(words(c), w => md5(w))
-    def bitOf(m: Column, i: Int): Column =
-      shiftright(conv(substring(m, i / 4 + 1, 1), 16, 10).cast("int"),
-        3 - i % 4).bitwiseAND(lit(1))
-    val sums = (0 until 32).map { i =>
-      aggregate(hashes, lit(0),
-        (acc, m) => acc + (bitOf(m, i) * 2 - 1))
-    }
-    sums.zipWithIndex.map { case (s, i) =>
-      when(s > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val whs = transform(words(c), w =>
+      conv(substring(md5(w), 1, 8), 16, 10).cast("long"))
+    val zeros = typedLit(Seq.fill(32)(0L))
+    val pows = typedLit((0 until 32).map(i => math.pow(2, i)))
+    val sums = aggregate(whs, zeros, (acc, wh) =>
+      zip_with(acc, pows,
+        (a, p) => a + (floor(wh / p).cast("long") % 2L) * 2L - 1L))
+    val weights = typedLit((0 until 32).map(i => 1L << i))
+    aggregate(
+      zip_with(sums, weights, (s, w) => when(s > 0, w).otherwise(lit(0L))),
+      lit(0L), (a, x) => a + x)
   }
 
   /** DuckDB oracle twin of [[simhash32]] (generated SQL over `documents`).
-    * Kept beside the Spark expression so the two stay in lockstep.
+    * Kept beside the Spark expression so the two stay in lockstep. The
+    * 32-bit word hash is recomposed from hex digits via strpos (DuckDB has
+    * no base-conversion function); bit tests use integer shifts, which for
+    * non-negative values equal the floor-division form the Spark side uses.
     */
   def simhash32OracleSql: String = {
+    val wh = (0 until 8).map { p =>
+      s"(strpos('0123456789abcdef', substr(m, ${p + 1}, 1))-1)*${1L << (4 * (7 - p))}"
+    }.mkString(" + ")
     val sums = (0 until 32).map { i =>
-      s"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(m, ${i / 4 + 1}, 1))-1) >> ${3 - i % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS s_$i"
+      s"SUM(CASE WHEN (wh >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s_$i"
     }.mkString(", ")
     val recompose = (0 until 32)
       .map(i => s"CASE WHEN s_$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END")
@@ -90,7 +112,8 @@ object Text {
           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
         FROM documents),
       h AS (SELECT doc_id, md5(word) AS m FROM w),
-      b AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
+      wb AS (SELECT doc_id, $wh AS wh FROM h),
+      b AS (SELECT doc_id, $sums FROM wb GROUP BY doc_id)
       SELECT doc_id, $recompose AS simhash FROM b ORDER BY doc_id"""
   }
 
