@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.Core._
+
+/** Determinism properties of the core expression library — the reasons
+  * the DuckDB hash-compare holds: partition-order-independent sums,
+  * bounded approx-distinct error (the a2_approx_distinct claim), stable
+  * ids, microsecond-preserving literal anchors.
+  */
+class CoreSpec extends AnyFunSuite {
+
+  import SparkTestSession.{spark, sfDir}
+  import spark.implicits._
+
+  test("dsum is independent of partitioning (exact decimal accumulation)") {
+    val r = new scala.util.Random(42)
+    val xs = Seq.fill(20000)(r.nextDouble() * 1e6 - 5e5)
+    val results = Seq(1, 7, 32).map { p =>
+      xs.toDF("x").repartition(p).agg(dsum(col("x"))).head.getDouble(0)
+    }
+    assert(results.distinct.size == 1,
+      s"dsum drifted across partitionings: $results")
+    // plain double sum would NOT be stable at this magnitude spread —
+    // sanity-check dsum equals the BigDecimal ground truth
+    val exact = xs.map(BigDecimal(_).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    assert(results.head == exact)
+  }
+
+  test("davg matches decimal-sum/count to the bit across partitionings") {
+    val r = new scala.util.Random(7)
+    val xs = Seq.fill(5000)(r.nextDouble() * 1000)
+    val res = Seq(1, 13).map { p =>
+      xs.toDF("x").repartition(p).agg(davg(col("x"))).head.getDouble(0)
+    }
+    assert(res.distinct.size == 1)
+  }
+
+  test("approx_count_distinct(0.02) within 5% of exact on events users") {
+    val e = Tables.events(spark, sfDir)
+    val both = e.groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val (exact, approx) = (r.getAs[Long]("exact"), r.getAs[Long]("approx"))
+      assert(math.abs(approx - exact) <= math.max(1L, (exact * 0.05).toLong),
+        s"${r.get(0)}: approx=$approx exact=$exact")
+    }
+  }
+
+  test("stableId is deterministic and injective on distinct sample keys") {
+    val keys = (1 to 1000).map(i => s"denom$i")
+    val ids1 = keys.toDF("k").select(stableId(col("k"))).as[Long].collect()
+    val ids2 = keys.toDF("k").select(stableId(col("k"))).as[Long].collect()
+    assert(ids1.sameElements(ids2))
+    assert(ids1.distinct.length == keys.length)
+  }
+
+  test("anchorMinusSec preserves sub-second precision") {
+    val df = Seq("2024-03-01 10:00:00.123456", "2024-03-05 00:00:00.654321")
+      .toDF("s").select(to_timestamp(col("s")).as("ts"))
+    val cut = anchorMinusSec(df, col("ts"), 86400L)
+    val got = df.select(cut.as("c")).head.getTimestamp(0)
+    assert(got.toString == "2024-03-04 00:00:00.654321")
+  }
+
+  test("txHash matches the sha-256 upper-hex contract") {
+    val got = Seq("hello").toDF("t").select(txHash(col("t"))).head.getString(0)
+    assert(got ==
+      "2CF24DBA5FB0A30E26E83B2AC5B9E29E1B161E5C1FA7425E73043362938B9824")
+  }
+}

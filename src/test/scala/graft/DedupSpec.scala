@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.operators.Dedup
+
+/** Dedup operator tests: shingling semantics, exact-dedup normalization,
+  * planted near-dup recovery, and the load-bearing property behind the
+  * d2 oracle — MinHash-LSH banding finds exactly the brute-force pair set
+  * at the 0.8 threshold on the driver fixture.
+  */
+class DedupSpec extends AnyFunSuite {
+
+  import SparkTestSession.{spark, sfDir}
+  import spark.implicits._
+
+  test("shingleSet builds distinct space-joined word n-grams") {
+    val got = Seq("The  quick quick Brown fox").toDF("text")
+      .select(Text.shingleSet(col("text"), 3).as("sh"))
+      .head.getSeq[String](0).toSet
+    assert(got == Set("the quick quick", "quick quick brown",
+      "quick brown fox"))
+  }
+
+  test("exactDedup groups case/whitespace variants, keeps first doc_id") {
+    val docs = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "HELLO WORLD "),
+      (4L, "something else")).toDF("doc_id", "text")
+    val got = Dedup.exactDedup(docs)
+      .select("keep_doc_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L), (4L, 1L)))
+  }
+
+  test("minhashNearDup recovers a planted near-dup and skips unrelated") {
+    val w = (1 to 40).map(i => s"w$i")
+    val doc1 = w.mkString(" ")
+    val doc2 = (w.updated(20, "CHANGED")).mkString(" ") // 1 word of 40 differs
+    val doc3 = (1 to 40).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, doc1), (2L, doc2), (3L, doc3)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDup(docs, n = 3, theta = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("LSH pair set == brute-force pair set at theta=0.8 on sf0.001") {
+    val docs = Tables.documents(spark, sfDir)
+    val lsh = Dedup.minhashNearDup(docs, 3, 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val brute = Dedup.jaccardBruteForce(docs, 3, 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lsh == brute)
+    assert(lsh.nonEmpty) // the fixture plants near-dups; empty = broken
+  }
+
+  test("simhash: near-identical docs are close in Hamming distance") {
+    val w = (1 to 60).map(i => s"w$i")
+    val df = Seq((1L, w.mkString(" ")),
+      (2L, w.updated(10, "x").mkString(" ")),
+      (3L, (1 to 60).map(i => s"q$i").mkString(" "))).toDF("doc_id", "text")
+    val h = df.select(col("doc_id"), Text.simhash32(col("text")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(2L)) <= 6)
+    assert(ham(h(1L), h(3L)) > ham(h(1L), h(2L)))
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Similarity/ANN tests: scaled-long cosine vs a plain Scala oracle,
+  * top-k ranking contract, and the LSH recall bound vs brute force on the
+  * driver fixture (isotropic synthetic vectors — the hard case for
+  * hyperplane LSH; clustered real embeddings only do better).
+  */
+class SimilaritySpec extends AnyFunSuite {
+
+  import SparkTestSession.{spark, sfDir}
+  import spark.implicits._
+
+  private lazy val vecs = Tables.embeddings(spark, sfDir)
+
+  test("scaled-long cosine matches direct double cosine to 1e-9") {
+    val rows = vecs.filter(col("vec_id") < 20)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val byId = rows.toMap
+    def cosDirect(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val got = Similarity.cosinePairs(vecs.filter(col("vec_id") < 20), -1.0)
+      .select("vec_a", "vec_b", "cosine").as[(Long, Long, Double)].collect()
+    assert(got.length == 20 * 19 / 2)
+    // the operator emits round4(cosine); the scaled-long path agrees with
+    // the direct double computation to ~1e-14, so the 4dp rounding matches
+    got.foreach { case (a, b, c) =>
+      val want = BigDecimal(cosDirect(byId(a), byId(b)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(c == want, s"pair ($a,$b): got $c want $want")
+    }
+  }
+
+  test("bruteForceTopK: dense ranks, no self-match, descending cosine") {
+    val topk = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") < 5), vecs, k = 7)
+      .select("probe_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Long, Long, Double)].collect()
+    val byProbe = topk.groupBy(_._1)
+    assert(byProbe.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byProbe.foreach { case (p, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to 7L))
+      assert(sorted.forall(_._3 != p))
+      assert(sorted.map(_._4).toSeq ==
+        sorted.map(_._4).sortBy(-(_: Double)).toSeq)
+    }
+  }
+
+  test("lshTopK recall@5 vs brute force ≥ 0.4 on isotropic fixture") {
+    val probes = vecs.filter(col("vec_id") < 50)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val truth = pairs(Similarity.bruteForceTopK(probes, vecs, 5))
+    val got = pairs(Similarity.lshTopK(probes, vecs, 5))
+    val recall = (truth & got).size.toDouble / truth.size
+    info(f"lsh recall@5 = $recall%.3f (candidates only, no full scan)")
+    assert(recall >= 0.4, f"recall $recall%.3f below bound")
+  }
+
+  test("lshTopK ranks returned candidates like brute force does") {
+    // any (probe, neighbor) the LSH returns must carry the same cosine the
+    // brute-force path computes for that pair
+    val probes = vecs.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(probes, vecs, 499)
+      .select("probe_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map { case (p, n, c) => (p, n) -> c }.toMap
+    val lsh = Similarity.lshTopK(probes, vecs, 5)
+      .select("probe_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (p, n, c) =>
+      assert(brute((p, n)) == c, s"cosine mismatch for ($p,$n)")
+    }
+  }
+}
