@@ -25,10 +25,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.defs ++
     graft.queries.TimeSeries.defs ++
-    graft.queries.Pipeline.defs
+    graft.queries.Pipeline.defs ++
+    graft.queries.DomainQueries.defs
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
     graft.queries.TimeSeries.oracles ++
-    graft.queries.Pipeline.oracles
+    graft.queries.Pipeline.oracles ++
+    graft.queries.DomainQueries.oracles
 }

@@ -62,11 +62,18 @@ object Core {
   def rebucket(bucket: Column, stepSec: Long): Column =
     (floor(bucket / stepSec) * stepSec).cast("long")
 
-  /** Round a double column to `dp` decimals — for ratio outputs where exact
-    * decimal arithmetic isn't possible (divisions). Keep thresholds away
-    * from representable boundaries.
+  /** Round a double column to 4 decimals via the multiply form:
+    * round(x·10⁴)/10⁴. Engines disagree on `round(x, 4)` exactly at
+    * decimal ties: Spark rounds the exact binary value of x (BigDecimal
+    * HALF_UP) while DuckDB rounds the DOUBLE x·10⁴ — for a true-decimal
+    * tie like 6202.45595 the two can land one ulp apart and round in
+    * opposite directions. Multiplying first makes both engines round the
+    * SAME double with the same ties-away rule, so results are
+    * bit-identical. (Negative zero: Spark's BigDecimal path normalizes
+    * -0.0 → +0.0; DuckDB keeps -0.0 — oracle SQL adds `+ 0` where an
+    * exactly-zero product of a negative operand can occur.)
     */
-  def round4(c: Column): Column = round(c, 4)
+  def round4(c: Column): Column = round(c * 10000d, 0) / 10000d
 
   /** Deterministic 64-bit id from a string key — the Spark analogue of the
     * reference's `cityHash64(denom)` surrogate ids (core/tokens.js:29-34,

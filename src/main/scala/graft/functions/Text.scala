@@ -174,7 +174,7 @@ object Text {
     val stopRatio = stopCount.cast("double") / wc
     val lenSat = least(wc, lit(50)).cast("double") / 50.0d
     val alphaRatio = alphaCount.cast("double") / wc
-    round(lit(100.0d) * (lit(0.5d) * stopRatio + lit(0.3d) * lenSat
-      + lit(0.2d) * alphaRatio), 4)
+    Core.round4(lit(100.0d) * (lit(0.5d) * stopRatio + lit(0.3d) * lenSat
+      + lit(0.2d) * alphaRatio))
   }
 }

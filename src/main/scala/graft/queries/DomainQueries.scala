@@ -1,0 +1,375 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Core._
+import graft.functions.Domain
+
+/** Domain-logic queries — SURVEY §2.10 F1-F5/F9/F11/F12 as Column
+  * expressions over the driver tables, the A11 token matrix (price
+  * fallback chain with the rebase-glitch correction), the decode-faithful
+  * ingest slice (S2/S3 + §2.8 encoding fns), and the §2.8 array/JSON
+  * functions. F6-F8 (swap sim / routing) are driver-side pure Scala over
+  * collected pool rows — see operators/Swap.scala and SwapSpec.
+  *
+  * The driver tables stand in for the domain tables (events≈trades keyed
+  * by user_id≈token, customer≈tokens, part≈pools); the expressions under
+  * test are the reference's, the column bindings are synthetic.
+  */
+object DomainQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+
+    // F1: direction classification (core/parse.js:35).
+    "f1_direction" -> { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") < 2000L)
+        .select(col("event_id"),
+          Domain.classifyDirection(col("event_type"), lit("purchase"))
+            .as("direction"))
+        .orderBy(col("event_id"))
+    },
+
+    // F2: pair normalization — uzig forced to quote side (core/parse.js:71-76).
+    // Pair strings synthesized so all three branches (uzig-first,
+    // uzig-second, no-uzig) and the first-dash split are exercised.
+    "f2_normalize_pair" -> { (s, d) =>
+      val pair = when(col("p_partkey") % 3 === 0,
+          concat(lit("uzig-"), lower(col("p_brand"))))
+        .when(col("p_partkey") % 3 === 1,
+          concat(lower(col("p_brand")), lit("-uzig")))
+        .otherwise(lower(col("p_type")))
+      val np = Domain.normalizePair(pair)
+      Tables.part(s, d)
+        .filter(col("p_partkey") <= 2000L)
+        .select(col("p_partkey"), pair.as("pair"),
+          np.getField("base").as("base"), np.getField("quote").as("quote"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // F3: display scaling (core/parse.js:36) — exponent varies per line.
+    "f3_todisp" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 300L)
+        .select(col("l_orderkey").as("okey"), col("l_linenumber").as("line"),
+          round4(Domain.toDisp(col("l_extendedprice"), col("l_linenumber")))
+            .as("disp"))
+        .orderBy(col("okey"), col("line"))
+    },
+
+    // F4: price from reserves (core/prices.js:69-92) — per-user "pool"
+    // with purchase volume as quote reserve, click volume as base reserve.
+    "f4_price_reserves" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg((dsumIf(col("value"), col("event_type") === "purchase") * 1e6)
+            .as("rq_base"),
+          (dsumIf(col("value"), col("event_type") === "click") * 1e6)
+            .as("rb_base"))
+        .select(col("user_id"),
+          round4(Domain.priceFromReserves(col("rq_base"), col("rb_base"),
+            lit(6))).as("price"))
+        .filter(col("price").isNotNull)
+        .orderBy(col("user_id"))
+    },
+
+    // F5: pair-type fee schedule (api/routes/swap.js:21-32), incl. the
+    // xyk_<bps> parse and the null default.
+    "f5_pair_fee" -> { (s, d) =>
+      val ptype = when(col("p_partkey") % 5 === 0, lit("xyk"))
+        .when(col("p_partkey") % 5 === 1, lit("concentrated"))
+        .when(col("p_partkey") % 5 === 2,
+          concat(lit("xyk_"), (col("p_size") * 10).cast("string")))
+        .when(col("p_partkey") % 5 === 3, lit("custom-concentrated"))
+        .otherwise(lit(null).cast("string"))
+      Tables.part(s, d)
+        .filter(col("p_partkey") <= 2000L)
+        .select(col("p_partkey"), ptype.as("pair_type"),
+          Domain.pairFee(ptype).as("fee"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // F9: trade class thresholds (api/routes/trades.js:222-226).
+    "f9_trade_class" -> { (s, d) =>
+      val worth = col("value") * 20d
+      Tables.events(s, d)
+        .filter(col("event_id") < 2000L)
+        .select(col("event_id"), round4(worth).as("worth"),
+          Domain.tradeClass(worth).as("cls"))
+        .orderBy(col("event_id"))
+    },
+
+    // F12: worth expression — ZIG-leg preferred, else notional × price
+    // (api/routes/trades.js:216-220,353-388).
+    "f12_worth" -> { (s, d) =>
+      val zigLeg = when(col("event_type") === "purchase", col("value"))
+      val px = lit(0.5d) + (col("user_id") % 10).cast("double") / 10d
+      val w = Domain.worth(zigLeg, col("value"), px)
+      Tables.events(s, d)
+        .filter(col("event_id") < 2000L)
+        .select(col("event_id"), round4(w).as("worth"),
+          Domain.tradeClass(w).as("cls"))
+        .orderBy(col("event_id"))
+    },
+
+    // F11: security risk score (api/routes/tokens.js:1104-1143) — rule
+    // chain over synthetic per-customer security facts; age from real
+    // order dates vs a collected literal anchor.
+    "f11_security_score" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      // o_orderdate is parquet TIMESTAMP(ms) without timezone → Spark
+      // reads TIMESTAMP_NTZ (LocalDateTime); epoch taken as UTC to match
+      // DuckDB's epoch() on naive timestamps.
+      val anchorSec = o.agg(max(col("o_orderdate"))).head
+        .getAs[java.time.LocalDateTime](0)
+        .toEpochSecond(java.time.ZoneOffset.UTC)
+      val firstSeen = o.groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("first_seen"),
+          count_if(col("o_totalprice") > 1000d).as("big_orders"))
+      Tables.customer(s, d)
+        .join(firstSeen, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          Domain.securityScore(
+            isMintable = col("c_mktsegment") === "BUILDING",
+            canChangeCap = col("c_acctbal") < 0d,
+            top10PctOfMax = abs(col("c_acctbal")) % 100d,
+            creatorPctOfMax = (col("c_custkey") % 40).cast("double"),
+            holdersCount = (col("c_custkey") * 37) % 12000,
+            fullyMinted = col("c_custkey") % 2 === 0,
+            daysAlive = coalesce(
+              floor((lit(anchorSec)
+                - unix_timestamp(col("first_seen").cast("timestamp")))
+                / 86400d).cast("double"),
+              lit(0d))).as("score"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // A11: token matrix — trades-price with 60m-avg-OHLCV fallback, the
+    // ×10⁻⁶ rebase-glitch correction, mcap/fdv from display supplies,
+    // holders count (jobs/matrix-rollups.js:242-336). events play trades
+    // (latest purchase value = prices source; 1-day click average = OHLCV
+    // source), customers play tokens.
+    "a11_token_matrix" -> { (s, d) =>
+      val e = Tables.events(s, d)
+      val cut = anchorMinusSec(e, col("ts"), 86400L)
+      val priced = e.groupBy(col("user_id")).agg(
+        latestBy(col("value"),
+          when(col("event_type") === "purchase", col("event_id"))).as("p1"),
+        dsumIf(col("value"),
+          col("event_type") === "click" && col("ts") >= cut).as("o_sum"),
+        countIf(col("event_type") === "click" && col("ts") >= cut)
+          .as("o_cnt"))
+        .select(col("user_id"), col("p1"),
+          when(col("o_cnt") > 0, col("o_sum") / col("o_cnt")).as("p2"))
+      val holders = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 1000d)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("holders"))
+      val exp = col("c_custkey") % 10
+      val price = Domain.tokenPriceDisp(col("p1"), col("p2"), exp)
+      val circDisp = (col("c_acctbal") * 1000d) / pow(lit(10d), coalesce(exp, lit(6)))
+      val maxDisp = (col("c_acctbal") * 2000d) / pow(lit(10d), coalesce(exp, lit(6)))
+      Tables.customer(s, d)
+        .join(priced, col("c_custkey") === col("user_id"), "left")
+        .join(holders, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey").as("token_id"),
+          round4(price).as("price_in_zig"),
+          round4(circDisp * price).as("mcap_zig"),
+          round4(maxDisp * price).as("fdv_zig"),
+          coalesce(col("holders"), lit(0L)).as("holders"))
+        .orderBy(col("token_id"))
+    },
+
+    // S3 + §2.8 encoding: base64 round-trip decode check, "amount+denom"
+    // asset parse, "denom:amount" k/v parse (core/parse.js:4-17,38-60).
+    "s3_event_decode" -> { (s, d) =>
+      val b64 = base64(col("text").cast("binary"))
+      val decoded = decode(unbase64(b64), "UTF-8")
+      val assetStr = concat(col("n_chars"), lower(col("source")))
+      val kvStr = concat(lower(col("source")), lit(":"), col("n_chars"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          (decoded === col("text")).as("round_ok"),
+          regexp_extract(assetStr, "^(\\d+)([a-zA-Z0-9.\\-_]+)$", 1)
+            .cast("long").as("amount"),
+          regexp_extract(assetStr, "^(\\d+)([a-zA-Z0-9.\\-_]+)$", 2)
+            .as("denom"),
+          substring_index(kvStr, ":", 1).as("kv_denom"),
+          substring_index(kvStr, ":", -1).cast("long").as("kv_amount"))
+        .orderBy(col("doc_id"))
+    },
+
+    // §2.8 JSON: extract a typed field from the JSON props payload
+    // (jobs/alerts.js:14-101 reads alert params the same way).
+    "x1_json_extract" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("event_type"))
+    },
+
+    // §2.8 array: explode words, global top-20 by frequency.
+    "x2_array_topwords" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(graft.functions.Text.words(col("text"))).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(20)
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "f1_direction" ->
+      """SELECT event_id,
+         CASE WHEN event_type = 'purchase' THEN 'buy' ELSE 'sell' END AS direction
+         FROM events WHERE event_id < 2000 ORDER BY event_id""",
+    "f2_normalize_pair" ->
+      """WITH p AS (SELECT p_partkey,
+           CASE WHEN p_partkey % 3 = 0 THEN 'uzig-' || lower(p_brand)
+                WHEN p_partkey % 3 = 1 THEN lower(p_brand) || '-uzig'
+                ELSE lower(p_type) END AS pair
+         FROM part WHERE p_partkey <= 2000),
+         sp AS (SELECT p_partkey, pair,
+           CASE WHEN strpos(pair, '-') = 0 THEN pair
+                ELSE substr(pair, 1, strpos(pair, '-')-1) END AS x,
+           CASE WHEN strpos(pair, '-') = 0 THEN ''
+                ELSE substr(pair, strpos(pair, '-')+1) END AS y
+         FROM p)
+         SELECT p_partkey, pair,
+           CASE WHEN x = 'uzig' AND y <> '' THEN y
+                WHEN y = 'uzig' AND x <> '' THEN x
+                ELSE x END AS base,
+           CASE WHEN x = 'uzig' AND y <> '' THEN 'uzig'
+                WHEN y = 'uzig' AND x <> '' THEN 'uzig'
+                ELSE y END AS quote
+         FROM sp ORDER BY p_partkey""",
+    "f3_todisp" ->
+      """SELECT l_orderkey AS okey, l_linenumber AS line,
+         round(l_extendedprice / pow(10, coalesce(l_linenumber, 0)), 4) AS disp
+         FROM lineitem WHERE l_orderkey < 300 ORDER BY okey, line""",
+    "f4_price_reserves" ->
+      """WITH r AS (SELECT user_id,
+           CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE) * 1e6 AS rq_base,
+           CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE) * 1e6 AS rb_base
+         FROM events GROUP BY user_id)
+         SELECT user_id,
+           round((rq_base / 1000000.0) / (rb_base / pow(10, 6)), 4) AS price
+         FROM r WHERE rq_base > 0 AND rb_base > 0
+         ORDER BY user_id""",
+    "f5_pair_fee" ->
+      """WITH p AS (SELECT p_partkey,
+           CASE WHEN p_partkey % 5 = 0 THEN 'xyk'
+                WHEN p_partkey % 5 = 1 THEN 'concentrated'
+                WHEN p_partkey % 5 = 2 THEN 'xyk_' || CAST(p_size * 10 AS VARCHAR)
+                WHEN p_partkey % 5 = 3 THEN 'custom-concentrated'
+                ELSE NULL END AS pair_type
+         FROM part WHERE p_partkey <= 2000)
+         SELECT p_partkey, pair_type,
+           CASE WHEN pair_type IS NULL THEN 0.003
+                WHEN lower(pair_type) = 'xyk' THEN 0.0001
+                WHEN lower(pair_type) = 'concentrated' THEN 0.01
+                WHEN regexp_extract(lower(pair_type), 'xyk[_-](\d+)', 1) <> ''
+                  THEN CAST(regexp_extract(lower(pair_type), 'xyk[_-](\d+)', 1) AS DOUBLE) / 10000
+                ELSE 0.003 END AS fee
+         FROM p ORDER BY p_partkey""",
+    "f9_trade_class" ->
+      """SELECT event_id, round(value * 20, 4) AS worth,
+         CASE WHEN value * 20 < 1000 THEN 'shrimp'
+              WHEN value * 20 <= 10000 THEN 'shark'
+              ELSE 'whale' END AS cls
+         FROM events WHERE event_id < 2000 ORDER BY event_id""",
+    "f12_worth" ->
+      """WITH w AS (SELECT event_id,
+           coalesce(CASE WHEN event_type = 'purchase' THEN value END,
+             value * (0.5 + CAST(user_id % 10 AS DOUBLE) / 10)) AS worth
+         FROM events WHERE event_id < 2000)
+         SELECT event_id, round(worth, 4) AS worth,
+           CASE WHEN worth < 1000 THEN 'shrimp'
+                WHEN worth <= 10000 THEN 'shark'
+                ELSE 'whale' END AS cls
+         FROM w ORDER BY event_id""",
+    "f11_security_score" ->
+      """WITH fs AS (SELECT o_custkey, min(o_orderdate) AS first_seen
+           FROM orders GROUP BY o_custkey),
+         anchor AS (SELECT max(o_orderdate) AS a FROM orders),
+         facts AS (SELECT c_custkey,
+           c_mktsegment = 'BUILDING' AS is_mintable,
+           c_acctbal < 0 AS can_change_cap,
+           abs(c_acctbal) % 100 AS top10,
+           CAST(c_custkey % 40 AS DOUBLE) AS creator,
+           (c_custkey * 37) % 12000 AS holders,
+           c_custkey % 2 = 0 AS fully_minted,
+           coalesce(floor((epoch(a) - epoch(first_seen)) / 86400), 0) AS days_alive
+         FROM customer LEFT JOIN fs ON c_custkey = o_custkey CROSS JOIN anchor)
+         SELECT c_custkey,
+           greatest(1, least(99, CAST(round(100
+             + CASE WHEN is_mintable THEN -12 ELSE 4 END
+             + CASE WHEN can_change_cap THEN -8 ELSE 0 END
+             + CASE WHEN top10 >= 75 THEN -20 WHEN top10 >= 50 THEN -12
+                    WHEN top10 >= 30 THEN -6 ELSE 4 END
+             + CASE WHEN creator >= 25 THEN -18 WHEN creator >= 10 THEN -10
+                    WHEN creator > 0 THEN 3 ELSE 0 END
+             + CASE WHEN holders < 100 THEN -8 WHEN holders < 1000 THEN -4
+                    WHEN holders >= 10000 THEN 5 ELSE 0 END
+             + CASE WHEN NOT is_mintable AND fully_minted THEN 4 ELSE 0 END
+             + CASE WHEN days_alive >= 180 THEN 6 WHEN days_alive >= 90 THEN 4
+                    WHEN days_alive >= 30 THEN 2 ELSE 0 END, 0) AS INT)))
+           AS score
+         FROM facts ORDER BY c_custkey""",
+    "a11_token_matrix" ->
+      """WITH cut AS (SELECT max(ts) - INTERVAL 1 DAY AS c FROM events),
+         pr AS (SELECT user_id,
+           max_by(value, CASE WHEN event_type = 'purchase' THEN event_id END) AS p1,
+           CAST(SUM(CAST(CASE WHEN event_type = 'click' AND ts >= c THEN value ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE) AS o_sum,
+           count(*) FILTER (WHERE event_type = 'click' AND ts >= c) AS o_cnt
+         FROM events CROSS JOIN cut GROUP BY user_id),
+         px AS (SELECT user_id, p1,
+           CASE WHEN o_cnt > 0 THEN o_sum / o_cnt END AS p2 FROM pr),
+         h AS (SELECT o_custkey, count(*) AS holders FROM orders
+               WHERE o_totalprice > 1000 GROUP BY o_custkey),
+         m AS (SELECT c_custkey, c_acctbal, p1, p2, holders,
+           c_custkey % 10 AS exp,
+           CASE WHEN p1 IS NOT NULL AND p2 IS NOT NULL AND p2 > 0
+                  AND p1 / p2 BETWEEN 100000 AND 10000000
+                  AND coalesce(c_custkey % 10, 6) = 6
+                THEN p1 / 1000000
+                WHEN p1 IS NOT NULL THEN p1
+                WHEN p2 IS NOT NULL THEN p2
+                ELSE 0 END AS price
+         FROM customer
+         LEFT JOIN px ON c_custkey = user_id
+         LEFT JOIN h ON c_custkey = o_custkey)
+         SELECT c_custkey AS token_id,
+           round(price, 4) + 0 AS price_in_zig,
+           round((c_acctbal * 1000) / pow(10, coalesce(exp, 6)) * price, 4) + 0 AS mcap_zig,
+           round((c_acctbal * 2000) / pow(10, coalesce(exp, 6)) * price, 4) + 0 AS fdv_zig,
+           coalesce(holders, 0) AS holders
+         FROM m ORDER BY token_id""",
+    "s3_event_decode" ->
+      """SELECT doc_id,
+         decode(from_base64(base64(encode(text)))) = text AS round_ok,
+         CAST(regexp_extract(n_chars || lower(source),
+           '^(\d+)([a-zA-Z0-9.\-_]+)$', 1) AS BIGINT) AS amount,
+         regexp_extract(n_chars || lower(source),
+           '^(\d+)([a-zA-Z0-9.\-_]+)$', 2) AS denom,
+         substr(lower(source) || ':' || n_chars, 1,
+           strpos(lower(source) || ':' || n_chars, ':')-1) AS kv_denom,
+         CAST(substr(lower(source) || ':' || n_chars,
+           strpos(lower(source) || ':' || n_chars, ':')+1) AS BIGINT) AS kv_amount
+         FROM documents ORDER BY doc_id""",
+    "x1_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+         SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "x2_array_topwords" ->
+      """SELECT word, count(*) AS n FROM (
+           SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+           FROM documents)
+         GROUP BY word ORDER BY n DESC, word LIMIT 20"""
+  )
+}

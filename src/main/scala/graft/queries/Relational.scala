@@ -268,10 +268,14 @@ object Relational {
         .orderBy(col("user_id"))
     },
 
-    // S2: tx-hash derivation — sha256 hex upper (core/parse.js:20).
+    // S2: tx-hash derivation — upper-hex sha256 of the base64-DECODED tx
+    // bytes (core/parse.js:20): the wire form is base64, the hash input is
+    // the decoded payload. Round 1 hashed the raw text and mirrored that
+    // in the oracle (self-confirming); both sides now run the decode.
     "s2_txhash" -> { (s, d) =>
+      val wireB64 = base64(col("text").cast("binary"))
       Tables.documents(s, d)
-        .select(col("doc_id"), txHash(col("text")).as("tx_hash"))
+        .select(col("doc_id"), txHash(unbase64(wireB64)).as("tx_hash"))
         .orderBy(col("doc_id"))
     },
 
@@ -458,8 +462,9 @@ object Relational {
            SELECT user_id, value FROM events WHERE event_type = 'error')
          GROUP BY user_id ORDER BY user_id""",
     "s2_txhash" ->
-      """SELECT doc_id, upper(sha256(text)) AS tx_hash FROM documents
-         ORDER BY doc_id""",
+      """SELECT doc_id,
+         upper(sha256(decode(from_base64(base64(encode(text)))))) AS tx_hash
+         FROM documents ORDER BY doc_id""",
     "s8_dedup_keys" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
