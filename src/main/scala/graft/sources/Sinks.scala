@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational.dedupeKeepLatest
+
+/** Sources/sinks — SURVEY §2.1 S5 (CSV import + upsert), S7 (batched
+  * append), S9 (snapshot-replace). The reference's sinks are ClickHouse
+  * INSERT batching (lib/batch.js) and DELETE+INSERT refresh
+  * (jobs/holders-refresher.js:131-194); the Spark-native forms are
+  * partitioned parquet append, dynamic-partition overwrite (the
+  * replaceWhere twin), and a read-merge-write upsert (the Delta MERGE
+  * twin without a transactional table format in this environment).
+  */
+object Sinks {
+
+  /** S7: batched append — micro-batch rows land as a partitioned append.
+    * `partitionCol` plays the monthly range partitioning of the trades
+    * table (phase3schema.sql:353-368): at 100 TB the partition column is
+    * what makes time-window reads prune files instead of listing the
+    * world.
+    */
+  def appendPartitioned(df: DataFrame, path: String,
+                        partitionCol: String): Unit =
+    df.write.mode(SaveMode.Append).partitionBy(partitionCol).parquet(path)
+
+  /** S9: snapshot-replace — overwrite ONLY the partitions present in the
+    * incoming snapshot (dynamic partition overwrite), the twin of
+    * "DELETE token's rows, INSERT fresh snapshot". Other partitions are
+    * untouched, so concurrent readers of other keys never see a hole.
+    */
+  def snapshotReplace(df: DataFrame, path: String,
+                      partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(path)
+
+  /** S5: CSV import with header + last-wins upsert into an existing table
+    * (bin/import-pools-csv.js:105-191). Incoming rows win over current
+    * rows on `key`; within the incoming batch the highest `ord` wins
+    * (S10 last-wins compaction). Without a transactional format this is
+    * read-merge-overwrite; on Delta it would be MERGE WHEN MATCHED.
+    */
+  def csvUpsert(spark: SparkSession, csvPath: String, tablePath: String,
+                key: String, ord: Column): Unit = {
+    val incoming = dedupeKeepLatest(
+      spark.read.option("header", "true").option("inferSchema", "true")
+        .csv(csvPath),
+      Seq(key), ord)
+    val merged =
+      if (new java.io.File(tablePath).exists()) {
+        val current = spark.read.parquet(tablePath)
+        current.join(incoming, Seq(key), "left_anti")
+          .unionByName(incoming.select(current.columns.map(col): _*))
+      } else incoming
+    // two-phase write: materialize the merge before overwriting the source
+    val tmp = tablePath + ".tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(tablePath)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+}

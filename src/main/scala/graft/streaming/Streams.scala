@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.functions.Core._
+
+/** Structured Streaming slice — SURVEY §2.9 T1/T4/T5 re-expressed
+  * Spark-first. The reference's indexer is a height-ordered RPC poller
+  * with an `index_state` checkpoint (bin/start-indexer.js:36-79,
+  * core/checkpoint.js:4-23), dedup-on-write (core/block-processor.js:64-76)
+  * and a process-lifetime lastCloseByPool map for candle continuity
+  * (core/ohlcv.js:5-7,121-154). The Spark shape: a file landing zone read
+  * as a micro-batch stream (checkpointLocation = the T1 ordered-commit
+  * checkpoint), `dropDuplicates` keyed like the unique index (T4), and
+  * `flatMapGroupsWithState` carrying last close per series (T5).
+  * StreamingSpec proves streaming ≡ batch on the fixture.
+  */
+object Streams {
+
+  /** events landing-zone schema (ts as raw nanos LONG — see Tables.events:
+    * parquet TIMESTAMP(NANOS) reads as long under the legacy conf).
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** T1: micro-batch file source over a landing directory. File arrival
+    * order plays block-height order; the stream's checkpointLocation is
+    * the `index_state` twin — restart resumes after the last committed
+    * batch, never re-emitting it.
+    */
+  def eventsStream(spark: SparkSession, landingDir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .parquet(landingDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** T4: exactly-once-ish key dedup, the streaming twin of the existence
+    * probe on (pool_id, tx_hash, msg_index). State is the seen-key set;
+    * bound it with a watermark on the event-time column at scale.
+    */
+  def dedupeKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.dropDuplicates(keys)
+
+  /** Streaming windowed candle build (A5's streaming twin): event-time
+    * window aggregate; min_by/max_by over the unique `ord` keep open/close
+    * deterministic exactly as in the batch path.
+    */
+  def windowedCandles(df: DataFrame, keys: Seq[String], stepSec: Long)
+      : DataFrame =
+    df.groupBy((keys.map(col) :+
+        window(col("ts"), s"$stepSec seconds").as("w")): _*)
+      .agg(
+        earliestBy(col("value"), col("event_id")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        latestBy(col("value"), col("event_id")).as("close"),
+        dsum(col("value")).as("volume"),
+        count(lit(1)).as("trade_count"))
+      .withColumn("bucket_ts", unix_timestamp(col("w.start")))
+      .drop("w")
+
+  final case class Tick(key: String, bucketTs: Long, ord: Long, price: Double)
+  final case class Candle(key: String, bucket_ts: Long, open: Double,
+                          high: Double, low: Double, close: Double)
+
+  /** T5: candle continuity with explicit state — open of the first candle
+    * of each batch continues from the PREVIOUS batch's last close, exactly
+    * the reference's lastCloseByPool map, surviving restarts via the
+    * checkpoint instead of process memory. Emits completed candles per
+    * micro-batch; state = last close per series.
+    */
+  def candlesWithContinuity(ticks: Dataset[Tick])
+      : Dataset[Candle] = {
+    import ticks.sparkSession.implicits._
+    ticks
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Double, Candle](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[Tick], state: GroupState[Double]) =>
+          val ticksSorted = it.toSeq.sortBy(t => (t.bucketTs, t.ord))
+          var carry: Option[Double] = state.getOption
+          val out = ticksSorted.groupBy(_.bucketTs).toSeq.sortBy(_._1)
+            .map { case (bucket, ts) =>
+              val prices = ts.map(_.price)
+              val open = carry.getOrElse(ts.head.price)
+              val close = ts.last.price
+              carry = Some(close)
+              Candle(key, bucket, open, prices.max, prices.min, close)
+            }
+          carry.foreach(state.update)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sinks
+
+/** Sink round-trips: partitioned append (S7), dynamic-partition snapshot
+  * replace (S9), CSV last-wins upsert (S5).
+  */
+class SinkSpec extends AnyFunSuite {
+
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(p: String): String =
+    Files.createTempDirectory(p).resolve("t").toString
+
+  test("S7: appendPartitioned accumulates batches under partition dirs") {
+    val path = tmp("graft-s7")
+    Sinks.appendPartitioned(
+      Seq((1L, "2024-01", 5.0), (2L, "2024-02", 6.0))
+        .toDF("id", "month", "v"), path, "month")
+    Sinks.appendPartitioned(
+      Seq((3L, "2024-02", 7.0)).toDF("id", "month", "v"), path, "month")
+    val got = spark.read.parquet(path).select("id", "month", "v")
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == Set((1L, "2024-01", 5.0), (2L, "2024-02", 6.0),
+      (3L, "2024-02", 7.0)))
+  }
+
+  test("S9: snapshotReplace overwrites only the snapshot's partitions") {
+    val path = tmp("graft-s9")
+    Sinks.snapshotReplace(
+      Seq((1L, 100L, 10.0), (2L, 100L, 20.0), (3L, 200L, 30.0))
+        .toDF("id", "token_id", "bal"), path, "token_id")
+    // refresh token 100 with a fresh snapshot; token 200 must be untouched
+    Sinks.snapshotReplace(
+      Seq((9L, 100L, 99.0)).toDF("id", "token_id", "bal"), path, "token_id")
+    val got = spark.read.parquet(path).select("id", "token_id", "bal")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((9L, 100L, 99.0), (3L, 200L, 30.0)))
+  }
+
+  test("S5: csvUpsert — incoming wins on key, last-wins within batch") {
+    val dir = Files.createTempDirectory("graft-s5")
+    val csv = dir.resolve("pools.csv")
+    val table = dir.resolve("table").toString
+    Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "ord")
+      .write.mode("overwrite").parquet(table)
+    Files.writeString(csv,
+      "k,v,ord\n2,b2,5\n2,b3,9\n4,d,2\n")
+    Sinks.csvUpsert(spark, csv.toString, table, "k", col("ord"))
+    val got = spark.read.parquet(table).select("k", "v")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b3"), (4L, "d")))
+  }
+}

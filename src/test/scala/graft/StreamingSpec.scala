@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.Ohlcv
+import graft.streaming.Streams
+
+/** Streaming ≡ batch equivalence on the driver fixture: the T1 file
+  * source + checkpoint, T4 key dedup, streaming windowed candles, and the
+  * T5 stateful continuity operator (carry across micro-batches).
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  import SparkTestSession.{spark, sfDir}
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Landing dir containing the fixture events parquet file(s). */
+  private lazy val landing: String = {
+    val dir = tmpDir("graft-landing")
+    val src = Paths.get(s"$sfDir/events.parquet")
+    if (Files.isDirectory(src)) {
+      val it = Files.list(src).iterator()
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.toString.endsWith(".parquet"))
+          Files.copy(f, Paths.get(dir, f.getFileName.toString),
+            StandardCopyOption.REPLACE_EXISTING)
+      }
+    } else Files.copy(src, Paths.get(dir, "events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    dir
+  }
+
+  test("T4: streaming key dedup matches batch distinct") {
+    val stream = Streams.dedupeKeys(
+      Streams.eventsStream(spark, landing), Seq("user_id", "event_type"))
+      .select("user_id", "event_type")
+    val q = stream.writeStream
+      .format("memory").queryName("dedup_out").outputMode("append")
+      .option("checkpointLocation", tmpDir("graft-ckpt-dedup"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("dedup_out").as[(Long, String)].collect().toSet
+    val want = Tables.events(spark, sfDir)
+      .select("user_id", "event_type").distinct()
+      .as[(Long, String)].collect().toSet
+    assert(got == want)
+  }
+
+  test("streaming windowed candles == batch candle build") {
+    val stream = Streams.windowedCandles(
+      Streams.eventsStream(spark, landing), Seq("event_type"), 3600L)
+    val q = stream.writeStream
+      .format("memory").queryName("candles_out").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("candles_out")
+      .select("event_type", "bucket_ts", "open", "high", "low", "close",
+        "volume", "trade_count")
+      .collect().map(_.toSeq).toSet
+    val want = Ohlcv.candles(Tables.events(spark, sfDir), Seq("event_type"),
+      col("ts"), col("event_id"), col("value"), col("value"), 3600L)
+      .select("event_type", "bucket_ts", "open", "high", "low", "close",
+        "volume", "trade_count")
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
+  test("T5: stateful continuity carries close across micro-batches") {
+    // two landing dirs processed as two micro-batches of one stream:
+    // batch 2's first candle must open at batch 1's last close (the
+    // reference's lastCloseByPool map, persisted in the checkpoint)
+    val in = tmpDir("graft-t5-in")
+    val ckpt = tmpDir("graft-t5-ckpt")
+    val outDir = tmpDir("graft-t5-out")
+    def writeBatch(name: String, rows: Seq[Streams.Tick]): Unit =
+      rows.toDS().toDF().coalesce(1).write.mode("overwrite")
+        .parquet(s"$in/$name")
+
+    // land files sequentially and run AvailableNow twice against the SAME
+    // checkpoint — run 2 resumes from run 1's committed state (memory
+    // sink can't recover a checkpoint; the parquet sink can)
+    writeBatch("b1", Seq(
+      Streams.Tick("p1", 0L, 1L, 10.0), Streams.Tick("p1", 0L, 2L, 12.0),
+      Streams.Tick("p1", 60L, 3L, 15.0)))
+    def runOnce(): Unit = {
+      val ticks = spark.readStream
+        .schema("key STRING, bucketTs BIGINT, ord BIGINT, price DOUBLE")
+        .option("recursiveFileLookup", "true")
+        .parquet(in).as[Streams.Tick]
+      val q = Streams.candlesWithContinuity(ticks).toDF()
+        .writeStream.format("parquet").option("path", outDir)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    writeBatch("b2", Seq(
+      Streams.Tick("p1", 120L, 4L, 20.0), Streams.Tick("p1", 120L, 5L, 18.0)))
+    runOnce()
+    val candles = spark.read.parquet(outDir)
+      .select("key", "bucket_ts", "open", "close")
+      .as[(String, Long, Double, Double)].collect().sortBy(_._2)
+    assert(candles.map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0L, 10.0, 12.0),   // first candle keeps its own open
+        (60L, 12.0, 15.0),    // intra-batch carry
+        (120L, 15.0, 18.0)))  // cross-batch carry via checkpointed state
+  }
+}
