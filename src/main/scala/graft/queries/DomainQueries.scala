@@ -220,6 +220,66 @@ object DomainQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("word"))
         .limit(20)
+    },
+
+    // §2.8 string: the twitter-handle normalizer — three chained
+    // regexp_replace passes (phase3schema.sql:415-431): strip scheme+host,
+    // strip a leading @, strip trailing slash/query tail.
+    "x3_handle_normalize" -> { (s, d) =>
+      val raw = when(col("doc_id") % 4 === 0,
+          concat(lit("https://twitter.com/@"), col("source"), lit("/")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("https://x.com/"), col("source"), lit("?ref=1")))
+        .when(col("doc_id") % 4 === 2, concat(lit("@"), col("source")))
+        .otherwise(col("source"))
+      val h1 = regexp_replace(raw, "^https?://(www\\.)?(x|twitter)\\.com/", "")
+      val h2 = regexp_replace(h1, "^@", "")
+      val h3 = regexp_replace(h2, "[/?].*$", "")
+      Tables.documents(s, d)
+        .select(col("doc_id"), raw.as("raw"), h3.as("handle"))
+        .orderBy(col("doc_id"))
+    },
+
+    // J10: explicit in-memory hash join — the pool-cache Map analog
+    // (core/block-processor.js:46-56): a bounded, explicitly-broadcast dim
+    // (filtered part) hash-joined against the streaming fact side.
+    "j10_broadcast_hash_join" -> { (s, d) =>
+      val dim = Tables.part(s, d)
+        .filter(col("p_size") <= 10)
+        .select(col("p_partkey"), col("p_brand"))
+      Tables.lineitem(s, d)
+        .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .orderBy(col("p_brand"))
+    },
+
+    // T10: alert CEP pass — evaluate a small rules table against the
+    // latest per-key state every tick (jobs/alerts.js:8-135: price_cross
+    // + large_trade rules; throttling is the scheduler's job, the engine
+    // evaluates the predicates).
+    "t10_alert_rules" -> { (s, d) =>
+      val latest = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(latestBy(col("value"), col("event_id")).as("last_value"),
+          max(col("value")).as("max_value"))
+      val rules = s.createDataFrame(Seq(
+        (1L, "purchase", "price_cross_above", 50.0),
+        (2L, "purchase", "price_cross_below", 50.0),
+        (3L, "click", "price_cross_above", 80.0),
+        (4L, "error", "large_trade", 150.0),
+        (5L, "view", "price_cross_above", 20.0)))
+        .toDF("rule_id", "event_type", "kind", "threshold")
+      latest.join(rules, Seq("event_type"))
+        .withColumn("fired",
+          when(col("kind") === "price_cross_above",
+            col("last_value") > col("threshold"))
+          .when(col("kind") === "price_cross_below",
+            col("last_value") < col("threshold"))
+          .otherwise(col("max_value") >= col("threshold")))
+        .select(col("rule_id"), col("event_type"), col("kind"),
+          col("fired"))
+        .orderBy(col("rule_id"))
     }
   )
 
@@ -370,6 +430,41 @@ object DomainQueries {
       """SELECT word, count(*) AS n FROM (
            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
            FROM documents)
-         GROUP BY word ORDER BY n DESC, word LIMIT 20"""
+         GROUP BY word ORDER BY n DESC, word LIMIT 20""",
+    "x3_handle_normalize" ->
+      """WITH r AS (SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0 THEN 'https://twitter.com/@' || source || '/'
+                WHEN doc_id % 4 = 1 THEN 'https://x.com/' || source || '?ref=1'
+                WHEN doc_id % 4 = 2 THEN '@' || source
+                ELSE source END AS raw
+         FROM documents)
+         SELECT doc_id, raw,
+           regexp_replace(regexp_replace(regexp_replace(raw,
+             '^https?://(www\.)?(x|twitter)\.com/', ''),
+             '^@', ''), '[/?].*$', '') AS handle
+         FROM r ORDER BY doc_id""",
+    "j10_broadcast_hash_join" ->
+      """SELECT p_brand, count(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_size <= 10
+         GROUP BY p_brand ORDER BY p_brand""",
+    "t10_alert_rules" ->
+      """WITH latest AS (
+           SELECT event_type, max_by(value, event_id) AS last_value,
+             max(value) AS max_value
+           FROM events GROUP BY event_type),
+         rules(rule_id, event_type, kind, threshold) AS (VALUES
+           (1, 'purchase', 'price_cross_above', 50.0),
+           (2, 'purchase', 'price_cross_below', 50.0),
+           (3, 'click', 'price_cross_above', 80.0),
+           (4, 'error', 'large_trade', 150.0),
+           (5, 'view', 'price_cross_above', 20.0))
+         SELECT CAST(rule_id AS BIGINT) AS rule_id, l.event_type, kind,
+           CASE WHEN kind = 'price_cross_above' THEN last_value > threshold
+                WHEN kind = 'price_cross_below' THEN last_value < threshold
+                ELSE max_value >= threshold END AS fired
+         FROM latest l JOIN rules r ON l.event_type = r.event_type
+         ORDER BY rule_id"""
   )
 }

@@ -37,6 +37,20 @@ object Sinks {
       .partitionBy(partitionCol)
       .parquet(path)
 
+  /** S6: FX-rate style side-input append — one (minute-truncated ts, rate)
+    * row per poll (jobs/fx-zig.js:13-62: external quote every 36 s →
+    * `exchange_rates(toStartOfMinute(now()), zig_usd)`). The fetch itself
+    * is driver-side I/O outside the engine; the engine-side contract is
+    * the truncation + append.
+    */
+  def appendRate(spark: SparkSession, ts: java.time.Instant, rate: Double,
+                 path: String): Unit = {
+    import spark.implicits._
+    Seq((ts, rate)).toDF("ts", "rate")
+      .select(date_trunc("minute", col("ts")).as("minute_ts"), col("rate"))
+      .write.mode(SaveMode.Append).parquet(path)
+  }
+
   /** S5: CSV import with header + last-wins upsert into an existing table
     * (bin/import-pools-csv.js:105-191). Incoming rows win over current
     * rows on `key`; within the incoming batch the highest `ord` wins

@@ -67,6 +67,26 @@ object Streams {
       .withColumn("bucket_ts", unix_timestamp(col("w.start")))
       .drop("w")
 
+  /** T2: two-phase intra-batch dependency — inside every micro-batch,
+    * derived dimension rows (the create_pair pool tasks) are committed
+    * BEFORE the fact rows (swap/liquidity tasks), so a fact never lands
+    * before the dim it references (core/block-processor.js:98-101,
+    * 418-443). foreachBatch makes the ordering explicit and per-batch
+    * atomic-enough: phase 2 only runs after phase 1 returns.
+    */
+  def twoPhaseSink(stream: DataFrame, dimKey: String, dimPath: String,
+                   factPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(dimKey).distinct()
+          .write.mode("append").parquet(dimPath)   // phase 1: dims
+        batch.write.mode("append").parquet(factPath) // phase 2: facts
+      }
+      .start()
+
   final case class Tick(key: String, bucketTs: Long, ord: Long, price: Double)
   final case class Candle(key: String, bucket_ts: Long, open: Double,
                           high: Double, low: Double, close: Double)

@@ -44,6 +44,19 @@ class SinkSpec extends AnyFunSuite {
     assert(got == Set((9L, 100L, 99.0), (3L, 200L, 30.0)))
   }
 
+  test("S6: appendRate truncates to the minute and appends per poll") {
+    val path = tmp("graft-s6")
+    Sinks.appendRate(spark,
+      java.time.Instant.parse("2024-05-01T10:30:45Z"), 1.23, path)
+    Sinks.appendRate(spark,
+      java.time.Instant.parse("2024-05-01T10:31:12Z"), 1.25, path)
+    val got = spark.read.parquet(path)
+      .select(col("minute_ts").cast("string"), col("rate"))
+      .as[(String, Double)].collect().toSet
+    assert(got == Set(("2024-05-01 10:30:00", 1.23),
+      ("2024-05-01 10:31:00", 1.25)))
+  }
+
   test("S5: csvUpsert — incoming wins on key, last-wins within batch") {
     val dir = Files.createTempDirectory("graft-s5")
     val csv = dir.resolve("pools.csv")

@@ -73,6 +73,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("T2: two-phase sink lands dims before facts, every batch") {
+    val dimPath = tmpDir("graft-t2-dim") + "/dims"
+    val factPath = tmpDir("graft-t2-fact") + "/facts"
+    val q = Streams.twoPhaseSink(
+      Streams.eventsStream(spark, landing), "user_id",
+      dimPath, factPath, tmpDir("graft-t2-ckpt"))
+    q.awaitTermination()
+    val dims = spark.read.parquet(dimPath).as[Long].collect().toSet
+    val factKeys = spark.read.parquet(factPath)
+      .select("user_id").as[Long].collect().toSet
+    assert(factKeys.nonEmpty && factKeys.subsetOf(dims))
+  }
+
   test("T5: stateful continuity carries close across micro-batches") {
     // two landing dirs processed as two micro-batches of one stream:
     // batch 2's first candle must open at batch 1's last close (the
