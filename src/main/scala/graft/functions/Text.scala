@@ -26,34 +26,31 @@ object Text {
   /** Whitespace tokenization over normalized text. */
   def words(c: Column): Column = split(normalize(c), " ")
 
-  /** Word n-gram shingles, space-joined, in document order (may repeat). */
-  def shingles(c: Column, n: Int): Column = {
-    val w = words(c)
-    transform(sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
-      i => concat_ws(" ", slice(w, i, lit(n))))
-  }
+  /** Word n-gram shingles, space-joined, in document order (may repeat).
+    * Native kernel expression — see graft.plans.ShinglesExpr for why not
+    * transform∘slice∘concat_ws (interpreted HOFs).
+    */
+  def shingles(c: Column, n: Int): Column =
+    graft.plans.Expressions.shingles(c, n, distinct = false)
 
   /** Distinct shingle set — the unit of Jaccard similarity. */
-  def shingleSet(c: Column, n: Int): Column = array_distinct(shingles(c, n))
+  def shingleSet(c: Column, n: Int): Column =
+    graft.plans.Expressions.shingles(c, n, distinct = true)
 
-  /** MinHash signature: k permutations approximated by seeded xxhash64
-    * (hash family h_j(s) = xxhash64(j, s)); signature[j] = min over the
-    * shingle set. One array column per doc — no explode, no shuffle; the
-    * signature computes map-side wherever the doc row lives.
+  /** MinHash signature: k permutations; signature[j] = min over the
+    * shingle set of hash_j(shingle). One array column per doc — no
+    * explode, no shuffle; the signature computes map-side wherever the
+    * doc row lives.
     *
-    * Built as a SINGLE aggregate with an array accumulator (elementwise
-    * `least` against the k seeded hashes of each shingle). The obvious
-    * k × array_min(transform(...)) form duplicates the shingle expression
-    * k times once Catalyst collapses projections and produces a codegen
-    * blob that falls back to interpretation — ~50× slower in practice.
+    * Evolution note: the k × array_min(transform(...)) form replicated
+    * the shingle pipeline k times after projection collapse (267 s at
+    * sf0.01); a single array-accumulator aggregate fixed that but still
+    * ran as interpreted higher-order lambdas (~30 s at sf0.1). Now a
+    * native expression (graft.plans.MinHashSigExpr): one xxhash64 per
+    * shingle + k splitmix mixes in a primitive JVM loop, codegen-callable.
     */
-  def minhashSig(shingleSet: Column, k: Int): Column = {
-    val init = typedLit(Seq.fill(k)(Long.MaxValue))
-    val seeds = typedLit((0 until k).toList)
-    aggregate(shingleSet, init, (acc, s) =>
-      zip_with(acc, transform(seeds, j => xxhash64(j, s)),
-        (a, h) => least(a, h)))
-  }
+  def minhashSig(shingleSet: Column, k: Int): Column =
+    graft.plans.Expressions.minhashSig(shingleSet, k)
 
   /** LSH banding of a MinHash signature: `bands` hashes of `r`-row slices,
     * as an array of (band, bh) structs. Two docs with Jaccard s collide in
@@ -78,19 +75,8 @@ object Text {
     * floor(wh / 2^i) % 2 (powers of two are exact doubles, wh < 2^32, so
     * the division is exact) because shiftright only takes literal shifts.
     */
-  def simhash32(c: Column): Column = {
-    val whs = transform(words(c), w =>
-      conv(substring(md5(w), 1, 8), 16, 10).cast("long"))
-    val zeros = typedLit(Seq.fill(32)(0L))
-    val pows = typedLit((0 until 32).map(i => math.pow(2, i)))
-    val sums = aggregate(whs, zeros, (acc, wh) =>
-      zip_with(acc, pows,
-        (a, p) => a + (floor(wh / p).cast("long") % 2L) * 2L - 1L))
-    val weights = typedLit((0 until 32).map(i => 1L << i))
-    aggregate(
-      zip_with(sums, weights, (s, w) => when(s > 0, w).otherwise(lit(0L))),
-      lit(0L), (a, x) => a + x)
-  }
+  def simhash32(c: Column): Column =
+    graft.plans.Expressions.simhash32(words(c))
 
   /** DuckDB oracle twin of [[simhash32]] (generated SQL over `documents`).
     * Kept beside the Spark expression so the two stay in lockstep. The

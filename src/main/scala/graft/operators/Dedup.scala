@@ -43,7 +43,10 @@ object Dedup {
     */
   def jaccardBruteForce(docs: DataFrame, n: Int, theta: Double): DataFrame = {
     val sf = shingleFrame(docs, n)
-    val ex = sf.select(col("doc_id"), explode(col("sh")).as("s"))
+    // join on the shingle's 64-bit hash, not the string: same counts
+    // (collision odds ~(distinct²)/2⁶⁵), far cheaper shuffle keys
+    val ex = sf.select(col("doc_id"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
     val inter = ex.as("a")
       .join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -66,11 +69,16 @@ object Dedup {
     */
   def minhashCandidates(sf: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val r = numHashes / bands
+    // explode_OUTER: a plain explode makes the optimizer infer a
+    // `size(bandHashes(minhashSig(...))) > 0` filter and push it below the
+    // projections — re-evaluating the whole signature chain per row (52 s
+    // of the 58 s this query took at sf0.1). The band array is a literal
+    // 32-wide array, never empty, so outer semantics are identical.
     val banded = sf
       .select(col("doc_id"),
         Text.bandHashes(Text.minhashSig(col("sh"), numHashes), bands, r)
           .as("bh"))
-      .select(col("doc_id"), explode(col("bh")).as("b"))
+      .select(col("doc_id"), explode_outer(col("bh")).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
     banded.as("a")
       .join(banded.as("b"),

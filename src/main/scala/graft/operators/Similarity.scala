@@ -21,14 +21,13 @@ import graft.functions.Core._
   */
 object Similarity {
 
-  private val SCALE = 1e16
-
-  /** Σ floor(a[i]·b[i]·1e16) as LONG (order-independent exact integer). */
+  /** Σ floor(a[i]·b[i]·1e16) as LONG (order-independent exact integer).
+    * Backed by the codegen'd [[graft.plans.DotScaledExpr]] — the lambda
+    * form (aggregate ∘ zip_with) is interpreted by Spark and was the
+    * whole cost of the brute-force pair scorer at sf0.1.
+    */
   def dotScaled(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b,
-        (x, y) => floor(x.cast("double") * y.cast("double") * SCALE)),
-      lit(0L), (acc, x) => acc + x)
+    graft.plans.Expressions.dotScaled(a, b)
 
   /** Σ floor(a[i]²·1e16) as LONG. */
   def normScaled(a: Column): Column = dotScaled(a, a)

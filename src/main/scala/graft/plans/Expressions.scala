@@ -1,0 +1,267 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Fixed-point dot product over two float-embedding arrays:
+  * Σ floor(a[i]·b[i]·1e16) as LONG — the deterministic cosine kernel
+  * (see operators/Similarity: integer accumulation makes the result
+  * independent of order and bit-identical across engines).
+  *
+  * Implemented as a native Catalyst expression WITH doGenCode: the
+  * Column-API form (aggregate ∘ zip_with lambdas) is a higher-order
+  * function, which Spark always interprets — at sf0.1 the 12.5M-pair
+  * brute-force scorer spent 74 s in lambda interpretation. This codegen
+  * loop runs inside whole-stage codegen like any built-in, cutting the
+  * same query to a few seconds. Semantics are identical to the lambda
+  * form (floor of each double product, long sum).
+  */
+case class DotScaledExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += math.floor(x.getFloat(i).toDouble * y.getFloat(i).toDouble * 1e16)
+        .toLong
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        long $s = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          $s += (long) java.lang.Math.floor(
+            ((double) $a.getFloat($i)) * ((double) $b.getFloat($i)) * 1.0E16);
+        }
+        ${ev.value} = $s;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotScaledExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dot_scaled"
+}
+
+/** JVM kernel for MinHash signatures: ONE xxhash64 of each shingle's
+  * bytes, then k splitmix64 finalizer mixes — instead of k full string
+  * hashes per shingle (the seeded-xxhash64 lambda family). Called from
+  * both interpreted eval and generated code, so the per-row cost is one
+  * JVM call with a tight primitive loop either way.
+  */
+object MinHashKernel {
+  private final val GOLDEN = 0x9e3779b97f4a7c15L
+
+  @inline private def mix(seed: Long): Long = {
+    var z = seed + GOLDEN
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def sig(arr: ArrayData, k: Int): ArrayData = {
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val base = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      var j = 0
+      while (j < k) {
+        val h = mix(base ^ (j.toLong * GOLDEN))
+        if (h < out(j)) out(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** MinHash signature of a shingle-set column (array<string> → array<long>
+  * of k per-permutation minima), backed by [[MinHashKernel]].
+  */
+case class MinHashSigExpr(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    MinHashKernel.sig(a.asInstanceOf[ArrayData], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.MinHashKernel.sig($a, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : MinHashSigExpr = copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig"
+}
+
+/** Kernel for word-n-gram shingling of raw text: lower/trim/split on
+  * whitespace runs, join n-grams with single spaces, optionally distinct
+  * (first-occurrence order, matching array_distinct). Semantics mirror
+  * the SQL form exactly (regexp_split_to_array(trim(lower(text)),'\s+')
+  * and w[i:i+n-1] joins in the DuckDB oracles); ROOT-locale lowercasing
+  * matches UTF8String/DuckDB ASCII behavior on this data.
+  */
+object ShingleKernel {
+  def shingles(text: org.apache.spark.unsafe.types.UTF8String, n: Int,
+               distinct: Boolean): ArrayData = {
+    val words = text.toString.toLowerCase(java.util.Locale.ROOT)
+      .trim.split("\\s+")
+    val m = words.length - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val sb = new java.lang.StringBuilder(64)
+    val out: Seq[String] =
+      if (distinct) {
+        val seen = new java.util.LinkedHashSet[String](m * 2)
+        var i = 0
+        while (i < m) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(words(i + j)); j += 1
+          }
+          seen.add(sb.toString); i += 1
+        }
+        import scala.jdk.CollectionConverters._
+        seen.asScala.toSeq
+      } else {
+        (0 until m).map { i =>
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(words(i + j)); j += 1
+          }
+          sb.toString
+        }
+      }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
+  }
+}
+
+/** Shingles of a text column as a native expression (the Column-API form
+  * — transform ∘ sequence ∘ slice ∘ concat_ws — is interpreted and was
+  * the shared bottleneck of every shingle-based query at sf0.1).
+  */
+case class ShinglesExpr(child: Expression, n: Int, distinct: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    ShingleKernel.shingles(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, distinct)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.ShingleKernel.shingles($a, $n, $distinct);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : ShinglesExpr = copy(child = newChild)
+
+  override def prettyName: String = "shingles"
+}
+
+/** Kernel + expression for the 32-bit SimHash over a words array — the
+  * identical math to the SQL form (md5 first 8 hex digits as a 32-bit
+  * word hash, per-bit ±1 sums, bit set when positive) in one JVM loop.
+  */
+object SimHashKernel {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def simhash32(words: ArrayData): Long = {
+    val sums = new Array[Int](32)
+    val md = digest.get()
+    val n = words.numElements()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val h = md.digest(words.getUTF8String(i).getBytes)
+      val wh = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      var b = 0
+      while (b < 32) {
+        if (((wh >> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 32) {
+      if (sums(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+case class SimHash32Expr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any =
+    SimHashKernel.simhash32(a.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.SimHashKernel.simhash32($a);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : SimHash32Expr = copy(child = newChild)
+
+  override def prettyName: String = "simhash32"
+}
+
+object Expressions {
+  /** Column wrapper for [[DotScaledExpr]] (inputs: array<float> ×2). */
+  def dotScaled(a: Column, b: Column): Column =
+    Bridge.column(DotScaledExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column wrapper for [[MinHashSigExpr]]. */
+  def minhashSig(shingles: Column, k: Int): Column =
+    Bridge.column(MinHashSigExpr(Bridge.expression(shingles), k))
+
+  /** Column wrapper for [[ShinglesExpr]]. */
+  def shingles(text: Column, n: Int, distinct: Boolean): Column =
+    Bridge.column(ShinglesExpr(Bridge.expression(text), n, distinct))
+
+  /** Column wrapper for [[SimHash32Expr]] (input: array<string> words). */
+  def simhash32(words: Column): Column =
+    Bridge.column(SimHash32Expr(Bridge.expression(words)))
+}
