@@ -143,6 +143,50 @@ object Similarity {
         col("cand_id").as("neighbor_id"), round4(col("cos")).as("cosine"))
   }
 
+  /** IVF-style bucketed ANN: assign every vector to its nearest centroid
+    * (one pass over vecs × centroids — centroids are FEW and broadcast),
+    * probe the `nprobe` nearest centroid buckets, exact-score candidates,
+    * keep top-k. The scale shape of inverted-file search: the full corpus
+    * is scanned once for assignment (embarrassingly parallel, map-side);
+    * each query then touches ~nprobe/nlist of the corpus. Centroids here
+    * are caller-provided (e.g. a deterministic sample); a production
+    * build would k-means them — the engine-side plumbing is identical.
+    */
+  def ivfTopK(probes: DataFrame, vecs: DataFrame, centroids: DataFrame,
+              k: Int, nprobe: Int): DataFrame = {
+    val cent = centroids.select(col("vec_id").as("cid"),
+      col("embedding").as("cemb"), normScaled(col("embedding")).as("cn"))
+    def assign(df: DataFrame, idName: String, keep: Int) = {
+      val w = Window.partitionBy(col(idName))
+        .orderBy(col("csim").desc, col("cid"))
+      df.select(col("vec_id").as(idName), col("embedding"))
+        .join(broadcast(cent))
+        .withColumn("csim", cosineFromScaled(
+          dotScaled(col("embedding"), col("cemb")),
+          normScaled(col("embedding")), col("cn")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .select(col(idName), col("cid"), col("embedding"))
+    }
+    val vecBuckets = assign(vecs, "cand_id", 1)
+      .withColumnRenamed("embedding", "ce")
+    val probeBuckets = assign(probes, "probe_id", nprobe)
+      .withColumnRenamed("embedding", "pe")
+    val cands = vecBuckets.join(probeBuckets, Seq("cid"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .dropDuplicates("probe_id", "cand_id")
+    val scored = cands.withColumn("cos", cosineFromScaled(
+      dotScaled(col("pe"), col("ce")),
+      normScaled(col("pe")), normScaled(col("ce"))))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("cand_id").as("neighbor_id"), round4(col("cos")).as("cosine"))
+  }
+
   /** DuckDB oracle twin of the scaled-long cosine between two positionally
     * unnested embedding tables (shared by the d5/n1 oracle SQL).
     */

@@ -248,6 +248,51 @@ case class SimHash32Expr(child: Expression)
   override def prettyName: String = "simhash32"
 }
 
+/** Session wiring for the custom expressions: an injectable
+  * [[org.apache.spark.sql.SparkSessionExtensions]] hook for sessions built
+  * with `.withExtensions(new GraftExtensions)` (or the
+  * `spark.sql.extensions` conf), plus an idempotent runtime registrar for
+  * sessions the caller doesn't control (the driver builds its own).
+  * After either, the kernels are callable from SQL:
+  * `SELECT dot_scaled(a.embedding, b.embedding) FROM ...`.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftExtensions.injections.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private def intArg(e: Expression): Int =
+    e.eval(null).asInstanceOf[Number].intValue
+
+  val injections: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("dot_scaled"),
+      new ExpressionInfo(classOf[DotScaledExpr].getName, "dot_scaled"),
+      (args: Seq[Expression]) => DotScaledExpr(args(0), args(1))),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
+      (args: Seq[Expression]) => MinHashSigExpr(args(0), intArg(args(1)))),
+    (FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[ShinglesExpr].getName, "shingles"),
+      (args: Seq[Expression]) =>
+        ShinglesExpr(args(0), intArg(args(1)),
+          args.lift(2).forall(a => a.eval(null) == true))),
+    (FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32Expr].getName, "simhash32"),
+      (args: Seq[Expression]) => SimHash32Expr(args(0))))
+
+  /** Register into an already-built session (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    injections.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(id, info, builder)
+    }
+}
+
 object Expressions {
   /** Column wrapper for [[DotScaledExpr]] (inputs: array<float> ×2). */
   def dotScaled(a: Column, b: Column): Column =

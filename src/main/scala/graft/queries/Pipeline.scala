@@ -85,6 +85,16 @@ object Pipeline {
         .orderBy(col("probe_id"), col("rank"))
     },
 
+    // N3: IVF-bucketed ANN — centroid assignment + nprobe-bucket search
+    // (the inverted-file scale path; centroids = deterministic sample).
+    // Rows-only like n2; SimilaritySpec bounds recall vs n1.
+    "n3_ann_ivf" -> { (s, d) =>
+      val v = Tables.embeddings(s, d)
+      Similarity.ivfTopK(v.filter(col("vec_id") < 10), v,
+        centroids = v.filter(col("vec_id") % 50 === 0), k = 5, nprobe = 8)
+        .orderBy(col("probe_id"), col("rank"))
+    },
+
     // T1: per-source corpus stats (doc counts, language spread, length
     // moments) — the triage pass before any filtering decision.
     "t1_text_stats" -> { (s, d) =>

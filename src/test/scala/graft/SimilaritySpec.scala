@@ -66,6 +66,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, f"recall $recall%.3f below bound")
   }
 
+  test("ivfTopK recall@5 vs brute force ≥ 0.3 with nprobe=8 of ~10 lists") {
+    val probes = vecs.filter(col("vec_id") < 50)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val truth = pairs(Similarity.bruteForceTopK(probes, vecs, 5))
+    val got = pairs(Similarity.ivfTopK(probes, vecs,
+      vecs.filter(col("vec_id") % 50 === 0), 5, nprobe = 8))
+    val recall = (truth & got).size.toDouble / truth.size
+    info(f"ivf recall@5 = $recall%.3f")
+    assert(recall >= 0.3, f"recall $recall%.3f below bound")
+  }
+
+  test("SQL registration: dot_scaled et al callable after register()") {
+    graft.plans.GraftExtensions.register(spark)
+    vecs.limit(5).createOrReplaceTempView("emb_t")
+    val viaSql = spark.sql(
+      """SELECT a.vec_id, b.vec_id, dot_scaled(a.embedding, b.embedding) AS d
+         FROM emb_t a JOIN emb_t b ON a.vec_id < b.vec_id""")
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, c) => ((a, b), c) }.toMap
+    val viaCol = vecs.limit(5).as("a")
+      .join(vecs.limit(5).as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Similarity.dotScaled(col("a.embedding"), col("b.embedding")))
+      .as[(Long, Long, Long)].collect()
+    assert(viaCol.nonEmpty)
+    viaCol.foreach { case (a, b, d) => assert(viaSql((a, b)) == d) }
+    val sh = spark.sql(
+      "SELECT shingles('a b c d', 3, true) AS s").head.getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+  }
+
   test("lshTopK ranks returned candidates like brute force does") {
     // any (probe, neighbor) the LSH returns must carry the same cosine the
     // brute-force path computes for that pair
