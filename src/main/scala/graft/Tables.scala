@@ -37,6 +37,27 @@ object Tables {
         org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
   }
+
+  /** events with `ts >= cut` applied on the RAW nanos column, BEFORE the
+    * micros conversion. A filter on the converted `ts` sits above a
+    * derived projection and can never reach the parquet scan; filtering
+    * the stored long pushes down (PushedFilters: GreaterThanOrEqual(ts,…))
+    * and prunes row groups — the difference between scanning a day and
+    * scanning 100 TB. Equivalent to filtering the converted column because
+    * cutoffs carry micro precision: floor_micros(nanos) ≥ cutMicros ⟺
+    * nanos ≥ cutMicros·1000.
+    */
+  def eventsFrom(s: SparkSession, d: String,
+                 cut: java.time.Instant): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val cutNanos = Math.addExact(
+      Math.multiplyExact(cut.getEpochSecond, 1000000000L), cut.getNano.toLong)
+    apply(s, d, "events")
+      .filter(org.apache.spark.sql.functions.col("ts") >= cutNanos)
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

@@ -95,8 +95,13 @@ object Core {
     * Microsecond precision is preserved (java.sql.Timestamp carries nanos).
     */
   def anchorMinusSec(df: org.apache.spark.sql.DataFrame, ts: Column,
-                     sec: Long): Column = {
-    val anchor = df.agg(max(ts)).head.getTimestamp(0)
-    lit(anchor.toInstant.minusSeconds(sec))
-  }
+                     sec: Long): Column =
+    lit(anchorInstantMinusSec(df, ts, sec))
+
+  /** Instant form of [[anchorMinusSec]] — for callers that re-read the
+    * source with the cutoff pushed into the scan (Tables.eventsFrom).
+    */
+  def anchorInstantMinusSec(df: org.apache.spark.sql.DataFrame, ts: Column,
+                            sec: Long): java.time.Instant =
+    df.agg(max(ts)).head.getTimestamp(0).toInstant.minusSeconds(sec)
 }

@@ -41,8 +41,8 @@ object Relational {
     // an in-plan anchor forces two full scans with zero pruning at 100 TB.
     "p2_time_window" -> { (s, d) =>
       val e = Tables.events(s, d)
-      val cut = anchorMinusSec(e, col("ts"), 86400L)
-      e.filter(col("ts") >= cut)
+      val cut = anchorInstantMinusSec(e, col("ts"), 86400L)
+      Tables.eventsFrom(s, d, cut)
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), epochSec(col("ts")).as("ts_sec"))
         .orderBy(col("event_id"))

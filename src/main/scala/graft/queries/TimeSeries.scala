@@ -176,11 +176,14 @@ object TimeSeries {
     // At 100 TB this quarters the scan cost of the rollup job.
     "a14_multi_bucket" -> { (s, d) =>
       val e = Tables.events(s, d)
-      // Literal anchor (one tiny job) instead of an in-plan crossJoin: the
-      // widest window's predicate becomes a pushable constant.
+      // Literal anchor (one tiny job) instead of an in-plan crossJoin, and
+      // the widest (30d) window pushed into the parquet scan as a raw-nanos
+      // predicate — rows older than the widest window contribute to no
+      // output column, so the rollup never reads them.
       def win(days: Int) =
         col("ts") >= anchorMinusSec(e, col("ts"), days * 86400L)
-      e.groupBy(col("event_type"))
+      Tables.eventsFrom(s, d, anchorInstantMinusSec(e, col("ts"), 30L * 86400L))
+        .groupBy(col("event_type"))
         .agg(
           dsumIf(col("value"), win(1)).as("vol_1d"),
           dsumIf(col("value"), win(7)).as("vol_7d"),
@@ -203,7 +206,7 @@ object TimeSeries {
     // A16: windowed average fallback price (jobs/matrix-rollups.js:256-265).
     "a16_avg_window" -> { (s, d) =>
       val e = Tables.events(s, d)
-      e.filter(col("ts") >= anchorMinusSec(e, col("ts"), 86400L))
+      Tables.eventsFrom(s, d, anchorInstantMinusSec(e, col("ts"), 86400L))
         .groupBy(col("event_type"))
         .agg(round4(davg(col("value"))).as("avg_value"))
         .orderBy(col("event_type"))
@@ -333,13 +336,16 @@ object TimeSeries {
     "a14_multi_bucket" ->
       """WITH a AS (SELECT max(ts) AS anchor FROM events)
          SELECT event_type,
+         -- widest-window prefilter mirrored from the Spark plan (WHERE below)
          CAST(SUM(CAST(CASE WHEN ts >= anchor - INTERVAL 1 DAY THEN value ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE) AS vol_1d,
          CAST(SUM(CAST(CASE WHEN ts >= anchor - INTERVAL 7 DAY THEN value ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE) AS vol_7d,
          CAST(SUM(CAST(CASE WHEN ts >= anchor - INTERVAL 30 DAY THEN value ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE) AS vol_30d,
          count(*) FILTER (WHERE ts >= anchor - INTERVAL 1 DAY) AS tx_1d,
          count(*) FILTER (WHERE ts >= anchor - INTERVAL 7 DAY) AS tx_7d,
          count(*) FILTER (WHERE ts >= anchor - INTERVAL 30 DAY) AS tx_30d
-         FROM events, a GROUP BY event_type ORDER BY event_type""",
+         FROM events, a
+         WHERE ts >= anchor - INTERVAL 30 DAY
+         GROUP BY event_type ORDER BY event_type""",
     "a15_first_seen" ->
       """SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS first_seen,
          min(event_id) AS first_event
