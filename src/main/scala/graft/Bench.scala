@@ -10,6 +10,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up pass at the smallest SF: JIT-compiles the codegen'd plans so
+    // the timed pass below measures steady-state execution, not first-call
+    // compilation (the first few queries otherwise absorb multi-second
+    // JIT/classload costs regardless of which queries they are).
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try { fn(spark, "/root/testdata/sf0.001").write.format("noop")
+        .mode("overwrite").save() }
+      catch { case _: Throwable => () }
+    }
     // noop-format write: executes the FULL physical plan (sorts, projections,
     // limits) unlike .count(), which lets Catalyst prune everything but the
     // row count — the round-1 verdict flagged that as under-measurement.

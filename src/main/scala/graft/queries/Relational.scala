@@ -295,6 +295,35 @@ object Relational {
         .orderBy(col("user_id"), col("event_type"))
     },
 
+    // W2: DISTINCT ON (keys) ORDER BY ord DESC — same keep-latest
+    // semantics as W1 on a different key set (api/routes/trades.js:874-879
+    // dedupes (tx_hash, pool_id, direction); here (user_id, day)).
+    "w2_distinct_on" -> { (s, d) =>
+      dedupeKeepLatest(
+        Tables.events(s, d)
+          .withColumn("day", bucketSec(col("ts"), 86400L)),
+        Seq("user_id", "day"), col("event_id"))
+        .select(col("user_id"), col("day"), col("event_id"), col("value"))
+        .orderBy(col("user_id"), col("day"))
+    },
+
+    // §1.2 hard spot: NUMERIC(78,0) raw on-chain amounts → Decimal(38,0)
+    // with a lossless digit-string shadow column (SURVEY §7.1.1,
+    // FIXTURES.md B). Round-trips base units through both representations.
+    "x4_decimal_raw" -> { (s, d) =>
+      val base = round(col("o_totalprice") * 100d, 0)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 2000L)
+        .select(col("o_orderkey"),
+          base.as("amount_base"),
+          base.cast("string").as("amount_digits"),
+          (base.cast(org.apache.spark.sql.types.DecimalType(38, 0)) ===
+            base.cast("string").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as("round_trip_ok"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // W3/A13: total count alongside a page (api/routes/tokens.js:224-229).
     // `count() OVER ()` funnels every row through a single partition — the
     // scale-safe form is a scalar count (distributed agg, tiny result)
@@ -474,6 +503,23 @@ object Relational {
              PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
            FROM events) WHERE rn = 1
          ORDER BY user_id, event_type""",
+    "w2_distinct_on" ->
+      """SELECT user_id, day, event_id, value FROM (
+           SELECT user_id,
+             CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS day,
+             event_id, value,
+             row_number() OVER (
+               PARTITION BY user_id, CAST(floor(epoch(ts)/86400)*86400 AS BIGINT)
+               ORDER BY event_id DESC) AS rn
+           FROM events) WHERE rn = 1
+         ORDER BY user_id, day""",
+    "x4_decimal_raw" ->
+      """SELECT o_orderkey,
+         CAST(round(o_totalprice * 100, 0) AS DECIMAL(38,0)) AS amount_base,
+         CAST(CAST(round(o_totalprice * 100, 0) AS DECIMAL(38,0)) AS VARCHAR) AS amount_digits,
+         CAST(round(o_totalprice * 100, 0) AS DECIMAL(38,0)) =
+           CAST(CAST(CAST(round(o_totalprice * 100, 0) AS DECIMAL(38,0)) AS VARCHAR) AS DECIMAL(38,0)) AS round_trip_ok
+         FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""",
     "w3_count_over" ->
       """SELECT c_custkey, c_name, count(*) OVER () AS total
          FROM customer ORDER BY c_custkey LIMIT 50""",

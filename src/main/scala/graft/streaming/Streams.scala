@@ -87,6 +87,27 @@ object Streams {
       }
       .start()
 
+  /** T7: event-driven fast-track — a new-entity stream (pair_created
+    * notifications; here, any landing stream of dim rows) triggers the
+    * refresh side-jobs for exactly the new keys instead of waiting for
+    * the next full rollup sweep (lib/pg_notify.js:28-73,
+    * jobs/fasttrack-listener.js). With a transactional table format this
+    * is Delta CDF; on plain parquet the same shape is a landing-dir
+    * stream driving per-batch refreshes.
+    */
+  def fastTrackSink(newEntities: DataFrame, key: String, checkpoint: String)
+                   (refresh: Seq[Long] => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newEntities.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val keys = batch.select(key).distinct()
+          .collect().map(_.getLong(0)).toSeq.sorted
+        if (keys.nonEmpty) refresh(keys)
+      }
+      .start()
+
   final case class Tick(key: String, bucketTs: Long, ord: Long, price: Double)
   final case class Candle(key: String, bucket_ts: Long, open: Double,
                           high: Double, low: Double, close: Double)

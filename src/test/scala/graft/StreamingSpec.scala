@@ -86,6 +86,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(factKeys.nonEmpty && factKeys.subsetOf(dims))
   }
 
+  test("T7: fast-track stream triggers refresh for exactly the new keys") {
+    val in = tmpDir("graft-t7-in")
+    val ckpt = tmpDir("graft-t7-ckpt")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    def land(name: String, ids: Seq[Long]): Unit =
+      ids.toDF("pool_id").coalesce(1).write.mode("overwrite")
+        .parquet(s"$in/$name")
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema("pool_id BIGINT")
+        .option("recursiveFileLookup", "true").parquet(in)
+      val q = Streams.fastTrackSink(stream, "pool_id", ckpt)(seen += _)
+      q.awaitTermination()
+    }
+    land("b1", Seq(7L, 9L, 7L))
+    runOnce()
+    land("b2", Seq(11L))
+    runOnce()
+    assert(seen.toSeq == Seq(Seq(7L, 9L), Seq(11L)))
+  }
+
   test("T5: stateful continuity carries close across micro-batches") {
     // two landing dirs processed as two micro-batches of one stream:
     // batch 2's first candle must open at batch 1's last close (the
