@@ -14,12 +14,14 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The SURVEY §7.2 spine: scan → filter → conditional agg → distinct →
-    * latest-by → join → sort → limit.
+    * The SURVEY §7.2 spine in its fullest form — the token matrix:
+    * scan → conditional latest-by aggregation → windowed-average fallback
+    * with the rebase-glitch correction → broadcast joins to supply and
+    * holders → valuation → sort.
     */
   def entry(spark: SparkSession): DataFrame = {
     val d = "/root/testdata/sf0.001"
-    queries("a1_conditional_agg")(spark, d)
+    queries("a11_token_matrix")(spark, d)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
