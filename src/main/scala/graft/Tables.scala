@@ -29,6 +29,12 @@ object Tables {
     * to TimestampType. Read it as a raw nanos LONG (legacy conf) and floor
     * to microseconds — the same truncation DuckDB applies, so the oracle
     * sees identical instants.
+    *
+    * Our own sessions (Verify/Bench/tests) set the conf at build time; the
+    * runtime set below stays because the driver smoke-checks `entry` with a
+    * session it builds itself. It is an idempotent conf write, not a
+    * behavior toggle mid-query (flagged in the round-1 review; this is the
+    * narrowest form that keeps driver-owned sessions working).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -64,6 +64,33 @@ object Relational {
       .drop("__rn")
   }
 
+  /** Skew-safe aggregation: two-stage (salted partial → final) groupBy for
+    * hot keys. At 100 TB a handful of keys (the main pool, the router
+    * signer) can hold a large share of rows; a single groupBy funnels each
+    * hot key through one reducer. Stage 1 groups on (keys, salt) — hot
+    * keys fan out across `saltBuckets` reducers; stage 2 merges the
+    * partials. Works for any algebraic aggregate given its merge form
+    * (sum/count/min/max here). AQE's skew-join handling covers joins; this
+    * is the aggregation-side counterpart.
+    *
+    * @param partials  (outputName, rowLevelExpr, mergeOf(name)) triples:
+    *                  e.g. ("n", count(*), sum) / ("hi", max(x), max)
+    */
+  def saltedAggregate(df: DataFrame, keys: Seq[String], saltBuckets: Int,
+                      partials: Seq[(String, Column, Column => Column)])
+      : DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)))
+    val stage1 = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(partials.head._2.as(partials.head._1),
+        partials.tail.map { case (n, e, _) => e.as(n) }: _*)
+    stage1
+      .groupBy(keys.map(col): _*)
+      .agg(partials.head._3(col(partials.head._1)).as(partials.head._1),
+        partials.tail.map { case (n, _, m) => m(col(n)).as(n) }: _*)
+  }
+
   /** Multi-key OR resolution: rank candidate matches by match quality and
     * keep the best (reference api/util/resolve-token.js:10-28, SURVEY P6).
     * `ranked` maps each predicate to its priority (lower wins).

@@ -69,6 +69,19 @@ object Pipeline {
         .orderBy(col("vec_a"), col("vec_b"))
     },
 
+    // D6: dedup APPLY — the pipeline step that consumes d2's pairs: drop
+    // every doc that appears as the non-canonical (higher-id) side of a
+    // verified near-dup pair, keeping the earliest copy. The corpus-build
+    // shape: detect (d2) then filter (anti-join — one shuffle, no O(n²)).
+    "d6_dedup_apply" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val drop = Dedup.minhashNearDup(docs, n = 3, theta = 0.8)
+        .select(col("doc_b").as("doc_id")).distinct()
+      docs.join(drop, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
     // N1: brute-force cosine top-k ANN (probes = vec_id < 10, k = 5).
     "n1_ann_topk" -> { (s, d) =>
       val v = Tables.embeddings(s, d)
@@ -225,6 +238,11 @@ object Pipeline {
     "d2_minhash_neardup" -> Dedup.jaccardOracleSql(3, 0.8),
     "d3_simhash" -> Text.simhash32OracleSql,
     "d4_ngram_jaccard" -> Dedup.jaccardOracleSql(3, 0.5),
+    "d6_dedup_apply" ->
+      s"""WITH p AS (${Dedup.jaccardOracleSql(3, 0.8)})
+         SELECT doc_id, lang, source FROM documents
+         WHERE doc_id NOT IN (SELECT doc_b FROM p)
+         ORDER BY doc_id""",
     "d5_embedding_neardup" ->
       s"""WITH u AS ($duckUnnest),
          p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

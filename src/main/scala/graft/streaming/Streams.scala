@@ -87,6 +87,33 @@ object Streams {
       }
       .start()
 
+  final case class AlertEvent(ruleId: Long, ts: Long)
+
+  /** T10's scheduler half: per-rule alert throttling — emit at most one
+    * alert per `throttleSec` per rule, across micro-batches (reference
+    * jobs/alerts.js:8-135 + phase3schema.sql:302 `throttle_sec`). State =
+    * last fired event-time per rule, persisted in the checkpoint.
+    */
+  def throttleAlerts(fired: Dataset[AlertEvent], throttleSec: Long)
+      : Dataset[AlertEvent] = {
+    import fired.sparkSession.implicits._
+    fired
+      .groupByKey(_.ruleId)
+      .flatMapGroupsWithState[Long, AlertEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[AlertEvent], state: GroupState[Long]) =>
+          val sorted = it.toSeq.sortBy(_.ts)
+          var last: Option[Long] = state.getOption
+          val out = sorted.filter { e =>
+            val ok = last.forall(l => e.ts - l >= throttleSec)
+            if (ok) last = Some(e.ts)
+            ok
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** T7: event-driven fast-track — a new-entity stream (pair_created
     * notifications; here, any landing stream of dim rows) triggers the
     * refresh side-jobs for exactly the new keys instead of waiting for

@@ -69,6 +69,22 @@ class CoreSpec extends AnyFunSuite {
     assert(got.toString == "2024-03-04 00:00:00.654321")
   }
 
+  test("saltedAggregate equals direct aggregation (skew-safe two-stage)") {
+    val e = Tables.events(spark, sfDir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_type", "n", "hi", "v")
+        .as[(String, Long, Double, Double)].collect().toSet
+    val direct = rows(e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("value")).as("hi"),
+        dsum(col("value")).as("v")))
+    val salted = rows(graft.operators.Relational.saltedAggregate(
+      e, Seq("event_type"), saltBuckets = 16, Seq(
+        ("n", count(lit(1)), c => sum(c)),
+        ("hi", max(col("value")), c => max(c)),
+        ("v", dsum(col("value")), c => dsum(c)))))
+    assert(salted == direct)
+  }
+
   test("txHash matches the sha-256 upper-hex contract") {
     val got = Seq("hello").toDF("t").select(txHash(col("t"))).head.getString(0)
     assert(got ==

@@ -106,6 +106,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(seen.toSeq == Seq(Seq(7L, 9L), Seq(11L)))
   }
 
+  test("T10: alert throttle fires at most once per window, across batches") {
+    val in = tmpDir("graft-t10-in")
+    val ckpt = tmpDir("graft-t10-ckpt")
+    val outDir = tmpDir("graft-t10-out")
+    def land(name: String, rows: Seq[Streams.AlertEvent]): Unit =
+      rows.toDS().toDF().coalesce(1).write.mode("overwrite")
+        .parquet(s"$in/$name")
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema("ruleId BIGINT, ts BIGINT")
+        .option("recursiveFileLookup", "true").parquet(in)
+        .as[Streams.AlertEvent]
+      val q = Streams.throttleAlerts(stream, throttleSec = 300L).toDF()
+        .writeStream.format("parquet").option("path", outDir)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batch 1: rule 1 fires at 0 and 100 (throttled) and 400 (allowed)
+    land("b1", Seq(Streams.AlertEvent(1L, 0L), Streams.AlertEvent(1L, 100L),
+      Streams.AlertEvent(1L, 400L), Streams.AlertEvent(2L, 50L)))
+    runOnce()
+    // batch 2: rule 1 at 500 (throttled vs 400, ACROSS batches) and 750
+    land("b2", Seq(Streams.AlertEvent(1L, 500L), Streams.AlertEvent(1L, 750L)))
+    runOnce()
+    val got = spark.read.parquet(outDir).as[Streams.AlertEvent]
+      .collect().map(e => (e.ruleId, e.ts)).toSet
+    assert(got == Set((1L, 0L), (1L, 400L), (1L, 750L), (2L, 50L)))
+  }
+
   test("T5: stateful continuity carries close across micro-batches") {
     // two landing dirs processed as two micro-batches of one stream:
     // batch 2's first candle must open at batch 1's last close (the
