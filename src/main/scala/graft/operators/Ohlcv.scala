@@ -42,15 +42,20 @@ object Ohlcv {
     */
   def candles(ticks: DataFrame, keys: Seq[String], ts: Column, ord: Column,
               price: Column, vol: Column, stepSec: Long): DataFrame = {
+    // One custom TypedImperativeAggregate buffer (plans/CandleAgg) instead
+    // of six independent aggregates (min_by/max/min/max_by/dsum/count) —
+    // same hash-aggregate shuffle with map-side partials, one state walk
+    // per row. Value-identical to the six-aggregate form (all candle
+    // oracles + OhlcvSpec prove it).
+    val c = graft.plans.CandleAggExpr.candleAgg(ord, price, vol)
     ticks
       .groupBy((keys.map(col) :+ bucketSec(ts, stepSec).as("bucket_ts")): _*)
-      .agg(
-        earliestBy(price, ord).as("open"),
-        max(price).as("high"),
-        min(price).as("low"),
-        latestBy(price, ord).as("close"),
-        dsum(vol).as("volume"),
-        count(lit(1)).as("trade_count"))
+      .agg(c.as("c"))
+      .select((keys.map(col) :+ col("bucket_ts") :+
+        col("c.open").as("open") :+ col("c.high").as("high") :+
+        col("c.low").as("low") :+ col("c.close").as("close") :+
+        col("c.volume").as("volume") :+
+        col("c.trade_count").as("trade_count")): _*)
   }
 
   /** Resample candles onto a coarser bucket. Invariant (FIXTURES.md):
