@@ -212,6 +212,18 @@ object DomainQueries {
         .orderBy(col("event_type"))
     },
 
+    // §2.8 JSON, typed form: from_json with an explicit schema — the
+    // alert-params shape (phase3schema.sql:300 JSONB params).
+    "x5_from_json" -> { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") < 2000L)
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").cast("long").as("k"))
+        .orderBy(col("event_id"))
+    },
+
     // §2.8 array: explode words, global top-20 by frequency.
     "x2_array_topwords" -> { (s, d) =>
       Tables.documents(s, d)
@@ -426,6 +438,10 @@ object DomainQueries {
       """SELECT event_type, count(*) AS n,
          SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "x5_from_json" ->
+      """SELECT event_id,
+         CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+         FROM events WHERE event_id < 2000 ORDER BY event_id""",
     "x2_array_topwords" ->
       """SELECT word, count(*) AS n FROM (
            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word

@@ -49,6 +49,16 @@ object Streams {
   def dedupeKeys(df: DataFrame, keys: Seq[String]): DataFrame =
     df.dropDuplicates(keys)
 
+  /** T4/T8 at scale: watermarked key dedup — replays/late duplicates are
+    * absorbed while the seen-key state stays bounded (keys older than the
+    * watermark delay are evicted; the reference's unique index has no such
+    * bound, but ClickHouse never kept the probe set in memory either).
+    */
+  def dedupeKeysWatermarked(df: DataFrame, tsCol: String, delay: String,
+                            keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Streaming windowed candle build (A5's streaming twin): event-time
     * window aggregate; min_by/max_by over the unique `ord` keep open/close
     * deterministic exactly as in the batch path.

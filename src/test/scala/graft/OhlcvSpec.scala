@@ -104,6 +104,23 @@ object OhlcvSpec extends Properties("Ohlcv") {
       }
     }
 
+  property("gapFill(zero): fills carry price 0 and volume 0; none: identity") =
+    Prop.forAllNoShrink(genTicks) { ticks =>
+      val c = candles(ticks, 300L)
+      val real = c.select("key", "bucket_ts").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      val zeroed = Ohlcv.gapFill(c, Seq("key"), 300L, mode = "zero")
+        .select("key", "bucket_ts", "close", "volume", "trade_count")
+        .collect()
+      val fillsOk = zeroed
+        .filter(r => !real.contains((r.getString(0), r.getLong(1))))
+        .forall(r => r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0 &&
+          r.getLong(4) == 0L)
+      val noneIsIdentity = Ohlcv.gapFill(c, Seq("key"), 300L, "none")
+        .collect().toSet == c.collect().toSet
+      fillsOk && noneIsIdentity
+    }
+
   property("gapFill(prev): full spine, zero-volume fills, idempotent") =
     Prop.forAllNoShrink(genTicks) { ticks =>
       val c = candles(ticks, 300L)

@@ -73,6 +73,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("T4 at scale: watermarked dedup matches batch distinct on fixture") {
+    val stream = Streams.dedupeKeysWatermarked(
+      Streams.eventsStream(spark, landing), "ts", "1 hour",
+      Seq("user_id", "event_type"))
+      .select("user_id", "event_type")
+    val q = stream.writeStream
+      .format("memory").queryName("wm_dedup_out").outputMode("append")
+      .option("checkpointLocation", tmpDir("graft-ckpt-wmdedup"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("wm_dedup_out").as[(Long, String)].collect().toSet
+    val want = Tables.events(spark, sfDir)
+      .select("user_id", "event_type").distinct()
+      .as[(Long, String)].collect().toSet
+    assert(got == want)
+  }
+
   test("T2: two-phase sink lands dims before facts, every batch") {
     val dimPath = tmpDir("graft-t2-dim") + "/dims"
     val factPath = tmpDir("graft-t2-fact") + "/facts"
