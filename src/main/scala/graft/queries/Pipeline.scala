@@ -162,6 +162,31 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // T7s: deterministic content-hash sampling — the reproducible
+    // corpus-split technique (membership depends only on content, never on
+    // partitioning or RNG state): keep docs whose first md5 nibble < 8,
+    // i.e. a 50% split stable across runs, engines and cluster sizes.
+    "t7_hash_sample" -> { (s, d) =>
+      Tables.documents(s, d)
+        .filter(substring(md5(Text.normalize(col("text"))), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // T8s: quality-gate filter — the corpus-cleaning pass that consumes
+    // t3's score: keep docs above a quality threshold in an allowed
+    // language set, with the reasons projected for audit.
+    "t8_quality_gate" -> { (s, d) =>
+      val q = Text.qualityScore(col("text"))
+      Tables.documents(s, d)
+        .withColumn("quality", q)
+        .filter(col("quality") >= 40d &&
+          col("lang").isin("en", "de", "es"))
+        .select(col("doc_id"), col("lang"), col("quality"))
+        .orderBy(col("doc_id"))
+    },
+
     // M1: multimodal metadata join — documents ⋈ embeddings with an opaque
     // binary payload column (md5 bytes standing in for media bytes) and
     // typed metadata projected out of it.
@@ -316,6 +341,28 @@ object Pipeline {
            m.min_shingle_fp
          FROM documents d JOIN m ON d.doc_id = m.doc_id
          ORDER BY d.doc_id""",
+    "t7_hash_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE substr(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 1)
+           IN ('0','1','2','3','4','5','6','7')
+         ORDER BY doc_id""",
+    "t8_quality_gate" -> {
+      val stop = Text.stopwords.map(duckMarker).mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, lang,
+           len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS wc,
+           ($stop) AS stopc,
+           len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+             x -> regexp_full_match(x, '^[a-z]+$$'))) AS alphac
+         FROM documents),
+         q AS (SELECT doc_id, lang,
+           round(100.0 * (0.5 * (CAST(stopc AS DOUBLE) / wc)
+             + 0.3 * (CAST(least(wc, 50) AS DOUBLE) / 50.0)
+             + 0.2 * (CAST(alphac AS DOUBLE) / wc)), 4) AS quality
+         FROM d)
+         SELECT doc_id, lang, quality FROM q
+         WHERE quality >= 40 AND lang IN ('en','de','es')
+         ORDER BY doc_id"""
+    },
     "m1_multimodal_meta" ->
       """SELECT d.doc_id, d.lang, CAST(e.label AS BIGINT) AS label,
            octet_length(unhex(md5(d.text))) AS n_bytes,
