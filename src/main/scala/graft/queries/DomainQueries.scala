@@ -153,33 +153,20 @@ object DomainQueries {
     // (latest purchase value = prices source; 1-day click average = OHLCV
     // source), customers play tokens.
     "a11_token_matrix" -> { (s, d) =>
-      val e = Tables.events(s, d)
-      val cut = anchorMinusSec(e, col("ts"), 86400L)
-      val priced = e.groupBy(col("user_id")).agg(
-        latestBy(col("value"),
-          when(col("event_type") === "purchase", col("event_id"))).as("p1"),
-        dsumIf(col("value"),
-          col("event_type") === "click" && col("ts") >= cut).as("o_sum"),
-        countIf(col("event_type") === "click" && col("ts") >= cut)
-          .as("o_cnt"))
-        .select(col("user_id"), col("p1"),
-          when(col("o_cnt") > 0, col("o_sum") / col("o_cnt")).as("p2"))
-      val holders = Tables.orders(s, d)
-        .filter(col("o_totalprice") > 1000d)
-        .groupBy(col("o_custkey")).agg(count(lit(1)).as("holders"))
-      val exp = col("c_custkey") % 10
-      val price = Domain.tokenPriceDisp(col("p1"), col("p2"), exp)
-      val circDisp = (col("c_acctbal") * 1000d) / pow(lit(10d), coalesce(exp, lit(6)))
-      val maxDisp = (col("c_acctbal") * 2000d) / pow(lit(10d), coalesce(exp, lit(6)))
-      Tables.customer(s, d)
-        .join(priced, col("c_custkey") === col("user_id"), "left")
-        .join(holders, col("c_custkey") === col("o_custkey"), "left")
-        .select(col("c_custkey").as("token_id"),
-          round4(price).as("price_in_zig"),
-          round4(circDisp * price).as("mcap_zig"),
-          round4(maxDisp * price).as("fdv_zig"),
-          coalesce(col("holders"), lit(0L)).as("holders"))
-        .orderBy(col("token_id"))
+      tokenMatrix(s, d).orderBy(col("token_id"))
+    },
+
+    // §3.2 serving composite: the GET /tokens list page — matrix metrics,
+    // total count, dynamic sort, LIMIT page (api/routes/tokens.js:178-245)
+    // — with the reference's per-row helper fan-outs collapsed into the
+    // joins that already built the matrix. Total is a scalar count, not a
+    // single-partition window (see w3).
+    "api1_token_list" -> { (s, d) =>
+      val m = tokenMatrix(s, d)
+      val total = m.count()
+      m.withColumn("total", lit(total))
+        .orderBy(col("mcap_zig").desc, col("token_id"))
+        .limit(20)
     },
 
     // S3 + §2.8 encoding: base64 round-trip decode check, "amount+denom"
@@ -295,6 +282,67 @@ object DomainQueries {
     }
   )
 
+  /** Shared A11/api1 matrix build — see the a11 entry for semantics. */
+  private def tokenMatrix(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val cut = anchorMinusSec(e, col("ts"), 86400L)
+    val priced = e.groupBy(col("user_id")).agg(
+      latestBy(col("value"),
+        when(col("event_type") === "purchase", col("event_id"))).as("p1"),
+      dsumIf(col("value"),
+        col("event_type") === "click" && col("ts") >= cut).as("o_sum"),
+      countIf(col("event_type") === "click" && col("ts") >= cut)
+        .as("o_cnt"))
+      .select(col("user_id"), col("p1"),
+        when(col("o_cnt") > 0, col("o_sum") / col("o_cnt")).as("p2"))
+    val holders = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 1000d)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("holders"))
+    val exp = col("c_custkey") % 10
+    val price = Domain.tokenPriceDisp(col("p1"), col("p2"), exp)
+    val circDisp = (col("c_acctbal") * 1000d) / pow(lit(10d), coalesce(exp, lit(6)))
+    val maxDisp = (col("c_acctbal") * 2000d) / pow(lit(10d), coalesce(exp, lit(6)))
+    Tables.customer(s, d)
+      .join(priced, col("c_custkey") === col("user_id"), "left")
+      .join(holders, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey").as("token_id"),
+        round4(price).as("price_in_zig"),
+        round4(circDisp * price).as("mcap_zig"),
+        round4(maxDisp * price).as("fdv_zig"),
+        coalesce(col("holders"), lit(0L)).as("holders"))
+  }
+
+  /** A11 oracle — shared verbatim by the api1 page (as a CTE). */
+  private val a11Sql: String =
+    """WITH cut AS (SELECT max(ts) - INTERVAL 1 DAY AS c FROM events),
+       pr AS (SELECT user_id,
+         max_by(value, CASE WHEN event_type = 'purchase' THEN event_id END) AS p1,
+         CAST(SUM(CAST(CASE WHEN event_type = 'click' AND ts >= c THEN value ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE) AS o_sum,
+         count(*) FILTER (WHERE event_type = 'click' AND ts >= c) AS o_cnt
+       FROM events CROSS JOIN cut GROUP BY user_id),
+       px AS (SELECT user_id, p1,
+         CASE WHEN o_cnt > 0 THEN o_sum / o_cnt END AS p2 FROM pr),
+       h AS (SELECT o_custkey, count(*) AS holders FROM orders
+             WHERE o_totalprice > 1000 GROUP BY o_custkey),
+       m AS (SELECT c_custkey, c_acctbal, p1, p2, holders,
+         c_custkey % 10 AS exp,
+         CASE WHEN p1 IS NOT NULL AND p2 IS NOT NULL AND p2 > 0
+                AND p1 / p2 BETWEEN 100000 AND 10000000
+                AND coalesce(c_custkey % 10, 6) = 6
+              THEN p1 / 1000000
+              WHEN p1 IS NOT NULL THEN p1
+              WHEN p2 IS NOT NULL THEN p2
+              ELSE 0 END AS price
+       FROM customer
+       LEFT JOIN px ON c_custkey = user_id
+       LEFT JOIN h ON c_custkey = o_custkey)
+       SELECT c_custkey AS token_id,
+         round(price, 4) + 0 AS price_in_zig,
+         round((c_acctbal * 1000) / pow(10, coalesce(exp, 6)) * price, 4) + 0 AS mcap_zig,
+         round((c_acctbal * 2000) / pow(10, coalesce(exp, 6)) * price, 4) + 0 AS fdv_zig,
+         coalesce(holders, 0) AS holders
+       FROM m ORDER BY token_id"""
+
   val oracles: Map[String, String] = Map(
     "f1_direction" ->
       """SELECT event_id,
@@ -393,35 +441,12 @@ object DomainQueries {
                     WHEN days_alive >= 30 THEN 2 ELSE 0 END, 0) AS INT)))
            AS score
          FROM facts ORDER BY c_custkey""",
-    "a11_token_matrix" ->
-      """WITH cut AS (SELECT max(ts) - INTERVAL 1 DAY AS c FROM events),
-         pr AS (SELECT user_id,
-           max_by(value, CASE WHEN event_type = 'purchase' THEN event_id END) AS p1,
-           CAST(SUM(CAST(CASE WHEN event_type = 'click' AND ts >= c THEN value ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE) AS o_sum,
-           count(*) FILTER (WHERE event_type = 'click' AND ts >= c) AS o_cnt
-         FROM events CROSS JOIN cut GROUP BY user_id),
-         px AS (SELECT user_id, p1,
-           CASE WHEN o_cnt > 0 THEN o_sum / o_cnt END AS p2 FROM pr),
-         h AS (SELECT o_custkey, count(*) AS holders FROM orders
-               WHERE o_totalprice > 1000 GROUP BY o_custkey),
-         m AS (SELECT c_custkey, c_acctbal, p1, p2, holders,
-           c_custkey % 10 AS exp,
-           CASE WHEN p1 IS NOT NULL AND p2 IS NOT NULL AND p2 > 0
-                  AND p1 / p2 BETWEEN 100000 AND 10000000
-                  AND coalesce(c_custkey % 10, 6) = 6
-                THEN p1 / 1000000
-                WHEN p1 IS NOT NULL THEN p1
-                WHEN p2 IS NOT NULL THEN p2
-                ELSE 0 END AS price
-         FROM customer
-         LEFT JOIN px ON c_custkey = user_id
-         LEFT JOIN h ON c_custkey = o_custkey)
-         SELECT c_custkey AS token_id,
-           round(price, 4) + 0 AS price_in_zig,
-           round((c_acctbal * 1000) / pow(10, coalesce(exp, 6)) * price, 4) + 0 AS mcap_zig,
-           round((c_acctbal * 2000) / pow(10, coalesce(exp, 6)) * price, 4) + 0 AS fdv_zig,
-           coalesce(holders, 0) AS holders
-         FROM m ORDER BY token_id""",
+    "a11_token_matrix" -> a11Sql,
+    "api1_token_list" ->
+      s"""WITH am AS ($a11Sql)
+         SELECT token_id, price_in_zig, mcap_zig, fdv_zig, holders,
+           (SELECT count(*) FROM am) AS total
+         FROM am ORDER BY mcap_zig DESC, token_id LIMIT 20""",
     "s3_event_decode" ->
       """SELECT doc_id,
          decode(from_base64(base64(encode(text)))) = text AS round_ok,
