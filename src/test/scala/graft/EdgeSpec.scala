@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Ohlcv, Similarity}
+
+/** Empty/degenerate-input behavior: operators must return empty frames
+  * (with the right schema), not throw — at 100 TB a partition, a time
+  * window, or a filtered source being empty is routine, not exceptional.
+  */
+class EdgeSpec extends AnyFunSuite {
+
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private val noTicks = Seq.empty[(String, Long, Long, Double, Double)]
+    .toDF("key", "tsec", "ord", "price", "vol")
+    .select(col("key"), timestamp_seconds(col("tsec")).as("ts"),
+      col("ord"), col("price"), col("vol"))
+
+  private val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  private val noVecs = Seq.empty[(Long, Array[Float])]
+    .toDF("vec_id", "embedding")
+
+  test("candle engine on empty input: empty candles, fills, resample") {
+    val c = Ohlcv.candles(noTicks, Seq("key"), col("ts"), col("ord"),
+      col("price"), col("vol"), 60L)
+    assert(c.count() == 0)
+    assert(Ohlcv.resample(c, Seq("key"), 300L).count() == 0)
+    assert(Ohlcv.withPrevCloseOpen(c, Seq("key")).count() == 0)
+    assert(Ohlcv.gapFill(c, Seq("key"), 60L, "prev").count() == 0)
+  }
+
+  test("dedup on empty corpus: no groups, no pairs") {
+    assert(Dedup.exactDedup(noDocs).count() == 0)
+    assert(Dedup.jaccardBruteForce(noDocs, 3, 0.5).count() == 0)
+    assert(Dedup.minhashNearDup(noDocs, 3, 0.8).count() == 0)
+  }
+
+  test("short documents (fewer words than the shingle width) yield no shingles") {
+    val short = Seq((1L, "only two")).toDF("doc_id", "text")
+    val sh = short.select(graft.functions.Text.shingleSet(col("text"), 3))
+      .head.getSeq[String](0)
+    assert(sh.isEmpty)
+    // and therefore no pairs, rather than an error
+    assert(Dedup.jaccardBruteForce(short, 3, 0.1).count() == 0)
+  }
+
+  test("ANN with empty probe/candidate sides returns empty") {
+    assert(Similarity.bruteForceTopK(noVecs, noVecs, 5).count() == 0)
+    assert(Similarity.lshTopK(noVecs, noVecs, 5).count() == 0)
+    assert(Similarity.cosinePairs(noVecs, 0.5).count() == 0)
+  }
+}
