@@ -37,6 +37,23 @@ object Sinks {
       .partitionBy(partitionCol)
       .parquet(path)
 
+  /** Bucketed table write — the co-located-join storage layout: both
+    * sides of a recurring equi-join (trades ⋈ pool_state on pool_id,
+    * matrix reads, …), bucketed on the join key with the same bucket
+    * count, join WITHOUT a shuffle exchange — each bucket pair joins
+    * locally (SinkSpec asserts the plan has no hash-partitioning
+    * exchange).
+    * At 100 TB this converts every repeated key-aligned join/aggregation
+    * from a full shuffle into a local merge. sortBy gives in-bucket order
+    * for merge joins and row-group skipping.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
   /** S6: FX-rate style side-input append — one (minute-truncated ts, rate)
     * row per poll (jobs/fx-zig.js:13-62: external quote every 36 s →
     * `exchange_rates(toStartOfMinute(now()), zig_usd)`). The fetch itself

@@ -57,6 +57,32 @@ class SinkSpec extends AnyFunSuite {
       ("2024-05-01 10:31:00", 1.25)))
   }
 
+  test("bucketed tables join with no shuffle exchange on the join key") {
+    val e = Tables.events(spark, SparkTestSession.sfDir)
+    val a = e.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val b = e.groupBy(col("user_id"))
+      .agg(max(col("value")).as("hi"))
+    Sinks.writeBucketed(a, "bk_a", "user_id", 8)
+    Sinks.writeBucketed(b, "bk_b", "user_id", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("bk_a").join(spark.table("bk_b"), "user_id")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      // and the result matches the direct (shuffling) join
+      val direct = a.join(b, "user_id")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(j.as[(Long, Long, Double)].collect().toSet == direct)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bk_a")
+      spark.sql("DROP TABLE IF EXISTS bk_b")
+    }
+  }
+
   test("S5: csvUpsert — incoming wins on key, last-wins within batch") {
     val dir = Files.createTempDirectory("graft-s5")
     val csv = dir.resolve("pools.csv")
