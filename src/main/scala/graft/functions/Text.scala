@@ -16,12 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  /** Canonical text normalization: lower, trim, collapse whitespace runs to
-    * a single space. The twin of the reference's string normalizers
-    * (e.g. the twitter-handle regexp_replace chain, phase3schema.sql:415-431).
+  /** Canonical text normalization: lower, strip leading/trailing
+    * whitespace, collapse interior whitespace runs to a single space. The
+    * twin of the reference's string normalizers (e.g. the twitter-handle
+    * regexp_replace chain, phase3schema.sql:415-431). Edge stripping is
+    * regexp-based, NOT `trim()` — SQL trim (Spark and DuckDB alike) strips
+    * only spaces, which would leave a leading collapsed space behind a
+    * leading tab and diverge from the shingle kernel's Java trim.
     */
   def normalize(c: Column): Column =
-    regexp_replace(trim(lower(c)), "\\s+", " ")
+    regexp_replace(
+      regexp_replace(lower(c), "^\\s+|\\s+$", ""), "\\s+", " ")
 
   /** Whitespace tokenization over normalized text. */
   def words(c: Column): Column = split(normalize(c), " ")

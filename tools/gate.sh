@@ -1,0 +1,19 @@
+#!/usr/bin/env bash
+# Full local gate: tests, correctness vs DuckDB at the driver's SF, bench.
+# Usage: tools/gate.sh [sf_dir] [bench_sf_dir]
+set -e
+cd "$(dirname "$0")/.."
+SF=${1:-/root/testdata/sf0.01}
+BSF=${2:-/root/testdata/sf0.1}
+OUT=$(mktemp -d /tmp/graft-gate-XXXX)
+
+echo "== sbt test =="
+sbt -batch test 2>&1 | grep -E "All tests|Passed:|\*\*\*|Failed"
+
+echo "== Verify @$SF =="
+sbt -batch "runMain graft.Verify $SF $OUT" 2>&1 | grep -E "\[verify\]" || true
+python3 tools/compare.py "$SF" "$OUT" | tail -2
+
+echo "== Bench @$BSF =="
+SPARK_GRAFT_SF_DIR=$BSF SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
+  sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"'
