@@ -97,6 +97,18 @@ object TimeSeries {
         .orderBy(col("event_type"), col("bucket_ts"))
     },
 
+    // A6 chain: 1h→6h→24h double resample ≡ direct 24h aggregation — the
+    // compositionality invariant (OhlcvSpec property) surfaced as an
+    // oracle-checked query: the oracle aggregates raw ticks at 24h while
+    // Spark resamples twice; hash-equality proves associativity of the
+    // candle algebra under the ord-follows-time precondition.
+    "a6b_resample_chain" -> { (s, d) =>
+      Ohlcv.resample(
+        Ohlcv.resample(hourly(s, d), Seq("event_type"), 21600L),
+        Seq("event_type"), 86400L)
+        .orderBy(col("event_type"), col("bucket_ts"))
+    },
+
     // A7: cross-pool (here cross-type) union → one series
     // (api/routes/tokens.js:1272-1292).
     "a7_union_series" -> { (s, d) =>
@@ -277,6 +289,15 @@ object TimeSeries {
     "a6_ohlcv_resample" ->
       """SELECT event_type,
          CAST(floor(epoch(ts)/21600)*21600 AS BIGINT) AS bucket_ts,
+         min_by(value, event_id) AS open,
+         max(value) AS high, min(value) AS low,
+         max_by(value, event_id) AS close,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume,
+         count(*) AS trade_count
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "a6b_resample_chain" ->
+      """SELECT event_type,
+         CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket_ts,
          min_by(value, event_id) AS open,
          max(value) AS high, min(value) AS low,
          max_by(value, event_id) AS close,
