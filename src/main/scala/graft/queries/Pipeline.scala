@@ -187,6 +187,26 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // T9s: character-trigram frequency profile per language — the feature
+    // input a statistical language identifier trains on (top-5 trigrams
+    // per lang with a deterministic tiebreak).
+    "t9_char_ngrams" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val norm = Text.normalize(col("text"))
+      val tris = Tables.documents(s, d)
+        .select(col("lang"), norm.as("t"))
+        .select(col("lang"), explode(transform(
+          sequence(lit(1), greatest(length(col("t")) - 2, lit(0))),
+          i => col("t").substr(i, lit(3)))).as("tri"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n").desc, col("tri"))
+      tris.groupBy(col("lang"), col("tri"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .orderBy(col("lang"), col("rn"))
+    },
+
     // M1: multimodal metadata join — documents ⋈ embeddings with an opaque
     // binary payload column (md5 bytes standing in for media bytes) and
     // typed metadata projected out of it.
@@ -341,6 +361,18 @@ object Pipeline {
            m.min_shingle_fp
          FROM documents d JOIN m ON d.doc_id = m.doc_id
          ORDER BY d.doc_id""",
+    "t9_char_ngrams" ->
+      """WITH nrm AS (SELECT lang,
+           regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'),
+             '\s+', ' ', 'g') AS t
+         FROM documents),
+         tri AS (SELECT lang, substr(t, i, 3) AS tri
+                 FROM nrm, unnest(generate_series(1, length(t)-2)) AS g(i)),
+         c AS (SELECT lang, tri, count(*) AS n FROM tri GROUP BY 1, 2),
+         r AS (SELECT lang, tri, n, row_number() OVER (
+                 PARTITION BY lang ORDER BY n DESC, tri) AS rn FROM c)
+         SELECT lang, tri, n, rn FROM r WHERE rn <= 5
+         ORDER BY lang, rn""",
     "t7_hash_sample" ->
       """SELECT doc_id, lang, source FROM documents
          WHERE substr(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 1)

@@ -57,6 +57,27 @@ class SinkSpec extends AnyFunSuite {
       ("2024-05-01 10:31:00", 1.25)))
   }
 
+  test("JSON-lines and ORC roundtrips preserve rows (source formats)") {
+    val df = Tables.events(spark, SparkTestSession.sfDir)
+      .select("event_id", "user_id", "event_type", "value")
+      .filter(col("event_id") < 500L)
+    val want = df.as[(Long, Long, String, Double)].collect().toSet
+
+    val jsonPath = tmp("graft-json")
+    df.write.mode("overwrite").json(jsonPath)
+    val viaJson = spark.read.json(jsonPath)
+      .select("event_id", "user_id", "event_type", "value")
+      .as[(Long, Long, String, Double)].collect().toSet
+    assert(viaJson == want)
+
+    val orcPath = tmp("graft-orc")
+    df.write.mode("overwrite").orc(orcPath)
+    val viaOrc = spark.read.orc(orcPath)
+      .select("event_id", "user_id", "event_type", "value")
+      .as[(Long, Long, String, Double)].collect().toSet
+    assert(viaOrc == want)
+  }
+
   test("bucketed tables join with no shuffle exchange on the join key") {
     val e = Tables.events(spark, SparkTestSession.sfDir)
     val a = e.groupBy(col("user_id"))
