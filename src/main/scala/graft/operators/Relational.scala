@@ -54,11 +54,14 @@ object Relational {
   def page(df: DataFrame, order: Seq[Column], limit: Int, offset: Int): DataFrame =
     df.orderBy(order: _*).offset(offset).limit(limit)
 
-  /** Top-k by `ord` within each key group (reference top-10 holders,
-    * SURVEY O2/A12) — rank-and-filter, one shuffle.
+  /** Top-k within each key group by an explicit total order (reference
+    * top-10 holders, SURVEY O2/A12) — rank-and-filter, one shuffle. The
+    * caller supplies the FULL ordering including a unique tiebreak;
+    * row_number over a non-total order returns an arbitrary row.
     */
-  def topKPerGroup(df: DataFrame, keys: Seq[String], ord: Column, k: Int): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord.desc)
+  def topKPerGroup(df: DataFrame, keys: Seq[String], ord: Seq[Column],
+                   k: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .drop("__rn")

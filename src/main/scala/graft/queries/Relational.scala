@@ -241,6 +241,18 @@ object Relational {
         .limit(20)
     },
 
+    // O7: grouped top-k — top-3 customers per nation by balance
+    // (the per-group form of the reference's top-10 holders pick,
+    // jobs/token-security.js:66-75).
+    "o7_topk_per_group" -> { (s, d) =>
+      topKPerGroup(
+        Tables.customer(s, d)
+          .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal")),
+        Seq("c_nationkey"),
+        Seq(col("c_acctbal").desc, col("c_custkey")), k = 3)
+        .orderBy(col("c_nationkey"), col("c_acctbal").desc, col("c_custkey"))
+    },
+
     // O6: router-leg combine — exact groupBy instead of the reference's
     // oversample heuristic (api/routes/trades.js:237-321,469; SURVEY F10).
     "o6_router_combine" -> { (s, d) =>
@@ -473,6 +485,13 @@ object Relational {
            FROM events GROUP BY user_id) lv
          ON c_custkey = lv.user_id
          ORDER BY last_seen ASC, c_custkey LIMIT 20""",
+    "o7_topk_per_group" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal FROM (
+           SELECT c_nationkey, c_custkey, c_acctbal, row_number() OVER (
+             PARTITION BY c_nationkey
+             ORDER BY c_acctbal DESC, c_custkey) AS rn
+           FROM customer) WHERE rn <= 3
+         ORDER BY c_nationkey, c_acctbal DESC, c_custkey""",
     "o6_router_combine" ->
       """SELECT user_id,
            CAST(floor(epoch(ts)/60)*60 AS BIGINT) AS bucket_ts,
