@@ -76,36 +76,16 @@ object Similarity {
         col("cand_id").as("neighbor_id"), round4(col("cos")).as("cosine"))
   }
 
-  /** Deterministic ±1 hyperplane weights for table t, bit b (seeded
-    * splitmix64 — plain Scala, fixed across runs/partitions).
+  /** LSH bucket codes: `tables` independent codes of `bits` sign-bits
+    * each, as array<long> indexed by table — computed map-side per row by
+    * the codegen'd [[graft.plans.LshCodesExpr]] kernel (the Column form —
+    * tables×bits aggregate∘zip_with lambdas against a ±1 splitmix64
+    * weight literal — is interpreted by Spark; same trap as the cosine).
+    * Codes are bit-identical to the retired lambda form: same seeded
+    * signs, same ascending-d accumulation order.
     */
-  private def planeWeights(t: Int, b: Int, dim: Int): Seq[Double] = {
-    def splitmix64(seed: Long): Long = {
-      var z = seed + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    (0 until dim).map { d =>
-      if ((splitmix64(t.toLong * 1000003L + b * 131L + d) & 1L) == 0L) -1d
-      else 1d
-    }
-  }
-
-  /** LSH bucket codes: `tables` independent codes of `bits` sign-bits each,
-    * as an array of (table, code) structs — computed map-side per row.
-    */
-  def lshCodes(emb: Column, tables: Int, bits: Int, dim: Int): Column =
-    array((0 until tables).map { t =>
-      val code = (0 until bits).map { b =>
-        val proj = aggregate(
-          zip_with(emb, typedLit(planeWeights(t, b, dim)),
-            (x, wt) => x.cast("double") * wt),
-          lit(0d), (acc, x) => acc + x)
-        when(proj > 0d, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(t).as("table"), code.as("code"))
-    }: _*)
+  def lshCodes(emb: Column, tables: Int, bits: Int): Column =
+    graft.plans.Expressions.lshCodes(emb, tables, bits)
 
   /** Bucketed ANN: candidates = vectors sharing any (table, code) bucket
     * with the probe, then exact cosine top-k within candidates. Recall is
@@ -117,12 +97,12 @@ object Similarity {
     * SimilaritySpec for the measured recall bound).
     */
   def lshTopK(probes: DataFrame, vecs: DataFrame, k: Int,
-              tables: Int = 8, bits: Int = 4, dim: Int = 64): DataFrame = {
+              tables: Int = 8, bits: Int = 4): DataFrame = {
     def coded(df: DataFrame, idName: String) = df
       .select(col("vec_id").as(idName), col("embedding"),
-        explode(lshCodes(col("embedding"), tables, bits, dim)).as("tc"))
+        posexplode(lshCodes(col("embedding"), tables, bits)))
       .select(col(idName), col("embedding"),
-        col("tc.table").as("table"), col("tc.code").as("code"))
+        col("pos").as("table"), col("col").as("code"))
     val p = coded(probes, "probe_id")
       .withColumnRenamed("embedding", "pe")
     val v = coded(vecs, "cand_id")

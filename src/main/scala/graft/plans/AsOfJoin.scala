@@ -1,0 +1,272 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
+  JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType,
+  TimestampNTZType, TimestampType}
+
+/** AS-OF JOIN — "prevailing value at event time": for every left row
+  * (key, t), attach the right row with the same key and the LARGEST right
+  * time ≤ t (backward as-of, the price-at-trade-time semantics the
+  * reference computes per-row with a correlated `ORDER BY ts DESC LIMIT 1`
+  * subquery — api/routes/trades.js latest-price lookups and
+  * core/prices.js:69-92's prevailing-reserve reads are this operator).
+  *
+  * Spark has no built-in as-of join, and the composable encodings are
+  * wrong at scale: a lateral top-1 re-aggregates the right side per left
+  * row, and the union+window trick materializes BOTH tables through one
+  * window sort with every right column carried as nullable baggage. This
+  * is the survey's ladder-(c) case — a whole-operator semantic gap — so it
+  * is implemented as a first-class Catalyst citizen:
+  *
+  *   - [[AsOfJoinPlan]]: the logical node (resolved; output = left ++
+  *     nullable right).
+  *   - [[AsOfJoinStrategy]]: plans it to [[AsOfJoinExec]] (registered via
+  *     `spark.experimental.extraStrategies` / [[GraftExtensions]]).
+  *   - [[AsOfJoinExec]]: physical sort-merge as-of. Declares
+  *     `ClusteredDistribution(keys)` on both children and `(keys…, time)`
+  *     ascending child ordering, so EnsureRequirements provisions ONE
+  *     hash shuffle per side plus spillable SortExecs — then each
+  *     co-partition is merged in a single O(n+m) streaming pass holding
+  *     exactly one retained right row. No per-left-row re-scan, no window
+  *     buffering: the 100 TB plan is shuffle + external sort + merge,
+  *     identical in shape to Spark's own sort-merge equi-join.
+  *
+  * Determinism: if several right rows tie on (key, time) the retained one
+  * is sort-order dependent — dedupe the right side per (key, time) first
+  * (the `j11` query does; AsOfJoinSpec pins the contract).
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    isLeftOuter: Boolean,
+    toleranceMicros: Option[Long]) extends LogicalPlan with BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner rule: AsOfJoinPlan → AsOfJoinExec. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, outer, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, outer, tol) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    isLeftOuter: Boolean,
+    toleranceMicros: Option[Long]) extends SparkPlan with BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // Co-partition both sides on the equi-keys; one shuffle each at most.
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  // (keys…, time) ascending on both sides — SortExec spills, so a skewed
+  // key is a slow partition, not an OOM.
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+
+  // The merge streams the left side through untouched.
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  private def timeToLong(v: Any): Long = v match {
+    case l: java.lang.Long => l
+    case i: java.lang.Integer => i.toLong
+    case other => throw new IllegalStateException(
+      s"as-of time column must be long-backed, got ${other.getClass}")
+  }
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lk = leftKeys
+    val rk = rightKeys
+    val lt = leftTime
+    val rt = rightTime
+    val outer = isLeftOuter
+    val tol = toleranceMicros
+    val keyTypes = leftKeys.map(_.dataType)
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lk, lOut)
+      val rKeyProj = UnsafeProjection.create(rk, rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val lTimeEval = BindReferences.bindReference(lt, lOut)
+      val rTimeEval = BindReferences.bindReference(rt, rOut)
+      // Bind against nullable right attrs: the outer-join null row must go
+      // through a null check even when the right column was non-nullable.
+      val resultProj = UnsafeProjection.create(outAttrs,
+        lOut ++ rOut.map(_.withNullability(true)))
+      val nullRight = new GenericInternalRow(rOut.size)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        // Current right cursor (copied: shuffle/sort iterators reuse rows).
+        private var rRow: InternalRow = _
+        private var rKey: InternalRow = _
+        private var rTime: Long = _
+        // Latest right row at-or-before the current left row, same key.
+        private var matched: InternalRow = _
+        private var matchedKey: InternalRow = _
+        private var matchedTime: Long = _
+        private var out: InternalRow = _
+
+        advanceRight()
+
+        private def advanceRight(): Unit = {
+          rRow = null
+          while (rRow == null && rIter.hasNext) {
+            val raw = rIter.next()
+            val t = rTimeEval.eval(raw)
+            if (t != null) { // null-time right rows can never be "latest"
+              rRow = raw.copy()
+              rKey = rKeyProj(rRow).copy()
+              rTime = timeToLong(t)
+            }
+          }
+        }
+
+        private def computeNext(): InternalRow = {
+          while (lIter.hasNext) {
+            val l = lIter.next()
+            val lKey = lKeyProj(l)
+            val lt = lTimeEval.eval(l)
+            // A match carried from the previous left row is only valid for
+            // the same key.
+            if (matched != null && keyOrd.compare(matchedKey, lKey) != 0) {
+              matched = null
+            }
+            if (!lKey.anyNull && lt != null) {
+              val lTime = timeToLong(lt)
+              var advancing = true
+              while (advancing && rRow != null) {
+                val c = keyOrd.compare(rKey, lKey)
+                if (c < 0) advanceRight() // stale key: skip
+                else if (c == 0 && rTime <= lTime) {
+                  if (!rKey.anyNull) {
+                    matched = rRow; matchedKey = rKey; matchedTime = rTime
+                  }
+                  advanceRight()
+                } else advancing = false
+              }
+              val ok = matched != null &&
+                tol.forall(t => lTime - matchedTime <= t)
+              if (ok) return resultProj(joined(l, matched))
+            }
+            if (outer) return resultProj(joined(l, nullRight))
+          }
+          null
+        }
+
+        override def hasNext: Boolean = {
+          if (out == null) out = computeNext()
+          out != null
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          val r = out; out = null; r
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Public DataFrame API for the as-of join. */
+object AsOf {
+  private val timeTypes: Set[DataType] =
+    Set(LongType, IntegerType, TimestampType, TimestampNTZType, DateType)
+
+  /** Idempotently register the planner strategy on a session we did not
+    * build (the driver constructs its own; `experimental.extraStrategies`
+    * is the public hook for exactly this).
+    */
+  def ensureRegistered(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+
+  /** Backward as-of join: for each left row, the right row with equal keys
+    * and the largest `rightTimeCol` ≤ `leftTimeCol` (within `tolerance`
+    * time units, if given). `joinType` ∈ {left, inner}. Key columns must
+    * be type-aligned; time columns must be integral or timestamp typed.
+    */
+  def joinBackward(
+      left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTimeCol: String, rightTimeCol: String,
+      joinType: String = "left",
+      tolerance: Option[Long] = None): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+      "as-of join needs one or more key column pairs")
+    val outer = joinType.toLowerCase match {
+      case "left" | "left_outer" => true
+      case "inner" => false
+      case other => throw new IllegalArgumentException(
+        s"as-of join type must be left or inner, got $other")
+    }
+    val spark = left.sparkSession
+    ensureRegistered(spark)
+
+    val lPlan = Bridge.analyzed(left)
+    // Fresh exprIds on the right output (self-join safety): alias every
+    // column through a Project, as Dataset.join's dedup does internally.
+    val rPlan0 = Bridge.analyzed(right.select(right.columns.map(col): _*))
+    val rPlan = Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
+
+    def attr(out: Seq[Attribute], name: String, side: String): Attribute =
+      out.find(_.name == name).getOrElse(throw new IllegalArgumentException(
+        s"column $name not found on $side side (${out.map(_.name)})"))
+
+    val lk = leftKeys.map(attr(lPlan.output, _, "left"))
+    val rk = rightKeys.map(attr(rPlan.output, _, "right"))
+    lk.zip(rk).foreach { case (a, b) =>
+      require(a.dataType == b.dataType,
+        s"key type mismatch: ${a.name}:${a.dataType} vs ${b.name}:${b.dataType}")
+    }
+    val ltA = attr(lPlan.output, leftTimeCol, "left")
+    val rtA = attr(rPlan.output, rightTimeCol, "right")
+    Seq(ltA, rtA).foreach { a =>
+      require(timeTypes.contains(a.dataType),
+        s"as-of time column ${a.name} must be integral/timestamp, got ${a.dataType}")
+    }
+    Bridge.ofRows(spark,
+      AsOfJoinPlan(lPlan, rPlan, lk, rk, ltA, rtA, outer, tolerance))
+  }
+}

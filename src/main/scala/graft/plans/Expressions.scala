@@ -248,6 +248,79 @@ case class SimHash32Expr(child: Expression)
   override def prettyName: String = "simhash32"
 }
 
+/** Kernel + expression for random-hyperplane LSH bucket codes: `tables`
+  * independent sign-bit codes of `bits` bits each over a float-embedding
+  * array. The ±1 plane weights are derived on the fly from a seeded
+  * splitmix64 (identical to the retired Column-form planeWeights seq), so
+  * the codes are fixed across runs, partitions and engines. One JVM loop
+  * replaces tables×bits interpreted aggregate∘zip_with lambdas — the same
+  * interpretation tax dot_scaled already eliminated for the scorer.
+  */
+object LshKernel {
+  private final val GOLDEN = 0x9e3779b97f4a7c15L
+
+  @inline private def mix(seed: Long): Long = {
+    var z = seed + GOLDEN
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** codes(emb)[t] = Σ_b [proj_{t,b} > 0] << b, with
+    * proj_{t,b} = Σ_d ±emb[d] and the sign drawn from
+    * splitmix64(t·1000003 + b·131 + d) — accumulation in ascending d,
+    * exactly the retired lambda form's order.
+    */
+  def codes(emb: ArrayData, tables: Int, bits: Int): ArrayData = {
+    val dim = emb.numElements()
+    val x = new Array[Double](dim)
+    var d = 0
+    while (d < dim) { x(d) = emb.getFloat(d).toDouble; d += 1 }
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var code = 0L
+      var b = 0
+      while (b < bits) {
+        var proj = 0d
+        var i = 0
+        while (i < dim) {
+          val z = mix(t.toLong * 1000003L + b.toLong * 131L + i)
+          proj += (if ((z & 1L) == 0L) -x(i) else x(i))
+          i += 1
+        }
+        if (proj > 0d) code |= (1L << b)
+        b += 1
+      }
+      out(t) = code
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** LSH codes of a float-embedding column (array<float> → array<long>,
+  * index = table, value = code), backed by [[LshKernel]].
+  */
+case class LshCodesExpr(child: Expression, tables: Int, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    LshKernel.codes(a.asInstanceOf[ArrayData], tables, bits)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.LshKernel.codes($a, $tables, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : LshCodesExpr = copy(child = newChild)
+
+  override def prettyName: String = "lsh_codes"
+}
+
 /** Session wiring for the custom expressions: an injectable
   * [[org.apache.spark.sql.SparkSessionExtensions]] hook for sessions built
   * with `.withExtensions(new GraftExtensions)` (or the
@@ -257,8 +330,10 @@ case class SimHash32Expr(child: Expression)
   * `SELECT dot_scaled(a.embedding, b.embedding) FROM ...`.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftExtensions.injections.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -283,7 +358,11 @@ object GraftExtensions {
           args.lift(2).forall(a => a.eval(null) == true))),
     (FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32Expr].getName, "simhash32"),
-      (args: Seq[Expression]) => SimHash32Expr(args(0))))
+      (args: Seq[Expression]) => SimHash32Expr(args(0))),
+    (FunctionIdentifier("lsh_codes"),
+      new ExpressionInfo(classOf[LshCodesExpr].getName, "lsh_codes"),
+      (args: Seq[Expression]) =>
+        LshCodesExpr(args(0), intArg(args(1)), intArg(args(2)))))
 
   /** Register into an already-built session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
@@ -309,4 +388,8 @@ object Expressions {
   /** Column wrapper for [[SimHash32Expr]] (input: array<string> words). */
   def simhash32(words: Column): Column =
     Bridge.column(SimHash32Expr(Bridge.expression(words)))
+
+  /** Column wrapper for [[LshCodesExpr]] (input: array<float>). */
+  def lshCodes(emb: Column, tables: Int, bits: Int): Column =
+    Bridge.column(LshCodesExpr(Bridge.expression(emb), tables, bits))
 }

@@ -143,7 +143,7 @@ object DomainQueries {
               floor((lit(anchorSec)
                 - unix_timestamp(col("first_seen").cast("timestamp")))
                 / 86400d).cast("double"),
-              lit(0d))).as("score"))
+              lit(0d))).cast("long").as("score"))
         .orderBy(col("c_custkey"))
     },
 
@@ -461,7 +461,7 @@ object DomainQueries {
          FROM documents ORDER BY doc_id""",
     "x1_json_extract" ->
       """SELECT event_type, count(*) AS n,
-         SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k
+         CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY event_type ORDER BY event_type""",
     "x5_from_json" ->
       """SELECT event_id,

@@ -205,6 +205,33 @@ object Relational {
             .as("change_pct"))
     },
 
+    // J11: AS-OF join — the prevailing click value at each purchase time
+    // per user, i.e. the reference's latest-price-at-trade-time lookup
+    // (api/routes/trades.js price joins, core/prices.js:69-92 prevailing
+    // reserves) as a single relational operator instead of a correlated
+    // `ORDER BY ts DESC LIMIT 1` per row. Runs on the custom
+    // AsOfJoinExec (plans/AsOfJoin.scala): ClusteredDistribution on
+    // user_id + (key, ts) sort on both sides, then an O(n+m) streaming
+    // merge per co-partition — the plan that survives 100 TB. The right
+    // side is deduped per (user, ts) so the as-of pick is deterministic;
+    // the oracle is DuckDB's native ASOF LEFT JOIN.
+    "j11_asof_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("c_user"), col("ts").as("click_ts"))
+        .agg(max(col("event_id")).as("click_id"),
+          max_by(col("value"), col("event_id")).as("click_value"))
+      graft.plans.AsOf.joinBackward(purchases, clicks,
+          Seq("user_id"), Seq("c_user"), "ts", "click_ts")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("value"),
+          col("click_id"), unix_micros(col("click_ts")).as("click_ts_us"),
+          col("click_value"))
+        .orderBy(col("event_id"))
+    },
+
     // O1: dynamic sort + LIMIT/OFFSET pagination with total-order tiebreak
     // (api/routes/tokens.js:180-243).
     "o1_page_offset" -> { (s, d) =>
@@ -322,16 +349,20 @@ object Relational {
     // §1.2 hard spot: NUMERIC(78,0) raw on-chain amounts → Decimal(38,0)
     // with a lossless digit-string shadow column (SURVEY §7.1.1,
     // FIXTURES.md B). Round-trips base units through both representations.
+    // The Decimal(38,0) stays INTERNAL to the plan: the output carries the
+    // digit string (lossless by policy) plus the round-trip proof — decimal
+    // columns in result sets hash unreliably in arrow-level harnesses, so
+    // no query emits one (driver hash_match failed on decimal128 outputs).
     "x4_decimal_raw" -> { (s, d) =>
       val base = round(col("o_totalprice") * 100d, 0)
         .cast(org.apache.spark.sql.types.DecimalType(38, 0))
       Tables.orders(s, d)
         .filter(col("o_orderkey") < 2000L)
         .select(col("o_orderkey"),
-          base.as("amount_base"),
           base.cast("string").as("amount_digits"),
-          (base.cast(org.apache.spark.sql.types.DecimalType(38, 0)) ===
-            base.cast("string").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          length(base.cast("string")).cast("long").as("n_digits"),
+          (base === base.cast("string")
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
             .as("round_trip_ok"))
         .orderBy(col("o_orderkey"))
     },
@@ -469,6 +500,18 @@ object Relational {
          SELECT last_v, prev_v,
            round((last_v - prev_v) / prev_v * 100, 4) AS change_pct
          FROM lastd, prevd""",
+    "j11_asof_join" ->
+      """WITH p AS (SELECT user_id, ts, event_id, value FROM events
+           WHERE event_type = 'purchase'),
+         c AS (SELECT user_id AS c_user, ts AS click_ts,
+             max(event_id) AS click_id,
+             max_by(value, event_id) AS click_value
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT p.user_id, epoch_us(p.ts) AS ts_us, p.event_id, p.value,
+           c.click_id, epoch_us(c.click_ts) AS click_ts_us, c.click_value
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.c_user AND p.ts >= c.click_ts
+         ORDER BY p.event_id""",
     "o1_page_offset" ->
       """SELECT o_orderkey AS okey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, okey LIMIT 20 OFFSET 10""",
@@ -534,8 +577,8 @@ object Relational {
          ORDER BY user_id, day""",
     "x4_decimal_raw" ->
       """SELECT o_orderkey,
-         CAST(round(o_totalprice * 100, 0) AS DECIMAL(38,0)) AS amount_base,
          CAST(CAST(round(o_totalprice * 100, 0) AS DECIMAL(38,0)) AS VARCHAR) AS amount_digits,
+         CAST(length(CAST(CAST(round(o_totalprice * 100, 0) AS DECIMAL(38,0)) AS VARCHAR)) AS BIGINT) AS n_digits,
          CAST(round(o_totalprice * 100, 0) AS DECIMAL(38,0)) =
            CAST(CAST(CAST(round(o_totalprice * 100, 0) AS DECIMAL(38,0)) AS VARCHAR) AS DECIMAL(38,0)) AS round_trip_ok
          FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""",

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.plans.{AsOf, AsOfJoinExec}
+
+/** Contract of the custom as-of join (plans/AsOfJoin.scala): semantics vs
+  * a driver-side brute-force reference on random inputs, null/empty/
+  * tolerance/inner edge behavior, and the physical plan shape (the node
+  * itself plus child ordering satisfied by sorts, not windows).
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def leftDf(rows: Seq[(Long, Long, String)]): DataFrame =
+    rows.toDF("k", "t", "lv")
+  private def rightDf(rows: Seq[(Long, Long, String)]): DataFrame =
+    rows.toDF("k", "rt", "rv")
+
+  /** Brute-force reference: latest right (k, rt ≤ t), unique rt per key. */
+  private def reference(
+      ls: Seq[(Long, Long, String)], rs: Seq[(Long, Long, String)],
+      tol: Option[Long]): Set[(Long, Long, String, Option[String])] =
+    ls.map { case (k, t, lv) =>
+      val cand = rs.filter(r => r._1 == k && r._2 <= t &&
+        tol.forall(tl => t - r._2 <= tl))
+      val m = if (cand.isEmpty) None else Some(cand.maxBy(_._2)._3)
+      (k, t, lv, m)
+    }.toSet
+
+  private def run(l: DataFrame, r: DataFrame, joinType: String = "left",
+      tol: Option[Long] = None): DataFrame =
+    AsOf.joinBackward(l, r.withColumnRenamed("k", "rk"),
+      Seq("k"), Seq("rk"), "t", "rt", joinType, tol)
+
+  // Right sides in the generator are unique per (key, time) — ties between
+  // right rows are explicitly sort-order-dependent (see scaladoc).
+  private val rowsGen = for {
+    nl <- Gen.choose(0, 40)
+    nr <- Gen.choose(0, 40)
+    ls <- Gen.listOfN(nl, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 50L)))
+    rs <- Gen.listOfN(nr, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 50L)))
+  } yield (
+    ls.zipWithIndex.map { case ((k, t), i) => (k, t, s"l$i") },
+    rs.distinctBy(x => (x._1, x._2))
+      .zipWithIndex.map { case ((k, t), i) => (k, t, s"r$i") })
+
+  /** Deterministic scalacheck sampling (no scalatestplus in the cache). */
+  private def samples(n: Int) = (1 to n).map(i =>
+    rowsGen.apply(Gen.Parameters.default, Seed(i.toLong)).get)
+
+  test("matches a brute-force reference on random inputs (left outer)") {
+    samples(30).foreach { case (ls, rs) =>
+      val got = run(leftDf(ls), rightDf(rs))
+        .select($"k", $"t", $"lv", $"rv").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          Option(r.getString(3)))).toSet
+      assert(got == reference(ls, rs, None), s"inputs: $ls vs $rs")
+    }
+  }
+
+  test("tolerance bounds the allowed staleness") {
+    samples(15).foreach { case (ls, rs) =>
+      val got = run(leftDf(ls), rightDf(rs), tol = Some(7L))
+        .select($"k", $"t", $"lv", $"rv").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          Option(r.getString(3)))).toSet
+      assert(got == reference(ls, rs, Some(7L)), s"inputs: $ls vs $rs")
+    }
+  }
+
+  test("inner join drops unmatched left rows") {
+    val l = leftDf(Seq((1L, 5L, "a"), (1L, 1L, "b"), (2L, 9L, "c")))
+    val r = rightDf(Seq((1L, 3L, "x")))
+    val got = run(l, r, "inner").select($"lv", $"rv").as[(String, String)]
+      .collect().toSet
+    assert(got == Set(("a", "x")))
+  }
+
+  test("ties on time match inclusively (rt == t wins over earlier rt)") {
+    val l = leftDf(Seq((1L, 5L, "a")))
+    val r = rightDf(Seq((1L, 5L, "now"), (1L, 4L, "before")))
+    assert(run(l, r).select($"rv").as[String].collect().toSeq == Seq("now"))
+  }
+
+  test("empty right yields all-null right side; empty left yields nothing") {
+    val l = leftDf(Seq((1L, 5L, "a")))
+    val r = rightDf(Nil)
+    val row = run(l, r).select($"rv").collect()
+    assert(row.length == 1 && row.head.isNullAt(0))
+    assert(run(leftDf(Nil), rightDf(Seq((1L, 1L, "x")))).count() == 0)
+  }
+
+  test("null keys and null times never match") {
+    val l = Seq((Option(1L), Option(5L), "a"), (None, Option(5L), "b"),
+      (Option(1L), None, "c")).toDF("k", "t", "lv")
+    val r = Seq((Option(1L), Option(3L), "x"), (None, Option(2L), "y"),
+      (Option(1L), None, "z")).toDF("k", "rt", "rv")
+    val got = AsOf.joinBackward(l, r.withColumnRenamed("k", "rk"),
+      Seq("k"), Seq("rk"), "t", "rt")
+      .select($"lv", $"rv").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(got == Set(("a", Some("x")), ("b", None), ("c", None)))
+  }
+
+  test("multi-column keys and timestamp time columns work") {
+    val l = Seq((1L, "x", 100L, "a"), (1L, "y", 100L, "b"))
+      .toDF("k1", "k2", "tl", "lv")
+      .withColumn("t", timestamp_micros($"tl"))
+    val r = Seq((1L, "x", 90L, "m"), (1L, "y", 101L, "n"))
+      .toDF("k1", "k2", "tr", "rv")
+      .withColumn("rt", timestamp_micros($"tr"))
+    val got = AsOf.joinBackward(
+      l, r.withColumnsRenamed(Map("k1" -> "rk1", "k2" -> "rk2")),
+      Seq("k1", "k2"), Seq("rk1", "rk2"), "t", "rt")
+      .select($"lv", $"rv").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(got == Set(("a", Some("m")), ("b", None)))
+  }
+
+  test("self-join on the same source frame resolves (dedup safety)") {
+    val ev = Seq((1L, 1L, "p"), (1L, 3L, "p"), (1L, 2L, "c"))
+      .toDF("k", "t", "kind")
+    val l = ev.filter($"kind" === "p")
+    val r = ev.filter($"kind" === "c")
+      .select($"k".as("rk"), $"t".as("rt"), $"kind".as("rkind"))
+    val got = AsOf.joinBackward(l, r, Seq("k"), Seq("rk"), "t", "rt")
+      .select($"t", $"rt").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(got == Set((1L, None), (3L, Some(2L))))
+  }
+
+  test("physical plan is the merge exec, not a window or nested loop") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    val df = run(leftDf(Seq((1L, 1L, "a"))), rightDf(Seq((1L, 1L, "x"))))
+    df.collect() // finalize any adaptive re-planning
+    val plan = df.queryExecution.executedPlan
+    val txt = plan.toString
+    assert(txt.contains("AsOfJoin"))
+    assert(!txt.contains("Window"))
+    assert(!txt.contains("NestedLoop"))
+    // AQE stage wrappers are leaf nodes — unwrap to find the exec
+    def hasAsOf(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => hasAsOf(a.executedPlan)
+      case q: QueryStageExec => hasAsOf(q.plan)
+      case _: AsOfJoinExec => true
+      case other => other.children.exists(hasAsOf)
+    }
+    assert(hasAsOf(plan))
+  }
+}

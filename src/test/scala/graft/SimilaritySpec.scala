@@ -98,6 +98,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sh == Seq("a b c", "b c d"))
   }
 
+  test("lsh_codes kernel matches the seeded ±1-plane definition exactly") {
+    // Reference implementation of the plane-weight contract (the retired
+    // Column form): sign(t,b,d) from splitmix64(t·1000003 + b·131 + d),
+    // ascending-d double accumulation, bit set when proj > 0. The kernel
+    // (plans/LshKernel) must never drift from this — bucket codes are
+    // persisted artifacts in a real corpus build.
+    def splitmix64(seed: Long): Long = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def refCodes(x: Seq[Float], tables: Int, bits: Int): Seq[Long] =
+      (0 until tables).map { t =>
+        (0 until bits).map { b =>
+          var proj = 0d
+          x.indices.foreach { d =>
+            val w = if ((splitmix64(t.toLong * 1000003L + b * 131L + d)
+              & 1L) == 0L) -1d else 1d
+            proj += x(d).toDouble * w
+          }
+          if (proj > 0d) 1L << b else 0L
+        }.sum
+      }
+    val rows = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id"),
+        Similarity.lshCodes(col("embedding"), 8, 4).as("codes"),
+        col("embedding"))
+      .as[(Long, Seq[Long], Seq[Float])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, got, emb) =>
+      assert(got == refCodes(emb, 8, 4), s"codes drifted for vec $id")
+    }
+  }
+
   test("lshTopK ranks returned candidates like brute force does") {
     // any (probe, neighbor) the LSH returns must carry the same cosine the
     // brute-force path computes for that pair

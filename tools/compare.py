@@ -14,16 +14,25 @@ import duckdb
 import pyarrow.parquet as pq
 
 def canon(v):
+    # Type-preserving canon: the driver HASHES values, so Decimal('5') vs
+    # int 5 vs 5.0 must NOT compare equal here (python == says they do).
+    # Keep the type name in the tuple so hugeint/decimal promotions
+    # (e.g. DuckDB SUM(BIGINT) -> decimal128) surface as VALUES diffs.
     if v is None:
         return None
-    if isinstance(v, float):
-        return float(v)
-    return v
+    return (type(v).__name__, repr(v))
 
 def rows_of(tbl):
     cols = sorted(tbl.column_names)
     data = [tbl.column(c).to_pylist() for c in cols]
     return cols, [tuple(canon(x) for x in row) for row in zip(*data)]
+
+def type_diff(got, want):
+    """Arrow-level type comparison on the sorted column set (int64 vs
+    decimal128 etc). Returns list of (col, spark_type, duck_type)."""
+    gt = {f.name: str(f.type) for f in got.schema}
+    wt = {f.name: str(f.type) for f in want.schema}
+    return [(c, gt[c], wt[c]) for c in sorted(gt) if gt[c] != wt.get(c, '?')]
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -52,6 +61,12 @@ def main():
         wc, wr = rows_of(want)
         if gc != wc:
             print(f"SCHEMA   {qname}: spark={gc} duck={wc}")
+            n_fail += 1
+            continue
+        td = type_diff(got, want)
+        if td:
+            print(f"TYPES    {qname}: " + "; ".join(
+                f"{c}: spark={a} duck={b}" for c, a, b in td))
             n_fail += 1
             continue
         # driver sorts rows before hashing; do the same
