@@ -248,6 +248,67 @@ case class SimHash32Expr(child: Expression)
   override def prettyName: String = "simhash32"
 }
 
+/** Kernel for character n-grams of a text column: all length-n codepoint
+  * windows, in order, duplicates kept (the trigram-profile input). Empty
+  * array when the text has fewer than n codepoints — the same contract as
+  * the SQL `generate_series(1, length(t)-n+1)` form, which emits nothing
+  * for short strings. Codepoint (not UTF-16 unit) windows match Spark's
+  * `substr` and DuckDB's `substr` character semantics.
+  */
+object CharNgramKernel {
+  def ngrams(text: org.apache.spark.unsafe.types.UTF8String,
+             n: Int): ArrayData = {
+    val s = text.toString
+    // codepoint boundaries as UTF-16 offsets: b(0)=0 .. b(cp)=s.length
+    val cp = s.codePointCount(0, s.length)
+    val m = cp - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val b = new Array[Int](cp + 1)
+    var i = 0
+    var off = 0
+    while (i < cp) {
+      b(i) = off
+      off += Character.charCount(s.codePointAt(off))
+      i += 1
+    }
+    b(cp) = s.length
+    val out = new Array[Any](m)
+    i = 0
+    while (i < m) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String
+        .fromString(s.substring(b(i), b(i + n)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Char n-grams as a native expression (the Column form —
+  * transform ∘ sequence ∘ substr — is an interpreted higher-order lambda
+  * re-evaluated per generated row; this is one JVM call per document).
+  */
+case class CharNgramsExpr(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    CharNgramKernel.ngrams(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.CharNgramKernel.ngrams($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : CharNgramsExpr = copy(child = newChild)
+
+  override def prettyName: String = "char_ngrams"
+}
+
 /** Kernel + expression for random-hyperplane LSH bucket codes: `tables`
   * independent sign-bit codes of `bits` bits each over a float-embedding
   * array. The ±1 plane weights are derived on the fly from a seeded
@@ -362,7 +423,10 @@ object GraftExtensions {
     (FunctionIdentifier("lsh_codes"),
       new ExpressionInfo(classOf[LshCodesExpr].getName, "lsh_codes"),
       (args: Seq[Expression]) =>
-        LshCodesExpr(args(0), intArg(args(1)), intArg(args(2)))))
+        LshCodesExpr(args(0), intArg(args(1)), intArg(args(2)))),
+    (FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(classOf[CharNgramsExpr].getName, "char_ngrams"),
+      (args: Seq[Expression]) => CharNgramsExpr(args(0), intArg(args(1)))))
 
   /** Register into an already-built session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
@@ -392,4 +456,8 @@ object Expressions {
   /** Column wrapper for [[LshCodesExpr]] (input: array<float>). */
   def lshCodes(emb: Column, tables: Int, bits: Int): Column =
     Bridge.column(LshCodesExpr(Bridge.expression(emb), tables, bits))
+
+  /** Column wrapper for [[CharNgramsExpr]] (input: string). */
+  def charNgrams(text: Column, n: Int): Column =
+    Bridge.column(CharNgramsExpr(Bridge.expression(text), n))
 }

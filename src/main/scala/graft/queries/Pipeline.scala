@@ -189,15 +189,19 @@ object Pipeline {
 
     // T9s: character-trigram frequency profile per language — the feature
     // input a statistical language identifier trains on (top-5 trigrams
-    // per lang with a deterministic tiebreak).
+    // per lang with a deterministic tiebreak). Trigram generation is the
+    // codegen'd char_ngrams kernel (plans/CharNgramsExpr): the Column form
+    // (transform ∘ sequence ∘ substr) is an interpreted lambda, and
+    // explode_outer instead of explode avoids the inferred size(...)>0
+    // filter that would re-evaluate the normalize+ngram chain per row.
     "t9_char_ngrams" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val norm = Text.normalize(col("text"))
       val tris = Tables.documents(s, d)
-        .select(col("lang"), norm.as("t"))
-        .select(col("lang"), explode(transform(
-          sequence(lit(1), greatest(length(col("t")) - 2, lit(0))),
-          i => col("t").substr(i, lit(3)))).as("tri"))
+        .select(col("lang"),
+          explode_outer(graft.plans.Expressions.charNgrams(norm, 3))
+            .as("tri"))
+        .filter(col("tri").isNotNull)
       val w = Window.partitionBy(col("lang"))
         .orderBy(col("n").desc, col("tri"))
       tris.groupBy(col("lang"), col("tri"))

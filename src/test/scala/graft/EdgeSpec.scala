@@ -53,4 +53,18 @@ class EdgeSpec extends AnyFunSuite {
     assert(Similarity.lshTopK(noVecs, noVecs, 5).count() == 0)
     assert(Similarity.cosinePairs(noVecs, 0.5).count() == 0)
   }
+
+  test("char_ngrams: sliding codepoint windows, empty below n, multibyte") {
+    def grams(t: String, n: Int): Seq[String] =
+      Seq(Tuple1(t)).toDF("t")
+        .select(graft.plans.Expressions.charNgrams(col("t"), n))
+        .head.getSeq[String](0)
+    assert(grams("abcd", 3) == Seq("abc", "bcd"))
+    assert(grams("abc", 3) == Seq("abc"))
+    assert(grams("ab", 3) == Seq.empty)
+    assert(grams("", 3) == Seq.empty)
+    // multibyte codepoints count as one character, as in SQL substr
+    assert(grams("über", 3) == Seq("übe", "ber"))
+    assert(grams("日本語だ", 2) == Seq("日本", "本語", "語だ"))
+  }
 }
