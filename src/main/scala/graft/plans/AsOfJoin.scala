@@ -21,6 +21,9 @@ import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType,
   * reference computes per-row with a correlated `ORDER BY ts DESC LIMIT 1`
   * subquery — api/routes/trades.js latest-price lookups and
   * core/prices.js:69-92's prevailing-reserve reads are this operator).
+  * Forward ("next value at-or-after") and nearest (closer of the two,
+  * ties to backward) directions ride the same single merge pass: the
+  * forward candidate is simply the right cursor's head.
   *
   * Spark has no built-in as-of join, and the composable encodings are
   * wrong at scale: a lateral top-1 re-aggregates the right side per left
@@ -54,7 +57,8 @@ case class AsOfJoinPlan(
     leftTime: Expression,
     rightTime: Expression,
     isLeftOuter: Boolean,
-    toleranceMicros: Option[Long]) extends LogicalPlan with BinaryNode {
+    toleranceMicros: Option[Long],
+    direction: String = "backward") extends LogicalPlan with BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -67,8 +71,9 @@ case class AsOfJoinPlan(
 /** Planner rule: AsOfJoinPlan → AsOfJoinExec. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, outer, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, outer, tol) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, outer, tol, dir) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, outer, tol,
+        dir) :: Nil
     case _ => Nil
   }
 }
@@ -81,7 +86,8 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     isLeftOuter: Boolean,
-    toleranceMicros: Option[Long]) extends SparkPlan with BinaryExecNode {
+    toleranceMicros: Option[Long],
+    direction: String = "backward") extends SparkPlan with BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -116,6 +122,7 @@ case class AsOfJoinExec(
     val rt = rightTime
     val outer = isLeftOuter
     val tol = toleranceMicros
+    val dir = direction
     val keyTypes = leftKeys.map(_.dataType)
     val outAttrs = output
 
@@ -132,12 +139,20 @@ case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow
 
+      // Forward stops the right cursor AT equal times (the head IS the
+      // first row ≥ t); backward/nearest consume through them (the equal
+      // row is the best ≤ t candidate).
+      val consumeEqual = dir != "forward"
+      val wantBackward = dir != "forward"  // backward or nearest
+      val wantForward = dir != "backward"  // forward or nearest
+
       new Iterator[InternalRow] {
         // Current right cursor (copied: shuffle/sort iterators reuse rows).
         private var rRow: InternalRow = _
         private var rKey: InternalRow = _
         private var rTime: Long = _
-        // Latest right row at-or-before the current left row, same key.
+        // Latest right row at-or-before the current left row, same key —
+        // the backward candidate. The forward candidate is the cursor head.
         private var matched: InternalRow = _
         private var matchedKey: InternalRow = _
         private var matchedTime: Long = _
@@ -150,7 +165,7 @@ case class AsOfJoinExec(
           while (rRow == null && rIter.hasNext) {
             val raw = rIter.next()
             val t = rTimeEval.eval(raw)
-            if (t != null) { // null-time right rows can never be "latest"
+            if (t != null) { // null-time right rows can never match
               rRow = raw.copy()
               rKey = rKeyProj(rRow).copy()
               rTime = timeToLong(t)
@@ -171,19 +186,30 @@ case class AsOfJoinExec(
             if (!lKey.anyNull && lt != null) {
               val lTime = timeToLong(lt)
               var advancing = true
+              var headSameKey = false
               while (advancing && rRow != null) {
                 val c = keyOrd.compare(rKey, lKey)
                 if (c < 0) advanceRight() // stale key: skip
-                else if (c == 0 && rTime <= lTime) {
+                else if (c == 0 &&
+                    (rTime < lTime || (rTime == lTime && consumeEqual))) {
                   if (!rKey.anyNull) {
                     matched = rRow; matchedKey = rKey; matchedTime = rTime
                   }
                   advanceRight()
-                } else advancing = false
+                } else { advancing = false; headSameKey = c == 0 }
               }
-              val ok = matched != null &&
+              val bOk = wantBackward && matched != null &&
                 tol.forall(t => lTime - matchedTime <= t)
-              if (ok) return resultProj(joined(l, matched))
+              val fOk = wantForward && headSameKey && !rKey.anyNull &&
+                tol.forall(t => rTime - lTime <= t)
+              // nearest: smaller distance wins, ties prefer backward
+              val pick: InternalRow =
+                if (bOk && fOk) {
+                  if (lTime - matchedTime <= rTime - lTime) matched else rRow
+                } else if (bOk) matched
+                else if (fOk) rRow
+                else null
+              if (pick != null) return resultProj(joined(l, pick))
             }
             if (outer) return resultProj(joined(l, nullRight))
           }
@@ -232,9 +258,29 @@ object AsOf {
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTimeCol: String, rightTimeCol: String,
       joinType: String = "left",
+      tolerance: Option[Long] = None): DataFrame =
+    join(left, right, leftKeys, rightKeys, leftTimeCol, rightTimeCol,
+      "backward", joinType, tolerance)
+
+  /** General as-of join. `direction`:
+    *  - "backward": largest right time ≤ left time (prevailing value);
+    *  - "forward":  smallest right time ≥ left time (next value);
+    *  - "nearest":  whichever of the two is closer, ties to backward.
+    * Tolerance bounds |Δtime|; `joinType` ∈ {left, inner}. One merge pass
+    * either way — the forward candidate is the right cursor's head, the
+    * backward candidate the last consumed same-key row.
+    */
+  def join(
+      left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTimeCol: String, rightTimeCol: String,
+      direction: String,
+      joinType: String = "left",
       tolerance: Option[Long] = None): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
       "as-of join needs one or more key column pairs")
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"as-of direction must be backward/forward/nearest, got $direction")
     val outer = joinType.toLowerCase match {
       case "left" | "left_outer" => true
       case "inner" => false
@@ -267,6 +313,7 @@ object AsOf {
         s"as-of time column ${a.name} must be integral/timestamp, got ${a.dataType}")
     }
     Bridge.ofRows(spark,
-      AsOfJoinPlan(lPlan, rPlan, lk, rk, ltA, rtA, outer, tolerance))
+      AsOfJoinPlan(lPlan, rPlan, lk, rk, ltA, rtA, outer, tolerance,
+        direction))
   }
 }

@@ -232,6 +232,27 @@ object Relational {
         .orderBy(col("event_id"))
     },
 
+    // J11b: forward as-of — the FIRST click at-or-after each purchase
+    // (follow-up-event semantics; same custom exec, direction flipped:
+    // the match is the right cursor's head instead of the retained row).
+    // Oracle: DuckDB ASOF with the inequality reversed (l.ts <= r.ts).
+    "j11b_asof_forward" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("c_user"), col("ts").as("click_ts"))
+        .agg(max(col("event_id")).as("click_id"),
+          max_by(col("value"), col("event_id")).as("click_value"))
+      graft.plans.AsOf.join(purchases, clicks,
+          Seq("user_id"), Seq("c_user"), "ts", "click_ts", "forward")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("value"),
+          col("click_id"), unix_micros(col("click_ts")).as("click_ts_us"),
+          col("click_value"))
+        .orderBy(col("event_id"))
+    },
+
     // O1: dynamic sort + LIMIT/OFFSET pagination with total-order tiebreak
     // (api/routes/tokens.js:180-243).
     "o1_page_offset" -> { (s, d) =>
@@ -511,6 +532,18 @@ object Relational {
            c.click_id, epoch_us(c.click_ts) AS click_ts_us, c.click_value
          FROM p ASOF LEFT JOIN c
            ON p.user_id = c.c_user AND p.ts >= c.click_ts
+         ORDER BY p.event_id""",
+    "j11b_asof_forward" ->
+      """WITH p AS (SELECT user_id, ts, event_id, value FROM events
+           WHERE event_type = 'purchase'),
+         c AS (SELECT user_id AS c_user, ts AS click_ts,
+             max(event_id) AS click_id,
+             max_by(value, event_id) AS click_value
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT p.user_id, epoch_us(p.ts) AS ts_us, p.event_id, p.value,
+           c.click_id, epoch_us(c.click_ts) AS click_ts_us, c.click_value
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.c_user AND p.ts <= c.click_ts
          ORDER BY p.event_id""",
     "o1_page_offset" ->
       """SELECT o_orderkey AS okey, o_totalprice FROM orders

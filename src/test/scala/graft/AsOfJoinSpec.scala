@@ -22,21 +22,36 @@ class AsOfJoinSpec extends AnyFunSuite {
   private def rightDf(rows: Seq[(Long, Long, String)]): DataFrame =
     rows.toDF("k", "rt", "rv")
 
-  /** Brute-force reference: latest right (k, rt ≤ t), unique rt per key. */
+  /** Brute-force reference for all three directions (right side unique
+    * per (key, time); nearest ties prefer backward).
+    */
   private def reference(
       ls: Seq[(Long, Long, String)], rs: Seq[(Long, Long, String)],
-      tol: Option[Long]): Set[(Long, Long, String, Option[String])] =
+      tol: Option[Long], dir: String = "backward")
+      : Set[(Long, Long, String, Option[String])] =
     ls.map { case (k, t, lv) =>
-      val cand = rs.filter(r => r._1 == k && r._2 <= t &&
+      val back = rs.filter(r => r._1 == k && r._2 <= t &&
         tol.forall(tl => t - r._2 <= tl))
-      val m = if (cand.isEmpty) None else Some(cand.maxBy(_._2)._3)
-      (k, t, lv, m)
+        .sortBy(_._2).lastOption
+      val fwd = rs.filter(r => r._1 == k && r._2 >= t &&
+        tol.forall(tl => r._2 - t <= tl))
+        .sortBy(_._2).headOption
+      val m = dir match {
+        case "backward" => back
+        case "forward" => fwd
+        case "nearest" => (back, fwd) match {
+          case (Some(b), Some(f)) =>
+            if (t - b._2 <= f._2 - t) Some(b) else Some(f)
+          case (b, f) => b.orElse(f)
+        }
+      }
+      (k, t, lv, m.map(_._3))
     }.toSet
 
   private def run(l: DataFrame, r: DataFrame, joinType: String = "left",
-      tol: Option[Long] = None): DataFrame =
-    AsOf.joinBackward(l, r.withColumnRenamed("k", "rk"),
-      Seq("k"), Seq("rk"), "t", "rt", joinType, tol)
+      tol: Option[Long] = None, dir: String = "backward"): DataFrame =
+    AsOf.join(l, r.withColumnRenamed("k", "rk"),
+      Seq("k"), Seq("rk"), "t", "rt", dir, joinType, tol)
 
   // Right sides in the generator are unique per (key, time) — ties between
   // right rows are explicitly sort-order-dependent (see scaladoc).
@@ -72,6 +87,36 @@ class AsOfJoinSpec extends AnyFunSuite {
           Option(r.getString(3)))).toSet
       assert(got == reference(ls, rs, Some(7L)), s"inputs: $ls vs $rs")
     }
+  }
+
+  test("forward direction matches the brute-force reference") {
+    samples(15).foreach { case (ls, rs) =>
+      val got = run(leftDf(ls), rightDf(rs), dir = "forward")
+        .select($"k", $"t", $"lv", $"rv").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          Option(r.getString(3)))).toSet
+      assert(got == reference(ls, rs, None, "forward"), s"inputs: $ls vs $rs")
+    }
+  }
+
+  test("nearest direction matches the brute-force reference (with tolerance)") {
+    samples(15).foreach { case (ls, rs) =>
+      for (tol <- Seq(None, Some(7L))) {
+        val got = run(leftDf(ls), rightDf(rs), tol = tol, dir = "nearest")
+          .select($"k", $"t", $"lv", $"rv").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+            Option(r.getString(3)))).toSet
+        assert(got == reference(ls, rs, tol, "nearest"),
+          s"tol=$tol inputs: $ls vs $rs")
+      }
+    }
+  }
+
+  test("nearest ties at equal distance prefer the backward row") {
+    val l = leftDf(Seq((1L, 5L, "a")))
+    val r = rightDf(Seq((1L, 3L, "before"), (1L, 7L, "after")))
+    assert(run(l, r, dir = "nearest").select($"rv").as[String]
+      .collect().toSeq == Seq("before"))
   }
 
   test("inner join drops unmatched left rows") {
