@@ -68,6 +68,34 @@ case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule: push deterministic left-only filter conjuncts through
+  * [[AsOfJoinPlan]] into the left child. A custom logical node is
+  * otherwise a pushdown barrier — Catalyst's PushDownPredicates only
+  * rewrites node types it knows — so without this a `WHERE` on the probe
+  * side sits above the join and the left scan reads everything. Left
+  * conjuncts are safe for both left-outer and inner as-of (each left row
+  * matches independently); right-side conjuncts must stay above (they
+  * filter the OUTPUT, not the candidate set — dropping candidate rows
+  * would change which row is "latest").
+  */
+object PushFilterThroughAsOfJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case f @ Filter(cond, j: AsOfJoinPlan) =>
+      val (pushable, rest) = splitConjunctivePredicates(cond).partition(p =>
+        p.deterministic && p.references.subsetOf(j.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(pushable.reduce(And), j.left))
+        if (rest.isEmpty) pushed else Filter(rest.reduce(And), pushed)
+      }
+  }
+}
+
 /** Planner rule: AsOfJoinPlan → AsOfJoinExec. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
@@ -238,15 +266,22 @@ object AsOf {
   private val timeTypes: Set[DataType] =
     Set(LongType, IntegerType, TimestampType, TimestampNTZType, DateType)
 
-  /** Idempotently register the planner strategy on a session we did not
-    * build (the driver constructs its own; `experimental.extraStrategies`
-    * is the public hook for exactly this).
+  /** Idempotently register the planner strategy + pushdown rule on a
+    * session we did not build (the driver constructs its own;
+    * `experimental.extraStrategies`/`extraOptimizations` are the public
+    * hooks for exactly this).
     */
-  def ensureRegistered(spark: SparkSession): Unit =
+  def ensureRegistered(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     }
+    if (!spark.experimental.extraOptimizations
+        .contains(PushFilterThroughAsOfJoin)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughAsOfJoin
+    }
+  }
 
   /** Backward as-of join: for each left row, the right row with equal keys
     * and the largest `rightTimeCol` ≤ `leftTimeCol` (within `tolerance`
@@ -269,6 +304,15 @@ object AsOf {
     * Tolerance bounds |Δtime|; `joinType` ∈ {left, inner}. One merge pass
     * either way — the forward candidate is the right cursor's head, the
     * backward candidate the last consumed same-key row.
+    *
+    * `skewSalt` > 1 is the hot-key escape hatch: every key's partition is
+    * bounded by its own row count, so a token that takes 30% of all
+    * trades pins one executor. Salting splits each LEFT key into
+    * `skewSalt` deterministic sub-buckets (hash of keys+time) and
+    * replicates the RIGHT side into all of them — right-side cost ×salt,
+    * left side untouched, results identical (each left row still sees
+    * every same-key right row). Use when a key's right-side history and
+    * left-side traffic are both huge; plain AQE covers moderate skew.
     */
   def join(
       left: DataFrame, right: DataFrame,
@@ -276,11 +320,27 @@ object AsOf {
       leftTimeCol: String, rightTimeCol: String,
       direction: String,
       joinType: String = "left",
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      skewSalt: Int = 1): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
       "as-of join needs one or more key column pairs")
     require(Set("backward", "forward", "nearest").contains(direction),
       s"as-of direction must be backward/forward/nearest, got $direction")
+    require(skewSalt >= 1, s"skewSalt must be >= 1, got $skewSalt")
+    if (skewSalt > 1) {
+      val salt = "__asof_salt"
+      val l2 = left.withColumn(salt,
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64(
+            (leftKeys :+ leftTimeCol).map(col): _*),
+          org.apache.spark.sql.functions.lit(skewSalt.toLong)).cast("int"))
+      val r2 = right.withColumn(salt,
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.typedLit((0 until skewSalt).toList)))
+      return join(l2, r2, leftKeys :+ salt, rightKeys :+ salt,
+        leftTimeCol, rightTimeCol, direction, joinType, tolerance)
+        .drop(salt)
+    }
     val outer = joinType.toLowerCase match {
       case "left" | "left_outer" => true
       case "inner" => false

@@ -119,6 +119,20 @@ class AsOfJoinSpec extends AnyFunSuite {
       .collect().toSeq == Seq("before"))
   }
 
+  test("skew salting yields identical results to the unsalted join") {
+    samples(10).foreach { case (ls, rs) =>
+      for (dir <- Seq("backward", "forward")) {
+        val got = AsOf.join(leftDf(ls), rightDf(rs).withColumnRenamed("k", "rk"),
+          Seq("k"), Seq("rk"), "t", "rt", dir, skewSalt = 4)
+          .select($"k", $"t", $"lv", $"rv").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+            Option(r.getString(3)))).toSet
+        assert(got == reference(ls, rs, None, dir),
+          s"dir=$dir inputs: $ls vs $rs")
+      }
+    }
+  }
+
   test("inner join drops unmatched left rows") {
     val l = leftDf(Seq((1L, 5L, "a"), (1L, 1L, "b"), (2L, 9L, "c")))
     val r = rightDf(Seq((1L, 3L, "x")))
@@ -178,6 +192,32 @@ class AsOfJoinSpec extends AnyFunSuite {
       .select($"t", $"rt").collect()
       .map(r => (r.getLong(0), Option(r.get(1)))).toSet
     assert(got == Set((1L, None), (3L, Some(2L))))
+  }
+
+  test("left-side filters push through the join; right-side filters stay above") {
+    import graft.plans.AsOfJoinPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val df = run(leftDf(Seq((1L, 1L, "a"), (2L, 2L, "b"))),
+      rightDf(Seq((1L, 1L, "x"))))
+      .filter($"lv" === "a" && $"rv".isNotNull)
+    val opt = df.queryExecution.optimizedPlan
+    // the left-only conjunct sits BELOW the join…
+    val pushedLeft = opt.collect {
+      case j: AsOfJoinPlan => j.left.collectFirst {
+        case f: LFilter if f.condition.references.map(_.name)
+          .exists(_ == "lv") => f
+      }
+    }.flatten
+    assert(pushedLeft.nonEmpty, s"left filter not pushed:\n$opt")
+    // …while the right-side conjunct stays above it
+    val aboveJoin = opt.collectFirst {
+      case f: LFilter if f.child.isInstanceOf[AsOfJoinPlan] => f
+    }
+    assert(aboveJoin.exists(_.condition.references.map(_.name)
+      .exists(_ == "rv")), s"right filter not above join:\n$opt")
+    // and semantics are unchanged
+    assert(df.select($"lv", $"rv").as[(String, String)].collect().toSet ==
+      Set(("a", "x")))
   }
 
   test("physical plan is the merge exec, not a window or nested loop") {
