@@ -97,6 +97,31 @@ object Streams {
       }
       .start()
 
+  /** Streaming as-of enrichment: every micro-batch of facts gets the
+    * prevailing reference row (the price book) attached via the custom
+    * as-of join — the streaming form of price-at-trade-time on the ingest
+    * path (core/prices.js:35-66 reads the prevailing reserve cache per
+    * trade as blocks arrive). The reference frame is a plain DataFrame
+    * re-evaluated per batch, so a slowly-refreshed dim is picked up
+    * between batches — the read-through-cache semantics of the reference,
+    * with the lookup executed as one co-partitioned merge instead of a
+    * per-row probe.
+    */
+  def enrichAsOfSink(facts: DataFrame, ref: DataFrame,
+                     leftKeys: Seq[String], rightKeys: Seq[String],
+                     leftTimeCol: String, rightTimeCol: String,
+                     outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    facts.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.plans.AsOf.joinBackward(batch, ref,
+            leftKeys, rightKeys, leftTimeCol, rightTimeCol)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+
   final case class AlertEvent(ruleId: Long, ts: Long)
 
   /** T10's scheduler half: per-rule alert throttling — emit at most one

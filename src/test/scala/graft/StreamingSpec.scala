@@ -123,6 +123,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(seen.toSeq == Seq(Seq(7L, 9L), Seq(11L)))
   }
 
+  test("streaming as-of enrichment == batch as-of join on the fixture") {
+    val out = tmpDir("graft-asof-out")
+    val ref = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("r_user"), col("ts").as("r_ts"))
+      .agg(max(col("value")).as("ref_value"))
+    val facts = Streams.eventsStream(spark, landing)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val q = Streams.enrichAsOfSink(facts, ref,
+      Seq("user_id"), Seq("r_user"), "ts", "r_ts",
+      out, tmpDir("graft-ckpt-asof"))
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+      .select($"event_id", $"ref_value").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    val batchFacts = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val want = graft.plans.AsOf.joinBackward(batchFacts, ref,
+        Seq("user_id"), Seq("r_user"), "ts", "r_ts")
+      .select($"event_id", $"ref_value").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("T10: alert throttle fires at most once per window, across batches") {
     val in = tmpDir("graft-t10-in")
     val ckpt = tmpDir("graft-t10-ckpt")
