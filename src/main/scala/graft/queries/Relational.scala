@@ -253,6 +253,56 @@ object Relational {
         .orderBy(col("event_id"))
     },
 
+    // J12: interval (range) join via bucketization — clicks within the
+    // hour before each purchase. A pure range predicate gives Spark a
+    // BroadcastNestedLoopJoin (O(n·m) and an OOM-prone broadcast); the
+    // scale form buckets both sides by the window width so the range
+    // predicate rides an EQUI-join: each probe explodes to exactly two
+    // candidate buckets (window length == bucket width), the bucket key
+    // shuffles like any join key, and the exact range filter runs within
+    // buckets. Candidate cost tracks bucket occupancy, never n·m.
+    "j12_interval_bucket" -> { (s, d) =>
+      val wUs = 3600L * 1000000L // 1h window == bucket width, in micros
+      val e = Tables.events(s, d)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      val c = e.filter(col("event_type") === "click")
+        .select(unix_micros(col("ts")).as("c_us"))
+        .withColumn("bucket", expr(s"c_us div $wUs"))
+      val probes = p.withColumn("b1", expr(s"ts_us div $wUs"))
+        .withColumn("bucket", explode(array(col("b1") - 1L, col("b1"))))
+      val counts = probes.join(c, Seq("bucket"))
+        .filter(col("c_us") >= col("ts_us") - wUs && col("c_us") <= col("ts_us"))
+        .groupBy(col("event_id")).agg(count(lit(1)).as("n"))
+      p.join(counts, Seq("event_id"), "left")
+        .select(col("event_id"), col("ts_us"),
+          coalesce(col("n"), lit(0L)).as("n_clicks"))
+        .orderBy(col("event_id"))
+    },
+
+    // W7: gap-based sessionization — split each user's event stream at
+    // >30-minute silences (lag + conditional flag + running sum), then
+    // aggregate per session. The classic funnel/engagement primitive; one
+    // window pass + one aggregation, partitioned by user.
+    "w7_sessionize" -> { (s, d) =>
+      val gapUs = 1800L * 1000000L
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"))
+        .withColumn("prev", lag(col("ts_us"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull || col("ts_us") - col("prev") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+        .orderBy(col("user_id"), col("session_seq"))
+    },
+
     // O1: dynamic sort + LIMIT/OFFSET pagination with total-order tiebreak
     // (api/routes/tokens.js:180-243).
     "o1_page_offset" -> { (s, d) =>
@@ -545,6 +595,34 @@ object Relational {
          FROM p ASOF LEFT JOIN c
            ON p.user_id = c.c_user AND p.ts <= c.click_ts
          ORDER BY p.event_id""",
+    "j12_interval_bucket" ->
+      """WITH p AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events
+           WHERE event_type = 'purchase'),
+         c AS (SELECT epoch_us(ts) AS c_us FROM events
+           WHERE event_type = 'click')
+         SELECT p.event_id, p.ts_us, count(c.c_us) AS n_clicks
+         FROM p LEFT JOIN c
+           ON c.c_us >= p.ts_us - 3600000000 AND c.c_us <= p.ts_us
+         GROUP BY 1, 2 ORDER BY 1""",
+    "w7_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+           FROM events),
+         l AS (SELECT user_id, ts_us, event_id,
+             lag(ts_us) OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id) AS prev
+           FROM e),
+         f AS (SELECT user_id, ts_us, event_id,
+             CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+               THEN 1 ELSE 0 END AS new_sess
+           FROM l),
+         s AS (SELECT user_id, ts_us,
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS session_seq
+           FROM f)
+         SELECT user_id, session_seq, count(*) AS n_events,
+           min(ts_us) AS start_us, max(ts_us) AS end_us
+         FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
     "o1_page_offset" ->
       """SELECT o_orderkey AS okey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, okey LIMIT 20 OFFSET 10""",

@@ -224,6 +224,20 @@ object TimeSeries {
         .orderBy(col("event_type"))
     },
 
+    // A17: exact percentiles per group — the distribution read behind
+    // "median trade size" style panels. Spark's percentile aggregate and
+    // DuckDB's quantile_cont both linearly interpolate at p·(n-1); the
+    // 4dp round absorbs any last-ulp interpolation difference.
+    "a17_percentiles" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          round4(expr("percentile(value, 0.25)")).as("p25"),
+          round4(expr("percentile(value, 0.5)")).as("p50"),
+          round4(expr("percentile(value, 0.75)")).as("p75"))
+        .orderBy(col("event_type"))
+    },
+
     // W5/T5: prev-close continuity via lag (core/ohlcv.js:121-154).
     "w5_prev_close_carry" -> { (s, d) =>
       Ohlcv.withPrevCloseOpen(hourly(s, d), Seq("event_type"))
@@ -377,6 +391,12 @@ object TimeSeries {
          FROM events
          WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 1 DAY
          GROUP BY event_type ORDER BY event_type""",
+    "a17_percentiles" ->
+      """SELECT event_type,
+         round(quantile_cont(value, 0.25), 4) AS p25,
+         round(quantile_cont(value, 0.5), 4) AS p50,
+         round(quantile_cont(value, 0.75), 4) AS p75
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "w5_prev_close_carry" ->
       s"""WITH c AS ($duckHourly)
          SELECT event_type, bucket_ts,
