@@ -303,6 +303,20 @@ object Relational {
         .orderBy(col("user_id"), col("session_seq"))
     },
 
+    // W9: quartile assignment (ntile) of account balance WITHIN market
+    // segment — partitioned windows scale (each segment sorts
+    // independently after one shuffle); a global ntile would funnel every
+    // row through one partition, the same trap the w3 scalar-count form
+    // avoids. Total order via the custkey tiebreak.
+    "w9_ntile" -> { (s, d) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy(col("c_custkey"))
+    },
+
     // O1: dynamic sort + LIMIT/OFFSET pagination with total-order tiebreak
     // (api/routes/tokens.js:180-243).
     "o1_page_offset" -> { (s, d) =>
@@ -623,6 +637,11 @@ object Relational {
          SELECT user_id, session_seq, count(*) AS n_events,
            min(ts_us) AS start_us, max(ts_us) AS end_us
          FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+    "w9_ntile" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+         CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+           ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS quartile
+         FROM customer ORDER BY c_custkey""",
     "o1_page_offset" ->
       """SELECT o_orderkey AS okey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, okey LIMIT 20 OFFSET 10""",

@@ -238,6 +238,41 @@ object TimeSeries {
         .orderBy(col("event_type"))
     },
 
+    // W8: 6-hour moving average over the hourly value series — RANGE
+    // frame on the epoch bucket, partitioned per series. The windowed sum
+    // runs on DECIMAL (exact, order-independent) and divides in double:
+    // windowed double sums are a hash-mismatch trap because DuckDB
+    // evaluates sliding frames with a segment tree (different addition
+    // association than Spark's linear frame scan).
+    "w8_moving_avg" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val h = Tables.events(s, d)
+        .groupBy(col("event_type"), bucketSec(col("ts"), 3600L).as("b"))
+        .agg(dsum(col("value")).as("v"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("b"))
+        .rangeBetween(-21600L, 0L)
+      h.select(col("event_type"), col("b"),
+          round4(sum(col("v").cast(DecimalType(38, 6))).over(w)
+            .cast("double") / count(col("v")).over(w)).as("ma6h"))
+        .orderBy(col("event_type"), col("b"))
+    },
+
+    // A18: hierarchical rollup — per (event_type, user bucket), per
+    // event_type, and grand total in ONE pass (GROUPING SETS expansion
+    // with map-side partial aggregation), with grouping_id disambiguating
+    // the levels. The reference computes its level rollups as separate
+    // queries; rollup halves the scans.
+    "a18_rollup" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("u3", col("user_id") % 3L)
+        .rollup(col("event_type"), col("u3"))
+        .agg(count(lit(1)).as("n"),
+          expr("grouping_id()").cast("long").as("g"))
+        .select(col("g"), col("event_type"), col("u3"), col("n"))
+        .orderBy(col("g"), col("event_type"), col("u3"))
+    },
+
     // W5/T5: prev-close continuity via lag (core/ohlcv.js:121-154).
     "w5_prev_close_carry" -> { (s, d) =>
       Ohlcv.withPrevCloseOpen(hourly(s, d), Seq("event_type"))
@@ -397,6 +432,25 @@ object TimeSeries {
          round(quantile_cont(value, 0.5), 4) AS p50,
          round(quantile_cont(value, 0.75), 4) AS p75
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "w8_moving_avg" ->
+      """WITH h AS (SELECT event_type,
+           CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS b,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+         FROM events GROUP BY 1, 2)
+         SELECT event_type, b,
+           round(CAST(SUM(CAST(v AS DECIMAL(38,6))) OVER (
+               PARTITION BY event_type ORDER BY b
+               RANGE BETWEEN 21600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(v) OVER (
+               PARTITION BY event_type ORDER BY b
+               RANGE BETWEEN 21600 PRECEDING AND CURRENT ROW), 4) AS ma6h
+         FROM h ORDER BY 1, 2""",
+    "a18_rollup" ->
+      """SELECT CAST(GROUPING(event_type, u3) AS BIGINT) AS g,
+           event_type, u3, count(*) AS n
+         FROM (SELECT event_type, user_id % 3 AS u3 FROM events)
+         GROUP BY ROLLUP(event_type, u3)
+         ORDER BY g, event_type, u3""",
     "w5_prev_close_carry" ->
       s"""WITH c AS ($duckHourly)
          SELECT event_type, bucket_ts,
