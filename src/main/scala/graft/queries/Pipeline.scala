@@ -82,6 +82,46 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // D7: decontamination — the corpus-build step that drops training
+    // docs near-duplicating a held-out evaluation set (id % 20 == 0 plays
+    // the benchmark corpus). Same banded-LSH candidate machinery as d2,
+    // consumed cross-corpus: a pair with exactly one eval side names a
+    // contaminated train doc; anti-join it away. At 100 TB the eval
+    // fingerprints are tiny and broadcast — the train side never
+    // self-joins.
+    "d7_decontaminate" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDup(docs, n = 3, theta = 0.8)
+      val contaminated = pairs
+        .filter((col("doc_a") % 20 === 0) =!= (col("doc_b") % 20 === 0))
+        .select(when(col("doc_a") % 20 === 0, col("doc_b"))
+          .otherwise(col("doc_a")).as("doc_id"))
+        .distinct()
+      docs.filter(col("doc_id") % 20 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // T6: repetition ratio — Gopher-style boilerplate signal: the
+    // fraction of word-trigram occurrences that are repeats of an
+    // earlier trigram in the same doc. Both shingle forms come from the
+    // codegen'd kernel (ShinglesExpr with/without distinct).
+    "t6_repetition" -> { (s, d) =>
+      val all = graft.plans.Expressions.shingles(col("text"), 3, distinct = false)
+      val uniq = graft.plans.Expressions.shingles(col("text"), 3, distinct = true)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(all).cast("long").as("n_shingles"),
+          size(uniq).cast("long").as("n_unique"))
+        .withColumn("rep_ratio",
+          when(col("n_shingles") > 0L,
+            round4(lit(1d) - col("n_unique").cast("double")
+              / col("n_shingles").cast("double")))
+            .otherwise(lit(0d)))
+        .orderBy(col("doc_id"))
+    },
+
     // N1: brute-force cosine top-k ANN (probes = vec_id < 10, k = 5).
     "n1_ann_topk" -> { (s, d) =>
       val v = Tables.embeddings(s, d)
@@ -291,6 +331,31 @@ object Pipeline {
       s"""WITH p AS (${Dedup.jaccardOracleSql(3, 0.8)})
          SELECT doc_id, lang, source FROM documents
          WHERE doc_id NOT IN (SELECT doc_b FROM p)
+         ORDER BY doc_id""",
+    "d7_decontaminate" ->
+      s"""WITH p AS (${Dedup.jaccardOracleSql(3, 0.8)}),
+         bad AS (SELECT CASE WHEN doc_a % 20 = 0 THEN doc_b ELSE doc_a END
+             AS doc_id
+           FROM p WHERE (doc_a % 20 = 0) <> (doc_b % 20 = 0))
+         SELECT doc_id, lang, source FROM documents
+         WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+         ORDER BY doc_id""",
+    "t6_repetition" ->
+      """WITH t AS (SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS w
+         FROM documents),
+         sh AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+                FROM t, unnest(generate_series(1, len(w)-2)) AS g(i)),
+         c AS (SELECT doc_id, count(*) AS n_shingles,
+                 count(DISTINCT s) AS n_unique
+               FROM sh GROUP BY 1)
+         SELECT d.doc_id,
+           coalesce(c.n_shingles, 0) AS n_shingles,
+           coalesce(c.n_unique, 0) AS n_unique,
+           round(CASE WHEN c.n_shingles > 0
+             THEN 1 - CAST(c.n_unique AS DOUBLE) / c.n_shingles
+             ELSE 0 END, 4) AS rep_ratio
+         FROM documents d LEFT JOIN c USING (doc_id)
          ORDER BY doc_id""",
     "d5_embedding_neardup" ->
       s"""WITH u AS ($duckUnnest),
