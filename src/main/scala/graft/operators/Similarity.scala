@@ -123,6 +123,47 @@ object Similarity {
         col("cand_id").as("neighbor_id"), round4(col("cos")).as("cosine"))
   }
 
+  /** Deterministic Lloyd (k-means) iterations for IVF centroid training:
+    * assign every vector to its nearest centroid (centroids are FEW —
+    * broadcast; the corpus never self-joins), recompute each centroid as
+    * the elementwise mean of its members, repeat. The train loop is
+    * driver-side (iters is small); every pass over the data is one
+    * broadcast join + one aggregation. Determinism: assignment uses the
+    * scaled-long cosine with a (csim desc, cid) total order, and the mean
+    * accumulates through dsum (exact decimal) — so trained centroids are
+    * bit-identical across runs and partitionings, which makes IVF bucket
+    * contents reproducible artifacts. Empty clusters drop out (k shrinks)
+    * rather than being re-seeded.
+    */
+  def kmeansCentroids(vecs: DataFrame, init: DataFrame, iters: Int)
+      : DataFrame = {
+    var cent = init.select(col("vec_id").as("cid"),
+      col("embedding").as("cemb"))
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("cid"))
+      val assigned = vecs.select(col("vec_id"), col("embedding"))
+        .join(broadcast(cent.select(col("cid"), col("cemb"),
+          normScaled(col("cemb")).as("cn"))))
+        .withColumn("csim", cosineFromScaled(
+          dotScaled(col("embedding"), col("cemb")),
+          normScaled(col("embedding")), col("cn")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      cent = assigned
+        .select(col("cid"), posexplode(col("embedding")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(graft.functions.Core.dsum(col("col")).as("s"),
+          count(lit(1)).as("n"))
+        .withColumn("m", (col("s") / col("n")).cast("float"))
+        .groupBy(col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("cemb"))
+    }
+    cent.select(col("cid").as("vec_id"), col("cemb").as("embedding"))
+  }
+
   /** IVF-style bucketed ANN: assign every vector to its nearest centroid
     * (one pass over vecs × centroids — centroids are FEW and broadcast),
     * probe the `nprobe` nearest centroid buckets, exact-score candidates,

@@ -148,6 +148,20 @@ object Pipeline {
         .orderBy(col("probe_id"), col("rank"))
     },
 
+    // N4: IVF with TRAINED centroids — two deterministic Lloyd iterations
+    // over the deterministic sample n3 uses raw, then the same
+    // nprobe-bucket search. Rows-only like n2/n3 (k-means has no SQL
+    // oracle); SimilaritySpec bounds recall vs brute force and pins
+    // centroid determinism.
+    "n4_ann_ivf_trained" -> { (s, d) =>
+      val v = Tables.embeddings(s, d)
+      val trained = Similarity.kmeansCentroids(
+        v, v.filter(col("vec_id") % 50 === 0), iters = 2)
+      Similarity.ivfTopK(v.filter(col("vec_id") < 10), v,
+        centroids = trained, k = 5, nprobe = 8)
+        .orderBy(col("probe_id"), col("rank"))
+    },
+
     // T1: per-source corpus stats (doc counts, language spread, length
     // moments) — the triage pass before any filtering decision.
     "t1_text_stats" -> { (s, d) =>

@@ -133,6 +133,23 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("kmeansCentroids: deterministic across runs, recall holds up") {
+    val init = vecs.filter(col("vec_id") % 50 === 0)
+    def centroids() = Similarity.kmeansCentroids(vecs, init, 2)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    val c1 = centroids()
+    assert(c1.nonEmpty && c1 == centroids()) // bit-identical re-run
+    // trained-IVF recall vs brute force at the same floor n3 is held to
+    val probes = vecs.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(probes, vecs, 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(probes, vecs,
+      Similarity.kmeansCentroids(vecs, init, 2), k = 5, nprobe = 8)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"trained-IVF recall $recall < 0.3")
+  }
+
   test("lshTopK ranks returned candidates like brute force does") {
     // any (probe, neighbor) the LSH returns must carry the same cosine the
     // brute-force path computes for that pair
