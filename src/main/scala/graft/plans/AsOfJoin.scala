@@ -96,12 +96,26 @@ object PushFilterThroughAsOfJoin
   }
 }
 
-/** Planner rule: AsOfJoinPlan → AsOfJoinExec. */
+/** Planner rule: AsOfJoinPlan → a physical as-of join, cost-selected the
+  * way Spark picks its own join strategies: if the right side's estimated
+  * size clears `spark.sql.autoBroadcastJoinThreshold`, plan
+  * [[BroadcastAsOfJoinExec]] (no shuffle or sort on EITHER side — the
+  * dominant case, a huge fact stream against a small reference book);
+  * otherwise the co-partitioned sort-merge [[AsOfJoinExec]].
+  */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lt, rt, outer, tol, dir) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, outer, tol,
-        dir) :: Nil
+      val threshold =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val rightSize = r.stats.sizeInBytes
+      if (threshold >= 0 && rightSize >= 0 && rightSize <= threshold) {
+        BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt,
+          outer, tol, dir) :: Nil
+      } else {
+        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, outer,
+          tol, dir) :: Nil
+      }
     case _ => Nil
   }
 }
@@ -258,6 +272,150 @@ case class AsOfJoinExec(
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Broadcast as-of join: the right side is broadcast whole and indexed
+  * per task as key → time-sorted rows; each left row answers with one
+  * hash lookup + binary search (O(log m)). NO exchange and NO sort on
+  * either side — the left stream's partitioning and ordering pass
+  * through untouched, which is the plan you want when a 100 TB fact
+  * stream looks up a reference book that fits in memory (the price-book
+  * case). Tie rule matches the merge exec: among equal right times the
+  * last in input order wins (both are sort-order dependent; dedupe the
+  * right side for determinism).
+  */
+case class BroadcastAsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    isLeftOuter: Boolean,
+    toleranceMicros: Option[Long],
+    direction: String = "backward") extends SparkPlan with BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution
+      : Seq[org.apache.spark.sql.catalyst.plans.physical.Distribution] =
+    org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution ::
+      org.apache.spark.sql.catalyst.plans.physical.BroadcastDistribution(
+        org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode) ::
+      Nil
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  private def timeToLong(v: Any): Long = v match {
+    case l: java.lang.Long => l
+    case i: java.lang.Integer => i.toLong
+    case other => throw new IllegalStateException(
+      s"as-of time column must be long-backed, got ${other.getClass}")
+  }
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lk = leftKeys
+    val rk = rightKeys
+    val lt = leftTime
+    val rt = rightTime
+    val outer = isLeftOuter
+    val tol = toleranceMicros
+    val dir = direction
+    val outAttrs = output
+    val bcRows = right.executeBroadcast[Array[InternalRow]]()
+
+    left.execute().mapPartitions { lIter =>
+      val lKeyProj = UnsafeProjection.create(lk, lOut)
+      val rKeyProj = UnsafeProjection.create(rk, rOut)
+      val lTimeEval = BindReferences.bindReference(lt, lOut)
+      val rTimeEval = BindReferences.bindReference(rt, rOut)
+      val resultProj = UnsafeProjection.create(outAttrs,
+        lOut ++ rOut.map(_.withNullability(true)))
+      val nullRight = new GenericInternalRow(rOut.size)
+      val joined = new JoinedRow
+      val wantBackward = dir != "forward"
+      val wantForward = dir != "backward"
+
+      // key → (times ascending, rows in the same order); built once per
+      // task from the broadcast value. Stable sort keeps input order
+      // among equal times (same tie rule as the merge exec).
+      val index: java.util.HashMap[InternalRow,
+          (Array[Long], Array[InternalRow])] = {
+        val byKey = new java.util.HashMap[InternalRow,
+          scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]()
+        bcRows.value.foreach { raw =>
+          val t = rTimeEval.eval(raw)
+          val key = rKeyProj(raw)
+          if (t != null && !key.anyNull) {
+            var buf = byKey.get(key)
+            if (buf == null) {
+              buf = scala.collection.mutable.ArrayBuffer
+                .empty[(Long, InternalRow)]
+              byKey.put(key.copy(), buf)
+            }
+            buf += ((timeToLong(t), raw.copy()))
+          }
+        }
+        val out = new java.util.HashMap[InternalRow,
+          (Array[Long], Array[InternalRow])](byKey.size * 2)
+        byKey.forEach { (k, buf) =>
+          val sorted = buf.sortBy(_._1) // stable
+          out.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+        }
+        out
+      }
+
+      lIter.flatMap { l =>
+        val lKey = lKeyProj(l)
+        val ltv = lTimeEval.eval(l)
+        var pick: InternalRow = null
+        if (!lKey.anyNull && ltv != null) {
+          val entry = index.get(lKey)
+          if (entry != null) {
+            val (times, rows) = entry
+            val t = timeToLong(ltv)
+            // bIdx = rightmost times(i) <= t (last equal-time row wins,
+            // as in the merge exec); fIdx = leftmost times(i) >= t (first
+            // equal-time row, as the merge's forward head).
+            var lo = 0; var hi = times.length - 1; var bIdx = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (times(mid) <= t) { bIdx = mid; lo = mid + 1 }
+              else hi = mid - 1
+            }
+            lo = 0; hi = times.length - 1; var fIdx = times.length
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (times(mid) >= t) { fIdx = mid; hi = mid - 1 }
+              else lo = mid + 1
+            }
+            val bOk = wantBackward && bIdx >= 0 &&
+              tol.forall(tl => t - times(bIdx) <= tl)
+            val fOk = wantForward && fIdx < times.length &&
+              tol.forall(tl => times(fIdx) - t <= tl)
+            pick =
+              if (bOk && fOk) {
+                if (t - times(bIdx) <= times(fIdx) - t) rows(bIdx)
+                else rows(fIdx)
+              } else if (bOk) rows(bIdx)
+              else if (fOk) rows(fIdx)
+              else null
+          }
+        }
+        if (pick != null) Iterator.single(resultProj(joined(l, pick)))
+        else if (outer) Iterator.single(resultProj(joined(l, nullRight)))
+        else Iterator.empty
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
     copy(left = newLeft, right = newRight)
 }
 

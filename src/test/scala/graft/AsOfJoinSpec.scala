@@ -53,6 +53,21 @@ class AsOfJoinSpec extends AnyFunSuite {
     AsOf.join(l, r.withColumnRenamed("k", "rk"),
       Seq("k"), Seq("rk"), "t", "rt", dir, joinType, tol)
 
+  /** Run `body` under both physical strategies: broadcast index (right
+    * side under the auto-broadcast threshold — the default here, since
+    * test frames are tiny) and the co-partitioned sort-merge (threshold
+    * disabled). Strategy choice must never change results.
+    */
+  private def bothPaths(body: => Unit): Unit = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      Seq("10485760", "-1").foreach { v =>
+        spark.conf.set(key, v); body
+      }
+    } finally spark.conf.set(key, old)
+  }
+
   // Right sides in the generator are unique per (key, time) — ties between
   // right rows are explicitly sort-order-dependent (see scaladoc).
   private val rowsGen = for {
@@ -70,6 +85,7 @@ class AsOfJoinSpec extends AnyFunSuite {
     rowsGen.apply(Gen.Parameters.default, Seed(i.toLong)).get)
 
   test("matches a brute-force reference on random inputs (left outer)") {
+    bothPaths {
     samples(30).foreach { case (ls, rs) =>
       val got = run(leftDf(ls), rightDf(rs))
         .select($"k", $"t", $"lv", $"rv").collect()
@@ -77,9 +93,11 @@ class AsOfJoinSpec extends AnyFunSuite {
           Option(r.getString(3)))).toSet
       assert(got == reference(ls, rs, None), s"inputs: $ls vs $rs")
     }
+    }
   }
 
   test("tolerance bounds the allowed staleness") {
+    bothPaths {
     samples(15).foreach { case (ls, rs) =>
       val got = run(leftDf(ls), rightDf(rs), tol = Some(7L))
         .select($"k", $"t", $"lv", $"rv").collect()
@@ -87,9 +105,11 @@ class AsOfJoinSpec extends AnyFunSuite {
           Option(r.getString(3)))).toSet
       assert(got == reference(ls, rs, Some(7L)), s"inputs: $ls vs $rs")
     }
+    }
   }
 
   test("forward direction matches the brute-force reference") {
+    bothPaths {
     samples(15).foreach { case (ls, rs) =>
       val got = run(leftDf(ls), rightDf(rs), dir = "forward")
         .select($"k", $"t", $"lv", $"rv").collect()
@@ -97,9 +117,11 @@ class AsOfJoinSpec extends AnyFunSuite {
           Option(r.getString(3)))).toSet
       assert(got == reference(ls, rs, None, "forward"), s"inputs: $ls vs $rs")
     }
+    }
   }
 
   test("nearest direction matches the brute-force reference (with tolerance)") {
+    bothPaths {
     samples(15).foreach { case (ls, rs) =>
       for (tol <- Seq(None, Some(7L))) {
         val got = run(leftDf(ls), rightDf(rs), tol = tol, dir = "nearest")
@@ -110,16 +132,20 @@ class AsOfJoinSpec extends AnyFunSuite {
           s"tol=$tol inputs: $ls vs $rs")
       }
     }
+    }
   }
 
   test("nearest ties at equal distance prefer the backward row") {
+    bothPaths {
     val l = leftDf(Seq((1L, 5L, "a")))
     val r = rightDf(Seq((1L, 3L, "before"), (1L, 7L, "after")))
     assert(run(l, r, dir = "nearest").select($"rv").as[String]
       .collect().toSeq == Seq("before"))
+    }
   }
 
   test("skew salting yields identical results to the unsalted join") {
+    bothPaths {
     samples(10).foreach { case (ls, rs) =>
       for (dir <- Seq("backward", "forward")) {
         val got = AsOf.join(leftDf(ls), rightDf(rs).withColumnRenamed("k", "rk"),
@@ -131,31 +157,39 @@ class AsOfJoinSpec extends AnyFunSuite {
           s"dir=$dir inputs: $ls vs $rs")
       }
     }
+    }
   }
 
   test("inner join drops unmatched left rows") {
+    bothPaths {
     val l = leftDf(Seq((1L, 5L, "a"), (1L, 1L, "b"), (2L, 9L, "c")))
     val r = rightDf(Seq((1L, 3L, "x")))
     val got = run(l, r, "inner").select($"lv", $"rv").as[(String, String)]
       .collect().toSet
     assert(got == Set(("a", "x")))
+    }
   }
 
   test("ties on time match inclusively (rt == t wins over earlier rt)") {
+    bothPaths {
     val l = leftDf(Seq((1L, 5L, "a")))
     val r = rightDf(Seq((1L, 5L, "now"), (1L, 4L, "before")))
     assert(run(l, r).select($"rv").as[String].collect().toSeq == Seq("now"))
+    }
   }
 
   test("empty right yields all-null right side; empty left yields nothing") {
+    bothPaths {
     val l = leftDf(Seq((1L, 5L, "a")))
     val r = rightDf(Nil)
     val row = run(l, r).select($"rv").collect()
     assert(row.length == 1 && row.head.isNullAt(0))
     assert(run(leftDf(Nil), rightDf(Seq((1L, 1L, "x")))).count() == 0)
+    }
   }
 
   test("null keys and null times never match") {
+    bothPaths {
     val l = Seq((Option(1L), Option(5L), "a"), (None, Option(5L), "b"),
       (Option(1L), None, "c")).toDF("k", "t", "lv")
     val r = Seq((Option(1L), Option(3L), "x"), (None, Option(2L), "y"),
@@ -165,9 +199,11 @@ class AsOfJoinSpec extends AnyFunSuite {
       .select($"lv", $"rv").collect()
       .map(r => (r.getString(0), Option(r.getString(1)))).toSet
     assert(got == Set(("a", Some("x")), ("b", None), ("c", None)))
+    }
   }
 
   test("multi-column keys and timestamp time columns work") {
+    bothPaths {
     val l = Seq((1L, "x", 100L, "a"), (1L, "y", 100L, "b"))
       .toDF("k1", "k2", "tl", "lv")
       .withColumn("t", timestamp_micros($"tl"))
@@ -180,9 +216,11 @@ class AsOfJoinSpec extends AnyFunSuite {
       .select($"lv", $"rv").collect()
       .map(r => (r.getString(0), Option(r.getString(1)))).toSet
     assert(got == Set(("a", Some("m")), ("b", None)))
+    }
   }
 
   test("self-join on the same source frame resolves (dedup safety)") {
+    bothPaths {
     val ev = Seq((1L, 1L, "p"), (1L, 3L, "p"), (1L, 2L, "c"))
       .toDF("k", "t", "kind")
     val l = ev.filter($"kind" === "p")
@@ -192,6 +230,7 @@ class AsOfJoinSpec extends AnyFunSuite {
       .select($"t", $"rt").collect()
       .map(r => (r.getLong(0), Option(r.get(1)))).toSet
     assert(got == Set((1L, None), (3L, Some(2L))))
+    }
   }
 
   test("left-side filters push through the join; right-side filters stay above") {
@@ -220,24 +259,54 @@ class AsOfJoinSpec extends AnyFunSuite {
       Set(("a", "x")))
   }
 
-  test("physical plan is the merge exec, not a window or nested loop") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{
-      AdaptiveSparkPlanExec, QueryStageExec}
-    val df = run(leftDf(Seq((1L, 1L, "a"))), rightDf(Seq((1L, 1L, "x"))))
-    df.collect() // finalize any adaptive re-planning
-    val plan = df.queryExecution.executedPlan
-    val txt = plan.toString
-    assert(txt.contains("AsOfJoin"))
-    assert(!txt.contains("Window"))
-    assert(!txt.contains("NestedLoop"))
-    // AQE stage wrappers are leaf nodes — unwrap to find the exec
-    def hasAsOf(p: SparkPlan): Boolean = p match {
-      case a: AdaptiveSparkPlanExec => hasAsOf(a.executedPlan)
-      case q: QueryStageExec => hasAsOf(q.plan)
-      case _: AsOfJoinExec => true
-      case other => other.children.exists(hasAsOf)
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{
+    AdaptiveSparkPlanExec, QueryStageExec}
+
+  // AQE stage wrappers are leaf nodes — unwrap to find nodes
+  private def findExec(p: SparkPlan)(pred: SparkPlan => Boolean): Boolean =
+    p match {
+      case a: AdaptiveSparkPlanExec => findExec(a.executedPlan)(pred)
+      case q: QueryStageExec => pred(q) || findExec(q.plan)(pred)
+      case other => pred(other) || other.children.exists(findExec(_)(pred))
     }
-    assert(hasAsOf(plan))
+
+  test("physical plan under threshold=-1 is the merge exec, not a window or nested loop") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val df = run(leftDf(Seq((1L, 1L, "a"))), rightDf(Seq((1L, 1L, "x"))))
+      df.collect() // finalize any adaptive re-planning
+      val plan = df.queryExecution.executedPlan
+      val txt = plan.toString
+      assert(!txt.contains("Window"))
+      assert(!txt.contains("NestedLoop"))
+      assert(findExec(plan) { case _: AsOfJoinExec => true; case _ => false })
+    } finally spark.conf.set(key, old)
+  }
+
+  test("small right side auto-selects the broadcast exec: no shuffle, no sort") {
+    import graft.plans.BroadcastAsOfJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.SortExec
+    val df = run(leftDf(Seq((1L, 5L, "a"))), rightDf(Seq((1L, 1L, "x"))))
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    def joinNode(p: SparkPlan): Option[BroadcastAsOfJoinExec] = p match {
+      case a: AdaptiveSparkPlanExec => joinNode(a.executedPlan)
+      case q: QueryStageExec => joinNode(q.plan)
+      case b: BroadcastAsOfJoinExec => Some(b)
+      case other => other.children.flatMap(joinNode(_)).headOption
+    }
+    val b = joinNode(plan)
+    assert(b.nonEmpty, s"broadcast exec not chosen:\n$plan")
+    // the join subtree is shuffle- and sort-free (the only exchange is
+    // the BroadcastExchange feeding the right child)
+    assert(!b.get.children.exists(findExec(_) {
+      case _: SortExec => true
+      case _: ShuffleExchangeLike => true
+      case _ => false
+    }), s"unexpected shuffle/sort under broadcast as-of:\n${b.get}")
   }
 }
