@@ -303,6 +303,18 @@ object Relational {
         .orderBy(col("user_id"), col("session_seq"))
     },
 
+    // J13: anti join — entities with NO matching facts (customers that
+    // never ordered). The NOT EXISTS shape; one shuffle, no row
+    // multiplication. s8/d6/d7 use the same join type internally; this
+    // is its nameable entry.
+    "j13_anti_join" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
     // W9: quartile assignment (ntile) of account balance WITHIN market
     // segment — partitioned windows scale (each segment sorts
     // independently after one shuffle); a global ntile would funnel every
@@ -637,6 +649,11 @@ object Relational {
          SELECT user_id, session_seq, count(*) AS n_events,
            min(ts_us) AS start_us, max(ts_us) AS end_us
          FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+    "j13_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey)
+         ORDER BY c_custkey""",
     "w9_ntile" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
          CAST(ntile(4) OVER (PARTITION BY c_mktsegment

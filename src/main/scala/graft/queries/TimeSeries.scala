@@ -273,6 +273,18 @@ object TimeSeries {
         .orderBy(col("g"), col("event_type"), col("u3"))
     },
 
+    // A19: full cube — all four grouping combinations of (event_type,
+    // user bucket) in one pass; rollup's complement for cross-tab panels.
+    "a19_cube" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("u3", col("user_id") % 3L)
+        .cube(col("event_type"), col("u3"))
+        .agg(count(lit(1)).as("n"),
+          expr("grouping_id()").cast("long").as("g"))
+        .select(col("g"), col("event_type"), col("u3"), col("n"))
+        .orderBy(col("g"), col("event_type"), col("u3"))
+    },
+
     // W5/T5: prev-close continuity via lag (core/ohlcv.js:121-154).
     "w5_prev_close_carry" -> { (s, d) =>
       Ohlcv.withPrevCloseOpen(hourly(s, d), Seq("event_type"))
@@ -450,6 +462,12 @@ object TimeSeries {
            event_type, u3, count(*) AS n
          FROM (SELECT event_type, user_id % 3 AS u3 FROM events)
          GROUP BY ROLLUP(event_type, u3)
+         ORDER BY g, event_type, u3""",
+    "a19_cube" ->
+      """SELECT CAST(GROUPING(event_type, u3) AS BIGINT) AS g,
+           event_type, u3, count(*) AS n
+         FROM (SELECT event_type, user_id % 3 AS u3 FROM events)
+         GROUP BY CUBE(event_type, u3)
          ORDER BY g, event_type, u3""",
     "w5_prev_close_carry" ->
       s"""WITH c AS ($duckHourly)
