@@ -47,7 +47,9 @@ import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType,
   *
   * Determinism: if several right rows tie on (key, time) the retained one
   * is sort-order dependent — dedupe the right side per (key, time) first
-  * (the `j11` query does; AsOfJoinSpec pins the contract).
+  * (the `j11` query does; AsOfJoinSpec pins the contract), or pass
+  * `dedupeRight = true` to [[AsOf.join]] for the built-in
+  * order-independent tiebreak.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -328,6 +330,9 @@ case class BroadcastAsOfJoinExec(
     val dir = direction
     val outAttrs = output
     val bcRows = right.executeBroadcast[Array[InternalRow]]()
+    // Cache tag: the same broadcast value can serve two different as-of
+    // joins (ReuseExchange), so the index is keyed by its binding too.
+    val idxTag = (rk.map(_.toString) :+ rt.toString).mkString(";")
 
     left.execute().mapPartitions { lIter =>
       val lKeyProj = UnsafeProjection.create(lk, lOut)
@@ -341,11 +346,12 @@ case class BroadcastAsOfJoinExec(
       val wantBackward = dir != "forward"
       val wantForward = dir != "backward"
 
-      // key → (times ascending, rows in the same order); built once per
-      // task from the broadcast value. Stable sort keeps input order
-      // among equal times (same tie rule as the merge exec).
-      val index: java.util.HashMap[InternalRow,
-          (Array[Long], Array[InternalRow])] = {
+      // key → (times ascending, rows in the same order); built ONCE per
+      // (broadcast value, binding) per executor and shared by every task —
+      // without the cache each task repeats the O(m log m) build + row
+      // copies (ADVICE r5). Stable sort keeps input order among equal
+      // times (same tie rule as the merge exec).
+      val index = BroadcastAsOfJoinExec.indexFor(bcRows.value, idxTag) {
         val byKey = new java.util.HashMap[InternalRow,
           scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]()
         bcRows.value.foreach { raw =>
@@ -419,6 +425,37 @@ case class BroadcastAsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+object BroadcastAsOfJoinExec {
+  private type AsOfIndex =
+    java.util.HashMap[InternalRow, (Array[Long], Array[InternalRow])]
+
+  /** Executor-side index cache, weakly keyed by the broadcast value so
+    * entries disappear when the broadcast is unpersisted/GC'd. The build
+    * runs under the map lock: first-wave tasks racing on the same
+    * broadcast wait for one build instead of each repeating it (the
+    * broadcast side is ≤ autoBroadcastJoinThreshold, so the held lock is
+    * short). Index rows are task-private copies read-only after
+    * publication — safe to share across task threads.
+    */
+  private val cache =
+    new java.util.WeakHashMap[AnyRef, java.util.HashMap[String, AsOfIndex]]()
+
+  private[plans] def indexFor(rows: AnyRef, tag: String)
+      (build: => AsOfIndex): AsOfIndex = cache.synchronized {
+    var inner = cache.get(rows)
+    if (inner == null) {
+      inner = new java.util.HashMap[String, AsOfIndex]()
+      cache.put(rows, inner)
+    }
+    var idx = inner.get(tag)
+    if (idx == null) {
+      idx = build
+      inner.put(tag, idx)
+    }
+    idx
+  }
+}
+
 /** Public DataFrame API for the as-of join. */
 object AsOf {
   private val timeTypes: Set[DataType] =
@@ -471,6 +508,17 @@ object AsOf {
     * left side untouched, results identical (each left row still sees
     * every same-key right row). Use when a key's right-side history and
     * left-side traffic are both huge; plain AQE covers moderate skew.
+    *
+    * DETERMINISM: if the right side holds several rows with identical
+    * (keys…, time), which of them a left row picks is input-order
+    * dependent — and the strategy auto-switches between the merge and
+    * broadcast execs on size stats, so the picked row can change as stats
+    * change. Either dedupe the right side per (keys…, time) yourself, or
+    * pass `dedupeRight = true` for the built-in order-independent
+    * tiebreak: among equal-(keys,time) rows the one with the greatest
+    * xxhash64 of the full row survives — a total order on row content,
+    * so the result is identical under any input order, partitioning, or
+    * physical strategy.
     */
   def join(
       left: DataFrame, right: DataFrame,
@@ -479,12 +527,25 @@ object AsOf {
       direction: String,
       joinType: String = "left",
       tolerance: Option[Long] = None,
-      skewSalt: Int = 1): DataFrame = {
+      skewSalt: Int = 1,
+      dedupeRight: Boolean = false): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
       "as-of join needs one or more key column pairs")
     require(Set("backward", "forward", "nearest").contains(direction),
       s"as-of direction must be backward/forward/nearest, got $direction")
     require(skewSalt >= 1, s"skewSalt must be >= 1, got $skewSalt")
+    if (dedupeRight) {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{row_number, struct, xxhash64}
+      val rn = "__asof_dedupe_rn"
+      val w = Window
+        .partitionBy((rightKeys :+ rightTimeCol).map(col): _*)
+        .orderBy(xxhash64(struct(right.columns.map(col): _*)).desc)
+      val r2 = right.withColumn(rn, row_number().over(w))
+        .filter(col(rn) === 1).drop(rn)
+      return join(left, r2, leftKeys, rightKeys, leftTimeCol, rightTimeCol,
+        direction, joinType, tolerance, skewSalt)
+    }
     if (skewSalt > 1) {
       val salt = "__asof_salt"
       val l2 = left.withColumn(salt,
@@ -530,6 +591,12 @@ object AsOf {
       require(timeTypes.contains(a.dataType),
         s"as-of time column ${a.name} must be integral/timestamp, got ${a.dataType}")
     }
+    // The execs compare the raw backing longs, whose unit differs per type
+    // (micros for timestamps, days for dates, verbatim for ints/longs) —
+    // mixed types would compare different units silently (ADVICE r5).
+    require(ltA.dataType == rtA.dataType,
+      s"as-of time columns must have the same type: " +
+        s"${ltA.name}:${ltA.dataType} vs ${rtA.name}:${rtA.dataType}")
     Bridge.ofRows(spark,
       AsOfJoinPlan(lPlan, rPlan, lk, rk, ltA, rtA, outer, tolerance,
         direction))

@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -108,6 +109,13 @@ case class MinHashSigExpr(child: Expression, k: Int)
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
 
+  // Scalar args arrive unvalidated from the SQL registration — reject at
+  // analysis time, not with an ArrayIndexOutOfBounds mid-job.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k < 1) TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig: k must be >= 1, got $k")
+    else super.checkInputDataTypes()
+
   override def nullSafeEval(a: Any): Any =
     MinHashKernel.sig(a.asInstanceOf[ArrayData], k)
 
@@ -178,6 +186,11 @@ case class ShinglesExpr(child: Expression, n: Int, distinct: Boolean)
 
   override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
     org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (n < 1) TypeCheckResult.TypeCheckFailure(
+      s"shingles: n must be >= 1, got $n")
+    else super.checkInputDataTypes()
 
   override def nullSafeEval(a: Any): Any =
     ShingleKernel.shingles(
@@ -295,6 +308,13 @@ case class CharNgramsExpr(child: Expression, n: Int)
   override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
     org.apache.spark.sql.types.StringType, containsNull = false)
 
+  // n <= 0 would drive CharNgramKernel into negative substring indexes —
+  // fail analysis instead (ADVICE r5).
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (n < 1) TypeCheckResult.TypeCheckFailure(
+      s"char_ngrams: n must be >= 1, got $n")
+    else super.checkInputDataTypes()
+
   override def nullSafeEval(a: Any): Any =
     CharNgramKernel.ngrams(
       a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
@@ -368,6 +388,15 @@ case class LshCodesExpr(child: Expression, tables: Int, bits: Int)
 
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  // bits >= 64 silently overflows `1L << b`; tables/bits <= 0 produce
+  // garbage codes — both are analysis errors (ADVICE r5).
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (tables < 1) TypeCheckResult.TypeCheckFailure(
+      s"lsh_codes: tables must be >= 1, got $tables")
+    else if (bits < 1 || bits > 63) TypeCheckResult.TypeCheckFailure(
+      s"lsh_codes: bits must be in [1, 63], got $bits")
+    else super.checkInputDataTypes()
 
   override def nullSafeEval(a: Any): Any =
     LshKernel.codes(a.asInstanceOf[ArrayData], tables, bits)

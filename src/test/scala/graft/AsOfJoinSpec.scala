@@ -286,6 +286,35 @@ class AsOfJoinSpec extends AnyFunSuite {
     } finally spark.conf.set(key, old)
   }
 
+  test("mixed left/right time column types are rejected") {
+    val l = leftDf(Seq((1L, 5L, "a")))
+    val r = rightDf(Seq((1L, 3L, "x")))
+      .withColumn("rt", timestamp_micros($"rt")) // left stays LongType
+    val e = intercept[IllegalArgumentException] {
+      AsOf.joinBackward(l, r.withColumnRenamed("k", "rk"),
+        Seq("k"), Seq("rk"), "t", "rt")
+    }
+    assert(e.getMessage.contains("same type"))
+  }
+
+  test("dedupeRight makes duplicate (key,time) right rows order-independent") {
+    bothPaths {
+    // three right rows tie on (key, time) — without dedupe the pick is
+    // input-order dependent; with dedupeRight it must be the same row
+    // under every input order and both physical strategies.
+    val dups = Seq((1L, 3L, "r0"), (1L, 3L, "r1"), (1L, 3L, "r2"))
+    val l = leftDf(Seq((1L, 5L, "a")))
+    val picks = dups.permutations.map { perm =>
+      AsOf.join(l, rightDf(perm).withColumnRenamed("k", "rk"),
+        Seq("k"), Seq("rk"), "t", "rt", "backward", dedupeRight = true)
+        .select($"rv").as[String].collect().toSeq
+    }.toSeq
+    assert(picks.forall(_.length == 1))
+    assert(picks.distinct.size == 1,
+      s"dedupeRight pick varied with input order: $picks")
+    }
+  }
+
   test("small right side auto-selects the broadcast exec: no shuffle, no sort") {
     import graft.plans.BroadcastAsOfJoinExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike

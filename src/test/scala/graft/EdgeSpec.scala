@@ -67,4 +67,31 @@ class EdgeSpec extends AnyFunSuite {
     assert(grams("über", 3) == Seq("übe", "ber"))
     assert(grams("日本語だ", 2) == Seq("日本", "本語", "語だ"))
   }
+
+  test("kernel scalar args are validated at analysis time, not mid-job") {
+    import graft.plans.Expressions
+    val doc = Seq(Tuple1("some text")).toDF("t")
+    val vec = Seq(Tuple1(Array(1f, 2f))).toDF("emb")
+    def analysisError(df: => org.apache.spark.sql.DataFrame): String =
+      intercept[Exception](df.collect()).getMessage
+    assert(analysisError(doc.select(Expressions.charNgrams(col("t"), 0)))
+      .contains("must be >= 1"))
+    assert(analysisError(doc.select(Expressions.shingles(col("t"), -1, true)))
+      .contains("must be >= 1"))
+    assert(analysisError(
+      doc.select(Expressions.minhashSig(split(col("t"), " "), 0)))
+      .contains("must be >= 1"))
+    assert(analysisError(vec.select(Expressions.lshCodes(col("emb"), 0, 8)))
+      .contains("tables must be >= 1"))
+    assert(analysisError(vec.select(Expressions.lshCodes(col("emb"), 2, 64)))
+      .contains("bits must be in [1, 63]"))
+    // the SQL registration path hits the same check
+    graft.plans.GraftExtensions.register(spark)
+    assert(intercept[Exception](
+      spark.sql("SELECT char_ngrams('abc', 0)").collect())
+      .getMessage.contains("must be >= 1"))
+    // and valid args still work
+    assert(vec.select(Expressions.lshCodes(col("emb"), 2, 16))
+      .head.getSeq[Long](0).length == 2)
+  }
 }
