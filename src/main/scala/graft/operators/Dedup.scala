@@ -109,6 +109,59 @@ object Dedup {
         round4(col("jaccard_raw")).as("jaccard"))
   }
 
+  /** Connected components over an undirected (doc_a, doc_b) edge list —
+    * the step that turns near-dup PAIRS into duplicate GROUPS. A corpus
+    * build keeps one document per component, not per pair: with pairs
+    * alone, dropping the higher id of each pair can delete every copy of
+    * a chain A-B-C (B dies to A, C dies to B). Components make "keep the
+    * group minimum" well defined.
+    *
+    * Algorithm: iterative min-label propagation. Each round every vertex
+    * takes the minimum label among itself and its neighbors; stop when no
+    * label changed. Deterministic (mins over a fixed edge set — input
+    * order and partitioning never matter).
+    *
+    * Scale: one hash-shuffle groupBy per round over (edges + labels);
+    * rounds = component diameter, and verified near-dup components are
+    * near-cliques (every member passed a pairwise Jaccard/cosine gate),
+    * so the loop converges in single digits at any corpus size. For
+    * general graphs with long chains, swap the body for the
+    * large-star/small-star rewiring (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"), which bounds rounds by
+    * O(log² n); the pair-to-group use case never needs it.
+    * `localCheckpoint` truncates each round's lineage so the plan does
+    * not grow with the iteration count.
+    *
+    * Output: (id, comp) for every vertex that appears in an edge, comp =
+    * the component's minimum vertex id.
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges
+      .select(col(edges.columns(0)).as("id"), col(edges.columns(1)).as("nbr"))
+      .union(edges
+        .select(col(edges.columns(1)).as("id"), col(edges.columns(0)).as("nbr")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrLabels = sym
+        .join(labels.select(col("id").as("nbr"), col("comp")), "nbr")
+        .select(col("id"), col("comp"))
+      val next = labels.union(nbrLabels)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint(true)
+      // convergence probe: any vertex whose label still shrank this round?
+      changed = next
+        .join(labels.select(col("id"), col("comp").as("prev")), "id")
+        .filter(col("comp") < col("prev")).count()
+      labels = next
+    }
+    labels
+  }
+
   /** DuckDB oracle for the Jaccard pair queries (both the brute-force
     * baseline and — because verification is exact and band misses are
     * ~1e-8 — the LSH variant).

@@ -103,6 +103,22 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // D8: duplicate GROUPS — connected components over d2's verified
+    // near-dup pairs (iterative min-label propagation; see
+    // Dedup.connectedComponents for the scale story). Pairs alone can't
+    // drive a keep-one policy: a chain A-B-C needs the component minimum,
+    // not per-pair minima. Output: every doc in a dup group, its group id
+    // (= component min doc_id) and the group size.
+    "d8_dup_groups" -> { (s, d) =>
+      val pairs = Dedup.minhashNearDup(Tables.documents(s, d), n = 3, theta = 0.8)
+      val comp = Dedup.connectedComponents(pairs.select(col("doc_a"), col("doc_b")))
+      val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("group_size"))
+      comp.join(sizes, "comp")
+        .select(col("id").as("doc_id"), col("comp").as("group_id"),
+          col("group_size"))
+        .orderBy(col("group_id"), col("doc_id"))
+    },
+
     // T6: repetition ratio — Gopher-style boilerplate signal: the
     // fraction of word-trigram occurrences that are repeats of an
     // earlier trigram in the same doc. Both shingle forms come from the
@@ -226,6 +242,52 @@ object Pipeline {
           .isin("0", "1", "2", "3", "4", "5", "6", "7"))
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
+    },
+
+    // T11: stratified deterministic sampling — the mixture-weighting pass
+    // of a corpus build: per-language keep rates (en 100%, de/es 50%,
+    // rest 25%), membership decided by a content-hash nibble, never RNG —
+    // reproducible across runs, engines and cluster sizes, and nested
+    // inside t7's 50% gate (same hash ⇒ the 50% sample of a stratum is a
+    // subset of this one where rates allow). Pure map-side filter: no
+    // shuffle, full predicate pushdown of the lang column.
+    "t11_stratified_sample" -> { (s, d) =>
+      val nib = substring(md5(Text.normalize(col("text"))), 1, 1)
+      val half = Seq("0", "1", "2", "3", "4", "5", "6", "7")
+      val keep = when(col("lang") === "en", lit(true))
+        .when(col("lang").isin("de", "es"), nib.isin(half: _*))
+        .otherwise(nib.isin("0", "1", "2", "3"))
+      Tables.documents(s, d)
+        .filter(keep)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // T12: sequence packing — concatenate-and-split into fixed-token-
+    // budget training chunks, the layout step between a cleaned corpus
+    // and a pretraining dataloader. Docs are ordered by content
+    // fingerprint within each source (a deterministic global shuffle —
+    // no RNG state, stable across engines), then a running token count
+    // assigns each doc its chunk and offset: chunk = ⌊(cum-tok)/budget⌋,
+    // i.e. documents span chunk boundaries exactly as GPT-style packing
+    // concatenates then splits. One window cumsum = one shuffle+sort per
+    // source partition; no driver loop, no collect — the 100 TB shape.
+    "t12_seq_pack" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val budget = 512L
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("fp"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          md5(Text.normalize(col("text"))).as("fp"),
+          size(Text.words(col("text"))).cast("long").as("tok"))
+        .withColumn("cum", sum(col("tok")).over(w))
+        .select(col("doc_id"), col("source"), col("tok"),
+          expr(s"(cum - tok) div $budget").as("chunk_id"),
+          expr(s"(cum - tok) % $budget").as("chunk_offset"))
+        .orderBy(col("source"), col("chunk_id"), col("chunk_offset"),
+          col("doc_id"))
     },
 
     // T8s: quality-gate filter — the corpus-cleaning pass that consumes
@@ -354,6 +416,47 @@ object Pipeline {
          SELECT doc_id, lang, source FROM documents
          WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
          ORDER BY doc_id""",
+    "d8_dup_groups" ->
+      s"""WITH RECURSIVE p AS (${Dedup.jaccardOracleSql(3, 0.8)}),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+               UNION ALL SELECT doc_b, doc_a FROM p),
+         v AS (SELECT DISTINCT src AS id FROM e),
+         reach AS (
+           SELECT id, id AS r FROM v
+           UNION
+           SELECT reach.id, e.dst AS r FROM reach JOIN e ON reach.r = e.src
+         ),
+         comp AS (SELECT id AS doc_id, min(r) AS group_id
+                  FROM reach GROUP BY id),
+         gs AS (SELECT group_id, count(*) AS group_size
+                FROM comp GROUP BY group_id)
+         SELECT c.doc_id, c.group_id, g.group_size
+         FROM comp c JOIN gs g USING (group_id)
+         ORDER BY c.group_id, c.doc_id""",
+    "t11_stratified_sample" ->
+      """WITH d AS (SELECT doc_id, lang, source,
+           substr(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 1)
+             AS nib
+         FROM documents)
+         SELECT doc_id, lang, source FROM d
+         WHERE CASE WHEN lang = 'en' THEN TRUE
+           WHEN lang IN ('de','es')
+             THEN nib IN ('0','1','2','3','4','5','6','7')
+           ELSE nib IN ('0','1','2','3') END
+         ORDER BY doc_id""",
+    "t12_seq_pack" ->
+      """WITH d AS (SELECT doc_id, source,
+           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+           len(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+         FROM documents),
+         c AS (SELECT doc_id, source, tok,
+           sum(tok) OVER (PARTITION BY source ORDER BY fp, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM d)
+         SELECT doc_id, source, CAST(tok AS BIGINT) AS tok,
+           CAST((cum - tok) // 512 AS BIGINT) AS chunk_id,
+           CAST((cum - tok) % 512 AS BIGINT) AS chunk_offset
+         FROM c ORDER BY source, chunk_id, chunk_offset, doc_id""",
     "t6_repetition" ->
       """WITH t AS (SELECT doc_id,
            regexp_split_to_array(trim(lower(text)), '\s+') AS w

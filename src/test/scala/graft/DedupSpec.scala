@@ -56,6 +56,43 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.nonEmpty) // the fixture plants near-dups; empty = broken
   }
 
+  test("connectedComponents matches a union-find reference on random graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // driver-side union-find reference
+    def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val edgeGen = for {
+      n <- Gen.choose(0, 30)
+      es <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 20L), Gen.choose(0L, 20L)))
+    } yield es.filter(e => e._1 != e._2)
+    (1 to 12).foreach { i =>
+      val edges = edgeGen.apply(Gen.Parameters.default, Seed(i.toLong)).get
+      val want = ufComponents(edges)
+      val got =
+        if (edges.isEmpty) Map.empty[Long, Long]
+        else Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+          .as[(Long, Long)].collect().toMap
+      assert(got == want, s"edges: $edges")
+    }
+    // long chain: the worst case for propagation rounds — still exact
+    val chain = (0L until 12L).map(i => (i, i + 1))
+    val gotChain = Dedup.connectedComponents(chain.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(gotChain == (0L to 12L).map(_ -> 0L).toMap)
+  }
+
   test("simhash: near-identical docs are close in Hamming distance") {
     val w = (1 to 60).map(i => s"w$i")
     val df = Seq((1L, w.mkString(" ")),
