@@ -122,6 +122,64 @@ object Streams {
       }
       .start()
 
+  final case class AsOfEvent(key: Long, t: Long, isLeft: Boolean,
+                             id: Long, v: Double)
+  final case class AsOfMatch(key: Long, t: Long, id: Long, ref: Option[Double])
+
+  /** STREAM-STREAM as-of join: both the fact stream and the reference
+    * stream arrive incrementally (trades and price updates are BOTH
+    * unbounded in the reference's ingest path); [[enrichAsOfSink]] covers
+    * stream⋈static, this covers stream⋈stream with explicit state. Spark's
+    * built-in stream-stream joins support equality + range conditions but
+    * not "latest at-or-before" semantics, so the state is managed
+    * directly: per key, the right-side (time, value) history; each left
+    * row is answered with the prevailing (largest time ≤ t) right value
+    * known at processing time — the read-through price-cache semantics of
+    * the reference made checkpoint-durable.
+    *
+    * Batch atomicity: all of a micro-batch's right rows are visible to
+    * all of its left rows (like the reference, which applies a block's
+    * price writes before its trade reads). A right row that arrives
+    * AFTER a left row was answered does not retroactively rewrite output
+    * (append mode, ingest-order semantics); streaming ≡ batch holds
+    * whenever each left row's prevailing right row is ingested no later
+    * than the left row's batch.
+    *
+    * State is bounded: history older than (newest right time − retention)
+    * is dropped, except the single newest pre-cutoff entry, which stays so
+    * a slowly-updating reference (a pool quoted once a day) still answers
+    * — state per key = O(updates inside the retention window) + 1, never
+    * the full history. Duplicate right (key, time) rows: the later-sorted
+    * copy wins, input-order dependent as in the batch exec — dedupe the
+    * right side for determinism.
+    */
+  def asOfStreamStream(facts: DataFrame, refs: DataFrame, retention: Long)
+      : Dataset[AsOfMatch] = {
+    import facts.sparkSession.implicits._
+    val l = facts.select(col("key"), col("t"), lit(true).as("isLeft"),
+      col("id"), lit(Double.NaN).as("v")).as[AsOfEvent]
+    val r = refs.select(col("key"), col("t"), lit(false).as("isLeft"),
+      lit(0L).as("id"), col("v")).as[AsOfEvent]
+    l.union(r)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[List[(Long, Double)], AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[AsOfEvent], state: GroupState[List[(Long, Double)]]) =>
+          val evs = it.toSeq
+          val hist = (state.getOption.getOrElse(Nil) ++
+            evs.filter(!_.isLeft).map(e => (e.t, e.v))).sortBy(_._1)
+          val out = evs.filter(_.isLeft).sortBy(e => (e.t, e.id)).map { e =>
+            AsOfMatch(key, e.t, e.id,
+              hist.takeWhile(_._1 <= e.t).lastOption.map(_._2))
+          }
+          hist.lastOption.foreach { case (maxT, _) =>
+            val (old, recent) = hist.partition(_._1 < maxT - retention)
+            state.update(old.lastOption.toList ++ recent)
+          }
+          out.iterator
+      }
+  }
+
   final case class AlertEvent(ruleId: Long, ts: Long)
 
   /** T10's scheduler half: per-rule alert throttling — emit at most one

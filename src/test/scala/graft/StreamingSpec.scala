@@ -149,6 +149,95 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("stream-stream as-of == batch as-of when refs land before facts") {
+    val in = tmpDir("graft-ss-in")
+    val ckpt = tmpDir("graft-ss-ckpt")
+    val outDir = tmpDir("graft-ss-out")
+    def land(name: String, rows: Seq[(Long, Long, Boolean, Long, Double)]): Unit =
+      rows.toDF("key", "t", "isLeft", "id", "v").coalesce(1)
+        .write.mode("overwrite").parquet(s"$in/$name")
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema("key BIGINT, t BIGINT, isLeft BOOLEAN, id BIGINT, v DOUBLE")
+        .option("recursiveFileLookup", "true").parquet(in)
+      val facts = src.filter(col("isLeft")).select("key", "t", "id")
+      val refs = src.filter(!col("isLeft")).select("key", "t", "v")
+      val q = Streams.asOfStreamStream(facts, refs, retention = 1000L)
+        .toDF().writeStream.format("parquet").option("path", outDir)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batch 1: the reference history for keys 1 and 2
+    land("b1", Seq((1L, 10L, false, 0L, 1.0), (1L, 20L, false, 0L, 2.0),
+      (2L, 15L, false, 0L, 9.0)))
+    runOnce()
+    // batch 2: facts probing before/at/after the refs + an unmatched key,
+    // plus a ref update consumed by a same-batch fact (batch atomicity)
+    land("b2", Seq((1L, 5L, true, 100L, 0.0), (1L, 20L, true, 101L, 0.0),
+      (1L, 25L, true, 102L, 0.0), (2L, 14L, true, 103L, 0.0),
+      (3L, 50L, true, 104L, 0.0),
+      (1L, 24L, false, 0L, 3.0)))
+    runOnce()
+    val got = spark.read.parquet(outDir)
+      .select("id", "ref").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    // batch twin over the same data
+    val refs = Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (2L, 15L, 9.0),
+      (1L, 24L, 3.0)).toDF("rkey", "rt", "v")
+    val facts = Seq((1L, 5L, 100L), (1L, 20L, 101L), (1L, 25L, 102L),
+      (2L, 14L, 103L), (3L, 50L, 104L)).toDF("key", "t", "id")
+    val want = graft.plans.AsOf.joinBackward(facts, refs,
+        Seq("key"), Seq("rkey"), "t", "rt")
+      .select("id", "v").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(got == want && got.size == 5)
+    // and explicitly: the late ref (t=24) reached only the t=25 fact
+    assert(got.contains((102L, Some(3.0))) && got.contains((101L, Some(2.0))))
+  }
+
+  test("stream-stream as-of: late refs don't rewrite answered facts; state prunes but keeps prevailing") {
+    val in = tmpDir("graft-ss2-in")
+    val ckpt = tmpDir("graft-ss2-ckpt")
+    val outDir = tmpDir("graft-ss2-out")
+    def land(name: String, rows: Seq[(Long, Long, Boolean, Long, Double)]): Unit =
+      rows.toDF("key", "t", "isLeft", "id", "v").coalesce(1)
+        .write.mode("overwrite").parquet(s"$in/$name")
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema("key BIGINT, t BIGINT, isLeft BOOLEAN, id BIGINT, v DOUBLE")
+        .option("recursiveFileLookup", "true").parquet(in)
+      val q = Streams.asOfStreamStream(
+          src.filter(col("isLeft")).select("key", "t", "id"),
+          src.filter(!col("isLeft")).select("key", "t", "v"),
+          retention = 100L)
+        .toDF().writeStream.format("parquet").option("path", outDir)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batch 1: one old ref + a fact answered with it
+    land("b1", Seq((1L, 10L, false, 0L, 1.0), (1L, 500L, true, 200L, 0.0)))
+    runOnce()
+    // batch 2: a LATE ref at t=400 (before the already-answered fact) and
+    // a much newer ref pushing the retention horizon past t=400; then a
+    // fact at t=450 — answered by the late ref (forward-only absorb),
+    // while fact 200's answer stays the batch-1 value
+    land("b2", Seq((1L, 400L, false, 0L, 4.0), (1L, 2000L, false, 0L, 9.0),
+      (1L, 450L, true, 201L, 0.0)))
+    runOnce()
+    // batch 3: a fact far in the future — the t=10 and t=400 entries are
+    // outside retention (2000-100), but the newest pre-cutoff entry
+    // survives pruning, so the prevailing value is 9.0, not null
+    land("b3", Seq((1L, 3000L, true, 202L, 0.0)))
+    runOnce()
+    val got = spark.read.parquet(outDir)
+      .select("id", "ref").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(got == Map(200L -> Some(1.0), 201L -> Some(4.0),
+      202L -> Some(9.0)))
+  }
+
   test("T10: alert throttle fires at most once per window, across batches") {
     val in = tmpDir("graft-t10-in")
     val ckpt = tmpDir("graft-t10-ckpt")
