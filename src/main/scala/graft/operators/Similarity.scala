@@ -208,6 +208,45 @@ object Similarity {
         col("cand_id").as("neighbor_id"), round4(col("cos")).as("cosine"))
   }
 
+  /** SemDeDup-style semantic pruning: assign every vector to its nearest
+    * centroid, generate candidate pairs WITHIN clusters only, exact-score
+    * them with the deterministic cosine, and drop the higher vec_id of
+    * every pair ≥ theta. Returns the survivors (vec_id, cluster_id).
+    *
+    * The scale contract: the corpus never self-joins globally — pair
+    * generation is an equi-join on cluster id, so cost tracks cluster
+    * occupancy (Σ|c|², tunable via the centroid count), and assignment is
+    * one broadcast-join pass. Cross-cluster near-dups are missed by
+    * design; that is the SemDeDup trade (recall vs the brute-force pair
+    * set is bounded in SimilaritySpec).
+    */
+  def semanticPrune(vecs: DataFrame, centroids: DataFrame, theta: Double)
+      : DataFrame = {
+    val cent = centroids.select(col("vec_id").as("cid"),
+      col("embedding").as("cemb"), normScaled(col("embedding")).as("cn"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val assigned = vecs.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cent))
+      .withColumn("csim", cosineFromScaled(
+        dotScaled(col("embedding"), col("cemb")),
+        normScaled(col("embedding")), col("cn")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("embedding"))
+    val v = assigned.withColumn("nn", normScaled(col("embedding")))
+    val drop = v.as("a")
+      .join(v.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosineFromScaled(
+        dotScaled(col("a.embedding"), col("b.embedding")),
+        col("a.nn"), col("b.nn")))
+      .filter(col("cos") >= theta)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned.join(drop, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cid").as("cluster_id"))
+  }
+
   /** DuckDB oracle twin of the scaled-long cosine between two positionally
     * unnested embedding tables (shared by the d5/n1 oracle SQL).
     */

@@ -119,6 +119,22 @@ object Pipeline {
         .orderBy(col("group_id"), col("doc_id"))
     },
 
+    // D9: SemDeDup-style semantic pruning — cluster the embedding space,
+    // drop the higher id of every within-cluster pair with cosine ≥ θ.
+    // Centroids here are the deterministic sample n3 uses (NOT trained),
+    // which keeps the whole pipeline — assignment, candidate generation,
+    // scoring, pruning — SQL-expressible, so this has a full DuckDB
+    // oracle (the trained-centroid variant is n4's territory, recall-
+    // bounded in ScalaTest). The scale story lives in
+    // Similarity.semanticPrune: no global self-join, candidates bounded
+    // by cluster occupancy.
+    "d9_semantic_prune" -> { (s, d) =>
+      val v = Tables.embeddings(s, d)
+      Similarity.semanticPrune(v, v.filter(col("vec_id") % 50 === 0),
+          theta = 0.4)
+        .orderBy(col("vec_id"))
+    },
+
     // T6: repetition ratio — Gopher-style boilerplate signal: the
     // fraction of word-trigram occurrences that are repeats of an
     // earlier trigram in the same doc. Both shingle forms come from the
@@ -327,6 +343,28 @@ object Pipeline {
         .orderBy(col("lang"), col("rn"))
     },
 
+    // T13: corpus vocabulary statistics — document frequency per word and
+    // an IDF-style rarity ratio, the corpus-level table behind stopword
+    // induction and tf-idf quality features. Shape at scale: one explode
+    // of per-doc DISTINCT words (array_distinct is map-side; no doc×doc
+    // work), one groupBy(word) with map-side partial counts, a scalar
+    // doc count broadcast in, top-50 under a total order. rarity is a
+    // ratio, not ln(): IEEE division is bit-identical across engines,
+    // libm logs are not.
+    "t13_doc_freq" -> { (s, d) =>
+      val words = Tables.documents(s, d)
+        .select(explode_outer(array_distinct(Text.words(col("text"))))
+          .as("word"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      words.groupBy(col("word")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(n))
+        .withColumn("rarity",
+          round4(col("n_docs").cast("double") / col("df")))
+        .select(col("word"), col("df"), col("rarity"))
+        .orderBy(col("df").desc, col("word"))
+        .limit(50)
+    },
+
     // M1: multimodal metadata join — documents ⋈ embeddings with an opaque
     // binary payload column (md5 bytes standing in for media bytes) and
     // typed metadata projected out of it.
@@ -416,6 +454,36 @@ object Pipeline {
          SELECT doc_id, lang, source FROM documents
          WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
          ORDER BY doc_id""",
+    "d9_semantic_prune" ->
+      s"""WITH u AS ($duckUnnest),
+         c AS (SELECT vec_id AS cid, x, i FROM u WHERE vec_id % 50 = 0),
+         sim AS (SELECT a.vec_id AS vec_id, c.cid,
+                   ${duckCos("a.x", "c.x")} AS csim
+                 FROM u a JOIN c ON a.i = c.i GROUP BY 1, 2),
+         asg AS (SELECT vec_id, cid FROM (
+                   SELECT vec_id, cid, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+                   FROM sim)
+                 WHERE rn = 1),
+         pr AS (SELECT x.vec_id AS va, y.vec_id AS vb
+                FROM asg x JOIN asg y
+                ON x.cid = y.cid AND x.vec_id < y.vec_id),
+         sc AS (SELECT pr.va, pr.vb, ${duckCos("a.x", "b.x")} AS cos
+                FROM pr JOIN u a ON a.vec_id = pr.va
+                        JOIN u b ON b.vec_id = pr.vb AND a.i = b.i
+                GROUP BY 1, 2),
+         dropped AS (SELECT DISTINCT vb FROM sc WHERE cos >= 0.4)
+         SELECT a.vec_id, a.cid AS cluster_id FROM asg a
+         WHERE a.vec_id NOT IN (SELECT vb FROM dropped)
+         ORDER BY a.vec_id""",
+    "t13_doc_freq" ->
+      """WITH w AS (SELECT DISTINCT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+         FROM documents),
+         d AS (SELECT word, count(*) AS df FROM w GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT word, df, round(CAST(n_docs AS DOUBLE) / df, 4) AS rarity
+         FROM d, n ORDER BY df DESC, word LIMIT 50""",
     "d8_dup_groups" ->
       s"""WITH RECURSIVE p AS (${Dedup.jaccardOracleSql(3, 0.8)}),
          e AS (SELECT doc_a AS src, doc_b AS dst FROM p
