@@ -197,4 +197,18 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = trueHigh.intersect(droppedIds).size.toDouble / trueHigh.size
     assert(recall >= 0.15, s"semantic-prune drop recall $recall < 0.15")
   }
+
+  test("semanticPrune reuses the assignment stage across its self-join") {
+    // the assignment subtree (broadcast-centroid scoring + per-vector
+    // argmax) appears three times in the composed plan (anti-join left,
+    // pair sides a and b); they are canonically identical, so Spark's
+    // exchange reuse must execute the pass ONCE and reference it —
+    // without this, the corpus would be scanned and scored 3x at 100 TB
+    val df = Similarity.semanticPrune(vecs,
+      vecs.filter(col("vec_id") % 50 === 0), theta = 0.4)
+    df.collect()
+    val txt = df.queryExecution.executedPlan.toString
+    assert(txt.contains("ReusedExchange") || txt.contains("ReusedQueryStage"),
+      s"no exchange/stage reuse in semanticPrune plan:\n$txt")
+  }
 }
