@@ -129,17 +129,28 @@ object Text {
     "fr" -> Seq("query", "table"),
     "zh" -> Seq("spark", "stream"))
 
-  /** Per-language marker score. */
+  /** Per-language marker score (Column-composition form; the hot queries
+    * go through the one-pass [[langPredict]] kernel profile instead).
+    */
   def langScore(c: Column, lang: String): Column =
     langMarkers.toMap.apply(lang)
       .map(m => markerCount(c, m))
       .reduce(_ + _)
 
   /** Predicted language: argmax of marker scores with fixed precedence
-    * (earlier language wins ties — including the all-zero case).
+    * (earlier language wins ties — including the all-zero case). All
+    * marker counts come from ONE text_profile pass (the when-chain
+    * previously duplicated the 10-markerCount pipeline per branch after
+    * projection collapse; TextPropsSpec pins kernel ≡ composition).
     */
   def langPredict(c: Column): Column = {
-    val scores = langMarkers.map { case (l, _) => l -> langScore(c, l) }
+    val allMarkers = langMarkers.flatMap(_._2)
+    val counts = graft.plans.Expressions.textProfile(c, allMarkers)
+      .getField("counts")
+    var idx = 0
+    val scores = langMarkers.map { case (l, ms) =>
+      l -> ms.map { _ => idx += 1; element_at(counts, idx) }.reduce(_ + _)
+    }
     def chain(rest: Seq[(String, Column)]): Column = rest match {
       case (l, s) +: tail if tail.nonEmpty =>
         when(tail.map(t => s >= t._2).reduce(_ && _), lit(l))
@@ -156,12 +167,20 @@ object Text {
     * 0.5·stopword-ratio + 0.3·length-saturation(50 words) + 0.2·alpha-ratio,
     * scaled ×100. Rational arithmetic only (no exp/log — libm rounding
     * differs across engines and would break the oracle hash-match).
+    *
+    * All three gauges come from ONE text_profile kernel pass. The retired
+    * Column form ran the two normalize regexps + a split per stopword AND
+    * an interpreted filter(rlike) lambda for the alpha ratio — the same
+    * higher-order-function tax the shingle/cosine kernels eliminated.
+    * Semantics are identical (TextPropsSpec pins kernel ≡ composition;
+    * the DuckDB oracles are unchanged).
     */
   def qualityScore(c: Column): Column = {
-    val w = words(c)
-    val wc = size(w)
-    val stopCount = stopwords.map(m => markerCount(c, m)).reduce(_ + _)
-    val alphaCount = size(filter(w, x => x.rlike("^[a-z]+$")))
+    val p = graft.plans.Expressions.textProfile(c, stopwords)
+    val wc = p.getField("wc")
+    val stopCount = stopwords.indices
+      .map(i => element_at(p.getField("counts"), i + 1)).reduce(_ + _)
+    val alphaCount = p.getField("alpha")
     val stopRatio = stopCount.cast("double") / wc
     val lenSat = least(wc, lit(50)).cast("double") / 50.0d
     val alphaRatio = alphaCount.cast("double") / wc

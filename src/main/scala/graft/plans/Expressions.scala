@@ -1,8 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression,
+  GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -298,6 +300,126 @@ object CharNgramKernel {
   }
 }
 
+/** Kernel + expression for the one-pass text profile: word count,
+  * all-alpha token count, and non-overlapping marker-word counts, over
+  * the canonical normalization (lower, strip edges, collapse whitespace
+  * runs). Semantics replicate the Column composition EXACTLY:
+  *
+  *  - wc = size(split(normalize(text), " ")) — empty normalized text
+  *    splits to [""], so wc is 1, never 0;
+  *  - alpha = count of tokens matching ^[a-z]+$ (the empty token fails);
+  *  - counts(i) = size(split(" "+normalize(text)+" ", " mᵢ ", -1)) - 1 —
+  *    the split-count trick, i.e. NON-overlapping left-to-right matches
+  *    of the space-padded marker (adjacent repeats separated by a single
+  *    space count once; the DuckDB string_split twin agrees), which is
+  *    precisely Java's indexOf-advance loop.
+  *
+  * Why a kernel: the quality/language queries referenced markerCount up
+  * to 10× per row, each re-running the two normalize regexps plus a
+  * split, and the alpha ratio used filter(_.rlike(...)) — an interpreted
+  * higher-order lambda (the same tax ShinglesExpr/DotScaledExpr already
+  * eliminated). This is one normalize+scan per evaluation, inside
+  * whole-stage codegen.
+  */
+object TextProfileKernel {
+  @inline private def isWs(c: Char): Boolean = // Java regex \s
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+      c == '\r'
+
+  /** @param padded markers pre-padded as " marker " */
+  def profile(text: org.apache.spark.unsafe.types.UTF8String,
+              padded: Array[String]): InternalRow = {
+    val lower = text.toString.toLowerCase(java.util.Locale.ROOT)
+    // tokenize on whitespace runs; build the normalized (single-space
+    // joined) form in the same pass
+    val tokens = new scala.collection.mutable.ArrayBuffer[String](32)
+    val sb = new java.lang.StringBuilder(lower.length + 2)
+    sb.append(' ')
+    var i = 0
+    val n = lower.length
+    var alpha = 0
+    while (i < n) {
+      while (i < n && isWs(lower.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        var allAlpha = true
+        while (i < n && !isWs(lower.charAt(i))) {
+          val c = lower.charAt(i)
+          if (c < 'a' || c > 'z') allAlpha = false
+          i += 1
+        }
+        if (tokens.nonEmpty) sb.append(' ')
+        sb.append(lower, start, i)
+        tokens += lower.substring(start, i)
+        if (allAlpha) alpha += 1
+      }
+    }
+    sb.append(' ')
+    val paddedText = sb.toString // " " + normalized + " "
+    val wc = if (tokens.isEmpty) 1 else tokens.length
+    val counts = new Array[Int](padded.length)
+    var m = 0
+    while (m < padded.length) {
+      val pat = padded(m)
+      var cnt = 0
+      var from = paddedText.indexOf(pat)
+      while (from >= 0) {
+        cnt += 1
+        from = paddedText.indexOf(pat, from + pat.length)
+      }
+      counts(m) = cnt
+      m += 1
+    }
+    new GenericInternalRow(Array[Any](wc, alpha,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)))
+  }
+}
+
+/** One-pass text profile as a native expression; output struct
+  * (wc, alpha, counts) with counts aligned to the constructor's marker
+  * list. See [[TextProfileKernel]].
+  */
+case class TextProfileExpr(child: Expression, markers: Seq[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("wc",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("alpha",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("counts",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = false),
+      nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (markers.isEmpty) TypeCheckResult.TypeCheckFailure(
+      "text_profile: marker list must be non-empty")
+    else if (markers.exists(m => m.isEmpty || m.exists(_.isWhitespace)))
+      TypeCheckResult.TypeCheckFailure(
+        "text_profile: markers must be non-empty and whitespace-free")
+    else super.checkInputDataTypes()
+
+  @transient private lazy val paddedMarkers: Array[String] =
+    markers.map(m => s" $m ").toArray
+
+  override def nullSafeEval(a: Any): Any =
+    TextProfileKernel.profile(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], paddedMarkers)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("paddedMarkers", paddedMarkers,
+      "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.TextProfileKernel.profile($a, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : TextProfileExpr = copy(child = newChild)
+
+  override def prettyName: String = "text_profile"
+}
+
 /** Char n-grams as a native expression (the Column form —
   * transform ∘ sequence ∘ substr — is an interpreted higher-order lambda
   * re-evaluated per generated row; this is one JVM call per document).
@@ -490,4 +612,10 @@ object Expressions {
   /** Column wrapper for [[CharNgramsExpr]] (input: string). */
   def charNgrams(text: Column, n: Int): Column =
     Bridge.column(CharNgramsExpr(Bridge.expression(text), n))
+
+  /** Column wrapper for [[TextProfileExpr]] (input: string; output struct
+    * (wc, alpha, counts) with counts aligned to `markers`).
+    */
+  def textProfile(text: Column, markers: Seq[String]): Column =
+    Bridge.column(TextProfileExpr(Bridge.expression(text), markers))
 }

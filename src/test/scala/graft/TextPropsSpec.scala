@@ -68,6 +68,58 @@ object TextPropsSpec extends Properties("Text") {
         got == count
     }
 
+  // the one-pass text_profile kernel must agree with the retired Column
+  // composition it replaced, field by field, on arbitrary text
+  property("text_profile kernel == Column composition (wc, alpha, counts)") =
+    Prop.forAllNoShrink(Gen.listOfN(6, rawText)) { texts =>
+      val markers = Seq("the", "a", "of")
+      val p = graft.plans.Expressions.textProfile(col("t"), markers)
+      val got = texts.toDF("t")
+        .select(p.getField("wc"), p.getField("alpha"),
+          p.getField("counts"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Int](2).toList))
+      val want = texts.map { t =>
+        val w = normScala(t).split(" ", -1).toList // "" -> List("")
+        val alpha = w.count(x => x.nonEmpty && x.forall(c => c >= 'a' && c <= 'z'))
+        val padded = " " + normScala(t) + " "
+        val counts = markers.map { m =>
+          val pat = s" $m "
+          var c = 0
+          var idx = padded.indexOf(pat)
+          while (idx >= 0) { c += 1; idx = padded.indexOf(pat, idx + pat.length) }
+          c
+        }.toList
+        (w.size, alpha, counts)
+      }
+      got.toList == want.toList
+    }
+
+  property("langPredict kernel form == markerCount composition") =
+    Prop.forAllNoShrink(Gen.listOfN(6,
+      Gen.nonEmptyListOf(Gen.oneOf("the", "a", "window", "hash", "data",
+        "row", "query", "table", "spark", "stream", "zzz"))
+        .map(_.mkString(" ")))) { texts =>
+      val composed = {
+        // the pre-kernel formulation, inlined as the oracle
+        val scores = Text.langMarkers.map { case (l, _) =>
+          l -> Text.langScore(col("t"), l)
+        }
+        def chain(rest: Seq[(String, org.apache.spark.sql.Column)])
+            : org.apache.spark.sql.Column = rest match {
+          case (l, s) +: tail if tail.nonEmpty =>
+            when(tail.map(tl => s >= tl._2).reduce(_ && _), lit(l))
+              .otherwise(chain(tail))
+          case Seq((l, _)) => lit(l)
+        }
+        chain(scores)
+      }
+      val rows = texts.toDF("t")
+        .select(Text.langPredict(col("t")).as("k"), composed.as("c"))
+        .as[(String, String)].collect()
+      rows.forall { case (k, c) => k == c }
+    }
+
   property("brute-force Jaccard equals scala set Jaccard") =
     Prop.forAllNoShrink(Gen.listOfN(4,
       Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e"))
