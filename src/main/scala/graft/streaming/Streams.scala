@@ -180,6 +180,76 @@ object Streams {
       }
   }
 
+  final case class AsOfEventT(key: Long, t: Long, isLeft: Boolean,
+                              id: Long, v: Double, ts: java.sql.Timestamp)
+
+  /** EVENT-TIME stream-stream as-of: the watermark-gated upgrade of
+    * [[asOfStreamStream]]. The processing-order form answers each fact
+    * immediately — a reference row arriving LATER than a fact it should
+    * have matched is silently missed. Here a fact at event time t is held
+    * in state until the watermark passes t; by the watermark contract
+    * every reference row with time ≤ t has arrived by then, so the answer
+    * equals the batch as-of REGARDLESS of arrival interleaving (within
+    * the delay). This is the difference between cache semantics and join
+    * semantics: the reference's read-through price cache gives the
+    * former; an engine can promise the latter.
+    *
+    * Mechanics: union the tagged streams, `withWatermark(ts, delay)`,
+    * per-key state = (pending facts, reference history). Each invocation
+    * buffers new rows, emits every pending fact whose t ≤ watermark, and
+    * prunes: history older than the watermark collapses to its newest
+    * entry (still the prevailing candidate for any future fact, which
+    * must have t > watermark); answered facts leave state. Groups with
+    * pending facts but no new data are flushed by an event-time timeout
+    * set to the earliest pending t — state never waits on traffic.
+    * `t` is epoch SECONDS here (ts = timestamp_seconds(t)); output order
+    * within a key follows (t, id). Rows MORE than `delay` behind the
+    * watermark are dropped by Spark's standard late-data filter before
+    * reaching the operator — that is the contract boundary, not a bug
+    * (the processing-order variant absorbs beyond-delay stragglers
+    * forward-only instead; pick per pipeline).
+    */
+  def asOfStreamStreamEventTime(facts: DataFrame, refs: DataFrame,
+                                delay: String): Dataset[AsOfMatch] = {
+    import facts.sparkSession.implicits._
+    val l = facts.select(col("key"), col("t"), lit(true).as("isLeft"),
+      col("id"), lit(Double.NaN).as("v"),
+      timestamp_seconds(col("t")).as("ts"))
+    val r = refs.select(col("key"), col("t"), lit(false).as("isLeft"),
+      lit(0L).as("id"), col("v"), timestamp_seconds(col("t")).as("ts"))
+    l.union(r).withWatermark("ts", delay).as[AsOfEventT]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[(List[(Long, Long)], List[(Long, Double)]),
+          AsOfMatch](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, it: Iterator[AsOfEventT],
+         state: GroupState[(List[(Long, Long)], List[(Long, Double)])]) =>
+          val evs = it.toSeq
+          val (pend0, hist0) = state.getOption.getOrElse((Nil, Nil))
+          val hist = (hist0 ++ evs.filter(!_.isLeft).map(e => (e.t, e.v)))
+            .sortBy(_._1)
+          val pend = (pend0 ++ evs.filter(_.isLeft).map(e => (e.t, e.id)))
+            .sorted
+          val wmSec = state.getCurrentWatermarkMs() / 1000L
+          val (ready, stillPend) = pend.partition(_._1 <= wmSec)
+          val out = ready.map { case (t, id) =>
+            AsOfMatch(key, t, id,
+              hist.takeWhile(_._1 <= t).lastOption.map(_._2))
+          }
+          if (stillPend.isEmpty && hist.isEmpty) state.remove()
+          else {
+            val (oldH, newH) = hist.partition(_._1 <= wmSec)
+            state.update((stillPend, oldH.lastOption.toList ++ newH))
+            // flush pending facts even if this key sees no more traffic:
+            // wake when the watermark passes the earliest pending time
+            // (strictly above the current watermark by construction)
+            stillPend.headOption.foreach { case (t, _) =>
+              state.setTimeoutTimestamp(t * 1000L)
+            }
+          }
+          out.iterator
+      }
+  }
+
   final case class AlertEvent(ruleId: Long, ts: Long)
 
   /** T10's scheduler half: per-rule alert throttling — emit at most one

@@ -238,6 +238,66 @@ class StreamingSpec extends AnyFunSuite {
       202L -> Some(9.0)))
   }
 
+  test("event-time stream-stream as-of absorbs LATE reference rows (watermark-gated)") {
+    val in = tmpDir("graft-et-in")
+    val ckpt = tmpDir("graft-et-ckpt")
+    val outDir = tmpDir("graft-et-out")
+    def land(name: String, rows: Seq[(Long, Long, Boolean, Long, Double)]): Unit =
+      rows.toDF("key", "t", "isLeft", "id", "v").coalesce(1)
+        .write.mode("overwrite").parquet(s"$in/$name")
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema("key BIGINT, t BIGINT, isLeft BOOLEAN, id BIGINT, v DOUBLE")
+        .option("recursiveFileLookup", "true").parquet(in)
+      val q = Streams.asOfStreamStreamEventTime(
+          src.filter(col("isLeft")).select("key", "t", "id"),
+          src.filter(!col("isLeft")).select("key", "t", "v"),
+          delay = "10 seconds")
+        .toDF().writeStream.format("parquet").option("path", outDir)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def got(): Map[Long, Option[Double]] = {
+      val dir = new java.io.File(outDir)
+      if (!dir.exists ||
+          !dir.listFiles.exists(_.getName.endsWith(".parquet")))
+        Map.empty
+      else spark.read.parquet(outDir).select("id", "ref").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Double])))
+        .toMap
+    }
+    // batch 1: a fact at t=100 with NO reference yet — must NOT be
+    // answered (watermark 0 < 100): held in state, not emitted as a miss.
+    // Watermark after this batch: 100 - 10 = 90.
+    land("b1", Seq((1L, 100L, true, 1L, 0.0)))
+    runOnce()
+    assert(!got().contains(1L), "fact answered before its watermark")
+    // batch 2: the matching reference arrives AFTER the fact in
+    // processing order but before it in event time (t=95 ∈ (90, 100] —
+    // within the watermark delay, so it must not be dropped), plus
+    // traffic at t=200 advancing the watermark to 190 for the next batch.
+    // Processing-order semantics would have answered the fact with None.
+    land("b2", Seq((1L, 95L, false, 0L, 5.0), (2L, 200L, false, 0L, 9.0)))
+    runOnce()
+    // batch 3: unrelated traffic; watermark 190 >= 100, so key 1's
+    // pending fact flushes via its event-time timeout — answered with
+    // the arrival-late reference, exactly as the batch as-of would.
+    // Watermark after: 290.
+    land("b3", Seq((2L, 300L, false, 0L, 9.5)))
+    runOnce()
+    assert(got().get(1L).contains(Some(5.0)),
+      s"late ref not absorbed: ${got()}")
+    // a new fact far past the reference's time: the pre-watermark history
+    // was pruned to its newest entry, which still answers as prevailing
+    land("b4", Seq((1L, 295L, true, 2L, 0.0), (2L, 400L, false, 0L, 9.9)))
+    runOnce()
+    land("b5", Seq((2L, 500L, false, 0L, 10.0)))
+    runOnce()
+    assert(got().get(2L).contains(Some(5.0)),
+      s"pruned history lost the prevailing value: ${got()}")
+  }
+
   test("T10: alert throttle fires at most once per window, across batches") {
     val in = tmpDir("graft-t10-in")
     val ckpt = tmpDir("graft-t10-ckpt")
