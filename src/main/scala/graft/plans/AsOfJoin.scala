@@ -108,6 +108,17 @@ object PushFilterThroughAsOfJoin
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lt, rt, outer, tol, dir) =>
+      // The DataFrame API validates at construction; the SQL TVF path
+      // reaches here with analyzer-resolved attributes instead — re-check
+      // so a mistyped time column fails planning, not mid-task.
+      require(AsOf.timeTypes.contains(lt.dataType) &&
+          lt.dataType == rt.dataType,
+        s"asof_join time columns must share an integral/timestamp type, " +
+          s"got ${lt.dataType} vs ${rt.dataType}")
+      lk.zip(rk).foreach { case (a, b) =>
+        require(a.dataType == b.dataType,
+          s"asof_join key type mismatch: ${a.dataType} vs ${b.dataType}")
+      }
       val threshold =
         org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
       val rightSize = r.stats.sizeInBytes
@@ -456,15 +467,88 @@ object BroadcastAsOfJoinExec {
   }
 }
 
+/** SQL table-function surface for the as-of join:
+  *
+  * {{{
+  * SELECT * FROM asof_join(
+  *   TABLE(trades), TABLE(prices),
+  *   'pool_id', 'r_pool',        -- key columns ('a,b' for multi-key)
+  *   'ts', 'r_ts'                -- time columns
+  *   [, 'backward'|'forward'|'nearest' [, 'left'|'inner']])
+  * }}}
+  *
+  * The TABLE(...) arguments arrive as
+  * [[org.apache.spark.sql.catalyst.expressions.FunctionTableSubqueryArgumentExpression]]
+  * (the same machinery SQL UDTFs use); the builder unwraps their plans
+  * and emits an [[AsOfJoinPlan]] with unresolved key/time attributes,
+  * which the analyzer's generic reference resolution binds against the
+  * two children — so column names must be UNAMBIGUOUS across the two
+  * tables (alias one side, as with any join's USING-less SQL). Planning
+  * and pushdown then ride the exact same strategy + optimizer rule as
+  * the DataFrame API. Registered via [[GraftExtensions]]
+  * (`injectTableFunction`) or [[AsOf.ensureRegistered]].
+  */
+object AsOfTableFunction {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+  import org.apache.spark.sql.catalyst.expressions.{
+    ExpressionInfo, FunctionTableSubqueryArgumentExpression, Literal}
+
+  private def str(e: Expression, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String,
+        org.apache.spark.sql.types.StringType) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"asof_join: $what must be a string literal, got $other")
+  }
+
+  private def attrs(names: String): Seq[Expression] =
+    names.split(",").toSeq.map(n => UnresolvedAttribute.quoted(n.trim))
+
+  val builder: Seq[Expression] => LogicalPlan = (args: Seq[Expression]) => {
+    require(args.length >= 6 && args.length <= 8,
+      "asof_join(TABLE(left), TABLE(right), leftKeys, rightKeys, " +
+        "leftTime, rightTime[, direction[, joinType]])")
+    val Seq(lPlan, rPlan) = args.take(2).map {
+      case t: FunctionTableSubqueryArgumentExpression => t.plan
+      case other => throw new IllegalArgumentException(
+        s"asof_join: the first two arguments must be TABLE(...) references, got $other")
+    }
+    val lk = attrs(str(args(2), "leftKeys"))
+    val rk = attrs(str(args(3), "rightKeys"))
+    require(lk.nonEmpty && lk.length == rk.length,
+      "asof_join needs one or more key column pairs")
+    val dir = if (args.length > 6) str(args(6), "direction") else "backward"
+    require(Set("backward", "forward", "nearest").contains(dir),
+      s"asof_join direction must be backward/forward/nearest, got $dir")
+    val outer = (if (args.length > 7) str(args(7), "joinType") else "left")
+      .toLowerCase match {
+        case "left" | "left_outer" => true
+        case "inner" => false
+        case other => throw new IllegalArgumentException(
+          s"asof_join type must be left or inner, got $other")
+      }
+    AsOfJoinPlan(lPlan, rPlan, lk, rk,
+      UnresolvedAttribute.quoted(str(args(4), "leftTime")),
+      UnresolvedAttribute.quoted(str(args(5), "rightTime")),
+      outer, None, dir)
+  }
+
+  val injection: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("asof_join"),
+      new ExpressionInfo(classOf[AsOfJoinPlan].getName, "asof_join"),
+      builder)
+}
+
 /** Public DataFrame API for the as-of join. */
 object AsOf {
-  private val timeTypes: Set[DataType] =
+  private[plans] val timeTypes: Set[DataType] =
     Set(LongType, IntegerType, TimestampType, TimestampNTZType, DateType)
 
-  /** Idempotently register the planner strategy + pushdown rule on a
-    * session we did not build (the driver constructs its own;
-    * `experimental.extraStrategies`/`extraOptimizations` are the public
-    * hooks for exactly this).
+  /** Idempotently register the planner strategy + pushdown rule + SQL
+    * table function on a session we did not build (the driver constructs
+    * its own; `experimental.extraStrategies`/`extraOptimizations` and the
+    * session registries are the public hooks for exactly this).
     */
   def ensureRegistered(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
@@ -476,6 +560,9 @@ object AsOf {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ PushFilterThroughAsOfJoin
     }
+    val (id, info, builder) = AsOfTableFunction.injection
+    spark.sessionState.tableFunctionRegistry
+      .registerFunction(id, info, builder)
   }
 
   /** Backward as-of join: for each left row, the right row with equal keys

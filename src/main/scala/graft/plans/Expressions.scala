@@ -544,6 +544,7 @@ case class LshCodesExpr(child: Expression, tables: Int, bits: Int)
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftExtensions.injections.foreach(ext.injectFunction)
+    ext.injectTableFunction(AsOfTableFunction.injection)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
   }
@@ -578,7 +579,11 @@ object GraftExtensions {
         LshCodesExpr(args(0), intArg(args(1)), intArg(args(2)))),
     (FunctionIdentifier("char_ngrams"),
       new ExpressionInfo(classOf[CharNgramsExpr].getName, "char_ngrams"),
-      (args: Seq[Expression]) => CharNgramsExpr(args(0), intArg(args(1)))))
+      (args: Seq[Expression]) => CharNgramsExpr(args(0), intArg(args(1)))),
+    (FunctionIdentifier("text_profile"),
+      new ExpressionInfo(classOf[TextProfileExpr].getName, "text_profile"),
+      (args: Seq[Expression]) => TextProfileExpr(args.head,
+        args.tail.map(a => a.eval(null).toString))))
 
   /** Register into an already-built session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -315,6 +315,48 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL table function asof_join(TABLE, TABLE, ...) matches the DataFrame API") {
+    AsOf.ensureRegistered(spark)
+    bothPaths {
+      val (ls, rs) = samples(1).head
+      leftDf(ls).createOrReplaceTempView("tvf_l")
+      rightDf(rs).withColumnRenamed("k", "rk")
+        .createOrReplaceTempView("tvf_r")
+      for (dir <- Seq("backward", "forward", "nearest")) {
+        val got = spark.sql(
+          s"""SELECT k, t, lv, rv FROM asof_join(
+             TABLE(tvf_l), TABLE(tvf_r), 'k', 'rk', 't', 'rt', '$dir')""")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+            Option(r.getString(3)))).toSet
+        assert(got == reference(ls, rs, None, dir), s"dir=$dir")
+      }
+      // inner variant drops unmatched lefts
+      val inner = spark.sql(
+        """SELECT count(*) FROM asof_join(
+           TABLE(tvf_l), TABLE(tvf_r), 'k', 'rk', 't', 'rt',
+           'backward', 'inner')""").head.getLong(0)
+      assert(inner ==
+        reference(ls, rs, None).count(_._4.nonEmpty).toLong)
+    }
+    // WHERE on the probe side still pushes through the TVF-built node
+    val l = leftDf(Seq((1L, 1L, "a"), (2L, 2L, "b")))
+    val r = rightDf(Seq((1L, 1L, "x")))
+    l.createOrReplaceTempView("tvf_l")
+    r.withColumnRenamed("k", "rk").createOrReplaceTempView("tvf_r")
+    val q = spark.sql(
+      """SELECT lv, rv FROM asof_join(
+         TABLE(tvf_l), TABLE(tvf_r), 'k', 'rk', 't', 'rt')
+         WHERE lv = 'a'""")
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val pushed = q.queryExecution.optimizedPlan.collect {
+      case j: graft.plans.AsOfJoinPlan =>
+        j.left.collectFirst { case f: LFilter => f }
+    }.flatten
+    assert(pushed.nonEmpty, s"probe filter not pushed:\n${q.queryExecution.optimizedPlan}")
+    assert(q.as[(String, String)].collect().toSeq == Seq(("a", "x")))
+  }
+
   test("small right side auto-selects the broadcast exec: no shuffle, no sort") {
     import graft.plans.BroadcastAsOfJoinExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
