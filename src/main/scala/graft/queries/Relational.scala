@@ -253,6 +253,29 @@ object Relational {
         .orderBy(col("event_id"))
     },
 
+    // J14: the as-of join through its SQL TABLE-function surface — j11's
+    // exact semantics as `FROM asof_join(TABLE(p), TABLE(c), ...)`: same
+    // custom node, planner strategy, and cost-based broadcast selection,
+    // reached from SQL instead of the DataFrame API, proving the TVF
+    // path end-to-end through the oracle gate (same DuckDB ASOF oracle).
+    "j14_asof_sql" -> { (s, d) =>
+      graft.plans.AsOf.ensureRegistered(s)
+      val ev = Tables.events(s, d)
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .createOrReplaceTempView("asof_purchases")
+      ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("c_user"), col("ts").as("click_ts"))
+        .agg(max(col("event_id")).as("click_id"),
+          max_by(col("value"), col("event_id")).as("click_value"))
+        .createOrReplaceTempView("asof_clicks")
+      s.sql("""SELECT user_id, unix_micros(ts) AS ts_us, event_id, value,
+          click_id, unix_micros(click_ts) AS click_ts_us, click_value
+        FROM asof_join(TABLE(asof_purchases), TABLE(asof_clicks),
+          'user_id', 'c_user', 'ts', 'click_ts')
+        ORDER BY event_id""")
+    },
+
     // J12: interval (range) join via bucketization — clicks within the
     // hour before each purchase. A pure range predicate gives Spark a
     // BroadcastNestedLoopJoin (O(n·m) and an OOM-prone broadcast); the
@@ -598,6 +621,18 @@ object Relational {
            round((last_v - prev_v) / prev_v * 100, 4) AS change_pct
          FROM lastd, prevd""",
     "j11_asof_join" ->
+      """WITH p AS (SELECT user_id, ts, event_id, value FROM events
+           WHERE event_type = 'purchase'),
+         c AS (SELECT user_id AS c_user, ts AS click_ts,
+             max(event_id) AS click_id,
+             max_by(value, event_id) AS click_value
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT p.user_id, epoch_us(p.ts) AS ts_us, p.event_id, p.value,
+           c.click_id, epoch_us(c.click_ts) AS click_ts_us, c.click_value
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.c_user AND p.ts >= c.click_ts
+         ORDER BY p.event_id""",
+    "j14_asof_sql" ->
       """WITH p AS (SELECT user_id, ts, event_id, value FROM events
            WHERE event_type = 'purchase'),
          c AS (SELECT user_id AS c_user, ts AS click_ts,
