@@ -474,7 +474,9 @@ object BroadcastAsOfJoinExec {
   *   TABLE(trades), TABLE(prices),
   *   'pool_id', 'r_pool',        -- key columns ('a,b' for multi-key)
   *   'ts', 'r_ts'                -- time columns
-  *   [, 'backward'|'forward'|'nearest' [, 'left'|'inner']])
+  *   [, 'backward'|'forward'|'nearest'
+  *   [, 'left'|'inner'
+  *   [, tolerance]]])            -- max |Δtime| in the column's raw unit
   * }}}
   *
   * The TABLE(...) arguments arrive as
@@ -504,10 +506,16 @@ object AsOfTableFunction {
   private def attrs(names: String): Seq[Expression] =
     names.split(",").toSeq.map(n => UnresolvedAttribute.quoted(n.trim))
 
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Number, _) => v.longValue
+    case other => throw new IllegalArgumentException(
+      s"asof_join: $what must be an integer literal, got $other")
+  }
+
   val builder: Seq[Expression] => LogicalPlan = (args: Seq[Expression]) => {
-    require(args.length >= 6 && args.length <= 8,
+    require(args.length >= 6 && args.length <= 9,
       "asof_join(TABLE(left), TABLE(right), leftKeys, rightKeys, " +
-        "leftTime, rightTime[, direction[, joinType]])")
+        "leftTime, rightTime[, direction[, joinType[, tolerance]]])")
     val Seq(lPlan, rPlan) = args.take(2).map {
       case t: FunctionTableSubqueryArgumentExpression => t.plan
       case other => throw new IllegalArgumentException(
@@ -527,10 +535,13 @@ object AsOfTableFunction {
         case other => throw new IllegalArgumentException(
           s"asof_join type must be left or inner, got $other")
       }
+    val tol =
+      if (args.length > 8) Some(longArg(args(8), "tolerance")) else None
+    tol.foreach(t => require(t >= 0, s"asof_join tolerance must be >= 0, got $t"))
     AsOfJoinPlan(lPlan, rPlan, lk, rk,
       UnresolvedAttribute.quoted(str(args(4), "leftTime")),
       UnresolvedAttribute.quoted(str(args(5), "rightTime")),
-      outer, None, dir)
+      outer, tol, dir)
   }
 
   val injection: (FunctionIdentifier, ExpressionInfo,

@@ -339,6 +339,34 @@ class AsOfJoinSpec extends AnyFunSuite {
       assert(inner ==
         reference(ls, rs, None).count(_._4.nonEmpty).toLong)
     }
+    // tolerance argument bounds staleness like the DataFrame API
+    bothPaths {
+      val (ls, rs) = samples(2).last
+      leftDf(ls).createOrReplaceTempView("tvf_l")
+      rightDf(rs).withColumnRenamed("k", "rk")
+        .createOrReplaceTempView("tvf_r")
+      val got = spark.sql(
+        """SELECT k, t, lv, rv FROM asof_join(
+           TABLE(tvf_l), TABLE(tvf_r), 'k', 'rk', 't', 'rt',
+           'backward', 'left', 7)""").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          Option(r.getString(3)))).toSet
+      assert(got == reference(ls, rs, Some(7L)))
+    }
+    // multi-key: comma-separated key lists resolve per side
+    bothPaths {
+      val l = Seq((1L, 10L, 5L, "a"), (1L, 20L, 5L, "b"))
+        .toDF("k1", "k2", "t", "lv")
+      val r = Seq((1L, 10L, 3L, "x"), (1L, 20L, 4L, "y"))
+        .toDF("rk1", "rk2", "rt", "rv")
+      l.createOrReplaceTempView("tvf_ml")
+      r.createOrReplaceTempView("tvf_mr")
+      val got = spark.sql(
+        """SELECT lv, rv FROM asof_join(
+           TABLE(tvf_ml), TABLE(tvf_mr), 'k1,k2', 'rk1,rk2', 't', 'rt')""")
+        .as[(String, String)].collect().toSet
+      assert(got == Set(("a", "x"), ("b", "y")))
+    }
     // WHERE on the probe side still pushes through the TVF-built node
     val l = leftDf(Seq((1L, 1L, "a"), (2L, 2L, "b")))
     val r = rightDf(Seq((1L, 1L, "x")))

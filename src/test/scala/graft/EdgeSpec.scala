@@ -90,6 +90,14 @@ class EdgeSpec extends AnyFunSuite {
     assert(intercept[Exception](
       spark.sql("SELECT char_ngrams('abc', 0)").collect())
       .getMessage.contains("must be >= 1"))
+    // text_profile round-trips through SQL with varargs markers
+    val prof = spark.sql(
+      "SELECT text_profile('the cat the dog', 'the', 'cat').counts")
+      .head.getSeq[Int](0)
+    assert(prof == Seq(2, 1))
+    assert(intercept[Exception](
+      spark.sql("SELECT text_profile('abc')").collect())
+      .getMessage.contains("non-empty"))
     // and valid args still work
     assert(vec.select(Expressions.lshCodes(col("emb"), 2, 16))
       .head.getSeq[Long](0).length == 2)
