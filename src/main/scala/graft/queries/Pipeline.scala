@@ -119,6 +119,24 @@ object Pipeline {
         .orderBy(col("group_id"), col("doc_id"))
     },
 
+    // D10: group-correct dedup APPLY — keep exactly one doc (the minimum
+    // id) per CONNECTED COMPONENT of near-dup pairs. d6's pair-based rule
+    // (drop every pair's higher side) is not the same set: a doc that is
+    // near-dup to the group but never a pair's higher side survives d6
+    // (edges A-C, B-C with A<B<C keep both A and B) — components make
+    // keep-one exact. Same anti-join shape at scale; the component labels
+    // come from the d8 machinery.
+    "d10_dedup_apply_groups" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDup(docs, n = 3, theta = 0.8)
+      val comp = Dedup.connectedComponents(pairs.select(col("doc_a"), col("doc_b")))
+      val drop = comp.filter(col("id") =!= col("comp"))
+        .select(col("id").as("doc_id"))
+      docs.join(drop, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
     // D9: SemDeDup-style semantic pruning — cluster the embedding space,
     // drop the higher id of every within-cluster pair with cosine ≥ θ.
     // Centroids here are the deterministic sample n3 uses (NOT trained),
@@ -453,6 +471,20 @@ object Pipeline {
            FROM p WHERE (doc_a % 20 = 0) <> (doc_b % 20 = 0))
          SELECT doc_id, lang, source FROM documents
          WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+         ORDER BY doc_id""",
+    "d10_dedup_apply_groups" ->
+      s"""WITH RECURSIVE p AS (${Dedup.jaccardOracleSql(3, 0.8)}),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+               UNION ALL SELECT doc_b, doc_a FROM p),
+         v AS (SELECT DISTINCT src AS id FROM e),
+         reach AS (
+           SELECT id, id AS r FROM v
+           UNION
+           SELECT reach.id, e.dst AS r FROM reach JOIN e ON reach.r = e.src
+         ),
+         comp AS (SELECT id, min(r) AS grp FROM reach GROUP BY id)
+         SELECT doc_id, lang, source FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> grp)
          ORDER BY doc_id""",
     "d9_semantic_prune" ->
       s"""WITH u AS ($duckUnnest),
