@@ -125,10 +125,9 @@ object Dedup {
     * rounds = component diameter, and verified near-dup components are
     * near-cliques (every member passed a pairwise Jaccard/cosine gate),
     * so the loop converges in single digits at any corpus size. For
-    * general graphs with long chains, swap the body for the
-    * large-star/small-star rewiring (Kiveris et al., "Connected
-    * Components in MapReduce and Beyond"), which bounds rounds by
-    * O(log² n); the pair-to-group use case never needs it.
+    * general graphs with long chains use
+    * [[connectedComponentsLargeStar]], which bounds rounds by O(log² n);
+    * the pair-to-group use case never needs it.
     * `localCheckpoint` truncates each round's lineage so the plan does
     * not grow with the iteration count.
     *
@@ -160,6 +159,67 @@ object Dedup {
       labels = next
     }
     labels
+  }
+
+  /** Connected components via alternating large-star / small-star
+    * rewiring (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the GENERAL-graph path [[connectedComponents]]'s scaladoc
+    * points to: min-label propagation needs diameter-many rounds, which
+    * is fine for near-clique dup groups but pathological on long chains;
+    * LS/SS converges in O(log² n) rounds on ANY topology.
+    *
+    * Each round, per node x with neighborhood Γ(x) and m = min(Γ(x)∪{x}):
+    * large-star rewires every LARGER neighbor to m; small-star rewires
+    * every not-larger neighbor (and x itself) to m. Edges stay canonical
+    * (least, greatest, distinct, no self-loops); at the fixpoint the edge
+    * set is a forest of stars rooted at component minima, read off as
+    * (id, comp) labels. Deterministic — every step is a min over a set.
+    *
+    * Scale shape per round: two groupBy(node) aggregations + joins over
+    * the current edge set (one shuffle each), lineage truncated per
+    * round. `maxRounds` is a diverge guard, not a tuning knob.
+    */
+  def connectedComponentsLargeStar(edges: DataFrame, maxRounds: Int = 64)
+      : DataFrame = {
+    def canon(df: DataFrame): DataFrame =
+      df.filter(col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("u"),
+          greatest(col("x"), col("y")).as("v"))
+        .distinct()
+    var e = canon(edges.select(col(edges.columns(0)).as("x"),
+        col(edges.columns(1)).as("y")))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged) {
+      require(rounds < maxRounds,
+        s"large-star/small-star did not converge in $maxRounds rounds")
+      rounds += 1
+      // large-star over Γ (both directions): larger neighbors → min(Γ⁺)
+      val nbrs = e.select(col("u").as("x"), col("v").as("y"))
+        .union(e.select(col("v").as("x"), col("u").as("y")))
+      val mins = nbrs.groupBy(col("x"))
+        .agg(min(col("y")).as("mn"))
+        .select(col("x"), least(col("mn"), col("x")).as("m"))
+      val ls = canon(nbrs.join(mins, "x").filter(col("y") > col("x"))
+        .select(col("y").as("x"), col("m").as("y")))
+      // small-star over the result: smaller neighbors AND x itself → min
+      val smallNbrs = ls.select(col("v").as("x"), col("u").as("y")) // y < x
+      val smallMins = smallNbrs.groupBy(col("x"))
+        .agg(min(col("y")).as("m")) // y < x, so min(Γ≤∪{x}) = min(y)
+      val ss = canon(
+        smallNbrs.join(smallMins, "x")
+          .select(col("y").as("x"), col("m").as("y"))
+          .union(smallMins.select(col("x"), col("m").as("y"))))
+        .localCheckpoint(true)
+      val grew = ss.exceptAll(e).limit(1).count() > 0
+      converged = !grew && ss.count() == e.count()
+      e = ss
+    }
+    e.select(col("v").as("id"), col("u").as("comp"))
+      .union(e.select(col("u"), col("u")).distinct()
+        .toDF("id", "comp"))
+      .distinct()
   }
 
   /** DuckDB oracle for the Jaccard pair queries (both the brute-force

@@ -80,17 +80,30 @@ class DedupSpec extends AnyFunSuite {
     (1 to 12).foreach { i =>
       val edges = edgeGen.apply(Gen.Parameters.default, Seed(i.toLong)).get
       val want = ufComponents(edges)
-      val got =
-        if (edges.isEmpty) Map.empty[Long, Long]
-        else Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
-          .as[(Long, Long)].collect().toMap
-      assert(got == want, s"edges: $edges")
+      if (edges.nonEmpty) {
+        val df = edges.toDF("doc_a", "doc_b")
+        assert(Dedup.connectedComponents(df)
+          .as[(Long, Long)].collect().toMap == want, s"min-label: $edges")
+        assert(Dedup.connectedComponentsLargeStar(df)
+          .as[(Long, Long)].collect().toMap == want, s"LS/SS: $edges")
+      }
     }
     // long chain: the worst case for propagation rounds — still exact
     val chain = (0L until 12L).map(i => (i, i + 1))
     val gotChain = Dedup.connectedComponents(chain.toDF("doc_a", "doc_b"))
       .as[(Long, Long)].collect().toMap
     assert(gotChain == (0L to 12L).map(_ -> 0L).toMap)
+  }
+
+  test("large-star/small-star collapses a deep chain within its round bound") {
+    // a 60-deep chain needs 60 propagation rounds under min-label but
+    // O(log² n) LS/SS rounds — maxRounds=12 would abort propagation-like
+    // behavior, so passing proves the rewiring actually short-circuits
+    val chain = (0L until 60L).map(i => (i, i + 1))
+    val got = Dedup.connectedComponentsLargeStar(
+        chain.toDF("doc_a", "doc_b"), maxRounds = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L to 60L).map(_ -> 0L).toMap)
   }
 
   test("simhash: near-identical docs are close in Hamming distance") {
