@@ -169,6 +169,32 @@ object DomainQueries {
         .limit(20)
     },
 
+    // §3 serving composite #2: the GET /trades page — newest-first keyset
+    // page of fact rows, each enriched with the prevailing reference
+    // value via the custom as-of join (api/routes/trades.js: per-trade
+    // price lookups + cursor pagination). The keyset predicate sits on
+    // the PROBE side, so PushFilterThroughAsOfJoin must carry it through
+    // the custom node into the fact scan — this query exercises that
+    // rule in a composed serving path, then TakeOrdered pages the result.
+    "api2_trades_page" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("c_user"), col("ts").as("click_ts"))
+        .agg(max(col("event_id")).as("click_id"),
+          max_by(col("value"), col("event_id")).as("click_value"))
+      graft.plans.AsOf.joinBackward(purchases, clicks,
+          Seq("user_id"), Seq("c_user"), "ts", "click_ts")
+        .filter(col("event_id") < 9000L) // keyset cursor from the client
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("value"),
+          col("click_id"), unix_micros(col("click_ts")).as("click_ts_us"),
+          col("click_value"))
+        .orderBy(col("event_id").desc)
+        .limit(20)
+    },
+
     // S3 + §2.8 encoding: base64 round-trip decode check, "amount+denom"
     // asset parse, "denom:amount" k/v parse (core/parse.js:4-17,38-60).
     "s3_event_decode" -> { (s, d) =>
@@ -447,6 +473,19 @@ object DomainQueries {
          SELECT token_id, price_in_zig, mcap_zig, fdv_zig, holders,
            (SELECT count(*) FROM am) AS total
          FROM am ORDER BY mcap_zig DESC, token_id LIMIT 20""",
+    "api2_trades_page" ->
+      """WITH p AS (SELECT user_id, ts, event_id, value FROM events
+           WHERE event_type = 'purchase'),
+         c AS (SELECT user_id AS c_user, ts AS click_ts,
+             max(event_id) AS click_id,
+             max_by(value, event_id) AS click_value
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT p.user_id, epoch_us(p.ts) AS ts_us, p.event_id, p.value,
+           c.click_id, epoch_us(c.click_ts) AS click_ts_us, c.click_value
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.c_user AND p.ts >= c.click_ts
+         WHERE p.event_id < 9000
+         ORDER BY p.event_id DESC LIMIT 20""",
     "s3_event_decode" ->
       """SELECT doc_id,
          decode(from_base64(base64(encode(text)))) = text AS round_ok,
