@@ -383,6 +383,28 @@ object Pipeline {
         .limit(50)
     },
 
+    // T14: statistical length-outlier filter — drop docs outside the
+    // per-source [P5, P95] token-count band, the corpus-cleaning pass
+    // driven by the corpus's OWN distribution instead of fixed cutoffs.
+    // The 100 TB shape: pass 1 computes per-source thresholds (one
+    // aggregate, rows = |sources|), pass 2 broadcasts them back into a
+    // map-side filter — no sort, no window over the full corpus. The
+    // thresholds stay internal to the predicate (no float output), and
+    // integer token counts compared against interpolated thresholds are
+    // ulp-robust across engines.
+    "t14_length_outliers" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(Text.words(col("text"))).cast("long").as("tok"))
+      val bounds = docs.groupBy(col("source"))
+        .agg(expr("percentile(tok, 0.05)").as("lo"),
+          expr("percentile(tok, 0.95)").as("hi"))
+      docs.join(broadcast(bounds), "source")
+        .filter(col("tok") >= col("lo") && col("tok") <= col("hi"))
+        .select(col("doc_id"), col("source"), col("tok"))
+        .orderBy(col("doc_id"))
+    },
+
     // M1: multimodal metadata join — documents ⋈ embeddings with an opaque
     // binary payload column (md5 bytes standing in for media bytes) and
     // typed metadata projected out of it.
@@ -508,6 +530,17 @@ object Pipeline {
          SELECT a.vec_id, a.cid AS cluster_id FROM asg a
          WHERE a.vec_id NOT IN (SELECT vb FROM dropped)
          ORDER BY a.vec_id""",
+    "t14_length_outliers" ->
+      """WITH d AS (SELECT doc_id, source,
+           len(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+         FROM documents),
+         b AS (SELECT source, quantile_cont(tok, 0.05) AS lo,
+                 quantile_cont(tok, 0.95) AS hi
+               FROM d GROUP BY source)
+         SELECT d.doc_id, d.source, CAST(d.tok AS BIGINT) AS tok
+         FROM d JOIN b USING (source)
+         WHERE d.tok >= b.lo AND d.tok <= b.hi
+         ORDER BY d.doc_id""",
     "t13_doc_freq" ->
       """WITH w AS (SELECT DISTINCT doc_id,
            unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
