@@ -300,28 +300,35 @@ object Pipeline {
     // T12: sequence packing — concatenate-and-split into fixed-token-
     // budget training chunks, the layout step between a cleaned corpus
     // and a pretraining dataloader. Docs are ordered by content
-    // fingerprint within each source (a deterministic global shuffle —
-    // no RNG state, stable across engines), then a running token count
-    // assigns each doc its chunk and offset: chunk = ⌊(cum-tok)/budget⌋,
-    // i.e. documents span chunk boundaries exactly as GPT-style packing
-    // concatenates then splits. One window cumsum = one shuffle+sort per
-    // source partition; no driver loop, no collect — the 100 TB shape.
+    // fingerprint within each (source, shard) — a deterministic global
+    // shuffle, no RNG state — then a running token count assigns each
+    // doc its chunk and offset: chunk = ⌊(cum-tok)/budget⌋, i.e.
+    // documents span chunk boundaries exactly as GPT-style packing
+    // concatenates then splits. The SHARD (first fingerprint nibble, 16
+    // ways, oracle-expressible) is the 100 TB knob: partitioning the
+    // cumsum by source alone makes one dominant source a single sorting
+    // task — sharding bounds every window partition at 1/16th of a
+    // source, and chunk ids are namespaced per (source, shard), which a
+    // dataloader treats as independent pack files. One shuffle+sort, no
+    // driver loop, no collect.
     "t12_seq_pack" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val budget = 512L
-      val w = Window.partitionBy(col("source"))
+      val w = Window.partitionBy(col("source"), col("shard"))
         .orderBy(col("fp"), col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           md5(Text.normalize(col("text"))).as("fp"),
           size(Text.words(col("text"))).cast("long").as("tok"))
+        .withColumn("shard",
+          expr("conv(substring(fp, 1, 1), 16, 10)").cast("long"))
         .withColumn("cum", sum(col("tok")).over(w))
-        .select(col("doc_id"), col("source"), col("tok"),
+        .select(col("doc_id"), col("source"), col("shard"), col("tok"),
           expr(s"(cum - tok) div $budget").as("chunk_id"),
           expr(s"(cum - tok) % $budget").as("chunk_offset"))
-        .orderBy(col("source"), col("chunk_id"), col("chunk_offset"),
-          col("doc_id"))
+        .orderBy(col("source"), col("shard"), col("chunk_id"),
+          col("chunk_offset"), col("doc_id"))
     },
 
     // T8s: quality-gate filter — the corpus-cleaning pass that consumes
@@ -582,14 +589,18 @@ object Pipeline {
            md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
            len(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
          FROM documents),
-         c AS (SELECT doc_id, source, tok,
-           sum(tok) OVER (PARTITION BY source ORDER BY fp, doc_id
+         sh AS (SELECT doc_id, source, fp, tok,
+           CAST(strpos('0123456789abcdef', substr(fp, 1, 1)) - 1 AS BIGINT)
+             AS shard
+         FROM d),
+         c AS (SELECT doc_id, source, shard, tok,
+           sum(tok) OVER (PARTITION BY source, shard ORDER BY fp, doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         FROM d)
-         SELECT doc_id, source, CAST(tok AS BIGINT) AS tok,
+         FROM sh)
+         SELECT doc_id, source, shard, CAST(tok AS BIGINT) AS tok,
            CAST((cum - tok) // 512 AS BIGINT) AS chunk_id,
            CAST((cum - tok) % 512 AS BIGINT) AS chunk_offset
-         FROM c ORDER BY source, chunk_id, chunk_offset, doc_id""",
+         FROM c ORDER BY source, shard, chunk_id, chunk_offset, doc_id""",
     "t6_repetition" ->
       """WITH t AS (SELECT doc_id,
            regexp_split_to_array(trim(lower(text)), '\s+') AS w
