@@ -123,6 +123,47 @@ object Similarity {
         col("cand_id").as("neighbor_id"), round4(col("cos")).as("cosine"))
   }
 
+  /** Multi-probe LSH ANN: like [[lshTopK]], but each probe also searches
+    * the buckets whose code differs from its own in exactly ONE bit (the
+    * classic multi-probe trick — a near neighbor that lands just across
+    * one hyperplane is found without adding tables). Probe-side bucket
+    * keys go from `tables` to `tables × (1+bits)`; the candidate set —
+    * and so the cost — grows with actual bucket occupancy, while recall
+    * rises at the SAME signature storage cost, which is the trade that
+    * matters at 100 TB: tables cost a corpus-wide column, probes only
+    * cost the (small) query side. Candidate scoring and ranking are
+    * identical to the single-probe path.
+    */
+  def lshTopKMultiProbe(probes: DataFrame, vecs: DataFrame, k: Int,
+                        tables: Int = 8, bits: Int = 4): DataFrame = {
+    def coded(df: DataFrame, idName: String) = df
+      .select(col("vec_id").as(idName), col("embedding"),
+        posexplode(lshCodes(col("embedding"), tables, bits)))
+      .select(col(idName), col("embedding"),
+        col("pos").as("table"), col("col").as("code"))
+    val flips = (0 until bits).map(b =>
+      col("code").bitwiseXOR(lit(1L << b)))
+    val p = coded(probes, "probe_id")
+      .withColumn("code", explode(array(col("code") +: flips: _*)))
+      .withColumnRenamed("embedding", "pe")
+    val v = coded(vecs, "cand_id")
+      .withColumnRenamed("embedding", "ce")
+    val cands = v.join(broadcast(p), Seq("table", "code"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("pe"), col("cand_id"), col("ce"))
+      .dropDuplicates("probe_id", "cand_id")
+    val scored = cands.withColumn("cos", cosineFromScaled(
+      dotScaled(col("pe"), col("ce")),
+      normScaled(col("pe")), normScaled(col("ce"))))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("cand_id").as("neighbor_id"), round4(col("cos")).as("cosine"))
+  }
+
   /** Deterministic Lloyd (k-means) iterations for IVF centroid training:
     * assign every vector to its nearest centroid (centroids are FEW —
     * broadcast; the corpus never self-joins), recompute each centroid as

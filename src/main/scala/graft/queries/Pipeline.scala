@@ -188,6 +188,18 @@ object Pipeline {
         .orderBy(col("probe_id"), col("rank"))
     },
 
+    // N5: multi-probe LSH ANN — n2 plus Hamming-1 bucket probing on the
+    // query side: recall rises at the SAME corpus-side signature cost
+    // (tables cost a corpus-wide column; extra probes only cost the
+    // small query side). Rows-only like n2; SimilaritySpec proves
+    // multi-probe recall dominates single-probe and clears a floor
+    // single-probe doesn't.
+    "n5_ann_multiprobe" -> { (s, d) =>
+      val v = Tables.embeddings(s, d)
+      Similarity.lshTopKMultiProbe(v.filter(col("vec_id") < 10), v, k = 5)
+        .orderBy(col("probe_id"), col("rank"))
+    },
+
     // N3: IVF-bucketed ANN — centroid assignment + nprobe-bucket search
     // (the inverted-file scale path; centroids = deterministic sample).
     // Rows-only like n2; SimilaritySpec bounds recall vs n1.

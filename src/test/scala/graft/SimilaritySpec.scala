@@ -198,6 +198,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.15, s"semantic-prune drop recall $recall < 0.15")
   }
 
+  test("multi-probe LSH dominates single-probe recall at the same tables") {
+    val probes = vecs.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(probes, vecs, 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+        .intersect(brute).size.toDouble / brute.size
+    val single = recall(Similarity.lshTopK(probes, vecs, 5))
+    val multi = recall(Similarity.lshTopKMultiProbe(probes, vecs, 5))
+    // Hamming-1 probing can only ADD candidate buckets, so per-pair
+    // candidacy is a superset — recall must not drop, and on the
+    // isotropic fixture it should clear a floor single-probe can't
+    assert(multi >= single, s"multi-probe recall $multi < single $single")
+    assert(multi >= 0.6, s"multi-probe recall $multi < 0.6")
+  }
+
   test("semanticPrune reuses the assignment stage across its self-join") {
     // the assignment subtree (broadcast-centroid scoring + per-vector
     // argmax) appears three times in the composed plan (anti-join left,
