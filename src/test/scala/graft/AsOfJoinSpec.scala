@@ -286,6 +286,33 @@ class AsOfJoinSpec extends AnyFunSuite {
     } finally spark.conf.set(key, old)
   }
 
+  test("config fuzz: random direction/tolerance/salt/dedupe/joinType combinations agree with the reference") {
+    // every feature is pinned individually above; this drives random
+    // COMBINATIONS through both physical strategies, where interactions
+    // (salted keys + tolerance + nearest, dedupe + inner, ...) would hide
+    val rng = new scala.util.Random(7)
+    bothPaths {
+      samples(12).foreach { case (ls, rs) =>
+        val dir = Seq("backward", "forward", "nearest")(rng.nextInt(3))
+        val tol = if (rng.nextBoolean()) Some(rng.nextInt(15).toLong + 1L) else None
+        val salt = if (rng.nextBoolean()) rng.nextInt(4) + 2 else 1
+        val dedupe = rng.nextBoolean() // right sides are unique per (k,t): semantics unchanged
+        val inner = rng.nextBoolean()
+        val got = AsOf.join(leftDf(ls), rightDf(rs).withColumnRenamed("k", "rk"),
+            Seq("k"), Seq("rk"), "t", "rt", dir,
+            joinType = if (inner) "inner" else "left",
+            tolerance = tol, skewSalt = salt, dedupeRight = dedupe)
+          .select($"k", $"t", $"lv", $"rv").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+            Option(r.getString(3)))).toSet
+        val full = reference(ls, rs, tol, dir)
+        val want = if (inner) full.filter(_._4.nonEmpty) else full
+        assert(got == want,
+          s"dir=$dir tol=$tol salt=$salt dedupe=$dedupe inner=$inner: $ls vs $rs")
+      }
+    }
+  }
+
   test("mixed left/right time column types are rejected") {
     val l = leftDf(Seq((1L, 5L, "a")))
     val r = rightDf(Seq((1L, 3L, "x")))
