@@ -206,6 +206,31 @@ object TimeSeries {
         .orderBy(col("event_type"))
     },
 
+    // A20: rolling unique users via MERGEABLE HLL sketches — the 100 TB
+    // path for A14-style distinct counts: exact rolling uniques need the
+    // full id set per (window × day) shuffled to one reducer chain,
+    // while a per-day datasketches-HLL sketch aggregates map-side once
+    // and every rolling window is a cheap register-max union of 7 tiny
+    // sketches. Sketch registers are maxima over hashed ids — identical
+    // under any partitioning or input order, so the estimate is
+    // deterministic. No DuckDB twin exists for the sketch (rows-only);
+    // CoreSpec bounds the estimate against exact rolling uniques.
+    "a20_rolling_uniques_hll" -> { (s, d) =>
+      val day = Tables.events(s, d)
+        .groupBy(col("event_type"), bucketSec(col("ts"), 86400L).as("day"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      day.as("a")
+        .join(day.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("b.day") <= col("a.day") &&
+            col("b.day") >= col("a.day") - 6L * 86400L)
+        .groupBy(col("a.event_type").as("event_type"),
+          col("a.day").as("day"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(b.sk))")
+          .as("rolling_uniques_7d"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
     // A15: first-seen timestamps (jobs/token-security.js:89-99).
     "a15_first_seen" -> { (s, d) =>
       Tables.events(s, d)

@@ -53,6 +53,44 @@ class CoreSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL rolling uniques within 5% of exact, stable across partitionings") {
+    // the a20 sketch path: per-day hll_sketch_agg then 7-day union —
+    // bound the estimate against exact rolling distincts computed the
+    // expensive way, and pin partition-order independence
+    val e = Tables.events(spark, sfDir)
+    def rolling(parts: Int): Map[(String, Long), Long] = {
+      val day = e.repartition(parts)
+        .groupBy(col("event_type"), bucketSec(col("ts"), 86400L).as("day"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      day.as("a").join(day.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("b.day") <= col("a.day") &&
+            col("b.day") >= col("a.day") - 6L * 86400L)
+        .groupBy(col("a.event_type").as("t"), col("a.day").as("d"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(b.sk))").as("u"))
+        .as[(String, Long, Long)].collect()
+        .map { case (t, d, u) => (t, d) -> u }.toMap
+    }
+    val est = rolling(32)
+    assert(est == rolling(3), "sketch estimate drifted across partitionings")
+    val exact = e.select(col("event_type"),
+        bucketSec(col("ts"), 86400L).as("day"), col("user_id"))
+      .distinct().as[(String, Long, Long)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+        val days = rows.map(_._2).distinct
+        days.map { d =>
+          (t, d) -> rows.filter(r => r._2 <= d && r._2 >= d - 6L * 86400L)
+            .map(_._3).distinct.size.toLong
+        }
+      }.toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (k, u) =>
+      val x = exact(k)
+      assert(math.abs(u - x) <= math.max(1L, (x * 0.05).toLong),
+        s"$k: sketch=$u exact=$x")
+    }
+  }
+
   test("stableId is deterministic and injective on distinct sample keys") {
     val keys = (1 to 1000).map(i => s"denom$i")
     val ids1 = keys.toDF("k").select(stableId(col("k"))).as[Long].collect()
