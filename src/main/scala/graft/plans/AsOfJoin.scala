@@ -441,29 +441,43 @@ object BroadcastAsOfJoinExec {
     java.util.HashMap[InternalRow, (Array[Long], Array[InternalRow])]
 
   /** Executor-side index cache, weakly keyed by the broadcast value so
-    * entries disappear when the broadcast is unpersisted/GC'd. The build
-    * runs under the map lock: first-wave tasks racing on the same
-    * broadcast wait for one build instead of each repeating it (the
-    * broadcast side is ≤ autoBroadcastJoinThreshold, so the held lock is
-    * short). Index rows are task-private copies read-only after
+    * entries disappear when the broadcast is unpersisted/GC'd. The global
+    * map lock is held only long enough to publish a per-(value, tag) lazy
+    * holder; the index build itself synchronizes on that holder, so
+    * first-wave tasks racing on the SAME index wait for one build while
+    * unrelated as-of joins on the executor proceed (r6 review: building
+    * under the global monitor serialized every concurrent as-of join's
+    * first task). Index rows are task-private copies read-only after
     * publication — safe to share across task threads.
     */
   private val cache =
-    new java.util.WeakHashMap[AnyRef, java.util.HashMap[String, AsOfIndex]]()
+    new java.util.WeakHashMap[AnyRef, java.util.HashMap[String, Holder]]()
+
+  /** `lazy val` synchronizes on this holder instance; the thunk is dropped
+    * after the build so the holder (a WeakHashMap VALUE) does not strongly
+    * reference the broadcast rows it captured (a WeakHashMap KEY), which
+    * would pin the entry forever.
+    */
+  private final class Holder(@volatile private var thunk: () => AsOfIndex) {
+    lazy val get: AsOfIndex = { val r = thunk(); thunk = null; r }
+  }
 
   private[plans] def indexFor(rows: AnyRef, tag: String)
-      (build: => AsOfIndex): AsOfIndex = cache.synchronized {
-    var inner = cache.get(rows)
-    if (inner == null) {
-      inner = new java.util.HashMap[String, AsOfIndex]()
-      cache.put(rows, inner)
+      (build: => AsOfIndex): AsOfIndex = {
+    val holder = cache.synchronized {
+      var inner = cache.get(rows)
+      if (inner == null) {
+        inner = new java.util.HashMap[String, Holder]()
+        cache.put(rows, inner)
+      }
+      var h = inner.get(tag)
+      if (h == null) {
+        h = new Holder(() => build)
+        inner.put(tag, h)
+      }
+      h
     }
-    var idx = inner.get(tag)
-    if (idx == null) {
-      idx = build
-      inner.put(tag, idx)
-    }
-    idx
+    holder.get
   }
 }
 
@@ -517,7 +531,18 @@ object AsOfTableFunction {
       "asof_join(TABLE(left), TABLE(right), leftKeys, rightKeys, " +
         "leftTime, rightTime[, direction[, joinType[, tolerance]]])")
     val Seq(lPlan, rPlan) = args.take(2).map {
-      case t: FunctionTableSubqueryArgumentExpression => t.plan
+      case t: FunctionTableSubqueryArgumentExpression =>
+        // A PARTITION BY / ORDER BY / WITH SINGLE PARTITION spec on the
+        // TABLE(...) argument would be silently discarded here (the
+        // operator derives its own distribution and per-key ordering), so
+        // reject it loudly instead of letting it read as accepted (r6
+        // review).
+        if (t.hasRepartitioning || t.orderByExpressions.nonEmpty)
+          throw new IllegalArgumentException(
+            "asof_join: PARTITION BY / ORDER BY / WITH SINGLE PARTITION " +
+              "on TABLE(...) arguments is not supported — the as-of join " +
+              "derives its own distribution and ordering")
+        t.plan
       case other => throw new IllegalArgumentException(
         s"asof_join: the first two arguments must be TABLE(...) references, got $other")
     }

@@ -314,6 +314,12 @@ object CharNgramKernel {
   *    space count once; the DuckDB string_split twin agrees), which is
   *    precisely Java's indexOf-advance loop.
   *
+  * CONTRACT: markers are matched LITERALLY (indexOf), never as regexes.
+  * The retired regex-split Column form agreed with this only for markers
+  * free of regex metacharacters; the kernel is the spec now, so a marker
+  * like "a.c" counts occurrences of the three characters `a.c`, not
+  * "a, anything, c" (r6 review).
+  *
   * Why a kernel: the quality/language queries referenced markerCount up
   * to 10× per row, each re-running the two normalize regexps plus a
   * split, and the alpha ratio used filter(_.rlike(...)) — an interpreted
@@ -329,7 +335,11 @@ object TextProfileKernel {
   /** @param padded markers pre-padded as " marker " */
   def profile(text: org.apache.spark.unsafe.types.UTF8String,
               padded: Array[String]): InternalRow = {
-    val lower = text.toString.toLowerCase(java.util.Locale.ROOT)
+    // UTF8String.toLowerCase is exactly what Spark's lower() evaluates, so
+    // the kernel and the Column composition it replaced agree byte-for-byte
+    // on every input (Locale.ROOT differed from lower() on non-ASCII text
+    // under non-default JVM locales, e.g. Turkish dotted-I — r6 review).
+    val lower = text.toLowerCase.toString
     // tokenize on whitespace runs; build the normalized (single-space
     // joined) form in the same pass
     val tokens = new scala.collection.mutable.ArrayBuffer[String](32)
@@ -554,8 +564,34 @@ object GraftExtensions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
+  /** Scalar arguments to these SQL builders are evaluated at registration
+    * time, so anything non-foldable (a column reference) or null would
+    * crash with an unbound-eval/NPE deep inside `eval` — fail with a clean
+    * named error instead, mirroring AsOfTableFunction.str (r6 review).
+    */
+  private def foldedArg(fn: String, what: String, e: Expression): Any = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: $what must be a foldable literal, got $e")
+    val v = e.eval(null)
+    if (v == null) throw new IllegalArgumentException(
+      s"$fn: $what must not be NULL")
+    v
+  }
+
   private def intArg(e: Expression): Int =
-    e.eval(null).asInstanceOf[Number].intValue
+    foldedArg("function", "argument", e) match {
+      case n: Number => n.intValue
+      case other => throw new IllegalArgumentException(
+        s"expected an integer literal, got $other")
+    }
+
+  private def markerArg(e: Expression): String =
+    foldedArg("text_profile", "marker", e) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case s: String => s
+      case other => throw new IllegalArgumentException(
+        s"text_profile: markers must be string literals, got $other")
+    }
 
   val injections: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
@@ -569,7 +605,8 @@ object GraftExtensions {
       new ExpressionInfo(classOf[ShinglesExpr].getName, "shingles"),
       (args: Seq[Expression]) =>
         ShinglesExpr(args(0), intArg(args(1)),
-          args.lift(2).forall(a => a.eval(null) == true))),
+          args.lift(2).forall(a =>
+            foldedArg("shingles", "distinct flag", a) == true))),
     (FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32Expr].getName, "simhash32"),
       (args: Seq[Expression]) => SimHash32Expr(args(0))),
@@ -583,7 +620,7 @@ object GraftExtensions {
     (FunctionIdentifier("text_profile"),
       new ExpressionInfo(classOf[TextProfileExpr].getName, "text_profile"),
       (args: Seq[Expression]) => TextProfileExpr(args.head,
-        args.tail.map(a => a.eval(null).toString))))
+        args.tail.map(markerArg))))
 
   /** Register into an already-built session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -412,6 +412,26 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(q.as[(String, String)].collect().toSeq == Seq(("a", "x")))
   }
 
+  test("TVF rejects PARTITION BY / ORDER BY specs on TABLE arguments") {
+    // the operator derives its own distribution and ordering; a user spec
+    // would be silently discarded, so it must fail loudly (r6 review)
+    AsOf.ensureRegistered(spark)
+    leftDf(Seq((1L, 1L, "a"))).createOrReplaceTempView("tvf_l")
+    rightDf(Seq((1L, 1L, "x"))).withColumnRenamed("k", "rk")
+      .createOrReplaceTempView("tvf_r")
+    for (spec <- Seq("PARTITION BY (k)", "PARTITION BY (k) ORDER BY (t)",
+        "WITH SINGLE PARTITION")) {
+      val e = intercept[Exception](spark.sql(
+        s"""SELECT * FROM asof_join(
+           TABLE(tvf_l) $spec, TABLE(tvf_r), 'k', 'rk', 't', 'rt')""")
+        .collect())
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("not supported"), s"spec=$spec got: $msgs")
+    }
+  }
+
   test("small right side auto-selects the broadcast exec: no shuffle, no sort") {
     import graft.plans.BroadcastAsOfJoinExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike

@@ -98,6 +98,19 @@ class EdgeSpec extends AnyFunSuite {
     assert(intercept[Exception](
       spark.sql("SELECT text_profile('abc')").collect())
       .getMessage.contains("non-empty"))
+    // scalar args to the SQL builders are evaluated at build time, so a
+    // non-foldable (column-ref) or NULL marker must fail with a named
+    // error, not an unbound-eval NPE (r6 review)
+    def chainMsg(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    spark.range(1).selectExpr("'the' AS c").createOrReplaceTempView("edge_tp")
+    assert(chainMsg(intercept[Exception](
+      spark.sql("SELECT text_profile('abc', c) FROM edge_tp").collect()))
+      .contains("foldable"))
+    assert(chainMsg(intercept[Exception](
+      spark.sql("SELECT text_profile('abc', CAST(NULL AS STRING))")
+        .collect())).contains("NULL"))
     // and valid args still work
     assert(vec.select(Expressions.lshCodes(col("emb"), 2, 16))
       .head.getSeq[Long](0).length == 2)
