@@ -21,15 +21,16 @@ object Bench {
     "a10_coalesce_fallback", "a11_token_matrix", "a14_multi_bucket",
     "a17_percentiles", "a20_rolling_uniques_hll",
     "w1_dedupe_keep_latest", "w5_prev_close_carry", "w7_sessionize",
-    "w8_moving_avg",
+    "w8_moving_avg", "w10_range_interval", "x6_pivot",
     "o2_topk", "o5_gainers", "o6_router_combine", "u1_union",
     "s3_event_decode", "s8_dedup_keys", "f11_security_score",
     "x5_from_json", "api1_token_list", "api2_trades_page", "g_gapfill_prev",
     "d1_exact_dedup", "d2_minhash_neardup", "d5_embedding_neardup",
     "d8_dup_groups", "d9_semantic_prune", "d10_dedup_apply_groups",
-    "n1_ann_topk", "n4_ann_ivf_trained", "n5_ann_multiprobe",
+    "n1_ann_topk", "n4_ann_ivf_trained", "n5_ann_multiprobe", "n6_ann_pq",
     "t1_text_stats", "t3_quality_score", "t8_quality_gate",
-    "t12_seq_pack", "t13_doc_freq", "m2_media_extract")
+    "t12_seq_pack", "t13_doc_freq", "t15_tfidf_keywords",
+    "m2_media_extract")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

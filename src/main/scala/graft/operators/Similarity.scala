@@ -249,6 +249,151 @@ object Similarity {
         col("cand_id").as("neighbor_id"), round4(col("cos")).as("cosine"))
   }
 
+  /** Product-quantization ANN (asymmetric-distance, inner-product form).
+    * The embedding splits into `m` contiguous subspaces; each subspace
+    * gets its own codebook (deterministic Lloyd over the sub-vectors —
+    * all m subspaces train TOGETHER in one long-form frame, so an
+    * iteration is ONE broadcast join + ONE aggregation over the corpus,
+    * not m of each); the corpus is then ENCODED as m small codes. That
+    * encoding is the point at 100 TB: a 64-float vector becomes m=4
+    * codebook ids (≈4 bytes, 64× smaller), so the searchable corpus is
+    * RAM-resident where raw embeddings are not — IVF prunes candidates,
+    * PQ shrinks them.
+    *
+    * Query path (ADC): each probe precomputes an m×|codebook| lookup
+    * table of scaled-long partial dots, and every candidate scores as m
+    * integer table-lookups + an integer sum. Scaled-long floors are
+    * additive over the subspace concatenation, so adot and the
+    * reconstruction norm are EXACTLY dotScaled/normScaled of probe ×
+    * reconstructed candidate — order-independent and bit-identical across
+    * partitionings. Codeword assignment minimizes L2 in the same integer
+    * domain: argmin ‖sv−cw‖² = argmin (‖cw‖²·1e16 − 2·dotScaled(sv,cw)),
+    * no division, (d2, code) total order. The ADC approximate cosine
+    * selects a per-probe shortlist that stage 2 re-ranks exactly (see
+    * [[pqTopK]]); recall vs brute force is bounded in SimilaritySpec
+    * (the approximation has no SQL oracle).
+    */
+  /** Long-form subspace slicing: (id, sub, sv) with sub ∈ [0, m). */
+  private def pqSliced(df: DataFrame, m: Int, sub: Int): DataFrame = df
+    .select(col("vec_id").as("id"),
+      posexplode(array((0 until m).map(j =>
+        slice(col("embedding"), j * sub + 1, sub)): _*)))
+    .select(col("id"), col("pos").as("sub"), col("col").as("sv"))
+
+  /** Nearest-codeword assignment for every (id, sub) sub-vector, in the
+    * scaled-long integer domain: argmin ‖sv−cw‖² = argmin
+    * (normScaled(cw) − 2·dotScaled(sv, cw)) — no division, (d2, code)
+    * total order, so assignments are bit-identical across partitionings.
+    */
+  private def pqAssign(slices: DataFrame, book: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("id"), col("sub"))
+      .orderBy(col("d2"), col("code"))
+    slices
+      .join(broadcast(book.withColumn("cn", normScaled(col("cw")))),
+        Seq("sub"))
+      .withColumn("d2", col("cn") - lit(2L) * dotScaled(col("sv"), col("cw")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+  }
+
+  /** Train the m per-subspace codebooks — deterministic Lloyd, all m
+    * subspaces TOGETHER in one long-form frame, so an iteration is ONE
+    * broadcast join + ONE aggregation over the corpus, not m of each.
+    * Seeding follows the n3/n4 convention (sub-vectors of every
+    * `sampleStride`-th vec_id); empty codewords drop out. Returns
+    * (sub, code, cw).
+    */
+  def pqTrain(vecs: DataFrame, m: Int = 4, iters: Int = 2,
+              sampleStride: Long = 50L): DataFrame = {
+    val dim = vecs.select(size(col("embedding"))).head.getInt(0)
+    require(dim % m == 0, s"pqTrain: dim $dim not divisible into $m subspaces")
+    val corpus = pqSliced(vecs, m, dim / m)
+    var cb = corpus.filter(col("id") % sampleStride === 0)
+      .select(col("sub"), col("id").as("code"), col("sv").as("cw"))
+    for (_ <- 1 to iters) {
+      cb = pqAssign(corpus, cb)
+        .select(col("sub"), col("code"), posexplode(col("sv")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(graft.functions.Core.dsum(col("col")).as("s"),
+          count(lit(1)).as("n"))
+        .withColumn("mv", (col("s") / col("n")).cast("float"))
+        .groupBy(col("sub"), col("code"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mv")))),
+          e => e.getField("mv")).as("cw"))
+    }
+    cb
+  }
+
+  /** Encode the corpus against a trained codebook: (vec_id, sub, code) —
+    * m small ids per vector, the 64×-compressed searchable form that is
+    * the artifact a real corpus build persists.
+    */
+  def pqEncode(vecs: DataFrame, codebook: DataFrame): DataFrame = {
+    val dim = vecs.select(size(col("embedding"))).head.getInt(0)
+    val m = codebook.select(max(col("sub"))).head.getInt(0) + 1
+    pqAssign(pqSliced(vecs, m, dim / m), codebook)
+      .select(col("id").as("vec_id"), col("sub"), col("code"))
+  }
+
+  /** Two-stage PQ search, the standard serving shape: stage 1 scores the
+    * WHOLE corpus from its m-code encodings by integer table-lookup (ADC)
+    * and keeps a `shortlist` per probe; stage 2 re-ranks only the
+    * shortlist with the exact scaled-long cosine against raw embeddings.
+    * Raw vectors are touched for shortlist rows alone — at 100 TB the
+    * codes live in RAM and the embeddings on slow storage, which is the
+    * entire point of PQ. Reported cosines are exact (stage 2), so hits
+    * agree with brute force; recall = P(true neighbor survives the ADC
+    * shortlist), bounded in SimilaritySpec.
+    */
+  def pqTopK(probes: DataFrame, vecs: DataFrame, k: Int, m: Int = 8,
+             iters: Int = 2, sampleStride: Long = 50L,
+             shortlist: Int = 50): DataFrame = {
+    val dim = vecs.select(size(col("embedding"))).head.getInt(0)
+    val cb = pqTrain(vecs, m, iters, sampleStride)
+    val codes = pqEncode(vecs, cb)
+      .withColumnRenamed("vec_id", "cand_id")
+    val book = cb.withColumn("cn", normScaled(col("cw")))
+    // ADC lookup table: per-(probe, sub, code) scaled-long partial dot +
+    // codeword norm — nprobes × m × |codebook| rows, tiny, broadcast
+    val lut = pqSliced(probes, m, dim / m)
+      .join(broadcast(book), Seq("sub"))
+      .select(col("id").as("probe_id"), col("sub"), col("code"),
+        dotScaled(col("sv"), col("cw")).as("pdot"), col("cn"))
+    val pn = probes.select(col("vec_id").as("probe_id"),
+      normScaled(col("embedding")).as("pn"))
+    // scaled-long floors are additive over the subspace concatenation, so
+    // these integer sums are EXACTLY dotScaled/normScaled of probe ×
+    // reconstructed candidate — order-independent across partitionings
+    val adc = codes.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col("probe_id"), col("cand_id"))
+      .agg(sum(col("pdot")).as("adot"), sum(col("cn")).as("rnorm"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .join(broadcast(pn), Seq("probe_id"))
+      .withColumn("acos",
+        cosineFromScaled(col("adot"), col("pn"), col("rnorm")))
+    val aw = Window.partitionBy(col("probe_id"))
+      .orderBy(col("acos").desc, col("cand_id"))
+    val short = adc.withColumn("arank", row_number().over(aw))
+      .filter(col("arank") <= shortlist)
+      .select(col("probe_id"), col("cand_id"))
+    val pv = probes.select(col("vec_id").as("probe_id"),
+      col("embedding").as("pe"), normScaled(col("embedding")).as("pn"))
+    val cv = vecs.select(col("vec_id").as("cand_id"),
+      col("embedding").as("ce"), normScaled(col("embedding")).as("cn"))
+    val exact = broadcast(short).join(cv, Seq("cand_id"))
+      .join(broadcast(pv), Seq("probe_id"))
+      .withColumn("cos", cosineFromScaled(
+        dotScaled(col("pe"), col("ce")), col("pn"), col("cn")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    exact
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("cand_id").as("neighbor_id"), round4(col("cos")).as("cosine"))
+  }
+
   /** SemDeDup-style semantic pruning: assign every vector to its nearest
     * centroid, generate candidate pairs WITHIN clusters only, exact-score
     * them with the deterministic cosine, and drop the higher vec_id of

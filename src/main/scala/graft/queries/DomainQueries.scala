@@ -237,6 +237,25 @@ object DomainQueries {
         .orderBy(col("event_id"))
     },
 
+    // §2.8 / A-family: typed pivot — per-user cross-tab of event counts
+    // and exact value sums by event_type (the matrix-panel transpose the
+    // reference assembles in app code). The pivot value list is EXPLICIT
+    // (the enum is fixed), so Spark skips the distinct-scan pre-pass and
+    // the schema is static; the plan is ONE hash aggregate with map-side
+    // partials — each pivot cell is a conditional aggregate, exactly the
+    // FILTER-clause form the oracle uses. Counts null-fill to 0 (a user
+    // with no such events has a 0 cell, as count FILTER yields); sums
+    // stay NULL for empty cells on both engines.
+    "x6_pivot" -> { (s, d) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("vol"))
+        .na.fill(0L, types.map(t => s"${t}_n"))
+        .orderBy(col("user_id"))
+    },
+
     // §2.8 array: explode words, global top-20 by frequency.
     "x2_array_topwords" -> { (s, d) =>
       Tables.documents(s, d)
@@ -506,6 +525,19 @@ object DomainQueries {
       """SELECT event_id,
          CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
          FROM events WHERE event_id < 2000 ORDER BY event_id""",
+    "x6_pivot" ->
+      """SELECT user_id,
+         count(*) FILTER (WHERE event_type = 'click') AS click_n,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) FILTER (WHERE event_type = 'click') AS DOUBLE) AS click_vol,
+         count(*) FILTER (WHERE event_type = 'error') AS error_n,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) FILTER (WHERE event_type = 'error') AS DOUBLE) AS error_vol,
+         count(*) FILTER (WHERE event_type = 'purchase') AS purchase_n,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_vol,
+         count(*) FILTER (WHERE event_type = 'signup') AS signup_n,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) FILTER (WHERE event_type = 'signup') AS DOUBLE) AS signup_vol,
+         count(*) FILTER (WHERE event_type = 'view') AS view_n,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) FILTER (WHERE event_type = 'view') AS DOUBLE) AS view_vol
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "x2_array_topwords" ->
       """SELECT word, count(*) AS n FROM (
            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word

@@ -224,6 +224,20 @@ object Pipeline {
         .orderBy(col("probe_id"), col("rank"))
     },
 
+    // N6: product-quantization ANN — the corpus compresses to m codebook
+    // ids per vector (64 floats → 8 codes, the RAM-residency lever at
+    // 100 TB; IVF prunes candidates, PQ shrinks them); queries score the
+    // codes by integer table-lookup (ADC), then exact-re-rank only the
+    // surviving shortlist. Codebooks are deterministic Lloyd over each
+    // subspace (same % 50 sample seeding as n3/n4). Rows-only like n2-n5
+    // (the approximation has no SQL oracle); SimilaritySpec pins
+    // determinism, code-domain bounds, and a recall floor vs n1.
+    "n6_ann_pq" -> { (s, d) =>
+      val v = Tables.embeddings(s, d)
+      Similarity.pqTopK(v.filter(col("vec_id") < 10), v, k = 5)
+        .orderBy(col("probe_id"), col("rank"))
+    },
+
     // T1: per-source corpus stats (doc counts, language spread, length
     // moments) — the triage pass before any filtering decision.
     "t1_text_stats" -> { (s, d) =>
@@ -402,6 +416,39 @@ object Pipeline {
         .limit(50)
     },
 
+    // T15: per-document keyword extraction — top-3 terms per doc under a
+    // rarity-weighted score, score = tf × N / df (t13's ratio-form rarity
+    // reused as the idf factor: IEEE division is bit-identical across
+    // engines, libm logs are not — so this is the hash-verifiable cousin
+    // of tf·log(N/df)). 100 TB shape: tf is one (doc, word) aggregate
+    // with map-side partials; df aggregates tf again by word; the
+    // tf⋈df join is a SHUFFLE join on word — df's cardinality is the
+    // vocabulary, an unbounded aggregate, exactly what the r1 review said
+    // never to broadcast; only the scalar doc count is broadcast. The
+    // per-doc top-3 window partitions by doc_id (already the tf
+    // distribution) with a (score desc, word) total order.
+    "t15_tfidf_keywords" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), explode_outer(Text.words(col("text")))
+          .as("word"))
+      val tf = words.groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("word"))
+      tf.join(df, "word")
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          (col("tf") * col("n_docs")).cast("double") / col("df"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("word"), col("tf"),
+          round4(col("score")).as("score"))
+        .orderBy(col("doc_id"), col("score").desc, col("word"))
+    },
+
     // T14: statistical length-outlier filter — drop docs outside the
     // per-source [P5, P95] token-count band, the corpus-cleaning pass
     // driven by the corpus's OWN distribution instead of fixed cutoffs.
@@ -560,6 +607,23 @@ object Pipeline {
          FROM d JOIN b USING (source)
          WHERE d.tok >= b.lo AND d.tok <= b.hi
          ORDER BY d.doc_id""",
+    "t15_tfidf_keywords" ->
+      """WITH w AS (SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+         FROM documents),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+         df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         sc AS (SELECT tf.doc_id, tf.word, tf.tf,
+                  CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+                FROM tf JOIN df USING (word), n),
+         r AS (SELECT doc_id, word, tf, score,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, word) AS rn
+               FROM sc)
+         SELECT doc_id, word, CAST(tf AS BIGINT) AS tf,
+           round(score, 4) AS score
+         FROM r WHERE rn <= 3 ORDER BY doc_id, score DESC, word""",
     "t13_doc_freq" ->
       """WITH w AS (SELECT DISTINCT doc_id,
            unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word

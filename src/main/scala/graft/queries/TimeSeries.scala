@@ -283,6 +283,28 @@ object TimeSeries {
         .orderBy(col("event_type"), col("b"))
     },
 
+    // W10: trailing-interval RANGE window over RAW event times — per
+    // user, the activity count and value extremes in the 10 minutes
+    // ending at each event (the burst/staleness panel shape; w8's frame
+    // is over pre-bucketed hours, this one is per-row). A time-RANGE
+    // frame includes ALL co-timed rows regardless of sort-tie order, and
+    // count/min/max are frame-order-independent — the hash-stable choice
+    // (a windowed double SUM is not: DuckDB's segment tree associates
+    // additions differently than Spark's linear frame scan). Scale shape:
+    // one shuffle on user_id, per-partition sort, single-pass frames.
+    "w10_range_interval" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        epochSec(col("ts")).as("sec"), col("value"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+        .rangeBetween(-600L, 0L)
+      e.select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_10m"),
+          max(col("value")).over(w).as("max_10m"),
+          min(col("value")).over(w).as("min_10m"))
+        .orderBy(col("event_id"))
+    },
+
     // A18: hierarchical rollup — per (event_type, user bucket), per
     // event_type, and grand total in ONE pass (GROUPING SETS expansion
     // with map-side partial aggregation), with grouping_id disambiguating
@@ -482,6 +504,16 @@ object TimeSeries {
                PARTITION BY event_type ORDER BY b
                RANGE BETWEEN 21600 PRECEDING AND CURRENT ROW), 4) AS ma6h
          FROM h ORDER BY 1, 2""",
+    "w10_range_interval" ->
+      """WITH e AS (SELECT event_id, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events)
+         SELECT event_id, user_id,
+           count(*) OVER w AS n_10m,
+           max(value) OVER w AS max_10m,
+           min(value) OVER w AS min_10m
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec
+           RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
     "a18_rollup" ->
       """SELECT CAST(GROUPING(event_type, u3) AS BIGINT) AS g,
            event_type, u3, count(*) AS n

@@ -78,6 +78,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, f"recall $recall%.3f below bound")
   }
 
+  test("pq: codes are m-per-vector from the codebook domain; encode is " +
+      "deterministic across runs") {
+    val cb = Similarity.pqTrain(vecs, m = 4, iters = 2)
+    val book = cb.select("sub", "code").as[(Int, Long)].collect().toSet
+    assert(book.map(_._1) == Set(0, 1, 2, 3))
+    val codes = Similarity.pqEncode(vecs, cb)
+      .select("vec_id", "sub", "code").as[(Long, Int, Long)].collect()
+    val n = vecs.count()
+    // exactly m codes per vector (the 64-float → 4-id compression), every
+    // one a codeword the codebook actually holds
+    assert(codes.length == n * 4)
+    assert(codes.groupBy(_._1).forall(_._2.map(_._2).toSet == Set(0, 1, 2, 3)))
+    codes.foreach { case (_, s, c) => assert(book.contains((s, c))) }
+    // bit-identical re-run: training + assignment are integer-domain with
+    // total-order tiebreaks, so codes are reproducible artifacts
+    val again = Similarity.pqEncode(vecs, Similarity.pqTrain(vecs, 4, 2))
+      .select("vec_id", "sub", "code").as[(Long, Int, Long)].collect()
+    assert(codes.sortBy(r => (r._1, r._2)).toSeq ==
+      again.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
+  test("pqTopK recall@5 vs brute force clears a floor; ranks dense") {
+    val probes = vecs.filter(col("vec_id") < 50)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val truth = pairs(Similarity.bruteForceTopK(probes, vecs, 5))
+    val got = Similarity.pqTopK(probes, vecs, 5)
+    val rows = got.select("probe_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Long, Long, Double)].collect()
+    rows.groupBy(_._1).foreach { case (p, rs) =>
+      assert(rs.sortBy(_._2).map(_._2).toSeq == (1L to 5L))
+      assert(rs.forall(_._3 != p))
+    }
+    val recall = (truth & pairs(got)).size.toDouble / truth.size
+    info(f"pq recall@5 = $recall%.3f (ADC shortlist=50 + exact re-rank)")
+    // recall = P(true neighbor survives the ADC shortlist): the corpus
+    // side is quantized to ~10 codewords per subspace on the isotropic
+    // fixture, so the shortlist (10% of the corpus here) does the heavy
+    // lifting and the exact re-rank restores ordering within it
+    assert(recall >= 0.5, f"recall $recall%.3f below bound")
+  }
+
   test("SQL registration: dot_scaled et al callable after register()") {
     graft.plans.GraftExtensions.register(spark)
     vecs.limit(5).createOrReplaceTempView("emb_t")
