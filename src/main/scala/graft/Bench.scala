@@ -62,20 +62,38 @@ object Bench {
       catch { case e: Throwable => errors += name }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    def ms(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator formats with the JVM default locale,
+    // which under e.g. de_DE emits "0,463" and breaks the JSON (r7 advice).
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def ms2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val full = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"""  "$k": ${ms(v)}""" }
       .mkString("{\n", ",\n", "\n}\n")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val qs = headline.filter(results.contains)
-      .map(k => s"\"$k\":${ms(results(k))}").mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // a failed query's time is meaningless — surface it instead of letting
     // a fast failure read as a fast query
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"nq":${results.size},"full":"BENCH_FULL.json","errors":$errs,"sf":"$sfDir"}""")
+    def line(qs: String) =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"nq":${results.size},"full":"BENCH_FULL.json","errors":$errs,"sf":"$sfDir"}"""
+    // The collector keeps only the LAST ~2000 chars of the run's output and
+    // sbt appends a ~70-char "[success] ..." line after ours, so the whole
+    // stdout line (plus sbt's "[info] " prefix) must fit a hard budget or
+    // its head gets truncated and the JSON never parses (r2..r7 all did).
+    // Take headline entries in order while the projected line still fits.
+    val budget = 1750
+    val entries = headline.filter(results.contains)
+      .map(k => s"\"$k\":${ms2(results(k))}")
+    val kept = scala.collection.mutable.ListBuffer.empty[String]
+    var len = line("{}").length
+    entries.foreach { e =>
+      if (len + e.length + 1 <= budget) { kept += e; len += e.length + 1 }
+    }
+    println(line(kept.mkString("{", ",", "}")))
     spark.stop()
   }
 }

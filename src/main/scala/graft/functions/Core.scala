@@ -86,6 +86,20 @@ object Core {
     */
   def txHash(c: Column): Column = upper(sha2(c, 256))
 
+  /** Spread a frame across the cluster's cores before a compute-heavy
+    * map chain, IF the scan gives fewer splits than cores. A small parquet
+    * file reads as ONE split, so a per-row kernel (minhash signatures,
+    * scaled-long dots) serializes in a single task no matter how many
+    * cores exist; at real scale the file count already exceeds the
+    * cluster and this is a no-op — the conditional keeps the big-data
+    * path free of a pointless full-corpus shuffle.
+    */
+  def spreadPartitions(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** Collect `max(ts) - sec` as a literal timestamp. The reference anchors
     * sliding windows at `now()`; the batch twin anchors at max event time.
     * Computing the anchor in-plan (crossJoin of an aggregate) makes the time

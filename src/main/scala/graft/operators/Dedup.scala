@@ -20,9 +20,14 @@ import graft.functions.Text
   */
 object Dedup {
 
-  /** doc_id + distinct word-n-gram shingle set. */
+  /** doc_id + distinct word-n-gram shingle set. Shingling (and everything
+    * stacked on it — minhash signatures, band hashes) is the per-row
+    * compute cost of the whole dedup family, so spread the input across
+    * the cores first: a single small parquet split would otherwise run
+    * the entire kernel chain in one task.
+    */
   def shingleFrame(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"),
+    spreadPartitions(docs).select(col("doc_id"),
       Text.shingleSet(col("text"), n).as("sh"))
 
   /** Exact dedup: group by md5 of normalized text, keep the first doc_id

@@ -76,6 +76,42 @@ object Ohlcv {
         sum(col("trade_count")).as("trade_count"))
   }
 
+  /** T9 forming-bar synthesis (reference api/ws.js:84-91,128-140): the WS
+    * serving loop sends closed TF bars plus ONE bar for the not-yet-closed
+    * bucket, synthesized from the finer (1m there, `fine` here) candles
+    * inside it. Per `aggregateFormingFrom1m` the forming bar's high/low
+    * also clamp against its open (the reference prepends `open` to the
+    * high/low lists before max/min). Closed bars are a plain resample of
+    * everything strictly before the forming bucket; both sides are one
+    * hash aggregate over the already-reduced candle frame, so the whole
+    * op adds no tick-level work at any scale. Output: resample schema +
+    * `forming` boolean.
+    */
+  def withFormingBar(fine: DataFrame, keys: Seq[String], stepSec: Long,
+                     asOfSec: Long): DataFrame = {
+    val kc = keys.map(col)
+    val formingStart = math.floorDiv(asOfSec, stepSec) * stepSec
+    val closed = resample(
+      fine.filter(col("bucket_ts") < formingStart), keys, stepSec)
+      .withColumn("forming", lit(false))
+    val forming = fine.filter(col("bucket_ts") >= formingStart)
+      .groupBy(kc: _*)
+      .agg(
+        earliestBy(col("open"), col("bucket_ts")).as("o"),
+        max(col("high")).as("h"),
+        min(col("low")).as("l"),
+        latestBy(col("close"), col("bucket_ts")).as("close"),
+        dsum(col("volume")).as("volume"),
+        sum(col("trade_count")).as("trade_count"))
+      .select((kc :+ lit(formingStart).as("bucket_ts") :+
+        col("o").as("open") :+
+        greatest(col("h"), col("o")).as("high") :+
+        least(col("l"), col("o")).as("low") :+
+        col("close") :+ col("volume") :+ col("trade_count") :+
+        lit(true).as("forming")): _*)
+    closed.unionByName(forming)
+  }
+
   /** Candle continuity: open := previous candle's close per series
     * (batch form of the reference's lastCloseByPool map). First candle
     * keeps its own open. Note FIXTURES.md: after the override only

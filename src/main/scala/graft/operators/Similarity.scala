@@ -42,7 +42,10 @@ object Similarity {
     * baseline / small inputs; the LSH variant is the 100 TB path.
     */
   def cosinePairs(vecs: DataFrame, theta: Double): DataFrame = {
-    val v = vecs.select(col("vec_id"), col("embedding"),
+    // the nested-loop pair scorer parallelizes over the STREAM side's
+    // partitions — spread it, or one small parquet split scores all n²/2
+    // pairs in a single task
+    val v = spreadPartitions(vecs).select(col("vec_id"), col("embedding"),
       normScaled(col("embedding")).as("nn"))
     v.as("a")
       .join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
@@ -181,16 +184,21 @@ object Similarity {
     var cent = init.select(col("vec_id").as("cid"),
       col("embedding").as("cemb"))
     for (_ <- 1 to iters) {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("csim").desc, col("cid"))
+      // hash-aggregate argmax over the (csim desc, cid) total order
+      // (expressed as min_by of (-csim, cid)) — same pick as the sort
+      // window it replaces, but partial-aggregated map-side: the corpus
+      // never sort-shuffles, one survivor per vec_id leaves each partition
       val assigned = vecs.select(col("vec_id"), col("embedding"))
         .join(broadcast(cent.select(col("cid"), col("cemb"),
           normScaled(col("cemb")).as("cn"))))
         .withColumn("csim", cosineFromScaled(
           dotScaled(col("embedding"), col("cemb")),
           normScaled(col("embedding")), col("cn")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("cid"), col("embedding")),
+          struct(negate(col("csim")), col("cid"))).as("pick"))
+        .select(col("pick.cid").as("cid"),
+          col("pick.embedding").as("embedding"))
       cent = assigned
         .select(col("cid"), posexplode(col("embedding")))
         .groupBy(col("cid"), col("pos"))
@@ -201,6 +209,10 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
           e => e.getField("m")).as("cemb"))
+        // truncate per-iteration lineage: centroids are a handful of rows,
+        // but without this each iteration's plan NESTS the previous one
+        // and every downstream consumer re-runs the whole Lloyd chain
+        .localCheckpoint(true)
     }
     cent.select(col("cid").as("vec_id"), col("cemb").as("embedding"))
   }
@@ -219,16 +231,29 @@ object Similarity {
     val cent = centroids.select(col("vec_id").as("cid"),
       col("embedding").as("cemb"), normScaled(col("embedding")).as("cn"))
     def assign(df: DataFrame, idName: String, keep: Int) = {
-      val w = Window.partitionBy(col(idName))
-        .orderBy(col("csim").desc, col("cid"))
-      df.select(col("vec_id").as(idName), col("embedding"))
+      val scored = df.select(col("vec_id").as(idName), col("embedding"))
         .join(broadcast(cent))
         .withColumn("csim", cosineFromScaled(
           dotScaled(col("embedding"), col("cemb")),
           normScaled(col("embedding")), col("cn")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .select(col(idName), col("cid"), col("embedding"))
+      if (keep == 1)
+        // corpus side: nearest-1 as a hash-aggregate argmax (min_by over
+        // the (-csim, cid) total order) — identical pick to the sort
+        // window, but map-side partial aggregation, no corpus sort-shuffle
+        scored.groupBy(col(idName))
+          .agg(min_by(struct(col("cid"), col("embedding")),
+            struct(negate(col("csim")), col("cid"))).as("pick"))
+          .select(col(idName), col("pick.cid").as("cid"),
+            col("pick.embedding").as("embedding"))
+      else {
+        // probe side: top-nprobe needs a ranking — probes are few
+        val w = Window.partitionBy(col(idName))
+          .orderBy(col("csim").desc, col("cid"))
+        scored
+          .withColumn("crank", row_number().over(w))
+          .filter(col("crank") <= keep)
+          .select(col(idName), col("cid"), col("embedding"))
+      }
     }
     val vecBuckets = assign(vecs, "cand_id", 1)
       .withColumnRenamed("embedding", "ce")
@@ -286,14 +311,19 @@ object Similarity {
     * total order, so assignments are bit-identical across partitionings.
     */
   private def pqAssign(slices: DataFrame, book: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("id"), col("sub"))
-      .orderBy(col("d2"), col("code"))
+    // hash-aggregate argmin, not a sort window: min_by over the
+    // lexicographic (d2, code) struct picks the identical codeword but
+    // partial-aggregates map-side — |slices| rows never sort-shuffle,
+    // only one candidate per (id, sub) group survives each partition
     slices
       .join(broadcast(book.withColumn("cn", normScaled(col("cw")))),
         Seq("sub"))
       .withColumn("d2", col("cn") - lit(2L) * dotScaled(col("sv"), col("cw")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy(col("id"), col("sub"))
+      .agg(min_by(struct(col("code"), col("sv")),
+        struct(col("d2"), col("code"))).as("pick"))
+      .select(col("id"), col("sub"),
+        col("pick.code").as("code"), col("pick.sv").as("sv"))
   }
 
   /** Train the m per-subspace codebooks — deterministic Lloyd, all m
@@ -321,6 +351,9 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("mv")))),
           e => e.getField("mv")).as("cw"))
+        // tiny codebook, but consumers (encode + the ADC lookup table)
+        // would otherwise each re-run every Lloyd iteration — truncate
+        .localCheckpoint(true)
     }
     cb
   }
@@ -331,7 +364,13 @@ object Similarity {
     */
   def pqEncode(vecs: DataFrame, codebook: DataFrame): DataFrame = {
     val dim = vecs.select(size(col("embedding"))).head.getInt(0)
-    val m = codebook.select(max(col("sub"))).head.getInt(0) + 1
+    val head = codebook.select(max(col("sub")), size(first(col("cw")))).head
+    val m = head.getInt(0) + 1
+    // mirror pqTrain's guard: a codebook trained on different-dimension
+    // vectors would otherwise silently slice() off the tail dimensions
+    require(dim % m == 0, s"pqEncode: dim $dim not divisible into $m subspaces")
+    require(head.getInt(1) == dim / m,
+      s"pqEncode: codeword width ${head.getInt(1)} != subspace width ${dim / m}")
     pqAssign(pqSliced(vecs, m, dim / m), codebook)
       .select(col("id").as("vec_id"), col("sub"), col("code"))
   }

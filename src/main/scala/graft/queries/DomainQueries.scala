@@ -324,6 +324,59 @@ object DomainQueries {
         .select(col("rule_id"), col("event_type"), col("kind"),
           col("fired"))
         .orderBy(col("rule_id"))
+    },
+
+    // T10 (remaining kinds): wallet_trade + tvl_change rule evaluation
+    // (jobs/alerts.js:47-66, 80-103). wallet_trade counts a signer's
+    // trades inside the rule's look-back window (optional direction
+    // filter); tvl_change compares the latest TVL against the latest TVL
+    // as-of `window_min` ago and fires on |Δ%| ≥ delta_pct. Batch twin:
+    // `now()` anchors at max event time; user_id plays signer, event_type
+    // plays pool, value plays tvl. Both rule tables are tiny broadcasts;
+    // each branch is one pass over events (conditional max_by does the
+    // as-of pick without a second scan).
+    "t10b_alert_wallet_tvl" -> { (s, d) =>
+      val e = Tables.events(s, d)
+      val anchorSec = e.agg(max(unix_timestamp(col("ts")))).head.getLong(0)
+      val wr = s.createDataFrame(Seq(
+        (101L, 1L, 30L, "purchase"),
+        (102L, 2L, 120L, null.asInstanceOf[String]),
+        (103L, 3L, 60L, "click"),
+        (104L, 4L, 10L, null.asInstanceOf[String]),
+        (105L, 5L, 360L, "view")))
+        .toDF("rule_id", "addr", "since_min", "dir")
+      val wc = e
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("sec"))
+        .join(broadcast(wr),
+          col("user_id") === col("addr") &&
+          (col("dir").isNull || col("event_type") === col("dir")) &&
+          col("sec") >= lit(anchorSec) - col("since_min") * 60L)
+        .groupBy(col("rule_id")).agg(count(lit(1)).as("n"))
+      val wallet = wr.join(wc, Seq("rule_id"), "left")
+        .select(col("rule_id"), lit("wallet_trade").as("kind"),
+          (coalesce(col("n"), lit(0L)) > 0L).as("fired"),
+          coalesce(col("n"), lit(0L)).cast("double").as("metric"))
+      val tr = s.createDataFrame(Seq(
+        (201L, "purchase", 60L, 5.0),
+        (202L, "click", 1440L, 10.0),
+        (203L, "view", 240L, 1.0),
+        (204L, "error", 10080L, 20.0)))
+        .toDF("rule_id", "event_type", "window_min", "delta_pct")
+      val chg = (col("tvl_now") - col("tvl_past")) / abs(col("tvl_past")) * 100d
+      val tvl = e.join(broadcast(tr), Seq("event_type"))
+        .groupBy(col("rule_id"), col("delta_pct"))
+        .agg(
+          latestBy(col("value"), col("event_id")).as("tvl_now"),
+          latestBy(col("value"),
+            when(unix_timestamp(col("ts")) <=
+              lit(anchorSec) - col("window_min") * 60L, col("event_id")))
+            .as("tvl_past"))
+        .select(col("rule_id"), lit("tvl_change").as("kind"),
+          (col("tvl_past").isNotNull && col("tvl_past") =!= 0d &&
+            abs(chg) >= col("delta_pct")).as("fired"),
+          round4(chg).as("metric"))
+      wallet.unionByName(tvl).orderBy(col("rule_id"))
     }
   )
 
@@ -577,6 +630,51 @@ object DomainQueries {
                 WHEN kind = 'price_cross_below' THEN last_value < threshold
                 ELSE max_value >= threshold END AS fired
          FROM latest l JOIN rules r ON l.event_type = r.event_type
+         ORDER BY rule_id""",
+    "t10b_alert_wallet_tvl" ->
+      """WITH a AS (
+           SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS asec FROM events),
+         wr(rule_id, addr, since_min, dir) AS (VALUES
+           (101, 1, 30, 'purchase'),
+           (102, 2, 120, NULL),
+           (103, 3, 60, 'click'),
+           (104, 4, 10, NULL),
+           (105, 5, 360, 'view')),
+         wc AS (
+           SELECT wr.rule_id, count(*) AS n
+           FROM events e CROSS JOIN a
+           JOIN wr ON e.user_id = wr.addr
+             AND (wr.dir IS NULL OR e.event_type = wr.dir)
+             AND CAST(floor(epoch(e.ts)) AS BIGINT) >= a.asec - wr.since_min*60
+           GROUP BY 1),
+         tr(rule_id, event_type, window_min, delta_pct) AS (VALUES
+           (201, 'purchase', 60, 5.0),
+           (202, 'click', 1440, 10.0),
+           (203, 'view', 240, 1.0),
+           (204, 'error', 10080, 20.0)),
+         tv AS (
+           SELECT tr.rule_id, tr.delta_pct,
+             max_by(e.value, e.event_id) AS tvl_now,
+             max_by(e.value, CASE
+               WHEN CAST(floor(epoch(e.ts)) AS BIGINT)
+                    <= a.asec - tr.window_min*60
+               THEN e.event_id END) AS tvl_past
+           FROM events e CROSS JOIN a
+           JOIN tr ON e.event_type = tr.event_type
+           GROUP BY 1, 2)
+         SELECT CAST(rule_id AS BIGINT) AS rule_id,
+           'wallet_trade' AS kind,
+           coalesce(n, 0) > 0 AS fired,
+           CAST(coalesce(n, 0) AS DOUBLE) AS metric
+         FROM wr LEFT JOIN wc USING (rule_id)
+         UNION ALL
+         SELECT CAST(rule_id AS BIGINT) AS rule_id,
+           'tvl_change' AS kind,
+           (tvl_past IS NOT NULL AND tvl_past <> 0
+             AND abs((tvl_now - tvl_past)/abs(tvl_past)*100) >= delta_pct)
+             AS fired,
+           round((tvl_now - tvl_past)/abs(tvl_past)*100, 4) + 0 AS metric
+         FROM tv
          ORDER BY rule_id"""
   )
 }

@@ -359,6 +359,17 @@ object TimeSeries {
         .orderBy(col("change_pct").desc, col("event_type"))
     },
 
+    // W11/T9: WS forming-bar synthesis (api/ws.js:84-91,128-140) — the
+    // chart series the reference serves over websocket: closed 6h bars
+    // plus one bar synthesized from the hourly candles inside the bucket
+    // that "now" (batch twin: max event time) falls in, flagged `forming`.
+    "w11_forming_bar" -> { (s, d) =>
+      val h = hourly(s, d)
+      val now = h.agg(max(col("bucket_ts"))).head.getLong(0)
+      Ohlcv.withFormingBar(h, Seq("event_type"), 21600L, now)
+        .orderBy(col("event_type"), col("bucket_ts"))
+    },
+
     // Gap fill: sequence+explode spine, prev-fill carry
     // (api/routes/tokens.js:1491-1558; PG-era generate_series).
     "g_gapfill_prev" -> { (s, d) =>
@@ -554,6 +565,30 @@ object TimeSeries {
            round((l.last_close - p.prev_close) / p.prev_close * 100, 4) AS change_pct
          FROM lastc l LEFT JOIN prevc p USING (event_type)
          ORDER BY change_pct DESC, event_type""",
+    "w11_forming_bar" ->
+      s"""WITH c AS ($duckHourly),
+         fs AS (SELECT CAST(floor(max(bucket_ts)/21600)*21600 AS BIGINT) AS fs
+                FROM c)
+         SELECT event_type,
+           CAST(floor(bucket_ts/21600)*21600 AS BIGINT) AS bucket_ts,
+           min_by(open, bucket_ts) AS open,
+           max(high) AS high, min(low) AS low,
+           max_by(close, bucket_ts) AS close,
+           CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) AS volume,
+           CAST(SUM(trade_count) AS BIGINT) AS trade_count,
+           false AS forming
+         FROM c, fs WHERE bucket_ts < fs GROUP BY 1, 2
+         UNION ALL
+         SELECT event_type, fs AS bucket_ts,
+           min_by(open, bucket_ts) AS open,
+           greatest(max(high), min_by(open, bucket_ts)) AS high,
+           least(min(low), min_by(open, bucket_ts)) AS low,
+           max_by(close, bucket_ts) AS close,
+           CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) AS volume,
+           CAST(SUM(trade_count) AS BIGINT) AS trade_count,
+           true AS forming
+         FROM c, fs WHERE bucket_ts >= fs GROUP BY 1, 2
+         ORDER BY event_type, bucket_ts""",
     "g_gapfill_prev" ->
       s"""WITH c AS ($duckHourly),
          cc AS (SELECT * FROM c WHERE event_type = 'purchase'),

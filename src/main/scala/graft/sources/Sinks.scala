@@ -25,6 +25,42 @@ object Sinks {
                         partitionCol: String): Unit =
     df.write.mode(SaveMode.Append).partitionBy(partitionCol).parquet(path)
 
+  /** S7/T3: count+time buffered append — the BatchQueue twin
+    * (lib/batch.js:16-23; trades 800 rows/120 ms, core/trades.js:82-83).
+    * The reference bounds every ClickHouse INSERT by `maxItems` rows and
+    * flushes a partial buffer after `maxWaitMs`. Spark-native mapping:
+    * the COUNT threshold is `maxRecordsPerFile` — no output file (the
+    * INSERT analog) ever exceeds `maxItems` rows, regardless of
+    * micro-batch size; the TIME threshold is the processing-time trigger
+    * of the streaming form below. Enforced by the writer per-task with no
+    * extra shuffle or count pass.
+    */
+  def batchedAppend(df: DataFrame, path: String, partitionCol: String,
+                    maxItems: Int): Unit =
+    df.write.mode(SaveMode.Append)
+      .option("maxRecordsPerFile", maxItems.toLong)
+      .partitionBy(partitionCol)
+      .parquet(path)
+
+  /** T3 streaming form: flush the landing stream every `maxWaitMs` (the
+    * BatchQueue time threshold → processing-time trigger) with every
+    * flushed file capped at `maxItems` rows (count threshold). A burst
+    * bigger than `maxItems` lands as several bounded files in one
+    * trigger; a trickle waits at most `maxWaitMs` — the exact semantics
+    * of lib/batch.js push/timer.
+    */
+  def batchedSink(stream: DataFrame, path: String, checkpoint: String,
+                  maxItems: Int, maxWaitMs: Long)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .option("maxRecordsPerFile", maxItems.toLong)
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(maxWaitMs))
+      .format("parquet")
+      .option("path", path)
+      .start()
+
   /** S9: snapshot-replace — overwrite ONLY the partitions present in the
     * incoming snapshot (dynamic partition overwrite), the twin of
     * "DELETE token's rows, INSERT fresh snapshot". Other partitions are

@@ -31,6 +31,57 @@ class SinkSpec extends AnyFunSuite {
       (3L, "2024-02", 7.0)))
   }
 
+  test("T3/S7: batchedAppend bounds every flushed file at maxItems rows") {
+    val path = tmp("graft-t3")
+    // one 2_500-row burst through an 800-row buffer: no INSERT-analog
+    // (output file) may exceed 800 rows, and all rows must land exactly once
+    Sinks.batchedAppend(
+      spark.range(2500).select(col("id"), lit("2024-01").as("month"))
+        .coalesce(1),
+      path, "month", maxItems = 800)
+    val files = new java.io.File(s"$path/month=2024-01").listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(files.length >= 4) // ceil(2500/800)
+    files.foreach { f =>
+      val n = spark.read.parquet(f.getPath).count()
+      assert(n <= 800, s"${f.getName} has $n rows > maxItems")
+    }
+    assert(spark.read.parquet(path).count() == 2500)
+    assert(spark.read.parquet(path).select("id").distinct().count() == 2500)
+  }
+
+  test("T3: batchedSink drains a landing burst into bounded files") {
+    val landing = tmp("graft-t3-land")
+    val out = tmp("graft-t3-out")
+    val ck = tmp("graft-t3-ck")
+    new java.io.File(landing).mkdirs()
+    spark.range(2000).select(col("id"), (col("id") % 7).as("k"))
+      .coalesce(1).write.mode("overwrite").parquet(landing)
+    val q = Sinks.batchedSink(
+      spark.readStream
+        .schema("id LONG, k LONG")
+        .parquet(landing),
+      out, ck, maxItems = 600, maxWaitMs = 50L)
+    try {
+      // time threshold: the ProcessingTime trigger must fire and drain the
+      // burst well within a few periods
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline &&
+        (!new java.io.File(out).exists() ||
+          spark.read.option("ignoreCorruptFiles", "true")
+            .schema("id LONG, k LONG")
+            .parquet(out).count() < 2000)) Thread.sleep(100)
+    } finally q.stop()
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val n = spark.read.parquet(f.getPath).count()
+      assert(n <= 600, s"${f.getName} has $n rows > maxItems")
+    }
+    assert(spark.read.parquet(out).count() == 2000)
+  }
+
   test("S9: snapshotReplace overwrites only the snapshot's partitions") {
     val path = tmp("graft-s9")
     Sinks.snapshotReplace(
