@@ -337,7 +337,17 @@ object Similarity {
               sampleStride: Long = 50L): DataFrame = {
     val dim = vecs.select(size(col("embedding"))).head.getInt(0)
     require(dim % m == 0, s"pqTrain: dim $dim not divisible into $m subspaces")
-    val corpus = pqSliced(vecs, m, dim / m)
+    pqTrainSliced(pqSliced(vecs, m, dim / m), iters, sampleStride)
+  }
+
+  /** [[pqTrain]] over an already-sliced corpus — lets [[pqTopK]] share one
+    * dimension probe and one slicing across train + encode instead of
+    * re-deriving both (each `select(size).head` is a driver job; the
+    * search path strings a dozen such stages together, so redundant ones
+    * show up directly in latency).
+    */
+  private def pqTrainSliced(corpus: DataFrame, iters: Int,
+                            sampleStride: Long): DataFrame = {
     var cb = corpus.filter(col("id") % sampleStride === 0)
       .select(col("sub"), col("id").as("code"), col("sv").as("cw"))
     for (_ <- 1 to iters) {
@@ -389,9 +399,11 @@ object Similarity {
              iters: Int = 2, sampleStride: Long = 50L,
              shortlist: Int = 50): DataFrame = {
     val dim = vecs.select(size(col("embedding"))).head.getInt(0)
-    val cb = pqTrain(vecs, m, iters, sampleStride)
-    val codes = pqEncode(vecs, cb)
-      .withColumnRenamed("vec_id", "cand_id")
+    require(dim % m == 0, s"pqTopK: dim $dim not divisible into $m subspaces")
+    val corpus = pqSliced(vecs, m, dim / m)
+    val cb = pqTrainSliced(corpus, iters, sampleStride)
+    val codes = pqAssign(corpus, cb)
+      .select(col("id").as("cand_id"), col("sub"), col("code"))
     val book = cb.withColumn("cn", normScaled(col("cw")))
     // ADC lookup table: per-(probe, sub, code) scaled-long partial dot +
     // codeword norm — nprobes × m × |codebook| rows, tiny, broadcast

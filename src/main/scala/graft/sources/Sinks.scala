@@ -90,6 +90,26 @@ object Sinks {
       .sortBy(bucketCol)
       .saveAsTable(table)
 
+  /** Small-file compaction — the maintenance pass every append-heavy
+    * layout needs at scale: a 120 ms-flush ingest (T3) leaves thousands
+    * of row-group-sized files per partition, and scan cost becomes file-
+    * open cost. Rewrite a directory into ceil(bytes/targetBytes) files
+    * (ClickHouse's background merge / OPTIMIZE TABLE analog). Two-phase
+    * write through a temp dir so readers never see a half-compacted
+    * directory.
+    */
+  def compactSmallFiles(spark: SparkSession, path: String,
+                        targetBytes: Long): Unit = {
+    val bytes = org.apache.commons.io.FileUtils
+      .sizeOfDirectory(new java.io.File(path))
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val tmp = path + ".compact-tmp"
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   /** S6: FX-rate style side-input append — one (minute-truncated ts, rate)
     * row per poll (jobs/fx-zig.js:13-62: external quote every 36 s →
     * `exchange_rates(toStartOfMinute(now()), zig_usd)`). The fetch itself

@@ -77,6 +77,25 @@ object Streams {
       .withColumn("bucket_ts", unix_timestamp(col("w.start")))
       .drop("w")
 
+  /** Streaming sessionization (w7's streaming twin): per-user session
+    * aggregates over Spark's native `session_window` — sessions merge
+    * while consecutive events are less than `gapSec` apart, state is
+    * evicted by the watermark. Semantics note: `session_window`'s end is
+    * exclusive (an event exactly `gapSec` after the previous one starts a
+    * NEW session), so the batch-equivalence spec pins the `>=` boundary
+    * rule. At scale this is one keyed state store; no corpus-wide sort
+    * window.
+    */
+  def sessionized(df: DataFrame, gapSec: Long, watermarkDelay: String)
+      : DataFrame =
+    df.withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapSec seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .select(col("user_id"), unix_micros(col("first_ts")).as("start_us"),
+        unix_micros(col("last_ts")).as("end_us"), col("n_events"))
+
   /** T2: two-phase intra-batch dependency — inside every micro-batch,
     * derived dimension rows (the create_pair pool tasks) are committed
     * BEFORE the fact rows (swap/liquidity tasks), so a fact never lands

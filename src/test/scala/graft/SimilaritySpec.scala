@@ -99,6 +99,18 @@ class SimilaritySpec extends AnyFunSuite {
       again.sortBy(r => (r._1, r._2)).toSeq)
   }
 
+  test("pqEncode rejects a codebook trained on different-dimension vectors") {
+    val cb = Similarity.pqTrain(vecs, m = 4, iters = 1)
+    // 60-dim corpus against a 64-dim-trained m=4 codebook: subspace widths
+    // disagree (15 vs 16) — must fail loudly, not slice() tails silently
+    val truncated = vecs.select(col("vec_id"),
+      slice(col("embedding"), 1, 60).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqEncode(truncated, cb).collect()
+    }
+    assert(e.getMessage.contains("pqEncode"))
+  }
+
   test("pqTopK recall@5 vs brute force clears a floor; ranks dense") {
     val probes = vecs.filter(col("vec_id") < 50)
     def pairs(df: org.apache.spark.sql.DataFrame) =

@@ -82,6 +82,23 @@ class SinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 2000)
   }
 
+  test("compactSmallFiles shrinks file count and preserves every row") {
+    val path = tmp("graft-compact")
+    spark.range(10000).select(col("id"), (col("id") % 5).as("k"))
+      .repartition(40).write.parquet(path)
+    def parquetFiles() = new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val before = parquetFiles()
+    assert(before >= 30)
+    val bytes = org.apache.commons.io.FileUtils
+      .sizeOfDirectory(new java.io.File(path))
+    Sinks.compactSmallFiles(spark, path, targetBytes = bytes)
+    val after = parquetFiles()
+    assert(after <= 2, s"still $after files after compaction")
+    assert(spark.read.parquet(path).count() == 10000)
+    assert(spark.read.parquet(path).select("id").distinct().count() == 10000)
+  }
+
   test("S9: snapshotReplace overwrites only the snapshot's partitions") {
     val path = tmp("graft-s9")
     Sinks.snapshotReplace(

@@ -73,6 +73,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming session windows == batch sessionization (>= gap rule)") {
+    val stream = Streams.sessionized(
+      Streams.eventsStream(spark, landing), 1800L, "1 hour")
+    val q = stream.writeStream
+      .format("memory").queryName("sess_out").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("sess_out")
+      .select("user_id", "start_us", "end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // batch reference with session_window's boundary rule: an event
+    // exactly gap after its predecessor opens a NEW session (>= gap),
+    // unlike w7's lag form (> gap) — the spec pins the exclusive end
+    val gapUs = 1800L * 1000000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val want = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"))
+      .withColumn("prev", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("ts_us") - col("prev") >= gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("seq", sum(col("new_sess")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("user_id"), col("seq"))
+      .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("T4 at scale: watermarked dedup matches batch distinct on fixture") {
     val stream = Streams.dedupeKeysWatermarked(
       Streams.eventsStream(spark, landing), "ts", "1 hour",
