@@ -31,6 +31,8 @@ object Pipeline {
     * per-partition batch iteration, typed output schema) is real.
     */
   final case class MediaFeat(doc_id: Long, frame_count: Long, feat0: Double)
+  final case class MediaDims(doc_id: Long, w0: Long, h0: Long,
+                             w1: Long, h1: Long)
 
   val defs: Map[String, Q] = Map(
 
@@ -506,6 +508,55 @@ object Pipeline {
         }
         .toDF()
         .orderBy(col("doc_id"))
+    },
+
+    // M3: video frame-sampling plumbing — every payload expands to its
+    // sampled frame descriptors (every 8th frame of an n_frames clip at
+    // 25 fps), the explode shape a frame-extraction stage runs in. The
+    // frame count is a deterministic stub off the payload header (no
+    // media libs in this container); the row expansion, typed descriptor
+    // schema, and per-frame timestamps are the real pipeline surface.
+    "m3_frame_sample" -> { (s, d) =>
+      val b0 = conv(substring(md5(col("text")), 1, 2), 16, 10).cast("long")
+      Tables.documents(s, d)
+        .select(col("doc_id"), ((b0 % 48L) + 2L).as("n_frames"))
+        // sequence is never empty (n_frames >= 2): explode_outer skips the
+        // inferred size()>0 filter that would re-run the chain per row
+        .select(col("doc_id"), col("n_frames"),
+          explode_outer(sequence(lit(0L), col("n_frames") - 1L, lit(8L)))
+            .as("frame_idx"))
+        .withColumn("ts_ms", col("frame_idx") * 40L)
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
+    // M4: batched resize — the mapInPandas batch shape in Scala: one
+    // "codec" per partition, frames processed in `grouped(batch)` slices
+    // (a real resize kernel amortizes model/buffer setup per batch, not
+    // per row). Fit-to-224 preserving aspect ratio; source dims are a
+    // deterministic stub off payload bytes, the batching/partitioning/
+    // schema plumbing is real.
+    "m4_media_resize" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          val digest = java.security.MessageDigest.getInstance("MD5")
+          it.grouped(64).flatMap { chunk =>
+            chunk.map { case (id, text) =>
+              val p = digest.digest(text.getBytes("UTF-8"))
+              val w0 = 64L + (p(1) & 0xff) % 192 * 4L
+              val h0 = 64L + (p(2) & 0xff) % 192 * 4L
+              if (w0 >= h0)
+                MediaDims(id, w0, h0, 224L,
+                  math.floor(h0 * 224.0 / w0).toLong)
+              else
+                MediaDims(id, w0, h0,
+                  math.floor(w0 * 224.0 / h0).toLong, 224L)
+            }
+          }
+        }
+        .toDF()
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -816,6 +867,36 @@ object Pipeline {
          FROM h)
          SELECT doc_id, CAST((b0 % 5) + 1 AS BIGINT) AS frame_count,
            round(b0 / 255.0, 4) AS feat0
-         FROM b ORDER BY doc_id"""
+         FROM b ORDER BY doc_id""",
+    "m3_frame_sample" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS m FROM documents),
+         b AS (SELECT doc_id,
+           16*(strpos('0123456789abcdef', substr(m, 1, 1))-1)
+             + (strpos('0123456789abcdef', substr(m, 2, 1))-1) AS b0
+         FROM h),
+         f AS (SELECT doc_id, CAST((b0 % 48) + 2 AS BIGINT) AS n_frames
+               FROM b)
+         SELECT doc_id, n_frames,
+           CAST(unnest(generate_series(0, n_frames - 1, 8)) AS BIGINT)
+             AS frame_idx,
+           CAST(unnest(generate_series(0, n_frames - 1, 8)) * 40 AS BIGINT)
+             AS ts_ms
+         FROM f ORDER BY doc_id, frame_idx""",
+    "m4_media_resize" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS m FROM documents),
+         b AS (SELECT doc_id,
+           16*(strpos('0123456789abcdef', substr(m, 3, 1))-1)
+             + (strpos('0123456789abcdef', substr(m, 4, 1))-1) AS b1,
+           16*(strpos('0123456789abcdef', substr(m, 5, 1))-1)
+             + (strpos('0123456789abcdef', substr(m, 6, 1))-1) AS b2
+         FROM h),
+         dims AS (SELECT doc_id,
+           64 + (b1 % 192)*4 AS w0, 64 + (b2 % 192)*4 AS h0 FROM b)
+         SELECT doc_id, CAST(w0 AS BIGINT) AS w0, CAST(h0 AS BIGINT) AS h0,
+           CAST(CASE WHEN w0 >= h0 THEN 224
+                ELSE floor(w0*224.0/h0) END AS BIGINT) AS w1,
+           CAST(CASE WHEN w0 >= h0 THEN floor(h0*224.0/w0)
+                ELSE 224 END AS BIGINT) AS h1
+         FROM dims ORDER BY doc_id"""
   )
 }
