@@ -204,7 +204,10 @@ object Pipeline {
 
     // N3: IVF-bucketed ANN — centroid assignment + nprobe-bucket search
     // (the inverted-file scale path; centroids = deterministic sample).
-    // Rows-only like n2; SimilaritySpec bounds recall vs n1.
+    // Unlike the hash-based n2/n5 and the trained n4, every stage here is
+    // deterministic SQL-expressible arithmetic — so n3 carries a FULL
+    // DuckDB oracle (assignment, probe buckets, candidate join, exact
+    // re-rank); SimilaritySpec additionally bounds recall vs n1.
     "n3_ann_ivf" -> { (s, d) =>
       val v = Tables.embeddings(s, d)
       Similarity.ivfTopK(v.filter(col("vec_id") < 10), v,
@@ -214,9 +217,11 @@ object Pipeline {
 
     // N4: IVF with TRAINED centroids — two deterministic Lloyd iterations
     // over the deterministic sample n3 uses raw, then the same
-    // nprobe-bucket search. Rows-only like n2/n3 (k-means has no SQL
-    // oracle); SimilaritySpec bounds recall vs brute force and pins
-    // centroid determinism.
+    // nprobe-bucket search. Training is exact arithmetic (integer-domain
+    // assignment, decimal-exact means), so the two iterations UNROLL into
+    // SQL CTEs and n4 carries a full DuckDB oracle — the k-means itself
+    // is hash-verified, not just recall-bounded (SimilaritySpec keeps the
+    // recall floor and determinism checks).
     "n4_ann_ivf_trained" -> { (s, d) =>
       val v = Tables.embeddings(s, d)
       val trained = Similarity.kmeansCentroids(
@@ -753,6 +758,80 @@ object Pipeline {
                GROUP BY 1, 2)
          SELECT vec_a, vec_b, round(cos, 4) AS cosine
          FROM p WHERE cos >= 0.4 ORDER BY vec_a, vec_b""",
+    "n4_ann_ivf_trained" ->
+      s"""WITH u AS ($duckUnnest),
+         c0 AS (SELECT vec_id AS cid, x AS cx, i FROM u
+                WHERE vec_id % 50 = 0),
+         s1 AS (SELECT a.vec_id, b.cid, ${duckCos("a.x", "b.cx")} AS csim
+                FROM u a JOIN c0 b ON a.i = b.i GROUP BY 1, 2),
+         a1 AS (SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+                  FROM s1) WHERE rn = 1),
+         c1 AS (SELECT a1.cid,  u.i,
+                  CAST(CAST(SUM(CAST(u.x AS DECIMAL(38,6))) AS DOUBLE)
+                    / COUNT(*) AS REAL) AS cx
+                FROM u JOIN a1 USING (vec_id) GROUP BY 1, 2),
+         s2 AS (SELECT a.vec_id, b.cid, ${duckCos("a.x", "b.cx")} AS csim
+                FROM u a JOIN c1 b ON a.i = b.i GROUP BY 1, 2),
+         a2 AS (SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+                  FROM s2) WHERE rn = 1),
+         c2 AS (SELECT a2.cid, u.i,
+                  CAST(CAST(SUM(CAST(u.x AS DECIMAL(38,6))) AS DOUBLE)
+                    / COUNT(*) AS REAL) AS cx
+                FROM u JOIN a2 USING (vec_id) GROUP BY 1, 2),
+         s3 AS (SELECT a.vec_id, b.cid, ${duckCos("a.x", "b.cx")} AS csim
+                FROM u a JOIN c2 b ON a.i = b.i GROUP BY 1, 2),
+         vr AS (SELECT vec_id, cid, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+                FROM s3),
+         vb AS (SELECT vec_id AS cand_id, cid FROM vr WHERE rn = 1),
+         pb AS (SELECT vec_id AS probe_id, cid FROM vr
+                WHERE rn <= 8 AND vec_id < 10),
+         cands AS (SELECT DISTINCT probe_id, cand_id
+                   FROM pb JOIN vb USING (cid)
+                   WHERE probe_id <> cand_id),
+         sc AS (SELECT c.probe_id, c.cand_id,
+                  ${duckCos("a.x", "b.x")} AS cos
+                FROM cands c
+                JOIN u a ON a.vec_id = c.probe_id
+                JOIN u b ON b.vec_id = c.cand_id AND a.i = b.i
+                GROUP BY 1, 2),
+         r AS (SELECT probe_id, cand_id, cos, row_number() OVER (
+                 PARTITION BY probe_id ORDER BY cos DESC, cand_id)
+                 AS rank FROM sc)
+         SELECT probe_id, rank, cand_id AS neighbor_id,
+           round(cos, 4) AS cosine
+         FROM r WHERE rank <= 5 ORDER BY probe_id, rank""",
+    "n3_ann_ivf" ->
+      s"""WITH u AS ($duckUnnest),
+         cu AS (SELECT vec_id AS cid, x AS cx, i FROM u
+                WHERE vec_id % 50 = 0),
+         vc AS (SELECT a.vec_id, b.cid, ${duckCos("a.x", "b.cx")} AS csim
+                FROM u a JOIN cu b ON a.i = b.i GROUP BY 1, 2),
+         vr AS (SELECT vec_id, cid, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+                FROM vc),
+         vb AS (SELECT vec_id AS cand_id, cid FROM vr WHERE rn = 1),
+         pb AS (SELECT vec_id AS probe_id, cid FROM vr
+                WHERE rn <= 8 AND vec_id < 10),
+         cands AS (SELECT DISTINCT probe_id, cand_id
+                   FROM pb JOIN vb USING (cid)
+                   WHERE probe_id <> cand_id),
+         sc AS (SELECT c.probe_id, c.cand_id,
+                  ${duckCos("a.x", "b.x")} AS cos
+                FROM cands c
+                JOIN u a ON a.vec_id = c.probe_id
+                JOIN u b ON b.vec_id = c.cand_id AND a.i = b.i
+                GROUP BY 1, 2),
+         r AS (SELECT probe_id, cand_id, cos, row_number() OVER (
+                 PARTITION BY probe_id ORDER BY cos DESC, cand_id)
+                 AS rank FROM sc)
+         SELECT probe_id, rank, cand_id AS neighbor_id,
+           round(cos, 4) AS cosine
+         FROM r WHERE rank <= 5 ORDER BY probe_id, rank""",
     "n1_ann_topk" ->
       s"""WITH u AS ($duckUnnest),
          sc AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
