@@ -236,9 +236,11 @@ object Pipeline {
     // 100 TB; IVF prunes candidates, PQ shrinks them); queries score the
     // codes by integer table-lookup (ADC), then exact-re-rank only the
     // surviving shortlist. Codebooks are deterministic Lloyd over each
-    // subspace (same % 50 sample seeding as n3/n4). Rows-only like n2-n5
-    // (the approximation has no SQL oracle); SimilaritySpec pins
-    // determinism, code-domain bounds, and a recall floor vs n1.
+    // subspace (same % 50 sample seeding as n3/n4) — and because every
+    // stage is integer/decimal-exact arithmetic, the WHOLE path (subspace
+    // training, encoding, ADC scoring, shortlist, re-rank) unrolls into
+    // SQL CTEs: n6 is hash-verified against a full DuckDB oracle, with
+    // SimilaritySpec keeping code-domain bounds and the recall floor.
     "n6_ann_pq" -> { (s, d) =>
       val v = Tables.embeddings(s, d)
       Similarity.pqTopK(v.filter(col("vec_id") < 10), v, k = 5)
@@ -758,6 +760,83 @@ object Pipeline {
                GROUP BY 1, 2)
          SELECT vec_a, vec_b, round(cos, 4) AS cosine
          FROM p WHERE cos >= 0.4 ORDER BY vec_a, vec_b""",
+    "n6_ann_pq" ->
+      s"""WITH u AS ($duckUnnest),
+         sl AS (SELECT vec_id AS id, CAST((i-1)//8 AS BIGINT) AS sub,
+                  (i-1)%8 AS pos, x
+                FROM u),
+         cb0 AS (SELECT sub, id AS code, pos, x AS cw FROM sl
+                 WHERE id % 50 = 0),
+         d1 AS (SELECT s.id, s.sub, c.code,
+                  SUM(CAST(floor(c.cw*c.cw*1e16) AS BIGINT))
+                    - 2*SUM(CAST(floor(s.x*c.cw*1e16) AS BIGINT)) AS d2
+                FROM sl s JOIN cb0 c ON s.sub = c.sub AND s.pos = c.pos
+                GROUP BY 1, 2, 3),
+         a1 AS (SELECT id, sub, code FROM (
+                  SELECT id, sub, code, row_number() OVER (
+                    PARTITION BY id, sub ORDER BY d2, code) AS rn FROM d1)
+                WHERE rn = 1),
+         cb1 AS (SELECT a.sub, a.code, s.pos,
+                   CAST(CAST(SUM(CAST(s.x AS DECIMAL(38,6))) AS DOUBLE)
+                     / COUNT(*) AS REAL) AS cw
+                 FROM sl s JOIN a1 a ON s.id = a.id AND s.sub = a.sub
+                 GROUP BY 1, 2, 3),
+         d2i AS (SELECT s.id, s.sub, c.code,
+                   SUM(CAST(floor(c.cw*c.cw*1e16) AS BIGINT))
+                     - 2*SUM(CAST(floor(s.x*c.cw*1e16) AS BIGINT)) AS d2
+                 FROM sl s JOIN cb1 c ON s.sub = c.sub AND s.pos = c.pos
+                 GROUP BY 1, 2, 3),
+         a2 AS (SELECT id, sub, code FROM (
+                  SELECT id, sub, code, row_number() OVER (
+                    PARTITION BY id, sub ORDER BY d2, code) AS rn FROM d2i)
+                WHERE rn = 1),
+         cb2 AS (SELECT a.sub, a.code, s.pos,
+                   CAST(CAST(SUM(CAST(s.x AS DECIMAL(38,6))) AS DOUBLE)
+                     / COUNT(*) AS REAL) AS cw
+                 FROM sl s JOIN a2 a ON s.id = a.id AND s.sub = a.sub
+                 GROUP BY 1, 2, 3),
+         d3 AS (SELECT s.id, s.sub, c.code,
+                  SUM(CAST(floor(c.cw*c.cw*1e16) AS BIGINT))
+                    - 2*SUM(CAST(floor(s.x*c.cw*1e16) AS BIGINT)) AS d2
+                FROM sl s JOIN cb2 c ON s.sub = c.sub AND s.pos = c.pos
+                GROUP BY 1, 2, 3),
+         enc AS (SELECT id AS cand_id, sub, code FROM (
+                   SELECT id, sub, code, row_number() OVER (
+                     PARTITION BY id, sub ORDER BY d2, code) AS rn FROM d3)
+                 WHERE rn = 1),
+         lut AS (SELECT s.id AS probe_id, c.sub, c.code,
+                   SUM(CAST(floor(s.x*c.cw*1e16) AS BIGINT)) AS pdot,
+                   SUM(CAST(floor(c.cw*c.cw*1e16) AS BIGINT)) AS cn
+                 FROM sl s JOIN cb2 c ON s.sub = c.sub AND s.pos = c.pos
+                 WHERE s.id < 10 GROUP BY 1, 2, 3),
+         pn AS (SELECT vec_id AS probe_id,
+                  SUM(CAST(floor(x*x*1e16) AS BIGINT)) AS pn
+                FROM u WHERE vec_id < 10 GROUP BY 1),
+         adc AS (SELECT l.probe_id, e.cand_id,
+                   SUM(l.pdot) AS adot, SUM(l.cn) AS rnorm
+                 FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.code
+                 GROUP BY 1, 2),
+         acs AS (SELECT a.probe_id, a.cand_id,
+                   CAST(a.adot AS DOUBLE) / (sqrt(CAST(p.pn AS DOUBLE))
+                     * sqrt(CAST(a.rnorm AS DOUBLE))) AS acos
+                 FROM adc a JOIN pn p USING (probe_id)
+                 WHERE a.probe_id <> a.cand_id),
+         short AS (SELECT probe_id, cand_id FROM (
+                     SELECT probe_id, cand_id, row_number() OVER (
+                       PARTITION BY probe_id ORDER BY acos DESC, cand_id)
+                       AS rn FROM acs) WHERE rn <= 50),
+         sc AS (SELECT s.probe_id, s.cand_id,
+                  ${duckCos("a.x", "b.x")} AS cos
+                FROM short s
+                JOIN u a ON a.vec_id = s.probe_id
+                JOIN u b ON b.vec_id = s.cand_id AND a.i = b.i
+                GROUP BY 1, 2),
+         r AS (SELECT probe_id, cand_id, cos, row_number() OVER (
+                 PARTITION BY probe_id ORDER BY cos DESC, cand_id)
+                 AS rank FROM sc)
+         SELECT probe_id, rank, cand_id AS neighbor_id,
+           round(cos, 4) AS cosine
+         FROM r WHERE rank <= 5 ORDER BY probe_id, rank""",
     "n4_ann_ivf_trained" ->
       s"""WITH u AS ($duckUnnest),
          c0 AS (SELECT vec_id AS cid, x AS cx, i FROM u
