@@ -27,10 +27,12 @@ object Bench {
     "x5_from_json", "api1_token_list", "api2_trades_page", "g_gapfill_prev",
     "d1_exact_dedup", "d2_minhash_neardup", "d5_embedding_neardup",
     "d8_dup_groups", "d9_semantic_prune", "d10_dedup_apply_groups",
-    "n1_ann_topk", "n4_ann_ivf_trained", "n5_ann_multiprobe", "n6_ann_pq",
+    "n1_ann_topk", "n3_ann_ivf", "n4_ann_ivf_trained", "n5_ann_multiprobe",
+    "n6_ann_pq",
     "t1_text_stats", "t3_quality_score", "t8_quality_gate",
     "t12_seq_pack", "t13_doc_freq", "t15_tfidf_keywords",
-    "m2_media_extract")
+    "w11_forming_bar", "t10b_alert_wallet_tvl",
+    "m2_media_extract", "m3_frame_sample", "m4_media_resize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -149,18 +149,25 @@ object Dedup {
     var labels = sym.select(col("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
-    var changed = 1L
-    while (changed > 0) {
+    // convergence probe: labels only ever DECREASE, so Σcomp (exact
+    // decimal — no overflow, no float drift) strictly drops iff any label
+    // changed; comparing round sums replaces the join+filter+count probe
+    // with one tiny aggregate over the already-checkpointed frame
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast(
+        org.apache.spark.sql.types.DecimalType(38, 0)))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var changed = true
+    while (changed) {
       val nbrLabels = sym
         .join(labels.select(col("id").as("nbr"), col("comp")), "nbr")
         .select(col("id"), col("comp"))
       val next = labels.union(nbrLabels)
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
         .localCheckpoint(true)
-      // convergence probe: any vertex whose label still shrank this round?
-      changed = next
-        .join(labels.select(col("id"), col("comp").as("prev")), "id")
-        .filter(col("comp") < col("prev")).count()
+      val s = labelSum(next)
+      changed = s.compareTo(prevSum) != 0
+      prevSum = s
       labels = next
     }
     labels

@@ -104,6 +104,39 @@ object OhlcvSpec extends Properties("Ohlcv") {
       }
     }
 
+  property("withFormingBar: closed+forming partition the resample exactly") =
+    Prop.forAllNoShrink(genTicks) { ticks =>
+      val fine = candles(ticks, 300L)
+      val step = 1800L
+      val asOf = ticks.map(_._2).max
+      val formingStart = asOf / step * step
+      val out = Ohlcv.withFormingBar(fine, Seq("key"), step, asOf)
+        .select("key", "bucket_ts", "open", "high", "low", "close",
+          "volume", "trade_count", "forming").collect()
+      val direct = collectCandles(
+        Ohlcv.resample(fine, Seq("key"), step))
+      // closed rows are exactly the direct resample below formingStart
+      val closedOk = out.filter(!_.getBoolean(8)).forall { r =>
+        val k = (r.getString(0), r.getLong(1))
+        r.getLong(1) < formingStart && direct.get(k).contains(
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+            r.getLong(7)))
+      }
+      // the forming bar sits AT formingStart; its close/count match the
+      // direct resample of that bucket, and high/low only widen toward
+      // the open (the ws.js clamp)
+      val formingOk = out.filter(_.getBoolean(8)).forall { r =>
+        val k = (r.getString(0), r.getLong(1))
+        r.getLong(1) == formingStart && direct.get(k).exists {
+          case (o, h, l, c, n) =>
+            r.getDouble(2) == o && r.getDouble(5) == c && r.getLong(7) == n &&
+              r.getDouble(3) == math.max(h, o) && r.getDouble(4) == math.min(l, o)
+        }
+      }
+      // nothing is lost: every direct bucket appears exactly once
+      closedOk && formingOk && out.length == direct.size
+    }
+
   property("gapFill(zero): fills carry price 0 and volume 0; none: identity") =
     Prop.forAllNoShrink(genTicks) { ticks =>
       val c = candles(ticks, 300L)
