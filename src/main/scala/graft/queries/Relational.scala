@@ -101,8 +101,13 @@ object Relational {
       val c  = Tables.customer(s, d)
       val n  = Tables.nation(s, d)
       val r  = Tables.region(s, d)
-      li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      // orders/customer SCALE with the fact side — leave them unhinted so
+      // the planner (size stats + AQE) broadcasts at small SF and falls
+      // back to a shuffle join at 100 TB, where a forced broadcast would
+      // OOM the build side; nation/region are bounded dims, always
+      // broadcast
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"))
