@@ -117,5 +117,5 @@ object Core {
     */
   def anchorInstantMinusSec(df: org.apache.spark.sql.DataFrame, ts: Column,
                             sec: Long): java.time.Instant =
-    df.agg(max(ts)).head.getTimestamp(0).toInstant.minusSeconds(sec)
+    df.agg(max(ts)).head().getTimestamp(0).toInstant.minusSeconds(sec)
 }

@@ -155,7 +155,7 @@ object Dedup {
     // with one tiny aggregate over the already-checkpointed frame
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast(
-        org.apache.spark.sql.types.DecimalType(38, 0)))).head.getDecimal(0)
+        org.apache.spark.sql.types.DecimalType(38, 0)))).head().getDecimal(0)
     var prevSum = labelSum(labels)
     var changed = true
     while (changed) {

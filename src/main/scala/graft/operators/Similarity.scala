@@ -335,7 +335,7 @@ object Similarity {
     */
   def pqTrain(vecs: DataFrame, m: Int = 4, iters: Int = 2,
               sampleStride: Long = 50L): DataFrame = {
-    val dim = vecs.select(size(col("embedding"))).head.getInt(0)
+    val dim = vecs.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"pqTrain: dim $dim not divisible into $m subspaces")
     pqTrainSliced(pqSliced(vecs, m, dim / m), iters, sampleStride)
   }
@@ -373,8 +373,8 @@ object Similarity {
     * the artifact a real corpus build persists.
     */
   def pqEncode(vecs: DataFrame, codebook: DataFrame): DataFrame = {
-    val dim = vecs.select(size(col("embedding"))).head.getInt(0)
-    val head = codebook.select(max(col("sub")), size(first(col("cw")))).head
+    val dim = vecs.select(size(col("embedding"))).head().getInt(0)
+    val head = codebook.select(max(col("sub")), size(first(col("cw")))).head()
     val m = head.getInt(0) + 1
     // mirror pqTrain's guard: a codebook trained on different-dimension
     // vectors would otherwise silently slice() off the tail dimensions
@@ -398,7 +398,7 @@ object Similarity {
   def pqTopK(probes: DataFrame, vecs: DataFrame, k: Int, m: Int = 8,
              iters: Int = 2, sampleStride: Long = 50L,
              shortlist: Int = 50): DataFrame = {
-    val dim = vecs.select(size(col("embedding"))).head.getInt(0)
+    val dim = vecs.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"pqTopK: dim $dim not divisible into $m subspaces")
     val corpus = pqSliced(vecs, m, dim / m)
     val cb = pqTrainSliced(corpus, iters, sampleStride)

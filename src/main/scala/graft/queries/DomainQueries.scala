@@ -123,7 +123,7 @@ object DomainQueries {
       // o_orderdate is parquet TIMESTAMP(ms) without timezone → Spark
       // reads TIMESTAMP_NTZ (LocalDateTime); epoch taken as UTC to match
       // DuckDB's epoch() on naive timestamps.
-      val anchorSec = o.agg(max(col("o_orderdate"))).head
+      val anchorSec = o.agg(max(col("o_orderdate"))).head()
         .getAs[java.time.LocalDateTime](0)
         .toEpochSecond(java.time.ZoneOffset.UTC)
       val firstSeen = o.groupBy(col("o_custkey"))
@@ -337,7 +337,7 @@ object DomainQueries {
     // as-of pick without a second scan).
     "t10b_alert_wallet_tvl" -> { (s, d) =>
       val e = Tables.events(s, d)
-      val anchorSec = e.agg(max(unix_timestamp(col("ts")))).head.getLong(0)
+      val anchorSec = e.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
       val wr = s.createDataFrame(Seq(
         (101L, 1L, 30L, "purchase"),
         (102L, 2L, 120L, null.asInstanceOf[String]),

@@ -343,7 +343,7 @@ object TimeSeries {
     // (api/util/pool-select.js:84-126).
     "w6_pct_change" -> { (s, d) =>
       val c = hourly(s, d)
-      val cut = c.agg(max(col("bucket_ts"))).head.getLong(0) - 7L * 86400L
+      val cut = c.agg(max(col("bucket_ts"))).head().getLong(0) - 7L * 86400L
       Ohlcv.pctChange(c, Seq("event_type"), lit(cut))
         .select(col("event_type"), col("last_close"), col("prev_close"),
           col("change_pct"))
@@ -353,7 +353,7 @@ object TimeSeries {
     // O5: gainers — order by computed change desc (api/routes/tokens.js:320-416).
     "o5_gainers" -> { (s, d) =>
       val c = hourly(s, d)
-      val cut = c.agg(max(col("bucket_ts"))).head.getLong(0) - 7L * 86400L
+      val cut = c.agg(max(col("bucket_ts"))).head().getLong(0) - 7L * 86400L
       Ohlcv.pctChange(c, Seq("event_type"), lit(cut))
         .select(col("event_type"), col("change_pct"))
         .orderBy(col("change_pct").desc, col("event_type"))
@@ -365,7 +365,7 @@ object TimeSeries {
     // that "now" (batch twin: max event time) falls in, flagged `forming`.
     "w11_forming_bar" -> { (s, d) =>
       val h = hourly(s, d)
-      val now = h.agg(max(col("bucket_ts"))).head.getLong(0)
+      val now = h.agg(max(col("bucket_ts"))).head().getLong(0)
       Ohlcv.withFormingBar(h, Seq("event_type"), 21600L, now)
         .orderBy(col("event_type"), col("bucket_ts"))
     },

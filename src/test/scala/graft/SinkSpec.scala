@@ -82,6 +82,28 @@ class SinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 2000)
   }
 
+  test("partitioned layout prunes non-matching partitions at read time") {
+    val path = tmp("graft-prune")
+    Sinks.appendPartitioned(
+      spark.range(300).select(col("id"),
+        concat(lit("2024-0"), (col("id") % 3 + 1).cast("string"))
+          .as("month")),
+      path, "month")
+    val q = spark.read.parquet(path).filter(col("month") === "2024-02")
+    // the month predicate must become a PARTITION filter (directory
+    // pruning), not a data filter evaluated per row — at 100 TB this is
+    // the difference between listing one month and scanning the world
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("month"))
+    assert(q.count() == 100)
+    // only the matching partition's files are read
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(!scanned.contains("month=2024-01") || scanned.contains("..."))
+  }
+
   test("compactSmallFiles shrinks file count and preserves every row") {
     val path = tmp("graft-compact")
     spark.range(10000).select(col("id"), (col("id") % 5).as("k"))
