@@ -195,6 +195,27 @@ object DomainQueries {
         .limit(20)
     },
 
+    // §3 serving composite #3: the GET /tokens/:id/ohlcv chart route
+    // (api/routes/tokens.js:1244-1558): a from/to window over one
+    // series, 1h candles resampled to the requested tf, fill=prev gap
+    // fill, newest `limit` bars. The 14-day cutoff collects to a literal
+    // and reaches the parquet scan through the raw-nanos pushdown path
+    // (Tables.eventsFrom) — at 100 TB the route reads days, not history.
+    "api3_ohlcv_route" -> { (s, d) =>
+      val cut = anchorInstantMinusSec(Tables.events(s, d), col("ts"),
+        14L * 86400L)
+      val e = Tables.eventsFrom(s, d, cut)
+        .filter(col("event_type") === "purchase")
+      val c1h = graft.operators.Ohlcv.candles(e, Seq.empty,
+        col("ts"), col("event_id"), col("value"), col("value"), 3600L)
+      val c6h = graft.operators.Ohlcv.resample(c1h, Seq.empty, 21600L)
+      graft.operators.Ohlcv.gapFill(c6h, Seq.empty, 21600L, mode = "prev")
+        .select(col("bucket_ts"), col("open"), col("high"), col("low"),
+          col("close"), col("volume"), col("trade_count"))
+        .orderBy(col("bucket_ts").desc).limit(300)
+        .orderBy(col("bucket_ts"))
+    },
+
     // S3 + §2.8 encoding: base64 round-trip decode check, "amount+denom"
     // asset parse, "denom:amount" k/v parse (core/parse.js:4-17,38-60).
     "s3_event_decode" -> { (s, d) =>
@@ -558,6 +579,37 @@ object DomainQueries {
            ON p.user_id = c.c_user AND p.ts >= c.click_ts
          WHERE p.event_id < 9000
          ORDER BY p.event_id DESC LIMIT 20""",
+    "api3_ohlcv_route" ->
+      """WITH a AS (SELECT max(ts) - INTERVAL 14 DAY AS cut FROM events),
+         t AS (SELECT e.* FROM events e, a
+               WHERE e.event_type = 'purchase' AND e.ts >= a.cut),
+         c AS (SELECT CAST(floor(epoch(ts)/21600)*21600 AS BIGINT)
+                 AS bucket_ts,
+               min_by(value, event_id) AS open,
+               max(value) AS high, min(value) AS low,
+               max_by(value, event_id) AS close,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume,
+               count(*) AS trade_count
+             FROM t GROUP BY 1),
+         spine AS (SELECT unnest(generate_series(
+             min(bucket_ts), max(bucket_ts), 21600)) AS bucket_ts FROM c),
+         j AS (SELECT s.bucket_ts, c.open, c.high, c.low, c.close,
+                 c.volume, c.trade_count
+               FROM spine s LEFT JOIN c USING (bucket_ts)),
+         k AS (SELECT *, last_value(close IGNORE NULLS) OVER (
+                 ORDER BY bucket_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry
+               FROM j),
+         f AS (SELECT bucket_ts,
+                 coalesce(open, carry) AS open,
+                 coalesce(high, carry) AS high,
+                 coalesce(low, carry) AS low,
+                 coalesce(close, carry) AS close,
+                 coalesce(volume, 0) AS volume,
+                 coalesce(trade_count, 0) AS trade_count
+               FROM k),
+         page AS (SELECT * FROM f ORDER BY bucket_ts DESC LIMIT 300)
+         SELECT * FROM page ORDER BY bucket_ts""",
     "s3_event_decode" ->
       """SELECT doc_id,
          decode(from_base64(base64(encode(text)))) = text AS round_ok,
