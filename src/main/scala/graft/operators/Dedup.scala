@@ -71,8 +71,21 @@ object Dedup {
   /** Candidate near-dup pairs via MinHash+LSH banding: signature per doc
     * (map-side), explode into `bands` (band, band_hash) keys, equi-join
     * within buckets. Output: distinct (doc_a, doc_b) with doc_a < doc_b.
+    *
+    * `maxBucket` (opt-in) drops buckets holding more than that many docs
+    * BEFORE the self-join — the standard skew guard at corpus scale: a
+    * boilerplate band (shared header/footer text) can put 10⁶ docs in one
+    * bucket, and that single bucket's k² pair explosion dwarfs the rest
+    * of the job. Members of a dropped mega-bucket still pair through
+    * their other `bands-1` buckets, so genuinely near-identical docs are
+    * re-found elsewhere with probability 1-(miss)^(bands-1); what is
+    * skipped is exactly the degenerate everyone-matches-everyone cluster
+    * a dedup pass handles by other means (exact dedup catches true
+    * copies). Default None = exact banding semantics (the oracle-checked
+    * path).
     */
-  def minhashCandidates(sf: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  def minhashCandidates(sf: DataFrame, numHashes: Int, bands: Int,
+                        maxBucket: Option[Int] = None): DataFrame = {
     val r = numHashes / bands
     // explode_OUTER: a plain explode makes the optimizer infer a
     // `size(bandHashes(minhashSig(...))) > 0` filter and push it below the
@@ -85,8 +98,20 @@ object Dedup {
           .as("bh"))
       .select(col("doc_id"), explode_outer(col("bh")).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    banded.as("a")
-      .join(banded.as("b"),
+    val bounded = maxBucket match {
+      case Some(cap) =>
+        // one aggregate over the banded keys, then a semi-join keeps only
+        // rows of small-enough buckets — the count and the join share the
+        // same hash partitioning, so the guard costs one cheap shuffle
+        val small = banded.groupBy(col("band"), col("bh"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") <= cap)
+          .select(col("band"), col("bh"))
+        banded.join(small, Seq("band", "bh"), "left_semi")
+      case None => banded
+    }
+    bounded.as("a")
+      .join(bounded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

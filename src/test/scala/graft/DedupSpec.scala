@@ -56,6 +56,27 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.nonEmpty) // the fixture plants near-dups; empty = broken
   }
 
+  test("maxBucket drops only mega-bucket pairs; near-dups re-found via other bands") {
+    // 30 docs sharing one boilerplate sentence (a hot bucket in SOME
+    // bands) + a planted near-identical pair with unique text
+    val boiler = "all rights reserved contact us terms of service apply"
+    val docs = ((1 to 30).map(i =>
+        (i.toLong, s"$boiler unique filler number $i item ${i * 7} end")) ++
+      Seq((100L, "a very specific document about spark shuffles and sorts"),
+          (101L, "a very specific document about spark shuffles and sort")))
+      .toDF("doc_id", "text")
+    val sf = Dedup.shingleFrame(docs, 3)
+    val uncapped = Dedup.minhashCandidates(sf, 128, 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.minhashCandidates(sf, 128, 32, maxBucket = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the planted pair never lands in a 30-doc boilerplate bucket on ALL
+    // 32 bands — the cap must keep it
+    assert(capped.contains((100L, 101L)))
+    // the guard only ever shrinks the candidate set
+    assert(capped.subsetOf(uncapped))
+  }
+
   test("connectedComponents matches a union-find reference on random graphs") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
