@@ -362,6 +362,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 0L), (1L, 400L), (1L, 750L), (2L, 50L)))
   }
 
+  test("T9: the forming bucket's bar UPDATES as later micro-batches land") {
+    // the WS delta loop's in-engine half: a windowed candle aggregate in
+    // complete mode re-emits the open bucket with refreshed OHLCV as new
+    // trades arrive — batch 2 must revise batch 1's forming bar, not
+    // append a duplicate
+    val in = tmpDir("graft-t9-in")
+    def land(name: String, rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$in/$name")
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    land("b1", Seq(
+      (1L, ts(100L), 1L, "purchase", 10.0, "{}"),
+      (2L, ts(200L), 1L, "purchase", 14.0, "{}")))
+    val stream = Streams.windowedCandles(
+      spark.readStream.option("recursiveFileLookup", "true")
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+          "event_type STRING, value DOUBLE, props STRING")
+        .parquet(in),
+      Seq("event_type"), 3600L)
+    val q1 = stream.writeStream.format("memory").queryName("t9_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+    val bar1 = spark.table("t9_out")
+      .select("bucket_ts", "open", "high", "close", "trade_count")
+      .as[(Long, Double, Double, Double, Long)].collect()
+    assert(bar1.toSeq == Seq((0L, 10.0, 14.0, 14.0, 2L)))
+    // more trades land in the SAME (still-forming) bucket
+    land("b2", Seq(
+      (3L, ts(300L), 1L, "purchase", 9.0, "{}"),
+      (4L, ts(400L), 1L, "purchase", 12.0, "{}")))
+    val q2 = stream.writeStream.format("memory").queryName("t9_out2")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val bar2 = spark.table("t9_out2")
+      .select("bucket_ts", "open", "high", "low", "close", "trade_count")
+      .as[(Long, Double, Double, Double, Double, Long)].collect()
+    // one row, same bucket, revised: low and close reflect the new ticks
+    assert(bar2.toSeq == Seq((0L, 10.0, 14.0, 9.0, 12.0, 4L)))
+  }
+
   test("T5: stateful continuity carries close across micro-batches") {
     // two landing dirs processed as two micro-batches of one stream:
     // batch 2's first candle must open at batch 1's last close (the
