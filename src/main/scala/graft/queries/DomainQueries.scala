@@ -216,6 +216,41 @@ object DomainQueries {
         .orderBy(col("bucket_ts"))
     },
 
+    // §3 serving composite #4: the GET /tokens/:id detail — ONE token's
+    // matrix row (price/mcap/fdv/holders) joined with its security score
+    // (api/routes/tokens.js:91-243 + 1104-1143). The single-key lookup
+    // shape: the token_id equality pushes through the matrix joins onto
+    // the customer scan; the age anchor stays a global collected literal
+    // exactly as in f11.
+    "api4_token_detail" -> { (s, d) =>
+      val m = tokenMatrix(s, d).filter(col("token_id") === 42L)
+      val o = Tables.orders(s, d)
+      val anchorSec = o.agg(max(col("o_orderdate"))).head()
+        .getAs[java.time.LocalDateTime](0)
+        .toEpochSecond(java.time.ZoneOffset.UTC)
+      val firstSeen = o.filter(col("o_custkey") === 42L)
+        .groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("first_seen"))
+      val sec = Tables.customer(s, d).filter(col("c_custkey") === 42L)
+        .join(firstSeen, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          Domain.securityScore(
+            isMintable = col("c_mktsegment") === "BUILDING",
+            canChangeCap = col("c_acctbal") < 0d,
+            top10PctOfMax = abs(col("c_acctbal")) % 100d,
+            creatorPctOfMax = (col("c_custkey") % 40).cast("double"),
+            holdersCount = (col("c_custkey") * 37) % 12000,
+            fullyMinted = col("c_custkey") % 2 === 0,
+            daysAlive = coalesce(
+              floor((lit(anchorSec)
+                - unix_timestamp(col("first_seen").cast("timestamp")))
+                / 86400d).cast("double"),
+              lit(0d))).cast("long").as("score"))
+      m.join(sec, col("token_id") === col("c_custkey"))
+        .select(col("token_id"), col("price_in_zig"), col("mcap_zig"),
+          col("fdv_zig"), col("holders"), col("score"))
+    },
+
     // S3 + §2.8 encoding: base64 round-trip decode check, "amount+denom"
     // asset parse, "denom:amount" k/v parse (core/parse.js:4-17,38-60).
     "s3_event_decode" -> { (s, d) =>
@@ -432,6 +467,38 @@ object DomainQueries {
   }
 
   /** A11 oracle — shared verbatim by the api1 page (as a CTE). */
+  /** F11 oracle body (no ORDER BY) — shared by the f11 entry and the
+    * api4 token-detail composite.
+    */
+  private val f11Sql: String =
+    """WITH fs AS (SELECT o_custkey, min(o_orderdate) AS first_seen
+           FROM orders GROUP BY o_custkey),
+         anchor AS (SELECT max(o_orderdate) AS a FROM orders),
+         facts AS (SELECT c_custkey,
+           c_mktsegment = 'BUILDING' AS is_mintable,
+           c_acctbal < 0 AS can_change_cap,
+           abs(c_acctbal) % 100 AS top10,
+           CAST(c_custkey % 40 AS DOUBLE) AS creator,
+           (c_custkey * 37) % 12000 AS holders,
+           c_custkey % 2 = 0 AS fully_minted,
+           coalesce(floor((epoch(a) - epoch(first_seen)) / 86400), 0) AS days_alive
+         FROM customer LEFT JOIN fs ON c_custkey = o_custkey CROSS JOIN anchor)
+         SELECT c_custkey,
+           greatest(1, least(99, CAST(round(100
+             + CASE WHEN is_mintable THEN -12 ELSE 4 END
+             + CASE WHEN can_change_cap THEN -8 ELSE 0 END
+             + CASE WHEN top10 >= 75 THEN -20 WHEN top10 >= 50 THEN -12
+                    WHEN top10 >= 30 THEN -6 ELSE 4 END
+             + CASE WHEN creator >= 25 THEN -18 WHEN creator >= 10 THEN -10
+                    WHEN creator > 0 THEN 3 ELSE 0 END
+             + CASE WHEN holders < 100 THEN -8 WHEN holders < 1000 THEN -4
+                    WHEN holders >= 10000 THEN 5 ELSE 0 END
+             + CASE WHEN NOT is_mintable AND fully_minted THEN 4 ELSE 0 END
+             + CASE WHEN days_alive >= 180 THEN 6 WHEN days_alive >= 90 THEN 4
+                    WHEN days_alive >= 30 THEN 2 ELSE 0 END, 0) AS INT)))
+           AS score
+         FROM facts"""
+
   private val a11Sql: String =
     """WITH cut AS (SELECT max(ts) - INTERVAL 1 DAY AS c FROM events),
        pr AS (SELECT user_id,
@@ -532,34 +599,7 @@ object DomainQueries {
                 WHEN worth <= 10000 THEN 'shark'
                 ELSE 'whale' END AS cls
          FROM w ORDER BY event_id""",
-    "f11_security_score" ->
-      """WITH fs AS (SELECT o_custkey, min(o_orderdate) AS first_seen
-           FROM orders GROUP BY o_custkey),
-         anchor AS (SELECT max(o_orderdate) AS a FROM orders),
-         facts AS (SELECT c_custkey,
-           c_mktsegment = 'BUILDING' AS is_mintable,
-           c_acctbal < 0 AS can_change_cap,
-           abs(c_acctbal) % 100 AS top10,
-           CAST(c_custkey % 40 AS DOUBLE) AS creator,
-           (c_custkey * 37) % 12000 AS holders,
-           c_custkey % 2 = 0 AS fully_minted,
-           coalesce(floor((epoch(a) - epoch(first_seen)) / 86400), 0) AS days_alive
-         FROM customer LEFT JOIN fs ON c_custkey = o_custkey CROSS JOIN anchor)
-         SELECT c_custkey,
-           greatest(1, least(99, CAST(round(100
-             + CASE WHEN is_mintable THEN -12 ELSE 4 END
-             + CASE WHEN can_change_cap THEN -8 ELSE 0 END
-             + CASE WHEN top10 >= 75 THEN -20 WHEN top10 >= 50 THEN -12
-                    WHEN top10 >= 30 THEN -6 ELSE 4 END
-             + CASE WHEN creator >= 25 THEN -18 WHEN creator >= 10 THEN -10
-                    WHEN creator > 0 THEN 3 ELSE 0 END
-             + CASE WHEN holders < 100 THEN -8 WHEN holders < 1000 THEN -4
-                    WHEN holders >= 10000 THEN 5 ELSE 0 END
-             + CASE WHEN NOT is_mintable AND fully_minted THEN 4 ELSE 0 END
-             + CASE WHEN days_alive >= 180 THEN 6 WHEN days_alive >= 90 THEN 4
-                    WHEN days_alive >= 30 THEN 2 ELSE 0 END, 0) AS INT)))
-           AS score
-         FROM facts ORDER BY c_custkey""",
+    "f11_security_score" -> (f11Sql + " ORDER BY c_custkey"),
     "a11_token_matrix" -> a11Sql,
     "api1_token_list" ->
       s"""WITH am AS ($a11Sql)
@@ -610,6 +650,13 @@ object DomainQueries {
                FROM k),
          page AS (SELECT * FROM f ORDER BY bucket_ts DESC LIMIT 300)
          SELECT * FROM page ORDER BY bucket_ts""",
+    "api4_token_detail" ->
+      s"""WITH am AS ($a11Sql),
+         sec AS ($f11Sql)
+         SELECT am.token_id, am.price_in_zig, am.mcap_zig, am.fdv_zig,
+           am.holders, sec.score
+         FROM am JOIN sec ON am.token_id = sec.c_custkey
+         WHERE am.token_id = 42""",
     "s3_event_decode" ->
       """SELECT doc_id,
          decode(from_base64(base64(encode(text)))) = text AS round_ok,

@@ -33,6 +33,31 @@ class EdgeSpec extends AnyFunSuite {
     assert(Ohlcv.gapFill(c, Seq("key"), 60L, "prev").count() == 0)
   }
 
+  test("forming bar: empty input, all-forming, and all-closed degenerate cases") {
+    val fine = Ohlcv.candles(noTicks, Seq("key"), col("ts"), col("ord"),
+      col("price"), col("vol"), 60L)
+    // empty fine frame: both branches empty, schema intact
+    val empty = Ohlcv.withFormingBar(fine, Seq("key"), 3600L, 7200L)
+    assert(empty.count() == 0)
+    assert(empty.columns.contains("forming"))
+    // every candle inside the forming bucket → exactly one forming row
+    val oneBucket = Ohlcv.candles(
+      Seq(("k", 30L, 1L, 5.0, 1.0), ("k", 90L, 2L, 7.0, 1.0))
+        .toDF("key", "tsec", "ord", "price", "vol")
+        .select(col("key"), timestamp_seconds(col("tsec")).as("ts"),
+          col("ord"), col("price"), col("vol")),
+      Seq("key"), col("ts"), col("ord"), col("price"), col("vol"), 60L)
+    val allForming = Ohlcv.withFormingBar(oneBucket, Seq("key"), 3600L, 100L)
+      .collect()
+    assert(allForming.length == 1 &&
+      allForming.head.getAs[Boolean]("forming"))
+    // asOf one step past the data → everything closed, no forming row
+    val allClosed = Ohlcv.withFormingBar(oneBucket, Seq("key"), 3600L, 3700L)
+      .collect()
+    assert(allClosed.length == 1 &&
+      !allClosed.head.getAs[Boolean]("forming"))
+  }
+
   test("dedup on empty corpus: no groups, no pairs") {
     assert(Dedup.exactDedup(noDocs).count() == 0)
     assert(Dedup.jaccardBruteForce(noDocs, 3, 0.5).count() == 0)
