@@ -121,6 +121,25 @@ class SinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).select("id").distinct().count() == 10000)
   }
 
+  test("materialized rollup serves identically to direct compute, via one scan") {
+    // the reference's §3.3 pattern: a 60 s job persists token_matrix and
+    // the API reads the TABLE, never recomputing the aggregation chain.
+    // Materialize a11 → read back → values identical, and the serving
+    // read's plan is a bare file scan (no joins, no aggregates).
+    val sf = SparkTestSession.sfDir
+    val path = tmp("graft-matrix")
+    val direct = SparkEntry.queries("a11_token_matrix")(spark, sf)
+    direct.write.mode("overwrite").parquet(path)
+    val served = spark.read.parquet(path)
+    assert(served.collect().map(_.toSeq).toSet ==
+      direct.collect().map(_.toSeq).toSet)
+    val page = served.orderBy(col("mcap_zig").desc, col("token_id")).limit(20)
+    val plan = page.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"))
+    assert(plan.contains("FileScan") || plan.contains("Scan parquet"))
+    assert(page.count() == 20)
+  }
+
   test("S9: snapshotReplace overwrites only the snapshot's partitions") {
     val path = tmp("graft-s9")
     Sinks.snapshotReplace(
