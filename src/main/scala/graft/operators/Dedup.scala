@@ -171,8 +171,11 @@ object Dedup {
         .select(col(edges.columns(1)).as("id"), col(edges.columns(0)).as("nbr")))
       .distinct()
       .localCheckpoint(true)
-    var labels = sym.select(col("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
+    // seed labels with round 1 already applied: min(id, Γ(id)) comes from
+    // ONE aggregate over the symmetric edges — the identity seeding would
+    // spend a full join+aggregate round computing exactly this
+    var labels = sym.groupBy(col("id"))
+      .agg(least(min(col("nbr")), col("id")).as("comp"))
       .localCheckpoint(true)
     // convergence probe: labels only ever DECREASE, so Σcomp (exact
     // decimal — no overflow, no float drift) strictly drops iff any label
