@@ -438,9 +438,7 @@ object Pipeline {
     // distribution) with a (score desc, word) total order.
     "t15_tfidf_keywords" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      // spread before the tokenize+explode chain: a single parquet split
-      // would run the whole corpus's word expansion in one task
-      val words = spreadPartitions(Tables.documents(s, d))
+      val words = Tables.documents(s, d)
         .select(col("doc_id"), explode_outer(Text.words(col("text")))
           .as("word"))
       val tf = words.groupBy(col("doc_id"), col("word"))
