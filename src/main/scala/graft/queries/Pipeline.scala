@@ -105,6 +105,32 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // D11: EMBEDDING-space decontamination — d7's semantic cousin: drop
+    // every train doc whose embedding sits within cosine θ of any held-out
+    // eval vector (paraphrased benchmark leakage that shingle-Jaccard
+    // misses). Scale shape mirrors d7: the eval set is tiny and BROADCAST;
+    // the train corpus streams through one scoring pass and never
+    // self-joins. Exact scaled-long cosine → full DuckDB oracle.
+    "d11_semantic_decontaminate" -> { (s, d) =>
+      val v = Tables.embeddings(s, d)
+      val eval0 = v.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("eid"), col("embedding").as("ee"),
+          Similarity.normScaled(col("embedding")).as("en"))
+      val train = v.filter(col("vec_id") % 20 =!= 0)
+      val contaminated = spreadPartitions(train)
+        .select(col("vec_id"), col("embedding"),
+          Similarity.normScaled(col("embedding")).as("tn"))
+        .join(broadcast(eval0))
+        .withColumn("cos", Similarity.cosineFromScaled(
+          Similarity.dotScaled(col("embedding"), col("ee")),
+          col("tn"), col("en")))
+        .filter(col("cos") >= 0.4)
+        .select(col("vec_id")).distinct()
+      train.join(contaminated, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+        .orderBy(col("vec_id"))
+    },
+
     // D8: duplicate GROUPS — connected components over d2's verified
     // near-dup pairs (iterative min-label propagation; see
     // Dedup.connectedComponents for the scale story). Pairs alone can't
@@ -603,6 +629,19 @@ object Pipeline {
            min(doc_id) AS keep_doc_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY keep_doc_id""",
     "d2_minhash_neardup" -> Dedup.jaccardOracleSql(3, 0.8),
+    "d11_semantic_decontaminate" ->
+      s"""WITH u AS ($duckUnnest),
+         e AS (SELECT vec_id AS eid, x AS ex, i FROM u
+               WHERE vec_id % 20 = 0),
+         t AS (SELECT vec_id, x, i FROM u WHERE vec_id % 20 <> 0),
+         sc AS (SELECT t.vec_id, e.eid, ${duckCos("t.x", "e.ex")} AS cos
+                FROM t JOIN e ON t.i = e.i GROUP BY 1, 2),
+         bad AS (SELECT DISTINCT vec_id FROM sc WHERE cos >= 0.4)
+         SELECT v.vec_id, CAST(v.label AS BIGINT) AS label
+         FROM embeddings v
+         WHERE v.vec_id % 20 <> 0
+           AND v.vec_id NOT IN (SELECT vec_id FROM bad)
+         ORDER BY v.vec_id""",
     "d3_simhash" -> Text.simhash32OracleSql,
     "d4_ngram_jaccard" -> Dedup.jaccardOracleSql(3, 0.5),
     "d6_dedup_apply" ->
