@@ -163,7 +163,11 @@ object DomainQueries {
     // single-partition window (see w3).
     "api1_token_list" -> { (s, d) =>
       val m = tokenMatrix(s, d)
-      val total = m.count()
+      // total == |customer|: the matrix is built by LEFT joins off the
+      // customer scan, so counting it would recompute the whole
+      // aggregation chain just to learn the row count of its preserved
+      // side. Counting the base table reads parquet footers only.
+      val total = Tables.customer(s, d).count()
       m.withColumn("total", lit(total))
         .orderBy(col("mcap_zig").desc, col("token_id"))
         .limit(20)
