@@ -404,10 +404,43 @@ object Similarity {
     val cb = pqTrainSliced(corpus, iters, sampleStride)
     val codes = pqAssign(corpus, cb)
       .select(col("id").as("cand_id"), col("sub"), col("code"))
+    pqSearch(probes, vecs, cb, codes, k, m, dim / m, shortlist)
+  }
+
+  /** PQ search against PERSISTED build artifacts — the real serving
+    * lifecycle: `pqTrain` + `pqEncode` run once per corpus build and land
+    * as parquet (codes are deterministic, so the artifacts are stable
+    * across rebuilds — SimilaritySpec proves the write/read round-trip);
+    * every query then pays ONLY the ADC scan + shortlist re-rank, never
+    * retraining. `codes` is the (vec_id, sub, code) frame pqEncode
+    * produces; `vecs` supplies raw embeddings for the exact re-rank of
+    * shortlist rows alone.
+    */
+  def pqTopKFromCodes(probes: DataFrame, vecs: DataFrame,
+                      codebook: DataFrame, codes: DataFrame, k: Int,
+                      shortlist: Int = 50): DataFrame = {
+    val dim = probes.select(size(col("embedding"))).head().getInt(0)
+    val head = codebook.select(max(col("sub")), size(first(col("cw")))).head()
+    val m = head.getInt(0) + 1
+    require(dim % m == 0,
+      s"pqTopKFromCodes: dim $dim not divisible into $m subspaces")
+    require(head.getInt(1) == dim / m,
+      s"pqTopKFromCodes: codeword width ${head.getInt(1)} != ${dim / m}")
+    pqSearch(probes, vecs, codebook,
+      codes.select(col("vec_id").as("cand_id"), col("sub"), col("code")),
+      k, m, dim / m, shortlist)
+  }
+
+  /** Shared PQ query path: ADC scoring of the encoded corpus + exact
+    * re-rank of the shortlist. `codes` carries (cand_id, sub, code).
+    */
+  private def pqSearch(probes: DataFrame, vecs: DataFrame, cb: DataFrame,
+                       codes: DataFrame, k: Int, m: Int, sub: Int,
+                       shortlist: Int): DataFrame = {
     val book = cb.withColumn("cn", normScaled(col("cw")))
     // ADC lookup table: per-(probe, sub, code) scaled-long partial dot +
     // codeword norm — nprobes × m × |codebook| rows, tiny, broadcast
-    val lut = pqSliced(probes, m, dim / m)
+    val lut = pqSliced(probes, m, sub)
       .join(broadcast(book), Seq("sub"))
       .select(col("id").as("probe_id"), col("sub"), col("code"),
         dotScaled(col("sv"), col("cw")).as("pdot"), col("cn"))
@@ -461,16 +494,20 @@ object Similarity {
       : DataFrame = {
     val cent = centroids.select(col("vec_id").as("cid"),
       col("embedding").as("cemb"), normScaled(col("embedding")).as("cn"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cid"))
+    // nearest-centroid as a hash-aggregate argmax (min_by over the
+    // (-csim, cid) total order) — the identical winner the sort window
+    // picked, but with map-side partial aggregation: the n×k scored rows
+    // never sort-shuffle (same shape as kmeansCentroids / ivfTopK)
     val assigned = vecs.select(col("vec_id"), col("embedding"))
       .join(broadcast(cent))
       .withColumn("csim", cosineFromScaled(
         dotScaled(col("embedding"), col("cemb")),
         normScaled(col("embedding")), col("cn")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid"), col("embedding"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cid"), col("embedding")),
+        struct(negate(col("csim")), col("cid"))).as("pick"))
+      .select(col("vec_id"), col("pick.cid").as("cid"),
+        col("pick.embedding").as("embedding"))
     val v = assigned.withColumn("nn", normScaled(col("embedding")))
     val drop = v.as("a")
       .join(v.as("b"),

@@ -479,10 +479,22 @@ object LshKernel {
     z ^ (z >>> 31)
   }
 
+  /** Plane-weight sign for (table, bit, dim): true = negate the
+    * coordinate. Drawn from splitmix64(t·1000003 + b·131 + d) — exposed so
+    * the n2/n5 DuckDB oracles can inline the identical sign matrix as SQL
+    * literals (the weights are data-independent constants).
+    */
+  def signNeg(t: Int, b: Int, d: Int): Boolean =
+    (mix(t.toLong * 1000003L + b.toLong * 131L + d) & 1L) == 0L
+
   /** codes(emb)[t] = Σ_b [proj_{t,b} > 0] << b, with
-    * proj_{t,b} = Σ_d ±emb[d] and the sign drawn from
-    * splitmix64(t·1000003 + b·131 + d) — accumulation in ascending d,
-    * exactly the retired lambda form's order.
+    * proj_{t,b} = Σ_d floor(±emb[d]·1e16) accumulated as a LONG — the
+    * repo-wide scaled-long determinism policy (see Similarity.dotScaled):
+    * each term is an exact integer, so the sum — and therefore the code
+    * bit — is independent of accumulation order and bit-identical across
+    * partitionings AND engines, which is what lets n2/n5 carry full
+    * DuckDB oracles. (The double-sum form this replaces was only
+    * order-deterministic within one engine.)
     */
   def codes(emb: ArrayData, tables: Int, bits: Int): ArrayData = {
     val dim = emb.numElements()
@@ -495,14 +507,15 @@ object LshKernel {
       var code = 0L
       var b = 0
       while (b < bits) {
-        var proj = 0d
+        var proj = 0L
         var i = 0
         while (i < dim) {
           val z = mix(t.toLong * 1000003L + b.toLong * 131L + i)
-          proj += (if ((z & 1L) == 0L) -x(i) else x(i))
+          val v = if ((z & 1L) == 0L) -x(i) else x(i)
+          proj += math.floor(v * 1e16).toLong
           i += 1
         }
-        if (proj > 0d) code |= (1L << b)
+        if (proj > 0L) code |= (1L << b)
         b += 1
       }
       out(t) = code

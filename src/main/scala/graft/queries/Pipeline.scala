@@ -208,8 +208,12 @@ object Pipeline {
     },
 
     // N2: LSH-bucketed ANN — same output shape as n1, candidates from
-    // random-hyperplane buckets only. Recall < 1 by design → no SQL
-    // oracle (rows-only here); SimilaritySpec bounds recall vs n1.
+    // random-hyperplane buckets only. Recall < 1 by design, but the hash
+    // itself is deterministic: plane weights are splitmix64 constants and
+    // projections accumulate scaled-long, so the ENTIRE path (codes →
+    // buckets → candidates → exact re-rank) has a full DuckDB oracle
+    // (sign matrix inlined as literals); SimilaritySpec keeps the recall
+    // floor vs n1.
     "n2_ann_lsh" -> { (s, d) =>
       val v = Tables.embeddings(s, d)
       Similarity.lshTopK(v.filter(col("vec_id") < 10), v, k = 5)
@@ -219,9 +223,10 @@ object Pipeline {
     // N5: multi-probe LSH ANN — n2 plus Hamming-1 bucket probing on the
     // query side: recall rises at the SAME corpus-side signature cost
     // (tables cost a corpus-wide column; extra probes only cost the
-    // small query side). Rows-only like n2; SimilaritySpec proves
-    // multi-probe recall dominates single-probe and clears a floor
-    // single-probe doesn't.
+    // small query side). Hash-verified like n2 (the probe expansion is
+    // code XOR 1<<b — SQL-expressible); SimilaritySpec additionally
+    // proves multi-probe recall dominates single-probe and clears a
+    // floor single-probe doesn't.
     "n5_ann_multiprobe" -> { (s, d) =>
       val v = Tables.embeddings(s, d)
       Similarity.lshTopKMultiProbe(v.filter(col("vec_id") < 10), v, k = 5)
@@ -623,6 +628,58 @@ object Pipeline {
          generate_subscripts(embedding, 1) AS i
        FROM embeddings"""
 
+  /** Full DuckDB twin of lshTopK / lshTopKMultiProbe (n2/n5). The ±1
+    * hyperplane weights are data-independent splitmix64 constants
+    * (LshKernel.signNeg), so the oracle inlines the IDENTICAL sign matrix
+    * as one ±-string literal per (table, bit); projections accumulate in
+    * the scaled-long integer domain exactly like the kernel, so code
+    * bits — and with them the candidate sets, exact re-rank, and hashes —
+    * reproduce bit-for-bit. Multi-probe adds the Hamming-1 bucket
+    * expansion on the probe side (code XOR 1<<b per bit).
+    */
+  private def lshOracle(multiProbe: Boolean, tables: Int = 8, bits: Int = 4,
+                        dim: Int = 64, k: Int = 5): String = {
+    val signRows = (for { t <- 0 until tables; b <- 0 until bits } yield {
+      val s = (0 until dim).map(d =>
+        if (graft.plans.LshKernel.signNeg(t, b, d)) '-' else '+').mkString
+      s"($t,$b,'$s')"
+    }).mkString(",\n           ")
+    val probeBuckets =
+      if (multiProbe)
+        s"""pcx AS (SELECT probe_id, t, code FROM pc
+           UNION
+           SELECT probe_id, t, xor(code, CAST(1 AS BIGINT) << fb)
+           FROM pc, unnest(generate_series(0, ${bits - 1})) AS f(fb))"""
+      else "pcx AS (SELECT probe_id, t, code FROM pc)"
+    s"""WITH u AS ($duckUnnest),
+       wt(t, b, s) AS (VALUES
+           $signRows),
+       w AS (SELECT t, b, CAST(i AS BIGINT) AS i, substr(s, i, 1) = '-' AS neg
+             FROM wt, unnest(generate_series(1, $dim)) AS g(i)),
+       pj AS (SELECT u.vec_id, w.t, w.b,
+                SUM(CAST(floor((CASE WHEN w.neg THEN -u.x ELSE u.x END)*1e16)
+                  AS BIGINT)) AS p
+              FROM u JOIN w ON u.i = w.i GROUP BY 1, 2, 3),
+       cd AS (SELECT vec_id, t,
+                CAST(SUM(CASE WHEN p > 0 THEN 1 << b ELSE 0 END) AS BIGINT)
+                  AS code
+              FROM pj GROUP BY 1, 2),
+       pc AS (SELECT vec_id AS probe_id, t, code FROM cd WHERE vec_id < 10),
+       $probeBuckets,
+       ca AS (SELECT DISTINCT p.probe_id, c.vec_id AS cand_id
+              FROM pcx p JOIN cd c ON p.t = c.t AND p.code = c.code
+              WHERE c.vec_id <> p.probe_id),
+       sc AS (SELECT ca.probe_id, ca.cand_id, ${duckCos("a.x", "b.x")} AS cos
+              FROM ca JOIN u a ON a.vec_id = ca.probe_id
+                      JOIN u b ON b.vec_id = ca.cand_id AND a.i = b.i
+              GROUP BY 1, 2),
+       r AS (SELECT probe_id, cand_id, cos, row_number() OVER (
+               PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rank
+             FROM sc)
+       SELECT probe_id, rank, cand_id AS neighbor_id, round(cos, 4) AS cosine
+       FROM r WHERE rank <= $k ORDER BY probe_id, rank"""
+  }
+
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
@@ -643,6 +700,8 @@ object Pipeline {
            AND v.vec_id NOT IN (SELECT vec_id FROM bad)
          ORDER BY v.vec_id""",
     "d3_simhash" -> Text.simhash32OracleSql,
+    "n2_ann_lsh" -> lshOracle(multiProbe = false),
+    "n5_ann_multiprobe" -> lshOracle(multiProbe = true),
     "d4_ngram_jaccard" -> Dedup.jaccardOracleSql(3, 0.5),
     "d6_dedup_apply" ->
       s"""WITH p AS (${Dedup.jaccardOracleSql(3, 0.8)})

@@ -57,12 +57,23 @@ object TimeSeries {
         .orderBy(col("day"))
     },
 
-    // A2 scale path: HLL approx distinct — no oracle (sketch internals are
-    // engine-specific); ScalaTest bounds the error vs exact instead.
+    // A2 scale path: HLL approx distinct, made oracle-hashable by
+    // self-verification — the sketch estimate itself has no cross-engine
+    // twin (HLL++ internals are engine-specific), so the query ALSO
+    // computes the exact count in the same aggregate and emits a
+    // deterministic within-tolerance boolean next to it. The DuckDB
+    // oracle reproduces the exact counts and asserts the boolean is TRUE:
+    // if the estimate ever drifted past 5% (rsd=0.02, so ±5% ≈ 2.5σ — and
+    // HLL++ is deterministic on fixed data, so this is a constant, not a
+    // coin flip), the row hash would flip red.
     "a2_approx_distinct" -> { (s, d) =>
       Tables.events(s, d)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          count_distinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users"))
+            <= col("exact_users").cast("double") * 0.05).as("approx_ok"))
         .orderBy(col("event_type"))
     },
 
@@ -213,13 +224,19 @@ object TimeSeries {
     // and every rolling window is a cheap register-max union of 7 tiny
     // sketches. Sketch registers are maxima over hashed ids — identical
     // under any partitioning or input order, so the estimate is
-    // deterministic. No DuckDB twin exists for the sketch (rows-only);
-    // CoreSpec bounds the estimate against exact rolling uniques.
+    // deterministic. The sketch itself has no cross-engine twin, so the
+    // query self-verifies: it ALSO computes the exact rolling count (the
+    // expensive path the sketch exists to avoid — fine at verify scale)
+    // and emits a within-5% boolean beside it; the DuckDB oracle
+    // reproduces the exact counts and asserts the boolean. CoreSpec keeps
+    // the tighter error bound and the partition-stability property.
     "a20_rolling_uniques_hll" -> { (s, d) =>
-      val day = Tables.events(s, d)
-        .groupBy(col("event_type"), bucketSec(col("ts"), 86400L).as("day"))
+      val ev = Tables.events(s, d).select(col("event_type"),
+        bucketSec(col("ts"), 86400L).as("day"), col("user_id"))
+      val day = ev
+        .groupBy(col("event_type"), col("day"))
         .agg(expr("hll_sketch_agg(user_id)").as("sk"))
-      day.as("a")
+      val est = day.as("a")
         .join(day.as("b"),
           col("a.event_type") === col("b.event_type") &&
             col("b.day") <= col("a.day") &&
@@ -227,7 +244,19 @@ object TimeSeries {
         .groupBy(col("a.event_type").as("event_type"),
           col("a.day").as("day"))
         .agg(expr("hll_sketch_estimate(hll_union_agg(b.sk))")
-          .as("rolling_uniques_7d"))
+          .as("est_uniques"))
+      val exact = day.select(col("event_type"), col("day")).as("a")
+        .join(ev.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("b.day") <= col("a.day") &&
+            col("b.day") >= col("a.day") - 6L * 86400L)
+        .groupBy(col("a.event_type").as("event_type"),
+          col("a.day").as("day"))
+        .agg(count_distinct(col("b.user_id")).as("exact_uniques"))
+      est.join(exact, Seq("event_type", "day"))
+        .select(col("event_type"), col("day"), col("exact_uniques"),
+          (abs(col("est_uniques") - col("exact_uniques"))
+            <= col("exact_uniques").cast("double") * 0.05).as("hll_ok"))
         .orderBy(col("event_type"), col("day"))
     },
 
@@ -395,6 +424,22 @@ object TimeSeries {
       """SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS day,
          count(DISTINCT user_id) AS uniq_users, count(*) AS n
          FROM events GROUP BY 1 ORDER BY day""",
+    // the oracle recomputes the EXACT side and asserts the self-verified
+    // tolerance boolean: a drifting HLL estimate flips the row hash red
+    "a2_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+         TRUE AS approx_ok
+         FROM events GROUP BY 1 ORDER BY event_type""",
+    "a20_rolling_uniques_hll" ->
+      """WITH e AS (SELECT event_type,
+           CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS day, user_id
+         FROM events),
+         d AS (SELECT DISTINCT event_type, day FROM e)
+         SELECT d.event_type, d.day,
+           count(DISTINCT e.user_id) AS exact_uniques, TRUE AS hll_ok
+         FROM d JOIN e ON e.event_type = d.event_type
+           AND e.day <= d.day AND e.day >= d.day - 518400
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "a3_argmax_latest" ->
       """SELECT user_id, max_by(value, event_id) AS last_value,
          max(event_id) AS last_event

@@ -110,6 +110,30 @@ object Sinks {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
+  /** Partition retention — the other half of the fact table's lifecycle
+    * (ref jobs/partitions.js: monthly partition creation + retention
+    * drop). The appendPartitioned layout encodes the partition value in
+    * the directory name (`col=value`), so retention is a METADATA
+    * operation: delete whole partition directories lexicographically
+    * below `cutoff` — no scan, no rewrite, reader-safe (concurrent
+    * readers of retained partitions never touch the dropped paths). At
+    * 100 TB this is exactly why the fact table partitions by month:
+    * dropping a month is O(1) directory removals, not a 100 TB rewrite.
+    * Values must compare lexicographically in time order (zero-padded
+    * dates like `2024-01` — what monthKey writes); returns the number of
+    * partitions dropped.
+    */
+  def dropPartitionsOlderThan(path: String, partitionCol: String,
+                              cutoff: String): Int = {
+    val prefix = partitionCol + "="
+    val dropped = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix) &&
+        f.getName.stripPrefix(prefix) < cutoff)
+    dropped.foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+    dropped.length
+  }
+
   /** S6: FX-rate style side-input append — one (minute-truncated ts, rate)
     * row per poll (jobs/fx-zig.js:13-62: external quote every 36 s →
     * `exchange_rates(toStartOfMinute(now()), zig_usd)`). The fetch itself

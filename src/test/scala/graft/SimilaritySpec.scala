@@ -99,6 +99,35 @@ class SimilaritySpec extends AnyFunSuite {
       again.sortBy(r => (r._1, r._2)).toSeq)
   }
 
+  test("pq artifacts survive a parquet round-trip; served search matches " +
+      "the in-query path") {
+    // the real lifecycle: train + encode ONCE → persist → every query
+    // serves from the stored codes, never retraining. Codes and codebook
+    // must be byte-stable across write/read, and pqTopKFromCodes over the
+    // persisted artifacts must equal pqTopK end-to-end.
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    val cb = Similarity.pqTrain(vecs, m = 4, iters = 2)
+    val codes = Similarity.pqEncode(vecs, cb)
+    cb.write.mode("overwrite").parquet(s"$dir/codebook")
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    val cb2 = spark.read.parquet(s"$dir/codebook")
+    val codes2 = spark.read.parquet(s"$dir/codes")
+    assert(codes2.select("vec_id", "sub", "code")
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq ==
+      codes.select("vec_id", "sub", "code")
+        .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq)
+    val probes = vecs.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "rank", "neighbor_id", "cosine")
+        .as[(Long, Long, Long, Double)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+    val served = rows(Similarity.pqTopKFromCodes(
+      probes, vecs, cb2, codes2, k = 5))
+    val inQuery = rows(Similarity.pqTopK(
+      probes, vecs, k = 5, m = 4, iters = 2))
+    assert(served == inQuery)
+  }
+
   test("pqEncode rejects a codebook trained on different-dimension vectors") {
     val cb = Similarity.pqTrain(vecs, m = 4, iters = 1)
     // 60-dim corpus against a 64-dim-trained m=4 codebook: subspace widths
@@ -153,11 +182,13 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("lsh_codes kernel matches the seeded ±1-plane definition exactly") {
-    // Reference implementation of the plane-weight contract (the retired
-    // Column form): sign(t,b,d) from splitmix64(t·1000003 + b·131 + d),
-    // ascending-d double accumulation, bit set when proj > 0. The kernel
+    // Reference implementation of the plane-weight contract: sign(t,b,d)
+    // from splitmix64(t·1000003 + b·131 + d), per-term floor at 1e16
+    // fixed-point, LONG accumulation (order-independent — the repo-wide
+    // scaled-long policy), bit set when proj > 0. The kernel
     // (plans/LshKernel) must never drift from this — bucket codes are
-    // persisted artifacts in a real corpus build.
+    // persisted artifacts in a real corpus build, and the n2/n5 DuckDB
+    // oracles replay this exact arithmetic.
     def splitmix64(seed: Long): Long = {
       var z = seed + 0x9e3779b97f4a7c15L
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -167,13 +198,14 @@ class SimilaritySpec extends AnyFunSuite {
     def refCodes(x: Seq[Float], tables: Int, bits: Int): Seq[Long] =
       (0 until tables).map { t =>
         (0 until bits).map { b =>
-          var proj = 0d
+          var proj = 0L
           x.indices.foreach { d =>
-            val w = if ((splitmix64(t.toLong * 1000003L + b * 131L + d)
-              & 1L) == 0L) -1d else 1d
-            proj += x(d).toDouble * w
+            val neg = (splitmix64(t.toLong * 1000003L + b * 131L + d)
+              & 1L) == 0L
+            val v = if (neg) -x(d).toDouble else x(d).toDouble
+            proj += math.floor(v * 1e16).toLong
           }
-          if (proj > 0d) 1L << b else 0L
+          if (proj > 0L) 1L << b else 0L
         }.sum
       }
     val rows = vecs.filter(col("vec_id") < 8)

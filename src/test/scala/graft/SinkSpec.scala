@@ -121,6 +121,26 @@ class SinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).select("id").distinct().count() == 10000)
   }
 
+  test("dropPartitionsOlderThan removes old partitions, retains the rest") {
+    val path = tmp("graft-retain")
+    Sinks.appendPartitioned(
+      spark.range(300).select(col("id"),
+        concat(lit("2024-0"), (col("id") % 3 + 1).cast("string"))
+          .as("month")),
+      path, "month")
+    // retention cutoff mid-range: 2024-01 goes, 2024-02 and 2024-03 stay
+    val n = Sinks.dropPartitionsOlderThan(path, "month", "2024-02")
+    assert(n == 1)
+    val kept = spark.read.parquet(path)
+    assert(kept.select("month").distinct().as[String].collect().toSet ==
+      Set("2024-02", "2024-03"))
+    // retained data fully intact, not just present
+    assert(kept.count() == 200)
+    assert(kept.select("id").distinct().count() == 200)
+    // idempotent: nothing below the cutoff remains
+    assert(Sinks.dropPartitionsOlderThan(path, "month", "2024-02") == 0)
+  }
+
   test("materialized rollup serves identically to direct compute, via one scan") {
     // the reference's §3.3 pattern: a 60 s job persists token_matrix and
     // the API reads the TABLE, never recomputing the aggregation chain.
