@@ -34,6 +34,73 @@ object Bench {
     "w11_forming_bar", "t10b_alert_wallet_tvl",
     "m2_media_extract", "m3_frame_sample", "m4_media_resize")
 
+  /** The 2×-criterion twin (r7 verdict #8): time the SAME SQL the oracle
+    * runs, in DuckDB, over the SAME parquet — a measurable single-node
+    * baseline next to the Spark numbers. Ten headline queries spanning
+    * the families; python3+duckdb are driver-side tools in this
+    * container, so the whole block is best-effort (absent → field
+    * omitted, Spark numbers unaffected).
+    */
+  private val duckHeadline: Seq[String] = Seq(
+    "p2_time_window", "j1_fact_dims", "a1_conditional_agg",
+    "a5_ohlcv_build", "a11_token_matrix", "w1_dedupe_keep_latest",
+    "o2_topk", "d1_exact_dedup", "t8_quality_gate", "api1_token_list")
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def duckTimes(sfDir: String): Map[String, Double] = try {
+    val sqls = SparkEntry.oracleSql.view
+      .filterKeys(duckHeadline.contains).toMap
+    val tmp = java.nio.file.Files.createTempDirectory("graft-duck")
+    val sqlJson = sqls.map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.write(tmp.resolve("sql.json"),
+      sqlJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val script =
+      """import sys, json, time, os, duckdb
+        |sf, sqlf = sys.argv[1], sys.argv[2]
+        |con = duckdb.connect()
+        |for name in ["region","nation","customer","supplier","part",
+        |             "orders","lineitem","events","documents","embeddings"]:
+        |    p = f"{sf}/{name}.parquet"
+        |    if os.path.exists(p):
+        |        con.execute(
+        |            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+        |qs = json.load(open(sqlf))
+        |# warm-up pass mirrors the Spark side: first execution pays
+        |# parquet-read + catalog warmup that would otherwise land on
+        |# whichever query sorts first
+        |for k in sorted(qs):
+        |    con.execute(qs[k]).fetch_arrow_table()
+        |out = {}
+        |for k in sorted(qs):
+        |    t0 = time.time()
+        |    con.execute(qs[k]).fetch_arrow_table()
+        |    out[k] = round(time.time() - t0, 3)
+        |print(json.dumps(out))
+        |""".stripMargin
+    java.nio.file.Files.write(tmp.resolve("duck.py"),
+      script.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val proc = new ProcessBuilder("python3",
+      tmp.resolve("duck.py").toString, sfDir,
+      tmp.resolve("sql.json").toString).redirectErrorStream(false).start()
+    val outStr = new String(proc.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    if (proc.waitFor() != 0 || !outStr.startsWith("{")) Map.empty
+    else // flat {"name": seconds} map — parse without a JSON library
+      "\"([a-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(outStr)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -70,8 +137,13 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def ms2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val full = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"""  "$k": ${ms(v)}""" }
+    val duck = duckTimes(sfDir)
+    val duckJson = duck.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":${ms2(v)}""" }
+      .mkString("{", ",", "}")
+    val full = (results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"""  "$k": ${ms(v)}""" } :+
+      s"""  "duckdb_headline": $duckJson""")
       .mkString("{\n", ",\n", "\n}\n")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
@@ -81,7 +153,7 @@ object Bench {
     // a failed query's time is meaningless — surface it instead of letting
     // a fast failure read as a fast query
     def line(qs: String) =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"nq":${results.size},"full":"BENCH_FULL.json","errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"duckdb":$duckJson,"nq":${results.size},"full":"BENCH_FULL.json","errors":$errs,"sf":"$sfDir"}"""
     // The collector keeps only the LAST ~2000 chars of the run's output and
     // sbt appends a ~70-char "[success] ..." line after ours, so the whole
     // stdout line (plus sbt's "[info] " prefix) must fit a hard budget or
