@@ -110,6 +110,41 @@ object Sinks {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
+  /** Config-table CRUD, insert half — the watchlist/alerts writer
+    * (api/routes/watchlist.js POST: `INSERT ... ON CONFLICT (wallet_id,
+    * token_id) DO NOTHING`; phase3schema.sql:272-316). Incoming rows
+    * whose `keyCols` already exist are silently skipped; the rest
+    * append. Config tables are tiny (user-scale, not data-scale), so the
+    * existence probe is a broadcast anti-join against the current table
+    * and the write is a plain append — no rewrite of existing data.
+    */
+  def insertIfAbsent(spark: SparkSession, df: DataFrame, path: String,
+                     keyCols: Seq[String]): Unit = {
+    val fresh =
+      if (new java.io.File(path).exists()) {
+        val current = spark.read.parquet(path)
+        df.join(broadcast(current.select(keyCols.map(col): _*)),
+          keyCols, "left_anti")
+      } else df
+    fresh.write.mode(SaveMode.Append).parquet(path)
+  }
+
+  /** Config-table CRUD, delete half (watchlist.js DELETE /:id — `DELETE
+    * FROM watchlist WHERE id=$1`). Without a transactional format a
+    * keyed delete is read-filter-overwrite through a temp dir (two-phase
+    * so readers never see a half-written table) — the right trade for
+    * user-scale config tables; FACT-table deletion is partition
+    * retention ([[dropPartitionsOlderThan]]), never this.
+    */
+  def deleteWhere(spark: SparkSession, path: String,
+                  predicate: Column): Unit = {
+    val remaining = spark.read.parquet(path).filter(!predicate)
+    val tmp = path + ".tmp"
+    remaining.write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   /** Partition retention — the other half of the fact table's lifecycle
     * (ref jobs/partitions.js: monthly partition creation + retention
     * drop). The appendPartitioned layout encodes the partition value in

@@ -121,6 +121,31 @@ class SinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).select("id").distinct().count() == 10000)
   }
 
+  test("config-table CRUD: insertIfAbsent skips conflicts, deleteWhere " +
+      "removes by key (watchlist lifecycle)") {
+    val path = tmp("graft-watchlist")
+    // POST: two wallets watch tokens (id, wallet_id, token_id, note)
+    Sinks.insertIfAbsent(spark,
+      Seq((1L, 10L, 100L, "a"), (2L, 10L, 200L, "b"), (3L, 20L, 100L, "c"))
+        .toDF("id", "wallet_id", "token_id", "note"),
+      path, Seq("wallet_id", "token_id"))
+    // re-POST a duplicate (wallet 10, token 100) + one genuinely new row:
+    // ON CONFLICT DO NOTHING — the dup must not land, the new row must
+    Sinks.insertIfAbsent(spark,
+      Seq((4L, 10L, 100L, "dup"), (5L, 20L, 200L, "d"))
+        .toDF("id", "wallet_id", "token_id", "note"),
+      path, Seq("wallet_id", "token_id"))
+    def rows() = spark.read.parquet(path)
+      .select("id", "wallet_id", "token_id", "note")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(rows() == Set((1L, 10L, 100L, "a"), (2L, 10L, 200L, "b"),
+      (3L, 20L, 100L, "c"), (5L, 20L, 200L, "d")))
+    // DELETE /watchlist/2
+    Sinks.deleteWhere(spark, path, col("id") === 2L)
+    assert(rows() == Set((1L, 10L, 100L, "a"),
+      (3L, 20L, 100L, "c"), (5L, 20L, 200L, "d")))
+  }
+
   test("dropPartitionsOlderThan removes old partitions, retains the rest") {
     val path = tmp("graft-retain")
     Sinks.appendPartitioned(
