@@ -82,10 +82,12 @@ object Bench {
         |for k in sorted(qs):
         |    con.execute(qs[k]).fetch_arrow_table()
         |out = {}
-        |for k in sorted(qs):
-        |    t0 = time.time()
-        |    con.execute(qs[k]).fetch_arrow_table()
-        |    out[k] = round(time.time() - t0, 3)
+        |for _ in range(2):  # min-of-2, mirroring the Spark side
+        |    for k in sorted(qs):
+        |        t0 = time.time()
+        |        con.execute(qs[k]).fetch_arrow_table()
+        |        dt = round(time.time() - t0, 3)
+        |        out[k] = min(out.get(k, dt), dt)
         |print(json.dumps(out))
         |""".stripMargin
     java.nio.file.Files.write(tmp.resolve("duck.py"),
@@ -124,13 +126,23 @@ object Bench {
     // noop-format write: executes the FULL physical plan (sorts, projections,
     // limits) unlike .count(), which lets Catalyst prune everything but the
     // row count — the round-1 verdict flagged that as under-measurement.
-    val errors = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case e: Throwable => errors += name }
-      name -> (System.nanoTime() - t0) / 1e9
+    val errors = scala.collection.mutable.LinkedHashSet.empty[String]
+    def timeAll(): Map[String, Double] = SparkEntry.queries.map {
+      case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case e: Throwable => errors += name }
+        name -> (System.nanoTime() - t0) / 1e9
     }
+    // Report the MIN of two timed passes per query. This box shares a
+    // host: identical back-to-back runs have measured 77 s vs 362 s
+    // totals purely from neighbor contention, and a single pass
+    // attributes whichever queries the spike landed on. Min-of-2 measures
+    // the code's steady state, not the neighbors' (GC-unlucky or
+    // contended samples drop out; a real regression slows BOTH passes).
+    val pass1 = timeAll()
+    val pass2 = timeAll()
+    val results = pass1.map { case (k, v) => k -> math.min(v, pass2(k)) }
     // Locale.ROOT: the f-interpolator formats with the JVM default locale,
     // which under e.g. de_DE emits "0,463" and breaks the JSON (r7 advice).
     def ms(v: Double): String =
