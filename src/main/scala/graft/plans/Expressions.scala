@@ -664,6 +664,27 @@ object Expressions {
   def lshCodes(emb: Column, tables: Int, bits: Int): Column =
     Bridge.column(LshCodesExpr(Bridge.expression(emb), tables, bits))
 
+  /** Bloom-filter aggregate over LONG hashes (Spark's own
+    * BloomFilterAggregate, the engine's runtime-filter sketch — not in
+    * the public FunctionRegistry, so lifted through the bridge). The
+    * result is one small binary usable as a map-side membership prune
+    * via [[mightContain]]: false positives possible, false negatives
+    * never — so prune + exact-confirm pipelines stay exact.
+    */
+  def bloomFilterAgg(hash: Column, estimatedItems: Long, numBits: Long)
+      : Column = Bridge.column(
+    new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(Bridge.expression(hash),
+        org.apache.spark.sql.catalyst.expressions.Literal(estimatedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+      .toAggregateExpression())
+
+  /** Membership probe against a [[bloomFilterAgg]] binary. */
+  def mightContain(bloom: Column, hash: Column): Column =
+    Bridge.column(org.apache.spark.sql.catalyst.expressions
+      .BloomFilterMightContain(Bridge.expression(bloom),
+        Bridge.expression(hash)))
+
   /** Column wrapper for [[CharNgramsExpr]] (input: string). */
   def charNgrams(text: Column, n: Int): Column =
     Bridge.column(CharNgramsExpr(Bridge.expression(text), n))

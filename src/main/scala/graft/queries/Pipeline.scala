@@ -181,6 +181,45 @@ object Pipeline {
         .orderBy(col("vec_id"))
     },
 
+    // D12: bloom-pruned exact decontamination — the 100 TB shape of a
+    // fingerprint semi-join. Direct exact decontamination shuffles the
+    // whole train corpus by fingerprint; here the eval side's
+    // fingerprints aggregate into ONE small bloom binary (Spark's own
+    // runtime-filter sketch, lifted through the bridge) that broadcasts
+    // and prunes train rows MAP-SIDE, and only the might-contain
+    // survivors reach the exact confirm join. Bloom false positives are
+    // killed by the confirm; false negatives don't exist — so the result
+    // is EXACT and carries a plain SQL oracle, while the shuffled volume
+    // tracks the (tiny) contamination rate instead of the corpus size.
+    // Fingerprint = md5 of the first 5 normalized words (leading-snippet
+    // leakage — quoted openings/headers), which is where this fixture's
+    // cross-split duplication actually lives.
+    "d12_bloom_decontaminate" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val fp = md5(array_join(slice(Text.words(col("text")), 1, 5),
+        " "))
+      val evalFps = docs.filter(col("doc_id") % 20 === 0)
+        .select(fp.as("fp"))
+      // scalar subquery: might_contain requires a constant/scalar bloom —
+      // the engine plans the build once and broadcasts the binary, the
+      // same shape as its own injected runtime filters
+      val bloom = evalFps.agg(graft.plans.Expressions
+        .bloomFilterAgg(xxhash64(col("fp")), 1000L, 16384L).as("bf"))
+        .scalar()
+      val train = docs.filter(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id"), col("lang"), col("source"), fp.as("fp"))
+      val suspects = train
+        .filter(graft.plans.Expressions
+          .mightContain(bloom, xxhash64(col("fp"))))
+        .select(col("doc_id"), col("fp"))
+      val confirmed = suspects
+        .join(broadcast(evalFps), Seq("fp"), "left_semi")
+        .select(col("doc_id"))
+      train.join(confirmed, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
     // T6: repetition ratio — Gopher-style boilerplate signal: the
     // fraction of word-trigram occurrences that are repeats of an
     // earlier trigram in the same doc. Both shingle forms come from the
@@ -702,6 +741,18 @@ object Pipeline {
     "d3_simhash" -> Text.simhash32OracleSql,
     "n2_ann_lsh" -> lshOracle(multiProbe = false),
     "n5_ann_multiprobe" -> lshOracle(multiProbe = true),
+    // the bloom stage is pruning-only (no false negatives + exact
+    // confirm), so the oracle is the plain fingerprint anti-join
+    "d12_bloom_decontaminate" ->
+      """WITH f AS (SELECT doc_id, lang, source,
+           md5(array_to_string(
+             (regexp_split_to_array(trim(lower(text)), '\s+'))[1:5], ' '))
+             AS fp
+         FROM documents),
+         ev AS (SELECT DISTINCT fp FROM f WHERE doc_id % 20 = 0)
+         SELECT doc_id, lang, source FROM f
+         WHERE doc_id % 20 <> 0 AND fp NOT IN (SELECT fp FROM ev)
+         ORDER BY doc_id""",
     "d4_ngram_jaccard" -> Dedup.jaccardOracleSql(3, 0.5),
     "d6_dedup_apply" ->
       s"""WITH p AS (${Dedup.jaccardOracleSql(3, 0.8)})

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -260,6 +260,37 @@ object TimeSeries {
         .orderBy(col("event_type"), col("day"))
     },
 
+    // A21: approximate percentile sketch (Greenwald-Khanna, Spark's
+    // percentile_approx) with a SELF-VERIFIED rank bound — the sketch
+    // family's third entry, same oracle pattern as a2/a20: the estimate
+    // itself is legitimately nondeterministic across partition-merge
+    // orders, but GK GUARANTEES the returned element's rank is within
+    // eps·n of the target rank, so the query recomputes the estimate's
+    // EXACT rank range in a second pass and emits the bound check as a
+    // boolean — TRUE under any execution order, hash-stable, and red the
+    // moment the sketch ever violates its contract. eps = 1/accuracy =
+    // 1% here, checked with 2.5% slack to absorb rank-interval rounding.
+    "a21_percentile_sketch" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val est = ev.groupBy(col("event_type"))
+        .agg(percentile_approx(col("value"), lit(0.5), lit(100)).as("e50"),
+          percentile_approx(col("value"), lit(0.9), lit(100)).as("e90"))
+      def rankOk(q: Double, lt: Column, le: Column, n: Column): Column =
+        (lt < n * q + n * 0.025 + lit(1d)) &&
+          (le >= n * q - n * 0.025 - lit(1d))
+      ev.join(broadcast(est), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countIf(col("value") < col("e50")).as("lt50"),
+          countIf(col("value") <= col("e50")).as("le50"),
+          countIf(col("value") < col("e90")).as("lt90"),
+          countIf(col("value") <= col("e90")).as("le90"))
+        .select(col("event_type"), col("n"),
+          rankOk(0.5, col("lt50"), col("le50"), col("n")).as("p50_ok"),
+          rankOk(0.9, col("lt90"), col("le90"), col("n")).as("p90_ok"))
+        .orderBy(col("event_type"))
+    },
+
     // A15: first-seen timestamps (jobs/token-security.js:89-99).
     "a15_first_seen" -> { (s, d) =>
       Tables.events(s, d)
@@ -429,6 +460,9 @@ object TimeSeries {
     "a2_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
          TRUE AS approx_ok
+         FROM events GROUP BY 1 ORDER BY event_type""",
+    "a21_percentile_sketch" ->
+      """SELECT event_type, count(*) AS n, TRUE AS p50_ok, TRUE AS p90_ok
          FROM events GROUP BY 1 ORDER BY event_type""",
     "a20_rolling_uniques_hll" ->
       """WITH e AS (SELECT event_type,
