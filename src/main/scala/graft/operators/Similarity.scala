@@ -226,38 +226,45 @@ object Similarity {
     * are caller-provided (e.g. a deterministic sample); a production
     * build would k-means them — the engine-side plumbing is identical.
     */
+  /** Nearest-centroid bucketing shared by the IVF paths: keep=1 is the
+    * corpus side (hash-aggregate argmax — min_by over the (-csim, cid)
+    * total order: identical pick to a sort window, but map-side partial
+    * aggregation, no corpus sort-shuffle); keep=nprobe is the probe side
+    * (top-n needs a ranking — probes are few).
+    */
+  private def ivfAssign(df: DataFrame, cent: DataFrame, idName: String,
+                        keep: Int): DataFrame = {
+    val scored = df.select(col("vec_id").as(idName), col("embedding"))
+      .join(broadcast(cent))
+      .withColumn("csim", cosineFromScaled(
+        dotScaled(col("embedding"), col("cemb")),
+        normScaled(col("embedding")), col("cn")))
+    if (keep == 1)
+      scored.groupBy(col(idName))
+        .agg(min_by(struct(col("cid"), col("embedding")),
+          struct(negate(col("csim")), col("cid"))).as("pick"))
+        .select(col(idName), col("pick.cid").as("cid"),
+          col("pick.embedding").as("embedding"))
+    else {
+      val w = Window.partitionBy(col(idName))
+        .orderBy(col("csim").desc, col("cid"))
+      scored
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .select(col(idName), col("cid"), col("embedding"))
+    }
+  }
+
+  private def centFrame(centroids: DataFrame): DataFrame =
+    centroids.select(col("vec_id").as("cid"),
+      col("embedding").as("cemb"), normScaled(col("embedding")).as("cn"))
+
   def ivfTopK(probes: DataFrame, vecs: DataFrame, centroids: DataFrame,
               k: Int, nprobe: Int): DataFrame = {
-    val cent = centroids.select(col("vec_id").as("cid"),
-      col("embedding").as("cemb"), normScaled(col("embedding")).as("cn"))
-    def assign(df: DataFrame, idName: String, keep: Int) = {
-      val scored = df.select(col("vec_id").as(idName), col("embedding"))
-        .join(broadcast(cent))
-        .withColumn("csim", cosineFromScaled(
-          dotScaled(col("embedding"), col("cemb")),
-          normScaled(col("embedding")), col("cn")))
-      if (keep == 1)
-        // corpus side: nearest-1 as a hash-aggregate argmax (min_by over
-        // the (-csim, cid) total order) — identical pick to the sort
-        // window, but map-side partial aggregation, no corpus sort-shuffle
-        scored.groupBy(col(idName))
-          .agg(min_by(struct(col("cid"), col("embedding")),
-            struct(negate(col("csim")), col("cid"))).as("pick"))
-          .select(col(idName), col("pick.cid").as("cid"),
-            col("pick.embedding").as("embedding"))
-      else {
-        // probe side: top-nprobe needs a ranking — probes are few
-        val w = Window.partitionBy(col(idName))
-          .orderBy(col("csim").desc, col("cid"))
-        scored
-          .withColumn("crank", row_number().over(w))
-          .filter(col("crank") <= keep)
-          .select(col(idName), col("cid"), col("embedding"))
-      }
-    }
-    val vecBuckets = assign(vecs, "cand_id", 1)
+    val cent = centFrame(centroids)
+    val vecBuckets = ivfAssign(vecs, cent, "cand_id", 1)
       .withColumnRenamed("embedding", "ce")
-    val probeBuckets = assign(probes, "probe_id", nprobe)
+    val probeBuckets = ivfAssign(probes, cent, "probe_id", nprobe)
       .withColumnRenamed("embedding", "pe")
     val cands = vecBuckets.join(probeBuckets, Seq("cid"))
       .filter(col("probe_id") =!= col("cand_id"))
@@ -456,6 +463,16 @@ object Similarity {
       .join(broadcast(pn), Seq("probe_id"))
       .withColumn("acos",
         cosineFromScaled(col("adot"), col("pn"), col("rnorm")))
+    pqShortlistRerank(probes, vecs, adc, k, shortlist)
+  }
+
+  /** Shared stage-2 of the PQ searches: keep the `shortlist` best ADC
+    * scores per probe, exact-score ONLY those against raw embeddings,
+    * return dense top-k. `adc` carries (probe_id, cand_id, acos).
+    */
+  private def pqShortlistRerank(probes: DataFrame, vecs: DataFrame,
+                                adc: DataFrame, k: Int, shortlist: Int)
+      : DataFrame = {
     val aw = Window.partitionBy(col("probe_id"))
       .orderBy(col("acos").desc, col("cand_id"))
     val short = adc.withColumn("arank", row_number().over(aw))
@@ -476,6 +493,55 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank").cast("long").as("rank"),
         col("cand_id").as("neighbor_id"), round4(col("cos")).as("cosine"))
+  }
+
+  /** IVF+PQ composite — the production ANN serving shape (FAISS's
+    * IndexIVFPQ minus residual encoding, which would couple the codebook
+    * to the partition layout): IVF bucketing prunes the candidate set to
+    * the probe's `nprobe` nearest cells, PQ codes compress what remains,
+    * ADC scores ONLY the pruned candidates by integer table-lookup, and
+    * the shortlist re-ranks exactly. The two levers compose: at 100 TB,
+    * IVF bounds how much of the corpus a query touches (~nprobe/nlist)
+    * and PQ makes that slice RAM-resident. Every stage is deterministic
+    * integer/decimal arithmetic, so the whole composite — bucketing,
+    * training, encoding, pruned ADC, re-rank — unrolls into SQL and is
+    * hash-verified like n3/n4/n6.
+    */
+  def ivfPqTopK(probes: DataFrame, vecs: DataFrame, centroids: DataFrame,
+                k: Int, nprobe: Int, m: Int = 8, iters: Int = 2,
+                sampleStride: Long = 50L, shortlist: Int = 50): DataFrame = {
+    val dim = vecs.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0,
+      s"ivfPqTopK: dim $dim not divisible into $m subspaces")
+    val cent = centFrame(centroids)
+    val cands = ivfAssign(vecs, cent, "cand_id", 1)
+      .select(col("cand_id"), col("cid"))
+      .join(broadcast(ivfAssign(probes, cent, "probe_id", nprobe)
+        .select(col("probe_id"), col("cid"))), Seq("cid"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"))
+      .dropDuplicates("probe_id", "cand_id")
+    val corpus = pqSliced(vecs, m, dim / m)
+    val cb = pqTrainSliced(corpus, iters, sampleStride)
+    val codes = pqAssign(corpus, cb)
+      .select(col("id").as("cand_id"), col("sub"), col("code"))
+    val book = cb.withColumn("cn", normScaled(col("cw")))
+    val lut = pqSliced(probes, m, dim / m)
+      .join(broadcast(book), Seq("sub"))
+      .select(col("id").as("probe_id"), col("sub"), col("code"),
+        dotScaled(col("sv"), col("cw")).as("pdot"), col("cn"))
+    val pn = probes.select(col("vec_id").as("probe_id"),
+      normScaled(col("embedding")).as("pn"))
+    // ADC over the IVF-pruned pairs only: candidates join their m codes,
+    // each code looks up the probe's partial dot in the broadcast LUT
+    val adc = cands.join(codes, Seq("cand_id"))
+      .join(broadcast(lut), Seq("probe_id", "sub", "code"))
+      .groupBy(col("probe_id"), col("cand_id"))
+      .agg(sum(col("pdot")).as("adot"), sum(col("cn")).as("rnorm"))
+      .join(broadcast(pn), Seq("probe_id"))
+      .withColumn("acos",
+        cosineFromScaled(col("adot"), col("pn"), col("rnorm")))
+    pqShortlistRerank(probes, vecs, adc, k, shortlist)
   }
 
   /** SemDeDup-style semantic pruning: assign every vector to its nearest

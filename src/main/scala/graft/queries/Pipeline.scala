@@ -317,6 +317,20 @@ object Pipeline {
         .orderBy(col("probe_id"), col("rank"))
     },
 
+    // N7: IVF+PQ composite — the production serving shape (FAISS
+    // IndexIVFPQ minus residual encoding): IVF cells bound how much of
+    // the corpus a query touches (~nprobe/nlist), PQ codes make that
+    // slice RAM-resident, ADC scores only the pruned candidates, the
+    // shortlist re-ranks exactly. Deterministic end to end, so the
+    // whole composite (bucketing + training + encoding + pruned ADC +
+    // re-rank) unrolls into one SQL oracle.
+    "n7_ann_ivfpq" -> { (s, d) =>
+      val v = Tables.embeddings(s, d)
+      Similarity.ivfPqTopK(v.filter(col("vec_id") < 10), v,
+        centroids = v.filter(col("vec_id") % 50 === 0), k = 5, nprobe = 8)
+        .orderBy(col("probe_id"), col("rank"))
+    },
+
     // T1: per-source corpus stats (doc counts, language spread, length
     // moments) — the triage pass before any filtering decision.
     "t1_text_stats" -> { (s, d) =>
@@ -970,6 +984,100 @@ object Pipeline {
                      * sqrt(CAST(a.rnorm AS DOUBLE))) AS acos
                  FROM adc a JOIN pn p USING (probe_id)
                  WHERE a.probe_id <> a.cand_id),
+         short AS (SELECT probe_id, cand_id FROM (
+                     SELECT probe_id, cand_id, row_number() OVER (
+                       PARTITION BY probe_id ORDER BY acos DESC, cand_id)
+                       AS rn FROM acs) WHERE rn <= 50),
+         sc AS (SELECT s.probe_id, s.cand_id,
+                  ${duckCos("a.x", "b.x")} AS cos
+                FROM short s
+                JOIN u a ON a.vec_id = s.probe_id
+                JOIN u b ON b.vec_id = s.cand_id AND a.i = b.i
+                GROUP BY 1, 2),
+         r AS (SELECT probe_id, cand_id, cos, row_number() OVER (
+                 PARTITION BY probe_id ORDER BY cos DESC, cand_id)
+                 AS rank FROM sc)
+         SELECT probe_id, rank, cand_id AS neighbor_id,
+           round(cos, 4) AS cosine
+         FROM r WHERE rank <= 5 ORDER BY probe_id, rank""",
+    // n7 = n3's IVF bucketing CTEs + n6's PQ training/encoding CTEs,
+    // with the ADC stage restricted to the IVF-pruned candidate pairs
+    "n7_ann_ivfpq" ->
+      s"""WITH u AS ($duckUnnest),
+         cu AS (SELECT vec_id AS cid, x AS cx, i FROM u
+                WHERE vec_id % 50 = 0),
+         vc AS (SELECT a.vec_id, b.cid, ${duckCos("a.x", "b.cx")} AS csim
+                FROM u a JOIN cu b ON a.i = b.i GROUP BY 1, 2),
+         vr AS (SELECT vec_id, cid, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+                FROM vc),
+         vb AS (SELECT vec_id AS cand_id, cid FROM vr WHERE rn = 1),
+         pb AS (SELECT vec_id AS probe_id, cid FROM vr
+                WHERE rn <= 8 AND vec_id < 10),
+         cands AS (SELECT DISTINCT probe_id, cand_id
+                   FROM pb JOIN vb USING (cid)
+                   WHERE probe_id <> cand_id),
+         sl AS (SELECT vec_id AS id, CAST((i-1)//8 AS BIGINT) AS sub,
+                  (i-1)%8 AS pos, x
+                FROM u),
+         cb0 AS (SELECT sub, id AS code, pos, x AS cw FROM sl
+                 WHERE id % 50 = 0),
+         d1 AS (SELECT s.id, s.sub, c.code,
+                  SUM(CAST(floor(c.cw*c.cw*1e16) AS BIGINT))
+                    - 2*SUM(CAST(floor(s.x*c.cw*1e16) AS BIGINT)) AS d2
+                FROM sl s JOIN cb0 c ON s.sub = c.sub AND s.pos = c.pos
+                GROUP BY 1, 2, 3),
+         a1 AS (SELECT id, sub, code FROM (
+                  SELECT id, sub, code, row_number() OVER (
+                    PARTITION BY id, sub ORDER BY d2, code) AS rn FROM d1)
+                WHERE rn = 1),
+         cb1 AS (SELECT a.sub, a.code, s.pos,
+                   CAST(CAST(SUM(CAST(s.x AS DECIMAL(38,6))) AS DOUBLE)
+                     / COUNT(*) AS REAL) AS cw
+                 FROM sl s JOIN a1 a ON s.id = a.id AND s.sub = a.sub
+                 GROUP BY 1, 2, 3),
+         d2i AS (SELECT s.id, s.sub, c.code,
+                   SUM(CAST(floor(c.cw*c.cw*1e16) AS BIGINT))
+                     - 2*SUM(CAST(floor(s.x*c.cw*1e16) AS BIGINT)) AS d2
+                 FROM sl s JOIN cb1 c ON s.sub = c.sub AND s.pos = c.pos
+                 GROUP BY 1, 2, 3),
+         a2 AS (SELECT id, sub, code FROM (
+                  SELECT id, sub, code, row_number() OVER (
+                    PARTITION BY id, sub ORDER BY d2, code) AS rn FROM d2i)
+                WHERE rn = 1),
+         cb2 AS (SELECT a.sub, a.code, s.pos,
+                   CAST(CAST(SUM(CAST(s.x AS DECIMAL(38,6))) AS DOUBLE)
+                     / COUNT(*) AS REAL) AS cw
+                 FROM sl s JOIN a2 a ON s.id = a.id AND s.sub = a.sub
+                 GROUP BY 1, 2, 3),
+         d3 AS (SELECT s.id, s.sub, c.code,
+                  SUM(CAST(floor(c.cw*c.cw*1e16) AS BIGINT))
+                    - 2*SUM(CAST(floor(s.x*c.cw*1e16) AS BIGINT)) AS d2
+                FROM sl s JOIN cb2 c ON s.sub = c.sub AND s.pos = c.pos
+                GROUP BY 1, 2, 3),
+         enc AS (SELECT id AS cand_id, sub, code FROM (
+                   SELECT id, sub, code, row_number() OVER (
+                     PARTITION BY id, sub ORDER BY d2, code) AS rn FROM d3)
+                 WHERE rn = 1),
+         lut AS (SELECT s.id AS probe_id, c.sub, c.code,
+                   SUM(CAST(floor(s.x*c.cw*1e16) AS BIGINT)) AS pdot,
+                   SUM(CAST(floor(c.cw*c.cw*1e16) AS BIGINT)) AS cn
+                 FROM sl s JOIN cb2 c ON s.sub = c.sub AND s.pos = c.pos
+                 WHERE s.id < 10 GROUP BY 1, 2, 3),
+         pn AS (SELECT vec_id AS probe_id,
+                  SUM(CAST(floor(x*x*1e16) AS BIGINT)) AS pn
+                FROM u WHERE vec_id < 10 GROUP BY 1),
+         adc AS (SELECT cd.probe_id, cd.cand_id,
+                   SUM(l.pdot) AS adot, SUM(l.cn) AS rnorm
+                 FROM cands cd
+                 JOIN enc e ON e.cand_id = cd.cand_id
+                 JOIN lut l ON l.probe_id = cd.probe_id
+                   AND l.sub = e.sub AND l.code = e.code
+                 GROUP BY 1, 2),
+         acs AS (SELECT a.probe_id, a.cand_id,
+                   CAST(a.adot AS DOUBLE) / (sqrt(CAST(p.pn AS DOUBLE))
+                     * sqrt(CAST(a.rnorm AS DOUBLE))) AS acos
+                 FROM adc a JOIN pn p USING (probe_id)),
          short AS (SELECT probe_id, cand_id FROM (
                      SELECT probe_id, cand_id, row_number() OVER (
                        PARTITION BY probe_id ORDER BY acos DESC, cand_id)
