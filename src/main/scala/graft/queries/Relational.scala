@@ -432,6 +432,51 @@ object Relational {
         .orderBy(col("user_id"))
     },
 
+    // beyond-§2 benchmark anchors: the two classic TPC-H shapes, pinned
+    // on the oracle surface as recognizable performance reference points
+    // on the same tables the bench already reads. b1 = Q1 pricing
+    // summary (the widest single-pass aggregate: one scan, one
+    // partial+final hash agg, a ~97% time filter at the scan); b2 =
+    // Q3-shaped shipping priority (selective dim filter + opposing time
+    // filters on fact and orders + top-k — o_shippriority doesn't exist
+    // in this fixture, o_orderpriority stands in).
+    "b1_tpch_q1" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <=
+          to_timestamp(lit("2001-08-06 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1d) - col("l_discount")))
+            .as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1d) - col("l_discount"))
+            * (lit(1d) + col("l_tax"))).as("sum_charge"),
+          round4(davg(col("l_quantity"))).as("avg_qty"),
+          round4(davg(col("l_extendedprice"))).as("avg_price"),
+          round4(davg(col("l_discount"))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    "b2_tpch_q3" -> { (s, d) =>
+      val pivot = to_timestamp(lit("1998-01-01 00:00:00"))
+      Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d).filter(col("o_orderdate") < pivot),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d).filter(col("l_shipdate") > pivot),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1d) - col("l_discount")))
+          .as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          epochSec(col("o_orderdate")).as("odate_sec"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
     // S2: tx-hash derivation — upper-hex sha256 of the base64-DECODED tx
     // bytes (core/parse.js:20): the wire form is base64, the hash input is
     // the decoded payload. Round 1 hashed the raw text and mirrored that
@@ -739,6 +784,39 @@ object Relational {
            UNION ALL
            SELECT user_id, value FROM events WHERE event_type = 'error')
          GROUP BY user_id ORDER BY user_id""",
+    "b1_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+           AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6)))
+           AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax)
+           AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+         round(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+           / count(l_quantity), 4) AS avg_qty,
+         round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+           / count(l_extendedprice), 4) AS avg_price,
+         round(CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE)
+           / count(l_discount), 4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '2001-08-06 00:00:00'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "b2_tpch_q3" ->
+      """SELECT l_orderkey,
+         CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6)))
+           AS DOUBLE) AS revenue,
+         CAST(epoch(o_orderdate) AS BIGINT) AS odate_sec,
+         o_orderpriority
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         JOIN lineitem ON o_orderkey = l_orderkey
+           AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY 1, 3, 4
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "s2_txhash" ->
       """SELECT doc_id,
          upper(sha256(decode(from_base64(base64(encode(text)))))) AS tx_hash

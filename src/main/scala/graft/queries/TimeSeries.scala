@@ -291,6 +291,29 @@ object TimeSeries {
         .orderBy(col("event_type"))
     },
 
+    // A22: skew-safe two-stage aggregation on the oracle surface — the
+    // leaderboard aggregate run through saltedAggregate (stage 1 groups
+    // on (key, salt) so a hot key fans out across reducers; stage 2
+    // merges partials). event_type is EXACTLY the skew shape that breaks
+    // a naive groupBy at 100 TB: 5 keys, each ~20% of all rows, each
+    // funneling through a single reducer. Results must be identical to
+    // the direct aggregate — the decimal partial-sum merge is exact —
+    // so the oracle is the plain GROUP BY.
+    "a22_salted_agg" -> { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      graft.operators.Relational.saltedAggregate(
+        Tables.events(s, d).select(col("event_type"), col("value")),
+        Seq("event_type"), saltBuckets = 16,
+        partials = Seq(
+          ("vol", sum(col("value").cast(DecimalType(38, 6))),
+            (c: Column) => sum(c)),
+          ("n", count(lit(1)), (c: Column) => sum(c)),
+          ("hi", max(col("value")), (c: Column) => max(c))))
+        .select(col("event_type"), col("vol").cast("double").as("vol"),
+          col("n").cast("long").as("n"), col("hi").as("hi"))
+        .orderBy(col("event_type"))
+    },
+
     // A15: first-seen timestamps (jobs/token-security.js:89-99).
     "a15_first_seen" -> { (s, d) =>
       Tables.events(s, d)
@@ -463,6 +486,12 @@ object TimeSeries {
          FROM events GROUP BY 1 ORDER BY event_type""",
     "a21_percentile_sketch" ->
       """SELECT event_type, count(*) AS n, TRUE AS p50_ok, TRUE AS p90_ok
+         FROM events GROUP BY 1 ORDER BY event_type""",
+    // salted two-stage must be value-identical to the direct aggregate
+    "a22_salted_agg" ->
+      """SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS vol,
+         count(*) AS n, max(value) AS hi
          FROM events GROUP BY 1 ORDER BY event_type""",
     "a20_rolling_uniques_hll" ->
       """WITH e AS (SELECT event_type,
