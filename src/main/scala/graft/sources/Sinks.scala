@@ -138,7 +138,11 @@ object Sinks {
     */
   def deleteWhere(spark: SparkSession, path: String,
                   predicate: Column): Unit = {
-    val remaining = spark.read.parquet(path).filter(!predicate)
+    // SQL DELETE semantics: remove rows where the predicate is TRUE —
+    // NULL-valued predicates RETAIN the row (a bare !predicate would
+    // silently delete them: !NULL is NULL, which filter() drops)
+    val remaining = spark.read.parquet(path)
+      .filter(!coalesce(predicate, lit(false)))
     val tmp = path + ".tmp"
     remaining.write.mode(SaveMode.Overwrite).parquet(tmp)
     spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)

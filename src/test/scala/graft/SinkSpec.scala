@@ -144,6 +144,15 @@ class SinkSpec extends AnyFunSuite {
     Sinks.deleteWhere(spark, path, col("id") === 2L)
     assert(rows() == Set((1L, 10L, 100L, "a"),
       (3L, 20L, 100L, "c"), (5L, 20L, 200L, "d")))
+    // SQL DELETE semantics: a NULL predicate must RETAIN the row — a
+    // note-matching delete can't take out the rows whose note is NULL
+    Sinks.insertIfAbsent(spark,
+      Seq((6L, 30L, 100L, null.asInstanceOf[String]))
+        .toDF("id", "wallet_id", "token_id", "note"),
+      path, Seq("wallet_id", "token_id"))
+    Sinks.deleteWhere(spark, path, col("note") === "c")
+    assert(spark.read.parquet(path).count() == 3)
+    assert(spark.read.parquet(path).filter(col("id") === 6L).count() == 1)
   }
 
   test("dropPartitionsOlderThan removes old partitions, retains the rest") {
