@@ -544,6 +544,58 @@ object Similarity {
     pqShortlistRerank(probes, vecs, adc, k, shortlist)
   }
 
+  /** Corpus→cell assignment as a persistable artifact: (vec_id, cid).
+    * The third build artifact of an IVF+PQ index next to the codebook
+    * and codes — a real corpus build runs this once and serves from it.
+    */
+  def ivfCells(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    ivfAssign(vecs, centFrame(centroids), "vec_id", 1)
+      .select(col("vec_id"), col("cid"))
+
+  /** IVF+PQ search against PERSISTED build artifacts — the serving twin
+    * of [[ivfPqTopK]], like [[pqTopKFromCodes]] is of [[pqTopK]]: cells
+    * ([[ivfCells]]), codebook ([[pqTrain]]) and codes ([[pqEncode]]) are
+    * parquet artifacts built once; a query pays only probe bucketing +
+    * pruned ADC + shortlist re-rank. Centroids are still needed (tiny —
+    * they bucket the probes); raw `vecs` only re-ranks the shortlist.
+    */
+  def ivfPqTopKFromCodes(probes: DataFrame, vecs: DataFrame,
+                         centroids: DataFrame, cells: DataFrame,
+                         codebook: DataFrame, codes: DataFrame, k: Int,
+                         nprobe: Int, shortlist: Int = 50): DataFrame = {
+    val dim = probes.select(size(col("embedding"))).head().getInt(0)
+    val head = codebook.select(max(col("sub")), size(first(col("cw")))).head()
+    val m = head.getInt(0) + 1
+    require(dim % m == 0,
+      s"ivfPqTopKFromCodes: dim $dim not divisible into $m subspaces")
+    require(head.getInt(1) == dim / m,
+      s"ivfPqTopKFromCodes: codeword width ${head.getInt(1)} != ${dim / m}")
+    val cands = cells.select(col("vec_id").as("cand_id"), col("cid"))
+      .join(broadcast(
+        ivfAssign(probes, centFrame(centroids), "probe_id", nprobe)
+          .select(col("probe_id"), col("cid"))), Seq("cid"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"))
+      .dropDuplicates("probe_id", "cand_id")
+    val book = codebook.withColumn("cn", normScaled(col("cw")))
+    val lut = pqSliced(probes, m, dim / m)
+      .join(broadcast(book), Seq("sub"))
+      .select(col("id").as("probe_id"), col("sub"), col("code"),
+        dotScaled(col("sv"), col("cw")).as("pdot"), col("cn"))
+    val pn = probes.select(col("vec_id").as("probe_id"),
+      normScaled(col("embedding")).as("pn"))
+    val adc = cands
+      .join(codes.select(col("vec_id").as("cand_id"), col("sub"),
+        col("code")), Seq("cand_id"))
+      .join(broadcast(lut), Seq("probe_id", "sub", "code"))
+      .groupBy(col("probe_id"), col("cand_id"))
+      .agg(sum(col("pdot")).as("adot"), sum(col("cn")).as("rnorm"))
+      .join(broadcast(pn), Seq("probe_id"))
+      .withColumn("acos",
+        cosineFromScaled(col("adot"), col("pn"), col("rnorm")))
+    pqShortlistRerank(probes, vecs, adc, k, shortlist)
+  }
+
   /** SemDeDup-style semantic pruning: assign every vector to its nearest
     * centroid, generate candidate pairs WITHIN clusters only, exact-score
     * them with the deterministic cosine, and drop the higher vec_id of

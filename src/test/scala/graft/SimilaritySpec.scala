@@ -126,6 +126,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs(got).subsetOf(ivfHits))
   }
 
+  test("ivf+pq served from persisted artifacts (cells+codebook+codes) " +
+      "matches the in-query composite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    val centroids = vecs.filter(col("vec_id") % 50 === 0)
+    // build once: the three artifacts a real index persists
+    Similarity.ivfCells(vecs, centroids).write.parquet(s"$dir/cells")
+    val cb = Similarity.pqTrain(vecs, m = 8, iters = 2)
+    cb.write.parquet(s"$dir/codebook")
+    Similarity.pqEncode(vecs, cb).write.parquet(s"$dir/codes")
+    val probes = vecs.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "rank", "neighbor_id", "cosine")
+        .as[(Long, Long, Long, Double)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+    val served = rows(Similarity.ivfPqTopKFromCodes(probes, vecs,
+      centroids,
+      spark.read.parquet(s"$dir/cells"),
+      spark.read.parquet(s"$dir/codebook"),
+      spark.read.parquet(s"$dir/codes"), k = 5, nprobe = 8))
+    val inQuery = rows(Similarity.ivfPqTopK(probes, vecs, centroids,
+      k = 5, nprobe = 8))
+    assert(served == inQuery)
+  }
+
   test("pq artifacts survive a parquet round-trip; served search matches " +
       "the in-query path") {
     // the real lifecycle: train + encode ONCE → persist → every query
