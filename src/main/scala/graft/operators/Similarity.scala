@@ -426,16 +426,18 @@ object Similarity {
   def pqTopKFromCodes(probes: DataFrame, vecs: DataFrame,
                       codebook: DataFrame, codes: DataFrame, k: Int,
                       shortlist: Int = 50): DataFrame = {
-    val dim = probes.select(size(col("embedding"))).head().getInt(0)
+    // geometry comes from the CODEBOOK (m subspaces × codeword width),
+    // never from probes.head() — an empty probe batch is routine serving
+    // input and must yield an empty result, not a driver exception;
+    // probes of the wrong dimension still fail loudly in pqSliced's
+    // slice arithmetic via the encode-side guards
     val head = codebook.select(max(col("sub")), size(first(col("cw")))).head()
     val m = head.getInt(0) + 1
-    require(dim % m == 0,
-      s"pqTopKFromCodes: dim $dim not divisible into $m subspaces")
-    require(head.getInt(1) == dim / m,
-      s"pqTopKFromCodes: codeword width ${head.getInt(1)} != ${dim / m}")
+    val width = head.getInt(1)
+    require(width > 0, "pqTopKFromCodes: empty codewords in codebook")
     pqSearch(probes, vecs, codebook,
       codes.select(col("vec_id").as("cand_id"), col("sub"), col("code")),
-      k, m, dim / m, shortlist)
+      k, m, width, shortlist)
   }
 
   /** Shared PQ query path: ADC scoring of the encoded corpus + exact
@@ -563,13 +565,13 @@ object Similarity {
                          centroids: DataFrame, cells: DataFrame,
                          codebook: DataFrame, codes: DataFrame, k: Int,
                          nprobe: Int, shortlist: Int = 50): DataFrame = {
-    val dim = probes.select(size(col("embedding"))).head().getInt(0)
+    // codebook carries the geometry (see pqTopKFromCodes) — empty probe
+    // batches serve an empty result instead of throwing on .head()
     val head = codebook.select(max(col("sub")), size(first(col("cw")))).head()
     val m = head.getInt(0) + 1
-    require(dim % m == 0,
-      s"ivfPqTopKFromCodes: dim $dim not divisible into $m subspaces")
-    require(head.getInt(1) == dim / m,
-      s"ivfPqTopKFromCodes: codeword width ${head.getInt(1)} != ${dim / m}")
+    val width = head.getInt(1)
+    require(width > 0, "ivfPqTopKFromCodes: empty codewords in codebook")
+    val dim = m * width
     val cands = cells.select(col("vec_id").as("cand_id"), col("cid"))
       .join(broadcast(
         ivfAssign(probes, centFrame(centroids), "probe_id", nprobe)

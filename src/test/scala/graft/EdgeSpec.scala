@@ -79,6 +79,45 @@ class EdgeSpec extends AnyFunSuite {
     assert(Similarity.cosinePairs(noVecs, 0.5).count() == 0)
   }
 
+  test("served PQ searches with an EMPTY probe batch return empty — " +
+      "geometry comes from the codebook, not probes.head()") {
+    val vecs = Tables.embeddings(spark, SparkTestSession.sfDir)
+    val centroids = vecs.filter(col("vec_id") % 50 === 0)
+    val cb = Similarity.pqTrain(vecs, m = 8, iters = 1)
+    val codes = Similarity.pqEncode(vecs, cb)
+    val emptyProbes = vecs.filter(col("vec_id") < 0)
+    assert(Similarity.pqTopKFromCodes(
+      emptyProbes, vecs, cb, codes, k = 5).count() == 0)
+    assert(Similarity.ivfPqTopKFromCodes(
+      emptyProbes, vecs, centroids, Similarity.ivfCells(vecs, centroids),
+      cb, codes, k = 5, nprobe = 8).count() == 0)
+  }
+
+  test("saltedAggregate on an empty frame: empty result, schema intact") {
+    val empty = Seq.empty[(String, Double)].toDF("k", "v")
+    val out = graft.operators.Relational.saltedAggregate(
+      empty, Seq("k"), saltBuckets = 8,
+      partials = Seq(
+        ("n", count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c)),
+        ("hi", max(col("v")), (c: org.apache.spark.sql.Column) => max(c))))
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("k", "n", "hi"))
+  }
+
+  test("partition retention / keyed delete degenerate cases") {
+    // nonexistent path: nothing to drop, no exception
+    assert(graft.sources.Sinks.dropPartitionsOlderThan(
+      "/tmp/graft-no-such-dir", "month", "2024-01") == 0)
+    // delete-all leaves a READABLE empty table, not a missing one
+    val dir = java.nio.file.Files.createTempDirectory("graft-delall")
+      .resolve("t").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(dir)
+    graft.sources.Sinks.deleteWhere(spark, dir, lit(true))
+    assert(spark.read.parquet(dir).count() == 0)
+    assert(spark.read.parquet(dir).columns.toSeq == Seq("id", "v"))
+  }
+
   test("char_ngrams: sliding codepoint windows, empty below n, multibyte") {
     def grams(t: String, n: Int): Seq[String] =
       Seq(Tuple1(t)).toDF("t")
