@@ -33,7 +33,7 @@ object Bench {
     "t12_seq_pack", "t13_doc_freq", "t15_tfidf_keywords",
     "w11_forming_bar", "t10b_alert_wallet_tvl",
     "n7_ann_ivfpq", "d12_bloom_decontaminate", "a21_percentile_sketch",
-    "a22_salted_agg", "b1_tpch_q1", "b2_tpch_q3",
+    "a22_salted_agg", "b1_tpch_q1", "b2_tpch_q3", "b3_tpch_q6",
     "m2_media_extract", "m3_frame_sample", "m4_media_resize")
 
   /** The 2×-criterion twin (r7 verdict #8): time the SAME SQL the oracle

@@ -459,6 +459,19 @@ object Relational {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 
+    // b3 = Q6 forecasting revenue change: the pure scan-filter-aggregate
+    // — every predicate lands in the parquet scan, the aggregate is one
+    // scalar; the cleanest measure of raw scan+filter throughput.
+    "b3_tpch_q6" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1998-01-01 00:00:00"))
+          && col("l_shipdate") < to_timestamp(lit("1999-01-01 00:00:00"))
+          && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+          && col("l_quantity") < 24d)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
     "b2_tpch_q3" -> { (s, d) =>
       val pivot = to_timestamp(lit("1998-01-01 00:00:00"))
       Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
@@ -803,6 +816,14 @@ object Relational {
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '2001-08-06 00:00:00'
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "b3_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(38,6)))
+           AS DOUBLE) AS revenue, count(*) AS n
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+           AND l_discount >= 0.05 AND l_discount <= 0.07
+           AND l_quantity < 24""",
     "b2_tpch_q3" ->
       """SELECT l_orderkey,
          CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6)))
