@@ -187,4 +187,26 @@ object Text {
     Core.round4(lit(100.0d) * (lit(0.5d) * stopRatio + lit(0.3d) * lenSat
       + lit(0.2d) * alphaRatio))
   }
+
+  /** PII patterns for the t16 redaction pass. Deliberately restricted to
+    * the Java∩RE2-compatible regex subset (no lookaround, no backrefs) so
+    * the DuckDB oracle evaluates the SAME pattern strings verbatim.
+    */
+  val emailPattern: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern: String =
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Count of non-overlapping matches of `pattern` in `c`. */
+  def piiCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
+
+  /** Mask every email as <EMAIL>, then every IPv4 as <IP>. Email first:
+    * its pattern can span dots and digits, an already-masked IP cannot
+    * resemble an email. Idempotent — the mask tokens match neither
+    * pattern.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, emailPattern, "<EMAIL>"),
+      ipv4Pattern, "<IP>")
 }

@@ -262,6 +262,45 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact n-gram-overlap contamination detection (GPT-3-style): the
+    * train doc_ids sharing ANY word n-gram with the eval corpus. The eval
+    * side's distinct n-grams are assumed small relative to the corpus and
+    * broadcast; the train side shingles map-side (codegen'd kernel) into
+    * a broadcast semi-join, so no shuffle carries corpus-sized data.
+    * Published recipes use n=13; the fixture's 30-60-word docs want n=8.
+    */
+  def ngramContaminated(train: DataFrame, evalDocs: DataFrame, n: Int)
+      : DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), explode_outer(graft.plans.Expressions
+        .shingles(col("text"), n, distinct = true)).as("g"))
+      .filter(col("g").isNotNull)
+    val evalG = grams(evalDocs).select(col("g")).distinct()
+    grams(train)
+      .join(broadcast(evalG), Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+  }
+
+  /** Canonical-doc retention: keep the BEST doc per duplicate group —
+    * within each connected component of `pairs` the survivor is the
+    * longest doc (n_chars desc, doc_id tiebreak); docs outside any group
+    * survive untouched. The winner per group is a hash aggregate (min_by
+    * over the (-n_chars, doc_id) total order — map-side partials, no
+    * sort window over the corpus).
+    */
+  def canonicalPick(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs.select(col("doc_a"), col("doc_b")))
+    val mem = comp.select(col("id").as("doc_id"), col("comp"))
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+    val keep = mem.groupBy(col("comp"))
+      .agg(min_by(col("doc_id"),
+        struct(negate(col("n_chars")), col("doc_id"))).as("keep_id"))
+    val dropIds = mem.join(broadcast(keep), Seq("comp"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"))
+    docs.join(dropIds, Seq("doc_id"), "left_anti")
+  }
+
   /** DuckDB oracle for the Jaccard pair queries (both the brute-force
     * baseline and — because verification is exact and band misses are
     * ~1e-8 — the LSH variant).

@@ -648,8 +648,112 @@ object Pipeline {
         }
         .toDF()
         .orderBy(col("doc_id"))
+    },
+
+    // D13: exact n-gram-overlap decontamination — the GPT-3-style rule: a
+    // train doc sharing ANY word n-gram with the held-out eval corpus
+    // (doc_id % 20 == 0) is dropped. Stricter than d7's Jaccard-θ LSH (one
+    // shared shingle suffices, no similarity floor) and wider than d12's
+    // leading-snippet fingerprint (every position in the doc is checked).
+    // Scale shape: the eval side's distinct n-grams are tiny relative to
+    // the corpus and BROADCAST; the train side shingles map-side (codegen'd
+    // kernel) into a broadcast semi-join — no shuffle ever carries
+    // corpus-sized data, and a wider n (13 in the published recipes; 8
+    // here to fit the fixture's 30-60-word docs) only shrinks the match
+    // set.
+    "d13_ngram_decontaminate" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val train = docs.filter(col("doc_id") % 20 =!= 0)
+      val contaminated = Dedup.ngramContaminated(train,
+        docs.filter(col("doc_id") % 20 === 0), n = 8)
+      train.join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // D14: canonical-doc retention — keep the BEST doc per duplicate
+    // group, not the lowest id: within each connected component of
+    // verified near-dup pairs the survivor is the longest doc (n_chars
+    // desc, doc_id tiebreak). This is the keep-one policy real corpus
+    // builds want — truncated/clipped variants of a page often carry
+    // LOWER ids than the full crawl, so d10's keep-earliest discards the
+    // best copy. The winner per group is a hash aggregate (min_by over
+    // the (-n_chars, doc_id) total order — map-side partials, no sort
+    // window); group labels come from the d8 CC machinery.
+    "d14_canonical_pick" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.canonicalPick(docs,
+          Dedup.minhashNearDup(docs, n = 3, theta = 0.8))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // T16: PII redaction — regex detect-and-mask of emails and IPv4s, the
+    // compliance pass before a corpus ships. The fixture text carries no
+    // PII, so the entry first INJECTS deterministic synthetic PII (derived
+    // from doc_id — both engines build the identical string) and then
+    // proves the detector/redactor round-trip: match counts + an md5
+    // fingerprint of the redacted text. Pure map-side codegen'd regexp —
+    // no shuffle at any corpus width; the patterns stay in the
+    // Java∩RE2-compatible subset so the oracle evaluates them verbatim.
+    "t16_pii_redact" -> { (s, d) =>
+      val id = col("doc_id").cast("string")
+      val aug = concat(col("text"), lit(" contact user"), id,
+        lit("@example.com"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" cc admin"), id, lit("@mail.example.org")))
+          .otherwise(lit("")),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), ((col("doc_id") * 7) % 256).cast("string"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Text.piiCount(aug, Text.emailPattern).as("n_emails"),
+          Text.piiCount(aug, Text.ipv4Pattern).as("n_ips"),
+          md5(Text.redactPii(aug)).as("redacted_fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // T17: domain-mixture sampling — downsample each source to a target
+    // mixture share (weight = srcNum % 4 + 1) of a global budget (half
+    // the corpus). Membership is decided by a content-independent hash of
+    // doc_id — reproducible across runs/engines/partitionings like t7/t11,
+    // but RATE-DRIVEN: per-source keep thresholds derive from the observed
+    // per-source counts (one tiny aggregate, broadcast back to a map-side
+    // filter), so the same mixture spec rebalances any corpus snapshot.
+    // All threshold math is integer — no float rate can drift between
+    // engines — and a source whose target exceeds its count keeps
+    // everything (threshold tops out past the 8-bit hash range).
+    "t17_domain_mix" -> { (s, d) =>
+      domainMix(Tables.documents(s, d),
+          substring(col("source"), 4, 10).cast("long") % 4 + 1)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** t17's core, factored for testing with constructed corpora: keep each
+    * source's docs at a rate targeting `weight/Σweights` of a global
+    * budget (half the corpus), membership by a content-independent md5 of
+    * doc_id. Thresholds derive from the observed per-source counts (one
+    * tiny aggregate, broadcast back to a map-side filter); all threshold
+    * math is integer so no float rate drifts between engines; a source
+    * whose target exceeds its count keeps everything.
+    */
+  def domainMix(docs: DataFrame, weight: org.apache.spark.sql.Column)
+      : DataFrame = {
+    val cnts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("w", weight)
+    val tot = cnts.agg(sum(col("cnt")).as("n"), sum(col("w")).as("wsum"))
+    val thr = cnts.crossJoin(broadcast(tot))
+      .withColumn("thr", expr("(256 * (n div 2) * w) div (wsum * cnt)"))
+      .select(col("source"), col("thr"))
+    val b0 = expr(
+      "conv(substring(md5(cast(doc_id as string)), 1, 2), 16, 10)")
+      .cast("long")
+    docs.join(broadcast(thr), Seq("source"))
+      .filter(b0 < col("thr"))
+  }
 
   // ---- oracle SQL ----
 
@@ -1312,6 +1416,80 @@ object Pipeline {
                 ELSE floor(w0*224.0/h0) END AS BIGINT) AS w1,
            CAST(CASE WHEN w0 >= h0 THEN floor(h0*224.0/w0)
                 ELSE 224 END AS BIGINT) AS h1
-         FROM dims ORDER BY doc_id"""
+         FROM dims ORDER BY doc_id""",
+    "d13_ngram_decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS w
+         FROM documents),
+         sh AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g
+                FROM t, unnest(generate_series(1, len(w)-7)) AS gs(i)),
+         ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 20 = 0),
+         bad AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (g)
+                 WHERE sh.doc_id % 20 <> 0)
+         SELECT doc_id, lang, source FROM documents
+         WHERE doc_id % 20 <> 0
+           AND doc_id NOT IN (SELECT doc_id FROM bad)
+         ORDER BY doc_id""",
+    "d14_canonical_pick" ->
+      s"""WITH RECURSIVE p AS (${Dedup.jaccardOracleSql(3, 0.8)}),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+               UNION ALL SELECT doc_b, doc_a FROM p),
+         v AS (SELECT DISTINCT src AS id FROM e),
+         reach AS (
+           SELECT id, id AS r FROM v
+           UNION
+           SELECT reach.id, e.dst AS r FROM reach JOIN e ON reach.r = e.src
+         ),
+         comp AS (SELECT id AS doc_id, min(r) AS group_id
+                  FROM reach GROUP BY id),
+         mem AS (SELECT c.doc_id, c.group_id, d.n_chars
+                 FROM comp c JOIN documents d USING (doc_id)),
+         win AS (SELECT doc_id, group_id, row_number() OVER (
+                   PARTITION BY group_id ORDER BY n_chars DESC, doc_id)
+                   AS rn FROM mem),
+         loser AS (SELECT doc_id FROM win WHERE rn > 1)
+         SELECT doc_id, lang, source FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM loser)
+         ORDER BY doc_id""",
+    "t16_pii_redact" ->
+      """WITH aug AS (SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@example.com'
+             || CASE WHEN doc_id % 3 = 0
+                  THEN ' cc admin' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.org'
+                  ELSE '' END
+             || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+             || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+         FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+             AS n_ips,
+           md5(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'))
+             AS redacted_fp
+         FROM aug ORDER BY doc_id""",
+    "t17_domain_mix" ->
+      """WITH c AS (SELECT source, count(*) AS cnt,
+           (CAST(substr(source, 4) AS BIGINT) % 4) + 1 AS w
+         FROM documents GROUP BY source),
+         t AS (SELECT sum(cnt) AS n, sum(w) AS wsum FROM c),
+         thr AS (SELECT source, (256 * (n // 2) * w) // (wsum * cnt) AS thr
+                 FROM c, t),
+         h AS (SELECT doc_id, lang, source,
+                 md5(CAST(doc_id AS VARCHAR)) AS m
+               FROM documents),
+         b AS (SELECT doc_id, lang, source,
+                 16*(strpos('0123456789abcdef', substr(m, 1, 1))-1)
+                   + (strpos('0123456789abcdef', substr(m, 2, 1))-1) AS b0
+               FROM h)
+         SELECT b.doc_id, b.lang, b.source FROM b JOIN thr USING (source)
+         WHERE b.b0 < thr.thr ORDER BY doc_id"""
   )
 }
