@@ -28,7 +28,7 @@ object Bench {
     "d1_exact_dedup", "d2_minhash_neardup", "d5_embedding_neardup",
     "d8_dup_groups", "d9_semantic_prune", "d10_dedup_apply_groups",
     "n1_ann_topk", "n3_ann_ivf", "n4_ann_ivf_trained", "n5_ann_multiprobe",
-    "n6_ann_pq",
+    "n6_ann_pq", "n6_serving", "n7_serving",
     "t1_text_stats", "t3_quality_score", "t8_quality_gate",
     "t12_seq_pack", "t13_doc_freq", "t15_tfidf_keywords",
     "w11_forming_bar", "t10b_alert_wallet_tvl",
@@ -38,15 +38,22 @@ object Bench {
 
   /** The 2×-criterion twin (r7 verdict #8): time the SAME SQL the oracle
     * runs, in DuckDB, over the SAME parquet — a measurable single-node
-    * baseline next to the Spark numbers. Ten headline queries spanning
-    * the families; python3+duckdb are driver-side tools in this
-    * container, so the whole block is best-effort (absent → field
-    * omitted, Spark numbers unaffected).
+    * baseline next to the Spark numbers. Fifteen headline queries
+    * spanning the families (r8 verdict #8 widened it with an as-of join,
+    * a window entry, a dedup entry, a TPC-H anchor, and a serving
+    * composite); python3+duckdb are driver-side tools in this container,
+    * so the whole block is best-effort (absent → field omitted, Spark
+    * numbers unaffected). Each twin also runs at the SMALL sf on both
+    * engines so BENCH_FULL.json carries the sf0.01→sf0.1 marginal slope
+    * — the per-unit-data number BASELINE.md says to watch — computed,
+    * not hand-derived.
     */
   private val duckHeadline: Seq[String] = Seq(
     "p2_time_window", "j1_fact_dims", "a1_conditional_agg",
     "a5_ohlcv_build", "a11_token_matrix", "w1_dedupe_keep_latest",
-    "o2_topk", "d1_exact_dedup", "t8_quality_gate", "api1_token_list")
+    "o2_topk", "d1_exact_dedup", "t8_quality_gate", "api1_token_list",
+    "j11_asof_join", "w8_moving_avg", "d2_minhash_neardup",
+    "b1_tpch_q1", "api3_ohlcv_route")
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
@@ -105,6 +112,48 @@ object Bench {
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
   } catch { case _: Throwable => Map.empty }
 
+  /** Serving-path bench for the ANN composites (r8 verdict #6): the
+    * n6/n7 entries train in-query because their oracle must be one
+    * self-contained SQL statement, so their times are build+query; a
+    * serving SLA pays only the query. Build the parquet artifacts ONCE
+    * (untimed — the real lifecycle runs pqTrain/pqEncode/ivfCells per
+    * corpus build), then time pqTopKFromCodes / ivfPqTopKFromCodes
+    * exactly like any other entry (noop write, warm, min-of-2).
+    */
+  private def servingTimes(spark: SparkSession, sfDir: String)
+      : Map[String, Double] = try {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft-serve").toString
+    val v = Tables.embeddings(spark, sfDir)
+    val probes = v.filter(col("vec_id") < 10)
+    val centroids = v.filter(col("vec_id") % 50 === 0)
+    // artifact build, untimed — n6/n7 geometry (m=8, stride-50 seeds)
+    val cb = Similarity.pqTrain(v, m = 8, iters = 2)
+    cb.write.mode("overwrite").parquet(s"$tmp/codebook")
+    Similarity.pqEncode(v, cb).write.mode("overwrite").parquet(s"$tmp/codes")
+    Similarity.ivfCells(v, centroids).write.mode("overwrite")
+      .parquet(s"$tmp/cells")
+    val cbR = spark.read.parquet(s"$tmp/codebook")
+    val codesR = spark.read.parquet(s"$tmp/codes")
+    val cellsR = spark.read.parquet(s"$tmp/cells")
+    def q6(): Unit = Similarity
+      .pqTopKFromCodes(probes, v, cbR, codesR, k = 5)
+      .orderBy(col("probe_id"), col("rank"))
+      .write.format("noop").mode("overwrite").save()
+    def q7(): Unit = Similarity
+      .ivfPqTopKFromCodes(probes, v, centroids, cellsR, cbR, codesR,
+        k = 5, nprobe = 8)
+      .orderBy(col("probe_id"), col("rank"))
+      .write.format("noop").mode("overwrite").save()
+    def t(fn: () => Unit): Double = {
+      val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e9
+    }
+    q6(); q7() // warm
+    Map("n6_serving" -> math.min(t(() => q6()), t(() => q6())),
+        "n7_serving" -> math.min(t(() => q7()), t(() => q7())))
+  } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -144,7 +193,30 @@ object Bench {
     // contended samples drop out; a real regression slows BOTH passes).
     val pass1 = timeAll()
     val pass2 = timeAll()
-    val results = pass1.map { case (k, v) => k -> math.min(v, pass2(k)) }
+    val results = pass1.map { case (k, v) => k -> math.min(v, pass2(k)) } ++
+      servingTimes(spark, sfDir)
+    // Spark side of the marginal slope: the duck-twin queries re-timed at
+    // the small SF (already JIT-warm from the passes above; min-of-2)
+    val smallSf = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL",
+      "/root/testdata/sf0.01")
+    val twinSparkSmall: Map[String, Double] =
+      if (smallSf == sfDir) Map.empty
+      else {
+        def pass(): Map[String, Double] = duckHeadline.flatMap { name =>
+          SparkEntry.queries.get(name).map { fn =>
+            val t0 = System.nanoTime()
+            try fn(spark, smallSf).write.format("noop")
+              .mode("overwrite").save()
+            catch { case _: Throwable => () }
+            name -> (System.nanoTime() - t0) / 1e9
+          }
+        }.toMap
+        val p1 = pass(); val p2 = pass()
+        p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+      }
+    val duckSmall =
+      if (smallSf == sfDir) Map.empty[String, Double]
+      else duckTimes(smallSf)
     // Locale.ROOT: the f-interpolator formats with the JVM default locale,
     // which under e.g. de_DE emits "0,463" and breaks the JSON (r7 advice).
     def ms(v: Double): String =
@@ -155,9 +227,23 @@ object Bench {
     val duckJson = duck.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":${ms2(v)}""" }
       .mkString("{", ",", "}")
+    // marginal slope per twin: Δt over sf_small→sf on each engine, and
+    // Spark-over-DuckDB ratio of the slopes (null when the DuckDB delta
+    // sits inside bench jitter — a ratio against noise is meaningless)
+    val slopesJson = duckHeadline
+      .filter(k => results.contains(k) && duck.contains(k) &&
+        twinSparkSmall.contains(k) && duckSmall.contains(k))
+      .map { k =>
+        val ss = results(k) - twinSparkSmall(k)
+        val ds = duck(k) - duckSmall(k)
+        val ratio = if (math.abs(ds) < 0.01) "null" else ms2(ss / ds)
+        s""""$k":{"spark_small":${ms(twinSparkSmall(k))},"spark":${ms(results(k))},"duck_small":${ms(duckSmall(k))},"duck":${ms(duck(k))},"spark_slope":${ms(ss)},"duck_slope":${ms(ds)},"marginal_ratio":$ratio}"""
+      }.mkString("{", ",", "}")
     val full = (results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"""  "$k": ${ms(v)}""" } :+
-      s"""  "duckdb_headline": $duckJson""")
+      s"""  "duckdb_headline": $duckJson""" :+
+      s"""  "twin_slopes": $slopesJson""" :+
+      s"""  "sf_small": "$smallSf"""")
       .mkString("{\n", ",\n", "\n}\n")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),

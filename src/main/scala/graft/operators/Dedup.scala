@@ -263,10 +263,14 @@ object Dedup {
   }
 
   /** Exact n-gram-overlap contamination detection (GPT-3-style): the
-    * train doc_ids sharing ANY word n-gram with the eval corpus. The eval
-    * side's distinct n-grams are assumed small relative to the corpus and
-    * broadcast; the train side shingles map-side (codegen'd kernel) into
-    * a broadcast semi-join, so no shuffle carries corpus-sized data.
+    * train doc_ids sharing ANY word n-gram with the eval corpus. The
+    * train side shingles map-side (codegen'd kernel) into a semi-join on
+    * the gram. No broadcast hint: an eval suite is usually tiny next to
+    * the corpus — but its distinct-n-gram set still grows linearly with
+    * eval size, so forcing a broadcast would OOM the driver on a large
+    * benchmark battery. AQE converts the semi-join to broadcast at
+    * runtime exactly when the eval gram set is small; otherwise the
+    * shuffle carries eval-sized (not corpus-sized) distinct grams.
     * Published recipes use n=13; the fixture's 30-60-word docs want n=8.
     */
   def ngramContaminated(train: DataFrame, evalDocs: DataFrame, n: Int)
@@ -277,7 +281,7 @@ object Dedup {
       .filter(col("g").isNotNull)
     val evalG = grams(evalDocs).select(col("g")).distinct()
     grams(train)
-      .join(broadcast(evalG), Seq("g"), "left_semi")
+      .join(evalG, Seq("g"), "left_semi")
       .select(col("doc_id")).distinct()
   }
 
@@ -287,6 +291,13 @@ object Dedup {
     * survive untouched. The winner per group is a hash aggregate (min_by
     * over the (-n_chars, doc_id) total order — map-side partials, no
     * sort window over the corpus).
+    *
+    * The members⋈winners join carries NO broadcast hint: `keep` has one
+    * row per duplicate component, which on a real dedup corpus is
+    * O(n_dups) — corpus-scale, far past any broadcast threshold. The
+    * groupBy already hash-partitioned both sides on `comp`, so the plain
+    * join reuses that exchange; AQE still broadcasts when the component
+    * count is genuinely small at runtime.
     */
   def canonicalPick(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val comp = connectedComponents(pairs.select(col("doc_a"), col("doc_b")))
@@ -295,7 +306,7 @@ object Dedup {
     val keep = mem.groupBy(col("comp"))
       .agg(min_by(col("doc_id"),
         struct(negate(col("n_chars")), col("doc_id"))).as("keep_id"))
-    val dropIds = mem.join(broadcast(keep), Seq("comp"))
+    val dropIds = mem.join(keep, Seq("comp"))
       .filter(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id"))
     docs.join(dropIds, Seq("doc_id"), "left_anti")
@@ -307,8 +318,14 @@ object Dedup {
     */
   def jaccardOracleSql(n: Int, theta: Double): String = {
     val span = n - 1
+    // two-arg trim with the explicit \s char set: DuckDB's bare trim
+    // strips only spaces, while the Spark kernel (ShingleKernel) uses
+    // Java String.trim — text with leading/trailing \t or \n would shift
+    // every shingle under the one-arg form
     s"""WITH t AS (SELECT doc_id,
-          regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+          regexp_split_to_array(trim(lower(text),
+            ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
+            '\\s+') AS w
         FROM documents),
       sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+$span], ' ') AS s
              FROM t, unnest(generate_series(1, len(w)-$span)) AS g(i)),

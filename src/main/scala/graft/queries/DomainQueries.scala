@@ -200,22 +200,29 @@ object DomainQueries {
     },
 
     // §3 serving composite #3: the GET /tokens/:id/ohlcv chart route
-    // (api/routes/tokens.js:1244-1558): a from/to window over one
+    // (api/routes/tokens.js:1244-1558): a from/to window over ONE
     // series, 1h candles resampled to the requested tf, fill=prev gap
     // fill, newest `limit` bars. The 14-day cutoff collects to a literal
     // and reaches the parquet scan through the raw-nanos pushdown path
     // (Tables.eventsFrom) — at 100 TB the route reads days, not history.
+    // The series key (pool_id, synthesized as user_id%4; the route's :id
+    // selects pool 1) threads through candles → resample → gapFill so
+    // the carry window PARTITIONS by series — the production per-pool
+    // shape, never a single-partition window over all series.
     "api3_ohlcv_route" -> { (s, d) =>
       val cut = anchorInstantMinusSec(Tables.events(s, d), col("ts"),
         14L * 86400L)
       val e = Tables.eventsFrom(s, d, cut)
         .filter(col("event_type") === "purchase")
-      val c1h = graft.operators.Ohlcv.candles(e, Seq.empty,
+        .withColumn("pool_id", col("user_id") % 4)
+        .filter(col("pool_id") === 1L)
+      val key = Seq("pool_id")
+      val c1h = graft.operators.Ohlcv.candles(e, key,
         col("ts"), col("event_id"), col("value"), col("value"), 3600L)
-      val c6h = graft.operators.Ohlcv.resample(c1h, Seq.empty, 21600L)
-      graft.operators.Ohlcv.gapFill(c6h, Seq.empty, 21600L, mode = "prev")
-        .select(col("bucket_ts"), col("open"), col("high"), col("low"),
-          col("close"), col("volume"), col("trade_count"))
+      val c6h = graft.operators.Ohlcv.resample(c1h, key, 21600L)
+      graft.operators.Ohlcv.gapFill(c6h, key, 21600L, mode = "prev")
+        .select(col("pool_id"), col("bucket_ts"), col("open"), col("high"),
+          col("low"), col("close"), col("volume"), col("trade_count"))
         .orderBy(col("bucket_ts").desc).limit(300)
         .orderBy(col("bucket_ts"))
     },
@@ -625,26 +632,29 @@ object DomainQueries {
          ORDER BY p.event_id DESC LIMIT 20""",
     "api3_ohlcv_route" ->
       """WITH a AS (SELECT max(ts) - INTERVAL 14 DAY AS cut FROM events),
-         t AS (SELECT e.* FROM events e, a
-               WHERE e.event_type = 'purchase' AND e.ts >= a.cut),
-         c AS (SELECT CAST(floor(epoch(ts)/21600)*21600 AS BIGINT)
-                 AS bucket_ts,
+         t AS (SELECT e.*, CAST(user_id % 4 AS BIGINT) AS pool_id
+               FROM events e, a
+               WHERE e.event_type = 'purchase' AND e.ts >= a.cut
+                 AND user_id % 4 = 1),
+         c AS (SELECT pool_id,
+               CAST(floor(epoch(ts)/21600)*21600 AS BIGINT) AS bucket_ts,
                min_by(value, event_id) AS open,
                max(value) AS high, min(value) AS low,
                max_by(value, event_id) AS close,
                CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume,
                count(*) AS trade_count
-             FROM t GROUP BY 1),
-         spine AS (SELECT unnest(generate_series(
-             min(bucket_ts), max(bucket_ts), 21600)) AS bucket_ts FROM c),
-         j AS (SELECT s.bucket_ts, c.open, c.high, c.low, c.close,
-                 c.volume, c.trade_count
-               FROM spine s LEFT JOIN c USING (bucket_ts)),
+             FROM t GROUP BY 1, 2),
+         spine AS (SELECT pool_id, unnest(generate_series(
+             min(bucket_ts), max(bucket_ts), 21600)) AS bucket_ts
+           FROM c GROUP BY pool_id),
+         j AS (SELECT s.pool_id, s.bucket_ts, c.open, c.high, c.low,
+                 c.close, c.volume, c.trade_count
+               FROM spine s LEFT JOIN c USING (pool_id, bucket_ts)),
          k AS (SELECT *, last_value(close IGNORE NULLS) OVER (
-                 ORDER BY bucket_ts
+                 PARTITION BY pool_id ORDER BY bucket_ts
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry
                FROM j),
-         f AS (SELECT bucket_ts,
+         f AS (SELECT pool_id, bucket_ts,
                  coalesce(open, carry) AS open,
                  coalesce(high, carry) AS high,
                  coalesce(low, carry) AS low,

@@ -212,8 +212,11 @@ object Pipeline {
         .filter(graft.plans.Expressions
           .mightContain(bloom, xxhash64(col("fp"))))
         .select(col("doc_id"), col("fp"))
+      // no broadcast hint: the suspects side is already bloom-pruned to
+      // ~contamination volume and evalFps grows with the eval battery —
+      // AQE broadcasts whichever side is genuinely small at runtime
       val confirmed = suspects
-        .join(broadcast(evalFps), Seq("fp"), "left_semi")
+        .join(evalFps, Seq("fp"), "left_semi")
         .select(col("doc_id"))
       train.join(confirmed, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("source"))
@@ -724,8 +727,12 @@ object Pipeline {
     // engines — and a source whose target exceeds its count keeps
     // everything (threshold tops out past the 8-bit hash range).
     "t17_domain_mix" -> { (s, d) =>
+      // try_cast + uncapped substring: IDENTICAL parse to the oracle's
+      // TRY_CAST(substr(source,4)) — a non-'src<digits>' source yields a
+      // null weight on BOTH engines (and so is dropped by both), instead
+      // of Spark silently nulling where DuckDB errors
       domainMix(Tables.documents(s, d),
-          substring(col("source"), 4, 10).cast("long") % 4 + 1)
+          expr("try_cast(substring(source, 4) AS BIGINT)") % 4 + 1)
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
     }
@@ -1419,7 +1426,9 @@ object Pipeline {
          FROM dims ORDER BY doc_id""",
     "d13_ngram_decontaminate" ->
       """WITH t AS (SELECT doc_id,
-           regexp_split_to_array(trim(lower(text)), '\s+') AS w
+           regexp_split_to_array(trim(lower(text),
+             ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
+             '\s+') AS w
          FROM documents),
          sh AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g
                 FROM t, unnest(generate_series(1, len(w)-7)) AS gs(i)),
@@ -1477,7 +1486,7 @@ object Pipeline {
          FROM aug ORDER BY doc_id""",
     "t17_domain_mix" ->
       """WITH c AS (SELECT source, count(*) AS cnt,
-           (CAST(substr(source, 4) AS BIGINT) % 4) + 1 AS w
+           (TRY_CAST(substr(source, 4) AS BIGINT) % 4) + 1 AS w
          FROM documents GROUP BY source),
          t AS (SELECT sum(cnt) AS n, sum(w) AS wsum FROM c),
          thr AS (SELECT source, (256 * (n // 2) * w) // (wsum * cnt) AS thr

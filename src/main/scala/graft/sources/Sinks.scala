@@ -15,6 +15,32 @@ import graft.operators.Relational.dedupeKeepLatest
   */
 object Sinks {
 
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  /** All maintenance/CRUD below goes through the Hadoop FileSystem API
+    * (never java.io.File): the partition-retention and two-phase-
+    * overwrite claims these ops headline hold on whatever filesystem the
+    * path's scheme resolves to — local in tests, HDFS/S3A on a cluster.
+    */
+  private def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Two-phase table rewrite: materialize `df` into a sibling temp dir,
+    * then overwrite `path` from the temp and remove it. Readers of `path`
+    * never observe the half-written intermediate state, and the source
+    * table is still intact if the first write dies mid-flight.
+    */
+  private def twoPhaseOverwrite(spark: SparkSession, df: DataFrame,
+                                path: String): Unit = {
+    val tmp = path + ".tmp"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+    val (fs, tmpPath) = fsFor(spark, tmp)
+    fs.delete(tmpPath, true)
+  }
+
   /** S7: batched append — micro-batch rows land as a partitioned append.
     * `partitionCol` plays the monthly range partitioning of the trades
     * table (phase3schema.sql:353-368): at 100 TB the partition column is
@@ -100,31 +126,30 @@ object Sinks {
     */
   def compactSmallFiles(spark: SparkSession, path: String,
                         targetBytes: Long): Unit = {
-    val bytes = org.apache.commons.io.FileUtils
-      .sizeOfDirectory(new java.io.File(path))
+    val (fs, p) = fsFor(spark, path)
+    val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val tmp = path + ".compact-tmp"
-    spark.read.parquet(path).repartition(nFiles)
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    twoPhaseOverwrite(spark, spark.read.parquet(path).repartition(nFiles),
+      path)
   }
 
   /** Config-table CRUD, insert half — the watchlist/alerts writer
     * (api/routes/watchlist.js POST: `INSERT ... ON CONFLICT (wallet_id,
     * token_id) DO NOTHING`; phase3schema.sql:272-316). Incoming rows
     * whose `keyCols` already exist are silently skipped; the rest
-    * append. Config tables are tiny (user-scale, not data-scale), so the
-    * existence probe is a broadcast anti-join against the current table
-    * and the write is a plain append — no rewrite of existing data.
+    * append. The existence probe is a keys-only anti-join against the
+    * current table and the write is a plain append — no rewrite of
+    * existing data. No broadcast hint: config tables are user-scale, but
+    * user-scale still grows unbounded (alert rules × users); AQE
+    * broadcasts the key frame at runtime while it is genuinely small.
     */
   def insertIfAbsent(spark: SparkSession, df: DataFrame, path: String,
                      keyCols: Seq[String]): Unit = {
+    val (fs, p) = fsFor(spark, path)
     val fresh =
-      if (new java.io.File(path).exists()) {
+      if (fs.exists(p)) {
         val current = spark.read.parquet(path)
-        df.join(broadcast(current.select(keyCols.map(col): _*)),
-          keyCols, "left_anti")
+        df.join(current.select(keyCols.map(col): _*), keyCols, "left_anti")
       } else df
     fresh.write.mode(SaveMode.Append).parquet(path)
   }
@@ -143,10 +168,28 @@ object Sinks {
     // silently delete them: !NULL is NULL, which filter() drops)
     val remaining = spark.read.parquet(path)
       .filter(!coalesce(predicate, lit(false)))
-    val tmp = path + ".tmp"
-    remaining.write.mode(SaveMode.Overwrite).parquet(tmp)
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    twoPhaseOverwrite(spark, remaining, path)
+  }
+
+  /** Config-table CRUD, update half (alerts.js PATCH /alerts/:id —
+    * `UPDATE alerts SET is_active=$1, params=$2, throttle_sec=$3 WHERE
+    * id=$4`). Rows matching `predicate` take the `assignments` values;
+    * every other row — and every unassigned column — passes through
+    * unchanged. Same read-modify-overwrite shape as [[deleteWhere]]
+    * (two-phase, reader-safe), and the same scope note: this is for
+    * user-scale config tables, never the fact table. NULL-valued
+    * predicates leave the row unmodified, matching SQL UPDATE.
+    */
+  def updateWhere(spark: SparkSession, path: String, predicate: Column,
+                  assignments: Map[String, Column]): Unit = {
+    val current = spark.read.parquet(path)
+    // evaluate the predicate against PRE-update values once, so an
+    // assignment to a column the predicate reads can't re-match rows
+    val marked = current.withColumn("__hit", coalesce(predicate, lit(false)))
+    val updated = assignments.foldLeft(marked) { case (df, (name, value)) =>
+      df.withColumn(name, when(col("__hit"), value).otherwise(col(name)))
+    }.drop("__hit").select(current.columns.map(col): _*)
+    twoPhaseOverwrite(spark, updated, path)
   }
 
   /** Partition retention — the other half of the fact table's lifecycle
@@ -162,14 +205,15 @@ object Sinks {
     * dates like `2024-01` — what monthKey writes); returns the number of
     * partitions dropped.
     */
-  def dropPartitionsOlderThan(path: String, partitionCol: String,
-                              cutoff: String): Int = {
+  def dropPartitionsOlderThan(spark: SparkSession, path: String,
+                              partitionCol: String, cutoff: String): Int = {
     val prefix = partitionCol + "="
-    val dropped = Option(new java.io.File(path).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(prefix) &&
-        f.getName.stripPrefix(prefix) < cutoff)
-    dropped.foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+    val (fs, p) = fsFor(spark, path)
+    if (!fs.exists(p)) return 0
+    val dropped = fs.listStatus(p)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix) &&
+        st.getPath.getName.stripPrefix(prefix) < cutoff)
+    dropped.foreach(st => fs.delete(st.getPath, true))
     dropped.length
   }
 
@@ -199,16 +243,14 @@ object Sinks {
       spark.read.option("header", "true").option("inferSchema", "true")
         .csv(csvPath),
       Seq(key), ord)
+    val (fs, tp) = fsFor(spark, tablePath)
     val merged =
-      if (new java.io.File(tablePath).exists()) {
+      if (fs.exists(tp)) {
         val current = spark.read.parquet(tablePath)
         current.join(incoming, Seq(key), "left_anti")
           .unionByName(incoming.select(current.columns.map(col): _*))
       } else incoming
     // two-phase write: materialize the merge before overwriting the source
-    val tmp = tablePath + ".tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(tablePath)
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    twoPhaseOverwrite(spark, merged, tablePath)
   }
 }

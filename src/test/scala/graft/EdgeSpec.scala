@@ -107,7 +107,7 @@ class EdgeSpec extends AnyFunSuite {
   test("partition retention / keyed delete degenerate cases") {
     // nonexistent path: nothing to drop, no exception
     assert(graft.sources.Sinks.dropPartitionsOlderThan(
-      "/tmp/graft-no-such-dir", "month", "2024-01") == 0)
+      spark, "/tmp/graft-no-such-dir", "month", "2024-01") == 0)
     // delete-all leaves a READABLE empty table, not a missing one
     val dir = java.nio.file.Files.createTempDirectory("graft-delall")
       .resolve("t").toString

@@ -155,6 +155,88 @@ class SinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).filter(col("id") === 6L).count() == 1)
   }
 
+  test("alerts lifecycle: POST → PATCH → evaluate → event append → " +
+      "throttle suppresses (all four CRUD verbs on the config table)") {
+    val rules = tmp("graft-alerts")
+    // POST /alerts (insertIfAbsent): three rules, all active
+    Sinks.insertIfAbsent(spark,
+      Seq((1L, "purchase", "price_cross_above", 40.0, true, 60L),
+          (2L, "purchase", "price_cross_below", 100.0, true, 60L),
+          (3L, "click", "price_cross_above", 99.0, true, 60L))
+        .toDF("rule_id", "event_type", "kind", "threshold",
+          "is_active", "throttle_sec"),
+      rules, Seq("rule_id"))
+    // PATCH /alerts/2: toggle off (ref api/routes/alerts.js:40-62);
+    // PATCH /alerts/1: raise throttle to 600 s
+    Sinks.updateWhere(spark, rules, col("rule_id") === 2L,
+      Map("is_active" -> lit(false)))
+    Sinks.updateWhere(spark, rules, col("rule_id") === 1L,
+      Map("throttle_sec" -> lit(600L)))
+    val cfg = spark.read.parquet(rules)
+    // patched columns took; unassigned columns and unmatched rows intact
+    assert(cfg.filter(col("rule_id") === 2L)
+      .select("is_active", "throttle_sec", "threshold")
+      .as[(Boolean, Long, Double)].head() == ((false, 60L, 100.0)))
+    assert(cfg.filter(col("rule_id") === 1L)
+      .select("is_active", "throttle_sec")
+      .as[(Boolean, Long)].head() == ((true, 600L)))
+    assert(cfg.filter(col("rule_id") === 3L)
+      .select("is_active", "throttle_sec")
+      .as[(Boolean, Long)].head() == ((true, 60L)))
+    // evaluation tick (t10 shape): latest value per event_type vs ACTIVE
+    // rules only. Rule 1 fires (55 > 40); rule 2 WOULD fire (55 < 100)
+    // but was toggled off by the PATCH; rule 3's predicate is false.
+    val events = Seq(
+      (1L, "purchase", 45.0, 1000L), (2L, "purchase", 55.0, 1100L),
+      (3L, "click", 10.0, 1200L))
+      .toDF("event_id", "event_type", "value", "sec")
+    val latest = events.groupBy(col("event_type"))
+      .agg(max_by(col("value"), col("event_id")).as("last_value"),
+        max(col("sec")).as("sec"))
+    val fired = latest.join(cfg.filter(col("is_active")), Seq("event_type"))
+      .withColumn("fired",
+        when(col("kind") === "price_cross_above",
+          col("last_value") > col("threshold"))
+        .otherwise(col("last_value") < col("threshold")))
+      .filter(col("fired"))
+      .select(col("rule_id").as("ruleId"), col("sec").as("ts"))
+    assert(fired.select("ruleId").as[Long].collect().toSeq == Seq(1L))
+    // fired alerts land in alert_events through the throttle, using the
+    // PATCHED throttle_sec: rule 1 re-fires 100 s later (suppressed) and
+    // 700 s later (allowed) — state carries ACROSS micro-batches
+    val throttleSec = cfg.filter(col("rule_id") === 1L)
+      .select("throttle_sec").as[Long].head()
+    val land = tmp("graft-alerts-land")
+    val evPath = tmp("graft-alert-events")
+    val ckpt = tmp("graft-alerts-ck")
+    new java.io.File(land).mkdirs()
+    def tick(batch: String, evs: Seq[graft.streaming.Streams.AlertEvent])
+        : Unit = {
+      evs.toDS().write.parquet(s"$land/$batch")
+      val stream = spark.readStream.schema("ruleId BIGINT, ts BIGINT")
+        .option("recursiveFileLookup", "true").parquet(land)
+        .as[graft.streaming.Streams.AlertEvent]
+      val q = graft.streaming.Streams.throttleAlerts(stream, throttleSec)
+        .toDF().writeStream.format("parquet").option("path", evPath)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val first = fired.as[graft.streaming.Streams.AlertEvent].collect().toSeq
+    tick("b1", first)
+    tick("b2", Seq(graft.streaming.Streams.AlertEvent(1L, 1200L),
+      graft.streaming.Streams.AlertEvent(1L, 1800L)))
+    val got = spark.read.parquet(evPath)
+      .as[graft.streaming.Streams.AlertEvent]
+      .collect().map(e => (e.ruleId, e.ts)).toSet
+    assert(got == Set((1L, 1100L), (1L, 1800L)))
+    // DELETE /alerts/1 closes the loop: all four verbs exercised
+    Sinks.deleteWhere(spark, rules, col("rule_id") === 1L)
+    assert(spark.read.parquet(rules).select("rule_id").as[Long]
+      .collect().toSet == Set(2L, 3L))
+  }
+
   test("dropPartitionsOlderThan removes old partitions, retains the rest") {
     val path = tmp("graft-retain")
     Sinks.appendPartitioned(
@@ -163,7 +245,7 @@ class SinkSpec extends AnyFunSuite {
           .as("month")),
       path, "month")
     // retention cutoff mid-range: 2024-01 goes, 2024-02 and 2024-03 stay
-    val n = Sinks.dropPartitionsOlderThan(path, "month", "2024-02")
+    val n = Sinks.dropPartitionsOlderThan(spark, path, "month", "2024-02")
     assert(n == 1)
     val kept = spark.read.parquet(path)
     assert(kept.select("month").distinct().as[String].collect().toSet ==
@@ -172,7 +254,7 @@ class SinkSpec extends AnyFunSuite {
     assert(kept.count() == 200)
     assert(kept.select("id").distinct().count() == 200)
     // idempotent: nothing below the cutoff remains
-    assert(Sinks.dropPartitionsOlderThan(path, "month", "2024-02") == 0)
+    assert(Sinks.dropPartitionsOlderThan(spark, path, "month", "2024-02") == 0)
   }
 
   test("materialized rollup serves identically to direct compute, via one scan") {

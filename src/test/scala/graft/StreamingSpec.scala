@@ -443,4 +443,123 @@ class StreamingSpec extends AnyFunSuite {
         (60L, 12.0, 15.0),    // intra-batch carry
         (120L, 15.0, 18.0)))  // cross-batch carry via checkpointed state
   }
+
+  test("end-to-end chain: landing → watermarked dedup → continuity " +
+      "candles → rollup refresh → alert fire → throttle; batch ≡ stream " +
+      "on the final alert set") {
+    // the full production deploy composed from the individually-proven
+    // stages, run over three ingest ticks with in-batch AND cross-batch
+    // replays. Rule 1: key A's latest rollup close > 100, throttle 600 s.
+    val rawLand = tmpDir("graft-chain-raw")
+    val cleanDir = tmpDir("graft-chain-clean") + "/t"
+    val candleDir = tmpDir("graft-chain-candles") + "/t"
+    val rollupDir = tmpDir("graft-chain-rollup") + "/t"
+    val firedLand = tmpDir("graft-chain-fired")
+    val alertsDir = tmpDir("graft-chain-alerts") + "/t"
+    val ck1 = tmpDir("graft-chain-ck1")
+    val ck2 = tmpDir("graft-chain-ck2")
+    val ck3 = tmpDir("graft-chain-ck3")
+    // event times sit well past epoch 0: a row whose event time equals
+    // the INITIAL watermark (0) is filtered as late by
+    // dropDuplicatesWithinWatermark before any state is consulted
+    val b1 = Seq((1L, 3600L, "A", 100.0), (2L, 3660L, "A", 110.0),
+      (3L, 3720L, "A", 120.0), (2L, 3660L, "A", 110.0), // in-batch dup
+      (4L, 3600L, "B", 5.0))
+    val b2 = Seq((2L, 3660L, "A", 110.0), (3L, 3720L, "A", 120.0), // replays
+      (5L, 3900L, "A", 130.0), (6L, 3900L, "B", 6.0))
+    val b3 = Seq((7L, 4500L, "A", 140.0), (5L, 3900L, "A", 130.0)) // replay
+    val rules = Seq((1L, "A", 100.0), (2L, "B", 1000.0))
+      .toDF("rule_id", "key", "threshold")
+    def tick(name: String, rows: Seq[(Long, Long, String, Double)]): Unit = {
+      rows.toDF("event_id", "sec", "key", "price")
+        .write.parquet(s"$rawLand/$name")
+      // stage 1: dedup-on-write into the clean zone (T4, watermarked —
+      // replay state is bounded AND carried across micro-batches)
+      val raw = spark.readStream
+        .schema("event_id BIGINT, sec BIGINT, key STRING, price DOUBLE")
+        .option("recursiveFileLookup", "true").parquet(rawLand)
+        .withColumn("ts", timestamp_seconds(col("sec")))
+      val q1 = Streams.dedupeKeysWatermarked(raw, "ts", "1 hour",
+          Seq("event_id"))
+        .drop("ts")
+        .writeStream.format("parquet").option("path", cleanDir)
+        .outputMode("append").option("checkpointLocation", ck1)
+        .trigger(Trigger.AvailableNow()).start()
+      q1.awaitTermination()
+      // stage 2: continuity candles over the clean zone (T5 state)
+      val clean = spark.readStream
+        .schema("event_id BIGINT, sec BIGINT, key STRING, price DOUBLE")
+        .parquet(cleanDir)
+        .select(col("key"), (col("sec") - col("sec") % 60).as("bucketTs"),
+          col("event_id").as("ord"), col("price"))
+        .as[Streams.Tick]
+      val q2 = Streams.candlesWithContinuity(clean).toDF()
+        .writeStream.format("parquet").option("path", candleDir)
+        .outputMode("append").option("checkpointLocation", ck2)
+        .trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination()
+      // stage 3: rollup refresh — the 60 s matrix job shape: latest state
+      // per key recomputed from the candle table, snapshot-overwritten
+      val rollup = spark.read.parquet(candleDir)
+        .groupBy(col("key"))
+        .agg(max_by(col("close"), col("bucket_ts")).as("last_close"),
+          max(col("bucket_ts")).as("last_ts"))
+      rollup.write.mode("overwrite").parquet(rollupDir)
+      // stage 4: alert evaluation over the rollup (t10 shape) → fired
+      // events land for the throttle stage
+      spark.read.parquet(rollupDir).join(rules, Seq("key"))
+        .filter(col("last_close") > col("threshold"))
+        .select(col("rule_id").as("ruleId"), col("last_ts").as("ts"))
+        .write.parquet(s"$firedLand/$name")
+      // stage 5: throttled alert emission (T10 scheduler state)
+      val fired = spark.readStream.schema("ruleId BIGINT, ts BIGINT")
+        .option("recursiveFileLookup", "true").parquet(firedLand)
+        .as[Streams.AlertEvent]
+      val q3 = Streams.throttleAlerts(fired, throttleSec = 600L).toDF()
+        .writeStream.format("parquet").option("path", alertsDir)
+        .outputMode("append").option("checkpointLocation", ck3)
+        .trigger(Trigger.AvailableNow()).start()
+      q3.awaitTermination()
+    }
+    tick("b1", b1); tick("b2", b2); tick("b3", b3)
+    // replays never reached the clean zone (7 distinct events landed)
+    assert(spark.read.parquet(cleanDir).count() == 7)
+    assert(spark.read.parquet(cleanDir).select("event_id")
+      .distinct().count() == 7)
+    // continuity held ACROSS ticks: A's bucket-300 candle (tick 2) opens
+    // at tick 1's last close, bucket 900 (tick 3) at tick 2's
+    val aOpens = spark.read.parquet(candleDir)
+      .filter(col("key") === "A").select("bucket_ts", "open")
+      .as[(Long, Double)].collect().toMap
+    assert(aOpens(3900L) == 120.0 && aOpens(4500L) == 130.0)
+    val streamed = spark.read.parquet(alertsDir)
+      .as[Streams.AlertEvent].collect().map(e => (e.ruleId, e.ts)).toSet
+    // batch twin: replay the three tick evaluations with the BATCH
+    // operators (distinct → Ohlcv.candles → rollup → rule eval), then
+    // fold the throttle over the fired sequence
+    val prefixes = Seq(b1, b1 ++ b2, b1 ++ b2 ++ b3)
+    val firedSeq = prefixes.flatMap { rows =>
+      val ev = rows.distinct.toDF("event_id", "sec", "key", "price")
+        .withColumn("ts", timestamp_seconds(col("sec")))
+      Ohlcv.candles(ev, Seq("key"), col("ts"), col("event_id"),
+          col("price"), col("price"), 60L)
+        .groupBy(col("key"))
+        .agg(max_by(col("close"), col("bucket_ts")).as("last_close"),
+          max(col("bucket_ts")).as("last_ts"))
+        .join(rules, Seq("key"))
+        .filter(col("last_close") > col("threshold"))
+        .select(col("rule_id"), col("last_ts"))
+        .as[(Long, Long)].collect().sorted.toSeq
+    }
+    val lastEmit = scala.collection.mutable.Map.empty[Long, Long]
+    val batchAlerts = firedSeq.filter { case (rule, ts) =>
+      val ok = lastEmit.get(rule).forall(l => ts - l >= 600L)
+      if (ok) lastEmit(rule) = ts
+      ok
+    }.toSet
+    // tick 1 fires at 3720; tick 2's fire at 3900 is inside the 600 s
+    // throttle (Δ180); tick 3's at 4500 clears it (Δ780)
+    assert(batchAlerts == Set((1L, 3720L), (1L, 4500L)))
+    assert(streamed == batchAlerts)
+  }
 }
