@@ -76,6 +76,38 @@ object DomainQueries {
         .orderBy(col("user_id"))
     },
 
+    // JOB: the composed price-from-reserves scheduled batch
+    // (jobs/price-from-reserves.js:27-75) — the 8 s loop as ONE declarative
+    // pass: uzig-quoted pools ⋈ token meta (the job's SELECT ... INNER JOIN
+    // tokens WHERE is_uzig_quote = 1), wait-for-meta skip (null exponent
+    // rows dropped BEFORE pricing, :49-55), per-pool reserves → F4 price
+    // math, and the finite-positive guard (:62) — emitting the refreshed
+    // (token_id, pool_id, price) batch the loop upserts. The reserve fetch
+    // itself is LCD-bound (S4 scope); reserves here are deterministic
+    // per-pool synthetics, incl. zero-reserve pools the guard must drop.
+    // Scale shape: the pool dim filters selectively, the token meta join
+    // is broadcast-able, pricing is map-side — the whole "loop over pools
+    // with CONCURRENCY=8" becomes one partition-parallel pass.
+    "job1_price_refresh" -> { (s, d) =>
+      val pools = Tables.part(s, d)
+        .filter(col("p_partkey") % 3 === 0) // WHERE is_uzig_quote = 1
+        .select(col("p_partkey").as("pool_id"),
+          (col("p_partkey") % 100 + 1).as("token_id"),
+          ((col("p_partkey") % 97 + 1) * 1e6).as("rq_base"),
+          ((col("p_partkey") % 10) * 1e5).as("rb_base"))
+      val tokens = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("token_id"),
+          when(col("s_suppkey") % 7 === 0, lit(null).cast("int"))
+            .otherwise((col("s_suppkey") % 4 + 4).cast("int")).as("exp"))
+      pools.join(tokens, Seq("token_id"))
+        .filter(col("exp").isNotNull) // wait-for-meta: exponent present
+        .select(col("pool_id"), col("token_id"),
+          round4(Domain.priceFromReserves(col("rq_base"), col("rb_base"),
+            col("exp"))).as("price_in_zig"))
+        .filter(col("price_in_zig").isNotNull) // finite positive only
+        .orderBy(col("pool_id"))
+    },
+
     // F5: pair-type fee schedule (api/routes/swap.js:21-32), incl. the
     // xyk_<bps> parse and the null default.
     "f5_pair_fee" -> { (s, d) =>
@@ -578,6 +610,23 @@ object DomainQueries {
            round((rq_base / 1000000.0) / (rb_base / pow(10, 6)), 4) AS price
          FROM r WHERE rq_base > 0 AND rb_base > 0
          ORDER BY user_id""",
+    "job1_price_refresh" ->
+      """WITH p AS (SELECT p_partkey AS pool_id,
+           (p_partkey % 100) + 1 AS token_id,
+           ((p_partkey % 97) + 1) * 1000000.0 AS rq_base,
+           (p_partkey % 10) * 100000.0 AS rb_base
+         FROM part WHERE p_partkey % 3 = 0),
+         b AS (SELECT s_suppkey AS token_id,
+           CASE WHEN s_suppkey % 7 = 0 THEN NULL
+                ELSE CAST((s_suppkey % 4) + 4 AS INTEGER) END AS exp
+         FROM supplier),
+         j AS (SELECT pool_id, token_id, rq_base, rb_base, exp
+               FROM p JOIN b USING (token_id) WHERE exp IS NOT NULL)
+         SELECT pool_id, token_id,
+           round((rq_base / 1000000.0) / (rb_base / pow(10, exp)), 4)
+             AS price_in_zig
+         FROM j WHERE rq_base > 0 AND rb_base > 0
+         ORDER BY pool_id""",
     "f5_pair_fee" ->
       """WITH p AS (SELECT p_partkey,
            CASE WHEN p_partkey % 5 = 0 THEN 'xyk'

@@ -118,6 +118,32 @@ class EdgeSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).columns.toSeq == Seq("id", "v"))
   }
 
+  test("updateWhere degenerate cases: NULL predicate leaves rows, empty " +
+      "assignments no-op, predicate reads a column it assigns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-updw")
+      .resolve("t").toString
+    Seq((1L, "a", 10L), (2L, null.asInstanceOf[String], 20L),
+      (3L, "c", 30L)).toDF("id", "note", "n")
+      .write.parquet(dir)
+    def rows() = spark.read.parquet(dir).select("id", "note", "n")
+      .as[(Long, String, Long)].collect().toSet
+    // SQL UPDATE semantics: a NULL predicate (note = 'a' on a null note)
+    // must NOT match — row 2 keeps its value
+    graft.sources.Sinks.updateWhere(spark, dir, col("note") === "a",
+      Map("n" -> lit(99L)))
+    assert(rows() == Set((1L, "a", 99L), (2L, null, 20L), (3L, "c", 30L)))
+    // empty assignments: a no-op rewrite, table intact
+    graft.sources.Sinks.updateWhere(spark, dir, lit(true),
+      Map.empty[String, org.apache.spark.sql.Column])
+    assert(rows() == Set((1L, "a", 99L), (2L, null, 20L), (3L, "c", 30L)))
+    // predicate evaluated against PRE-update values: n := n + 1 WHERE
+    // n = 30 bumps row 3 exactly once — assigning the predicate's own
+    // column can't cascade into re-matching
+    graft.sources.Sinks.updateWhere(spark, dir, col("n") === 30L,
+      Map("n" -> (col("n") + 1L)))
+    assert(rows() == Set((1L, "a", 99L), (2L, null, 20L), (3L, "c", 31L)))
+  }
+
   test("char_ngrams: sliding codepoint windows, empty below n, multibyte") {
     def grams(t: String, n: Int): Seq[String] =
       Seq(Tuple1(t)).toDF("t")

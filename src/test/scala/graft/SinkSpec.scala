@@ -237,6 +237,28 @@ class SinkSpec extends AnyFunSuite {
       .collect().toSet == Set(2L, 3L))
   }
 
+  test("price-refresh job: append-only upsert ticks, latest snapshot " +
+      "serves the newest price per (token, pool)") {
+    // the write half of jobs/price-from-reserves.js (upsertPrice: INSERT
+    // into prices + price_ticks, "latest" recovered with argMax at read):
+    // two refresh ticks append; history keeps every row (the price_ticks
+    // role), the serving view is last-wins per key (the prices role)
+    val prices = tmp("graft-prices")
+    def tick(t: Long, px: Seq[(Long, Long, Double)]): Unit =
+      px.toDF("token_id", "pool_id", "price_in_zig")
+        .withColumn("updated_at", lit(t))
+        .write.mode("append").parquet(prices)
+    tick(1000L, Seq((1L, 10L, 2.5), (2L, 20L, 4.0)))
+    tick(2000L, Seq((1L, 10L, 2.75), (3L, 30L, 9.0)))
+    assert(spark.read.parquet(prices).count() == 4) // append-only history
+    val latest = graft.operators.Relational.dedupeKeepLatest(
+        spark.read.parquet(prices), Seq("token_id", "pool_id"),
+        col("updated_at"))
+      .select("token_id", "pool_id", "price_in_zig")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(latest == Set((1L, 10L, 2.75), (2L, 20L, 4.0), (3L, 30L, 9.0)))
+  }
+
   test("dropPartitionsOlderThan removes old partitions, retains the rest") {
     val path = tmp("graft-retain")
     Sinks.appendPartitioned(
