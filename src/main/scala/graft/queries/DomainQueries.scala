@@ -483,7 +483,14 @@ object DomainQueries {
   private def tokenMatrix(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d)
     val cut = anchorMinusSec(e, col("ts"), 86400L)
-    val priced = e.groupBy(col("user_id")).agg(
+    // Only purchase/click rows can contribute (p1's max_by ordinal is null
+    // on every other type, p2 sums clicks only), so the type filter is a
+    // no-op on the result but reaches the parquet scan as an In predicate —
+    // the matrix reads 2 of 5 event types instead of the full fact table.
+    // A user with no such events drops out of the aggregate here and
+    // resurfaces as the same all-null row via the left join below.
+    val priced = e.filter(col("event_type").isin("purchase", "click"))
+      .groupBy(col("user_id")).agg(
       latestBy(col("value"),
         when(col("event_type") === "purchase", col("event_id"))).as("p1"),
       dsumIf(col("value"),

@@ -125,6 +125,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("RocksDB state store: watermarked dedup and cross-batch continuity " +
+      "produce identical results on the disk-backed provider") {
+    // The default HDFSBackedStateStoreProvider keeps each store's full
+    // key map in executor memory — the genuine limiter for stateful
+    // streaming at 100 TB (dedup state ~ one entry per key in the
+    // watermark window). Spark ships a RocksDB provider (off-heap,
+    // spills to local disk, bounded block cache); the engine's stateful
+    // operators must be provider-agnostic, so both state shapes used by
+    // the production chain — dropDuplicatesWithinWatermark's key store
+    // and flatMapGroupsWithState's carry store — rerun here on RocksDB
+    // with the same assertions as their in-memory twins.
+    val prov = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(prov)
+    spark.conf.set(prov, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val stream = Streams.dedupeKeysWatermarked(
+        Streams.eventsStream(spark, landing), "ts", "1 hour",
+        Seq("user_id", "event_type"))
+        .select("user_id", "event_type")
+      val q = stream.writeStream
+        .format("memory").queryName("rocks_dedup_out").outputMode("append")
+        .option("checkpointLocation", tmpDir("graft-ckpt-rocks"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = spark.table("rocks_dedup_out")
+        .as[(Long, String)].collect().toSet
+      val want = Tables.events(spark, sfDir)
+        .select("user_id", "event_type").distinct()
+        .as[(Long, String)].collect().toSet
+      assert(got == want)
+
+      val in = tmpDir("graft-rocks-in")
+      val ckpt = tmpDir("graft-rocks-ck")
+      val outDir = tmpDir("graft-rocks-out")
+      def writeBatch(name: String, rows: Seq[Streams.Tick]): Unit =
+        rows.toDS().toDF().coalesce(1).write.mode("overwrite")
+          .parquet(s"$in/$name")
+      def runOnce(): Unit = {
+        val ticks = spark.readStream
+          .schema("key STRING, bucketTs BIGINT, ord BIGINT, price DOUBLE")
+          .option("recursiveFileLookup", "true")
+          .parquet(in).as[Streams.Tick]
+        val q2 = Streams.candlesWithContinuity(ticks).toDF()
+          .writeStream.format("parquet").option("path", outDir)
+          .outputMode("append").option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q2.awaitTermination()
+      }
+      writeBatch("b1", Seq(Streams.Tick("p1", 0L, 1L, 10.0),
+        Streams.Tick("p1", 60L, 2L, 15.0)))
+      runOnce()
+      writeBatch("b2", Seq(Streams.Tick("p1", 120L, 3L, 18.0)))
+      runOnce()
+      val candles = spark.read.parquet(outDir)
+        .select("bucket_ts", "open", "close")
+        .as[(Long, Double, Double)].collect().sortBy(_._1)
+      // cross-batch carry (120 opens at 60's close) survives the RocksDB
+      // checkpoint round-trip exactly as on the in-memory provider
+      assert(candles.toSeq == Seq((0L, 10.0, 10.0), (60L, 10.0, 15.0),
+        (120L, 15.0, 18.0)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(prov, v)
+        case None => spark.conf.unset(prov)
+      }
+    }
+  }
+
   test("T2: two-phase sink lands dims before facts, every batch") {
     val dimPath = tmpDir("graft-t2-dim") + "/dims"
     val factPath = tmpDir("graft-t2-fact") + "/facts"
