@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+
+/** Static scale-lint over every query's physical plan: the rules the
+  * per-round plan reviews enforce by hand, pinned as assertions so a new
+  * query (or a regression in an old one) that reintroduces a scale
+  * anti-pattern fails `sbt test` instead of waiting for a reviewer.
+  *
+  * Linted (on the pre-AQE plan, where forced shapes are visible):
+  *   - CartesianProductExec — both-sides-shuffled all-pairs products;
+  *     only the labeled brute-force baselines may carry one.
+  *   - WindowExec with an empty partitionSpec — a single-task window over
+  *     the full input; only justified post-aggregation bounded spines may.
+  *   - BroadcastNestedLoopJoinExec whose broadcast side is NOT a scalar
+  *     (no-grouping) aggregate — broadcasting an unbounded frame OOMs at
+  *     scale, while scalar crossJoin(broadcast(count)) is the sanctioned
+  *     pattern for corpus-level constants.
+  */
+class PlanLintSpec extends AnyFunSuite {
+
+  import SparkTestSession.{spark, sfDir}
+
+  /** Labeled all-pairs baselines (their banded/bucketed scale twins sit
+    * beside them in the catalog) and deliberate 1×1 composes. Currently
+    * empty: nothing on the surface plans a shuffled cartesian product.
+    */
+  private val cartesianOk: Set[String] = Set()
+
+  /** Bounded post-aggregation spines where a global window is the point.
+    * Currently empty: every window on the surface partitions (api3's
+    * gap-fill carry was the last one, keyed in round 9).
+    */
+  private val unpartitionedWindowOk: Set[String] = Set()
+
+  /** Non-scalar broadcast NLJ allowlist — keyless joins whose broadcast
+    * side is bounded BY CONSTRUCTION, not by data volume:
+    *   - d5: labeled all-pairs cosine baseline (d2/d9/n-family are the
+    *     scale paths sitting beside it)
+    *   - d11: eval-battery side input — a fixed held-out set, not a
+    *     corpus-scaling frame
+    *   - d9/n3/n4/n7: k-centroid tables and 256-entry PQ codebook/LUT
+    *     frames (k and codebook size chosen, ≪ corpus)
+    *   - n1: the probe batch of the brute-force baseline (per-request
+    *     sized; the corpus side streams)
+    */
+  private val nljOk: Set[String] = Set("d5_embedding_neardup",
+    "d11_semantic_decontaminate", "d9_semantic_prune", "n1_ann_topk",
+    "n3_ann_ivf", "n4_ann_ivf_trained", "n7_ann_ivfpq")
+
+  private def isScalarAgg(p: SparkPlan): Boolean = p.collectFirst {
+    case a: HashAggregateExec if a.groupingExpressions.isEmpty => true
+    case a: SortAggregateExec if a.groupingExpressions.isEmpty => true
+    case a: ObjectHashAggregateExec if a.groupingExpressions.isEmpty => true
+  }.isDefined
+
+  // plain tree collect, not collectWithSubqueries: before execution,
+  // subquery expressions still hold LOGICAL plans (casting them to
+  // SparkPlan throws); the skipped subqueries are single-row anchor
+  // probes, out of lint scope anyway
+  private def violations(name: String, plan: SparkPlan): Seq[String] =
+    plan.collect {
+      case _: CartesianProductExec if !cartesianOk(name) =>
+        Some(s"$name: CartesianProductExec (all-pairs shuffle product)")
+      case w: WindowExec
+          if w.partitionSpec.isEmpty && !unpartitionedWindowOk(name) =>
+        Some(s"$name: WindowExec with no partitioning (single-task window)")
+      case j: BroadcastNestedLoopJoinExec if !nljOk(name) =>
+        val build = j.buildSide match {
+          case BuildLeft => j.left
+          case BuildRight => j.right
+        }
+        if (isScalarAgg(build)) None
+        else Some(s"$name: BroadcastNestedLoopJoin over a non-scalar " +
+          s"broadcast side")
+    }.flatten
+
+  test("no query plan carries an unjustified scale anti-pattern") {
+    val found = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        try violations(name, q(spark, sfDir).queryExecution.sparkPlan)
+        catch {
+          case e: Throwable =>
+            Seq(s"$name: plan construction failed: ${e.getMessage}")
+        }
+    }
+    assert(found.isEmpty, "\n" + found.mkString("\n"))
+  }
+}
