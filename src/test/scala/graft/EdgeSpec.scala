@@ -118,6 +118,45 @@ class EdgeSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).columns.toSeq == Seq("id", "v"))
   }
 
+  test("GraftExtensions wires kernels, TVF, and the as-of strategy into " +
+      "a session built the way a deployment would") {
+    // the production entry point: a deployment enables the extensions
+    // class and gets the whole surface — scalar kernels, the asof_join
+    // table function, the planner strategy, and the pushdown rule — with
+    // no code calls. EdgeSpec's other tests cover the runtime
+    // register(spark) path; this one drives the SparkSessionExtensions
+    // injection. (The equivalent `spark.sql.extensions` conf string is
+    // read from the SparkContext's conf at context creation, so it cannot
+    // be exercised against this suite's shared context — withExtensions
+    // applies the same class through the same injection API.)
+    val orig = SparkTestSession.spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .config("spark.sql.shuffle.partitions", "2")
+        .getOrCreate()
+      assert(s2 ne orig) // a NEW session (same context), extensions applied
+      assert(s2.sql("SELECT dot_scaled(array(cast(1.0 as float), " +
+        "cast(2.0 as float)), array(cast(3.0 as float), " +
+        "cast(0.5 as float)))").head.getLong(0) == 4L * 1e16.toLong)
+      s2.sql("CREATE OR REPLACE TEMP VIEW ext_f AS " +
+        "SELECT * FROM VALUES (1, 10), (1, 20) AS t(k, t)")
+      s2.sql("CREATE OR REPLACE TEMP VIEW ext_r AS " +
+        "SELECT rk, rt, CAST(v AS DOUBLE) AS v " +
+        "FROM VALUES (1, 5, 1.5), (1, 15, 2.5) AS t(rk, rt, v)")
+      val got = s2.sql("SELECT t, v FROM asof_join(TABLE(ext_f), " +
+        "TABLE(ext_r), 'k', 'rk', 't', 'rt')")
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+      assert(got == Set((10, 1.5), (20, 2.5)))
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(orig)
+      org.apache.spark.sql.SparkSession.setActiveSession(orig)
+    }
+  }
+
   test("updateWhere degenerate cases: NULL predicate leaves rows, empty " +
       "assignments no-op, predicate reads a column it assigns") {
     val dir = java.nio.file.Files.createTempDirectory("graft-updw")
