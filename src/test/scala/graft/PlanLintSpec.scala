@@ -80,6 +80,35 @@ class PlanLintSpec extends AnyFunSuite {
           s"broadcast side")
     }.flatten
 
+  /** Queries whose 100 TB story depends on a predicate REACHING the
+    * parquet scan (PLANS.md documents each): time cutoffs through the
+    * raw-nanos path, the keyset cursor through the as-of join's pushdown
+    * rule, single-key lookups through the matrix joins, and the
+    * event-type pre-filter on the serving matrix. Maps query →
+    * column that must appear in some scan's PushedFilters.
+    */
+  private val mustPush: Map[String, String] = Map(
+    "p2_time_window" -> "ts",
+    "a14_multi_bucket" -> "ts",
+    "api3_ohlcv_route" -> "ts",
+    "api2_trades_page" -> "event_id",
+    "api4_token_detail" -> "c_custkey",
+    "api1_token_list" -> "event_type")
+
+  test("time-cutoff, keyset, and lookup queries keep their scan pushdown") {
+    val missing = mustPush.toSeq.sortBy(_._1).flatMap { case (name, col) =>
+      val scans = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.sparkPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metadata.getOrElse("PushedFilters", "")
+        }
+      if (scans.exists(_.contains(col))) Nil
+      else Seq(s"$name: no parquet scan pushes a filter on '$col' " +
+        s"(scans: ${scans.mkString(" | ")})")
+    }
+    assert(missing.isEmpty, "\n" + missing.mkString("\n"))
+  }
+
   test("no query plan carries an unjustified scale anti-pattern") {
     val found = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
