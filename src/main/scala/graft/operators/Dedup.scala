@@ -84,20 +84,28 @@ object Dedup {
     * copies). Default None = exact banding semantics (the oracle-checked
     * path).
     */
-  def minhashCandidates(sf: DataFrame, numHashes: Int, bands: Int,
-                        maxBucket: Option[Int] = None): DataFrame = {
+  /** LSH banding projection of a shingle frame: (doc_id, band, bh), one
+    * row per band — the bucket keys both the batch self-join
+    * ([[minhashCandidates]]) and the streaming ingest index
+    * ([[graft.streaming.Streams.neardupIngest]]) join on.
+    */
+  def bandFrame(sf: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val r = numHashes / bands
     // explode_OUTER: a plain explode makes the optimizer infer a
     // `size(bandHashes(minhashSig(...))) > 0` filter and push it below the
     // projections — re-evaluating the whole signature chain per row (52 s
     // of the 58 s this query took at sf0.1). The band array is a literal
     // 32-wide array, never empty, so outer semantics are identical.
-    val banded = sf
-      .select(col("doc_id"),
+    sf.select(col("doc_id"),
         Text.bandHashes(Text.minhashSig(col("sh"), numHashes), bands, r)
           .as("bh"))
       .select(col("doc_id"), explode_outer(col("bh")).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+  }
+
+  def minhashCandidates(sf: DataFrame, numHashes: Int, bands: Int,
+                        maxBucket: Option[Int] = None): DataFrame = {
+    val banded = bandFrame(sf, numHashes, bands)
     val bounded = maxBucket match {
       case Some(cap) =>
         // one aggregate over the banded keys, then a semi-join keeps only

@@ -321,6 +321,129 @@ object Streams {
   final case class Candle(key: String, bucket_ts: Long, open: Double,
                           high: Double, low: Double, close: Double)
 
+  /** Streaming near-dup ingest — the corpus-ingest twin of
+    * [[graft.operators.Dedup.minhashNearDup]]: the production shape of
+    * "dedup the corpus as documents arrive" instead of re-running the
+    * batch pass over everything. Each micro-batch of (doc_id, text) is
+    * shingled and LSH-banded; a doc is ACCEPTED unless it exact-verifies
+    * (true Jaccard ≥ theta on shingle sets) against an already-accepted
+    * index doc sharing a band bucket, or against a lower-id doc of its
+    * own batch. Accepted docs append their shingle sets and band keys to
+    * `indexDir/{shingles,bands}` and their ids to `outDir`.
+    *
+    * Semantics: greedy online dedup, deterministic given doc_id order.
+    * The within-batch "lower-id mate" rule can over-reject on similarity
+    * chains (A~B, B~C, A≁C drops both B and C where one-at-a-time greedy
+    * keeps C) — the standard trade for one distributed pass per batch.
+    *
+    * Scale shape: banding is map-side (codegen'd MinHash kernel); the
+    * index probe is an equi-join on (band, bh) — nothing unbounded is
+    * broadcast, and shingle sets are joined only for candidate ids, so
+    * per-batch cost scales with bucket collisions, not index size. The
+    * appends inherit the landing append's idempotency caveat (a batch
+    * retried after a partial write re-appends) — production hardens them
+    * with the batchId-conditional two-phase pattern of [[twoPhaseSink]].
+    */
+  def neardupIngest(docs: DataFrame, indexDir: String, outDir: String,
+                    checkpoint: String, n: Int = 3, theta: Double = 0.8,
+                    numHashes: Int = 128, bands: Int = 32)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    val spark = docs.sparkSession
+    val shPath = s"$indexDir/shingles"
+    val bandPath = s"$indexDir/bands"
+    def readOr(path: String, schema: String): DataFrame = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) spark.read.parquet(path)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType.fromDDL(schema))
+    }
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sfNew = Dedup.shingleFrame(batch, n).persist()
+        val bNew = Dedup.bandFrame(sfNew, numHashes, bands)
+        // probe 1: against the accepted index (bands → verify on shingles)
+        val idxSh = readOr(shPath, "doc_id BIGINT, sh ARRAY<STRING>")
+          .select(col("doc_id").as("acc_id"), col("sh").as("acc_sh"))
+        val idxBands = readOr(bandPath, "doc_id BIGINT, band INT, bh BIGINT")
+          .select(col("doc_id").as("acc_id"), col("band"), col("bh"))
+        val idxHits = bNew
+          .join(idxBands, Seq("band", "bh"))
+          .select(col("doc_id"), col("acc_id")).distinct()
+          .join(sfNew, "doc_id")
+          .join(idxSh, "acc_id")
+          // same verify form as minhashNearDup: 0-size union divides to
+          // NULL → no match (two empty shingle sets are not near-dups)
+          .filter((size(array_intersect(col("sh"), col("acc_sh"))) /
+            size(array_union(col("sh"), col("acc_sh")))) >= theta)
+          .select(col("doc_id")).distinct()
+        // probe 2: against lower-id batch-mates (the batch self-join)
+        val mateHits = Dedup.minhashNearDup(batch, n, theta,
+            numHashes, bands)
+          .select(col("doc_b").as("doc_id")).distinct()
+        // Two-phase acceptance: the decision is materialized ONCE into a
+        // staging snapshot whose plan reads only the PRE-batch index;
+        // the three appends then all derive from that on-disk snapshot.
+        // Appending directly from the lazy frame would let a later
+        // action re-read the index it just appended to — a doc then
+        // near-dups ITSELF and silently drops from its own batch.
+        val staging = s"$indexDir/_staging"
+        val acceptedSh = sfNew
+          .join(idxHits, Seq("doc_id"), "left_anti")
+          .join(mateHits, Seq("doc_id"), "left_anti")
+        acceptedSh.write.mode("overwrite").parquet(staging)
+        val acc = spark.read.parquet(staging)
+        acc.write.mode("append").parquet(shPath)
+        Dedup.bandFrame(acc, numHashes, bands)
+          .write.mode("append").parquet(bandPath)
+        acc.select(col("doc_id"))
+          .write.mode("append").parquet(outDir)
+        sfNew.unpersist()
+        val sp = new org.apache.hadoop.fs.Path(staging)
+        sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(sp, true)
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming ANN index maintenance — the serving-artifact twin of
+    * [[neardupIngest]] for the embedding side: arriving vectors are
+    * assigned to the TRAINED IVF cells and PQ-encoded against the TRAINED
+    * codebook per micro-batch, appending to the cells/codes artifacts
+    * that [[graft.operators.Similarity.ivfPqTopKFromCodes]] serves from.
+    * Train rarely, encode continuously — the standard index-maintenance
+    * split: a batch costs one broadcast of the (k × dim) centroid and
+    * (m × 256) codebook frames plus a map-side assignment/encode pass,
+    * and the served index grows without retraining or rebuild. The two
+    * appends read only train-time artifacts, so batches cannot interfere
+    * with their own writes (unlike the dedup ingest, no staging needed).
+    */
+  def annIndexMaintenance(vecs: DataFrame, centroidsPath: String,
+                          codebookPath: String, cellsPath: String,
+                          codesPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Similarity
+    val spark = vecs.sparkSession
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cent = spark.read.parquet(centroidsPath)
+        val book = spark.read.parquet(codebookPath)
+        Similarity.ivfCells(batch, cent)
+          .write.mode("append").parquet(cellsPath)
+        Similarity.pqEncode(batch, book)
+          .write.mode("append").parquet(codesPath)
+        ()
+      }
+      .start()
+  }
+
   /** T5: candle continuity with explicit state — open of the first candle
     * of each batch continues from the PREVIOUS batch's last close, exactly
     * the reference's lastCloseByPool map, surviving restarts via the

@@ -471,6 +471,134 @@ class StreamingSpec extends AnyFunSuite {
     assert(bar2.toSeq == Seq((0L, 10.0, 14.0, 9.0, 12.0, 4L)))
   }
 
+  test("streaming near-dup ingest: greedy online dedup matches the " +
+      "scalar oracle across ticks; index rejects span micro-batches") {
+    // corpus-ingest twin of d2: docs arrive over two ticks; a doc is
+    // accepted unless it near-dups (true shingle Jaccard >= theta) an
+    // already-accepted index doc or a lower-id mate of its own batch.
+    // The oracle replays exactly that rule in plain Scala over the same
+    // crafted corpus: exact dups, >theta near-dups, <theta edits, and a
+    // cross-tick replay.
+    val vocab = (1 to 40).map(i => s"w$i")
+    def edit(base: Seq[String], at: Int, w: String): String =
+      base.updated(at, w).mkString(" ")
+    val baseA = vocab
+    val baseB = vocab.reverse
+    val docs = Seq(
+      1L -> baseA.mkString(" "),
+      2L -> edit(baseA, 19, "zz"), // 1-word edit: j ~ 0.85 -> mate-reject
+      3L -> baseB.mkString(" "),
+      4L -> baseA.mkString(" "), // exact dup of 1 -> mate-reject
+      5L -> baseA.take(20).mkString(" "), // j ~ 0.45 vs 1 -> accept
+      // tick 2
+      6L -> baseA.mkString(" "), // replay of 1 -> INDEX-reject
+      7L -> (1 to 40).map(i => s"q$i").mkString(" "), // unique -> accept
+      8L -> edit((1 to 40).map(i => s"q$i"), 5, "yy"), // mate-reject vs 7
+      9L -> edit(baseB, 0, "kk")) // near-dup of 3 -> index-reject
+    val (t1, t2) = docs.partition(_._1 <= 5L)
+
+    def shset(t: String): Set[String] = {
+      val ws = t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      if (ws.size < 3) Set.empty
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    def near(a: String, b: String): Boolean = {
+      val (sa, sb) = (shset(a), shset(b))
+      val u = (sa ++ sb).size
+      u > 0 && (sa & sb).size.toDouble / u >= 0.8
+    }
+    val byId = docs.toMap
+    var oracle = Set.empty[Long]
+    for (tick <- Seq(t1, t2)) {
+      val prev = oracle
+      oracle ++= tick.map(_._1).sorted.filter { id =>
+        !prev.exists(p => near(byId(p), byId(id))) &&
+        !tick.exists { case (m, mt) => m < id && near(mt, byId(id)) }
+      }
+    }
+    // the crafted corpus must exercise all three outcomes
+    assert(oracle == Set(1L, 3L, 5L, 7L))
+
+    val land = tmpDir("graft-ndi-land")
+    val index = tmpDir("graft-ndi-index") + "/idx"
+    val outDir = tmpDir("graft-ndi-out") + "/accepted"
+    val ckpt = tmpDir("graft-ndi-ckpt")
+    def tick(name: String, rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$land/$name")
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("recursiveFileLookup", "true").parquet(land)
+      val q = Streams.neardupIngest(stream, index, outDir, ckpt)
+      q.awaitTermination()
+    }
+    tick("t1", t1)
+    tick("t2", t2)
+    val got = spark.read.parquet(outDir).as[Long].collect().toSet
+    assert(got == oracle)
+    // the index carries exactly the accepted docs' shingle sets
+    assert(spark.read.parquet(s"$index/shingles")
+      .select("doc_id").as[Long].collect().toSet == oracle)
+  }
+
+  test("streaming ANN index maintenance: incrementally grown artifacts " +
+      "serve identically to a from-scratch build") {
+    // train on the initial corpus, stream the rest in two ticks through
+    // annIndexMaintenance, then serve from the grown cells/codes — the
+    // result must match both the batch artifact build over the full
+    // corpus and the in-query composite (train rarely, encode
+    // continuously, never rebuild)
+    import graft.operators.Similarity
+    val all = Tables.embeddings(spark, sfDir)
+    val initial = all.filter(col("vec_id") < 300)
+    val arriving = all.filter(col("vec_id") >= 300)
+    val centroids = initial.filter(col("vec_id") % 50 === 0)
+    val dir = tmpDir("graft-annm")
+    centroids.write.parquet(s"$dir/centroids")
+    val cb = Similarity.pqTrain(initial, m = 8, iters = 2)
+    cb.write.parquet(s"$dir/codebook")
+    Similarity.ivfCells(initial, centroids).write.parquet(s"$dir/cells")
+    Similarity.pqEncode(initial, cb).write.parquet(s"$dir/codes")
+
+    val land = tmpDir("graft-annm-land")
+    val ckpt = tmpDir("graft-annm-ckpt")
+    def tick(name: String, rows: org.apache.spark.sql.DataFrame): Unit = {
+      rows.coalesce(1).write.parquet(s"$land/$name")
+      val stream = spark.readStream
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+        .option("recursiveFileLookup", "true").parquet(land)
+      val q = Streams.annIndexMaintenance(stream, s"$dir/centroids",
+        s"$dir/codebook", s"$dir/cells", s"$dir/codes", ckpt)
+      q.awaitTermination()
+    }
+    tick("t1", arriving.filter(col("vec_id") < 400))
+    tick("t2", arriving.filter(col("vec_id") >= 400))
+
+    // grown artifacts == batch build over the full corpus
+    assert(spark.read.parquet(s"$dir/cells").as[(Long, Long)]
+      .collect().toSet ==
+      Similarity.ivfCells(all, centroids).as[(Long, Long)].collect().toSet)
+    assert(spark.read.parquet(s"$dir/codes").as[(Long, Int, Int)]
+      .collect().toSet ==
+      Similarity.pqEncode(all, cb).as[(Long, Int, Int)].collect().toSet)
+    // and the served search over the GROWN artifacts matches a
+    // from-scratch batch build under the same training (the codebook and
+    // centroids are train-time constants — that is the maintenance claim)
+    val probes = all.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "rank", "neighbor_id", "cosine")
+        .as[(Long, Long, Long, Double)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+    val served = rows(Similarity.ivfPqTopKFromCodes(probes, all, centroids,
+      spark.read.parquet(s"$dir/cells"),
+      spark.read.parquet(s"$dir/codebook"),
+      spark.read.parquet(s"$dir/codes"), k = 5, nprobe = 8))
+    val rebuilt = rows(Similarity.ivfPqTopKFromCodes(probes, all, centroids,
+      Similarity.ivfCells(all, centroids), cb,
+      Similarity.pqEncode(all, cb), k = 5, nprobe = 8))
+    assert(served == rebuilt)
+  }
+
   test("T5: stateful continuity carries close across micro-batches") {
     // two landing dirs processed as two micro-batches of one stream:
     // batch 2's first candle must open at batch 1's last close (the
