@@ -337,12 +337,18 @@ object Streams {
     * keeps C) — the standard trade for one distributed pass per batch.
     *
     * Scale shape: banding is map-side (codegen'd MinHash kernel); the
-    * index probe is an equi-join on (band, bh) — nothing unbounded is
-    * broadcast, and shingle sets are joined only for candidate ids, so
-    * per-batch cost scales with bucket collisions, not index size. The
-    * appends inherit the landing append's idempotency caveat (a batch
-    * retried after a partial write re-appends) — production hardens them
-    * with the batchId-conditional two-phase pattern of [[twoPhaseSink]].
+    * index probe is an equi-join on (band, bh) whose SMALL side is the
+    * micro-batch, so the index is scanned map-side but never shuffled or
+    * broadcast, and shingle sets are joined only for candidate ids —
+    * per-batch verify cost scales with bucket collisions, not index
+    * size. The per-batch O(index) scan is the remaining term: a
+    * bh-bucketed index layout (the [[graft.sources.Sinks]] bucketed
+    * write) upgrades it to pruned buckets. Per-batch appends accumulate
+    * small files — run [[graft.sources.Sinks.compactSmallFiles]] over
+    * the index dirs as maintenance. The appends inherit the landing
+    * append's idempotency caveat (a batch retried after a partial write
+    * re-appends) — production hardens them with the batchId-conditional
+    * two-phase pattern of [[twoPhaseSink]].
     */
   def neardupIngest(docs: DataFrame, indexDir: String, outDir: String,
                     checkpoint: String, n: Int = 3, theta: Double = 0.8,
