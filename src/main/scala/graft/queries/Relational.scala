@@ -490,6 +490,53 @@ object Relational {
         .limit(10)
     },
 
+    // b4 = Q18 large-volume customer: aggregate the fact table per key,
+    // filter ON the aggregate (HAVING), then join the surviving keys back
+    // to their order/customer context — the "find the heavy keys, then
+    // fetch their rows" shape the whale/leaderboard routes share. Scale:
+    // the HAVING reduces the fact side to the rare heavy keys BEFORE the
+    // joins, so the join probe side is tiny regardless of corpus size.
+    "b4_tpch_q18" -> { (s, d) =>
+      val heavy = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 250d)
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(heavy, col("o_orderkey") === col("l_orderkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          epochSec(col("o_orderdate")).as("odate_sec"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    // b5 = Q5 local-supplier volume: the 6-way star with selective dims —
+    // region prunes nation prunes customer; the c_nationkey = s_nationkey
+    // equality closes the loop through the fact table. The dims broadcast
+    // (planner-sized), the fact joins shuffle on their keys.
+    "b5_tpch_q5" -> { (s, d) =>
+      val from = to_timestamp(lit("1996-01-01 00:00:00"))
+      val until = to_timestamp(lit("1997-01-01 00:00:00"))
+      Tables.region(s, d).filter(col("r_name") === "ASIA")
+        .join(Tables.nation(s, d),
+          col("r_regionkey") === col("n_regionkey"))
+        .join(Tables.customer(s, d),
+          col("n_nationkey") === col("c_nationkey"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= from && col("o_orderdate") < until),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1d) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
     // S2: tx-hash derivation — upper-hex sha256 of the base64-DECODED tx
     // bytes (core/parse.js:20): the wire form is base64, the hash input is
     // the decoded payload. Round 1 hashed the raw text and mirrored that
@@ -838,6 +885,36 @@ object Relational {
          WHERE c_mktsegment = 'BUILDING'
          GROUP BY 1, 3, 4
          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "b4_tpch_q18" ->
+      """WITH heavy AS (
+           SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+               AS total_qty
+           FROM lineitem GROUP BY 1
+           HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+             > 250)
+         SELECT c_name, c_custkey, o_orderkey,
+           CAST(epoch(o_orderdate) AS BIGINT) AS odate_sec,
+           o_totalprice, total_qty
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN heavy ON o_orderkey = l_orderkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "b5_tpch_q5" ->
+      """SELECT n_name,
+         CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6)))
+           AS DOUBLE) AS revenue
+         FROM region
+         JOIN nation ON r_regionkey = n_regionkey
+         JOIN customer ON n_nationkey = c_nationkey
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+           AND c_nationkey = s_nationkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY 1 ORDER BY revenue DESC, n_name""",
     "s2_txhash" ->
       """SELECT doc_id,
          upper(sha256(decode(from_base64(base64(encode(text)))))) AS tx_hash

@@ -578,9 +578,9 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/cells").as[(Long, Long)]
       .collect().toSet ==
       Similarity.ivfCells(all, centroids).as[(Long, Long)].collect().toSet)
-    assert(spark.read.parquet(s"$dir/codes").as[(Long, Int, Int)]
+    assert(spark.read.parquet(s"$dir/codes").as[(Long, Int, Long)]
       .collect().toSet ==
-      Similarity.pqEncode(all, cb).as[(Long, Int, Int)].collect().toSet)
+      Similarity.pqEncode(all, cb).as[(Long, Int, Long)].collect().toSet)
     // and the served search over the GROWN artifacts matches a
     // from-scratch batch build under the same training (the codebook and
     // centroids are train-time constants — that is the maintenance claim)
