@@ -202,17 +202,21 @@ object Bench {
     val twinSparkSmall: Map[String, Double] =
       if (smallSf == sfDir) Map.empty
       else {
+        // same failure rule as timeAll: a failed run's elapsed time is
+        // meaningless — DROP the entry (its twin slope then filters out
+        // below) instead of publishing a bogus spark_small/marginal_ratio
         def pass(): Map[String, Double] = duckHeadline.flatMap { name =>
-          SparkEntry.queries.get(name).map { fn =>
+          SparkEntry.queries.get(name).flatMap { fn =>
             val t0 = System.nanoTime()
-            try fn(spark, smallSf).write.format("noop")
-              .mode("overwrite").save()
-            catch { case _: Throwable => () }
-            name -> (System.nanoTime() - t0) / 1e9
+            try {
+              fn(spark, smallSf).write.format("noop")
+                .mode("overwrite").save()
+              Some(name -> (System.nanoTime() - t0) / 1e9)
+            } catch { case _: Throwable => errors += name; None }
           }
         }.toMap
         val p1 = pass(); val p2 = pass()
-        p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+        p1.flatMap { case (k, v) => p2.get(k).map(k -> math.min(v, _)) }
       }
     val duckSmall =
       if (smallSf == sfDir) Map.empty[String, Double]

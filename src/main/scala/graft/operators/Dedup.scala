@@ -68,22 +68,6 @@ object Dedup {
         round4(col("jaccard_raw")).as("jaccard"))
   }
 
-  /** Candidate near-dup pairs via MinHash+LSH banding: signature per doc
-    * (map-side), explode into `bands` (band, band_hash) keys, equi-join
-    * within buckets. Output: distinct (doc_a, doc_b) with doc_a < doc_b.
-    *
-    * `maxBucket` (opt-in) drops buckets holding more than that many docs
-    * BEFORE the self-join — the standard skew guard at corpus scale: a
-    * boilerplate band (shared header/footer text) can put 10⁶ docs in one
-    * bucket, and that single bucket's k² pair explosion dwarfs the rest
-    * of the job. Members of a dropped mega-bucket still pair through
-    * their other `bands-1` buckets, so genuinely near-identical docs are
-    * re-found elsewhere with probability 1-(miss)^(bands-1); what is
-    * skipped is exactly the degenerate everyone-matches-everyone cluster
-    * a dedup pass handles by other means (exact dedup catches true
-    * copies). Default None = exact banding semantics (the oracle-checked
-    * path).
-    */
   /** LSH banding projection of a shingle frame: (doc_id, band, bh), one
     * row per band — the bucket keys both the batch self-join
     * ([[minhashCandidates]]) and the streaming ingest index
@@ -103,6 +87,22 @@ object Dedup {
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
   }
 
+  /** Candidate near-dup pairs via MinHash+LSH banding: signature per doc
+    * (map-side), explode into `bands` (band, band_hash) keys, equi-join
+    * within buckets. Output: distinct (doc_a, doc_b) with doc_a < doc_b.
+    *
+    * `maxBucket` (opt-in) drops buckets holding more than that many docs
+    * BEFORE the self-join — the standard skew guard at corpus scale: a
+    * boilerplate band (shared header/footer text) can put 10⁶ docs in one
+    * bucket, and that single bucket's k² pair explosion dwarfs the rest
+    * of the job. Members of a dropped mega-bucket still pair through
+    * their other `bands-1` buckets, so genuinely near-identical docs are
+    * re-found elsewhere with probability 1-(miss)^(bands-1); what is
+    * skipped is exactly the degenerate everyone-matches-everyone cluster
+    * a dedup pass handles by other means (exact dedup catches true
+    * copies). Default None = exact banding semantics (the oracle-checked
+    * path).
+    */
   def minhashCandidates(sf: DataFrame, numHashes: Int, bands: Int,
                         maxBucket: Option[Int] = None): DataFrame = {
     val banded = bandFrame(sf, numHashes, bands)
@@ -118,13 +118,21 @@ object Dedup {
         banded.join(small, Seq("band", "bh"), "left_semi")
       case None => banded
     }
-    bounded.as("a")
-      .join(bounded.as("b"),
+    candidatesFromBands(bounded)
+  }
+
+  /** Bucket self-join over a prebuilt [[bandFrame]]: distinct candidate
+    * pairs (doc_a < doc_b). Split out so callers that already hold the
+    * banded frame (the streaming ingest persists it for the index probe)
+    * don't recompute the signature chain.
+    */
+  def candidatesFromBands(banded: DataFrame): DataFrame =
+    banded.as("a")
+      .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-  }
 
   /** MinHash-LSH near-dup pairs, exact-verified: candidates from banding,
     * then true Jaccard via array_intersect/array_union on the shingle sets
@@ -277,8 +285,13 @@ object Dedup {
     * the corpus — but its distinct-n-gram set still grows linearly with
     * eval size, so forcing a broadcast would OOM the driver on a large
     * benchmark battery. AQE converts the semi-join to broadcast at
-    * runtime exactly when the eval gram set is small; otherwise the
-    * shuffle carries eval-sized (not corpus-sized) distinct grams.
+    * runtime exactly when the eval gram set is small; the fallback is a
+    * shuffled semi-join — BOTH sides move, including the corpus-scale
+    * train gram frame, trading driver OOM for a corpus-sized shuffle.
+    * For eval batteries too big to broadcast, the bloom-pruned map-side
+    * path (the d12 query via plans.Expressions.bloomFilterAgg) is the
+    * real answer: it shuffles contamination-rate, not corpus-size,
+    * volume.
     * Published recipes use n=13; the fixture's 30-60-word docs want n=8.
     */
   def ngramContaminated(train: DataFrame, evalDocs: DataFrame, n: Int)

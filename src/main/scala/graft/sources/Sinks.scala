@@ -28,9 +28,15 @@ object Sinks {
   }
 
   /** Two-phase table rewrite: materialize `df` into a sibling temp dir,
-    * then overwrite `path` from the temp and remove it. Readers of `path`
-    * never observe the half-written intermediate state, and the source
-    * table is still intact if the first write dies mid-flight.
+    * then overwrite `path` from the temp and remove it. The guarantee is
+    * CRASH-safety of the source data: the expensive first write reads and
+    * rewrites without touching `path`, so a failure mid-flight leaves the
+    * table intact, and the second write is a cheap copy that cannot fail
+    * on a compute error. It is NOT concurrent-reader isolation — phase 2
+    * is a delete-and-rewrite of the live path, and a reader overlapping
+    * it can see a missing or partial table; serializing readers against
+    * config-table maintenance (or a transactional format / view flip) is
+    * the deployment's job.
     */
   private def twoPhaseOverwrite(spark: SparkSession, df: DataFrame,
                                 path: String): Unit = {
@@ -121,8 +127,8 @@ object Sinks {
     * of row-group-sized files per partition, and scan cost becomes file-
     * open cost. Rewrite a directory into ceil(bytes/targetBytes) files
     * (ClickHouse's background merge / OPTIMIZE TABLE analog). Two-phase
-    * write through a temp dir so readers never see a half-compacted
-    * directory.
+    * write through a temp dir — crash-safe for the source, see
+    * [[twoPhaseOverwrite]]'s reader-isolation caveat.
     */
   def compactSmallFiles(spark: SparkSession, path: String,
                         targetBytes: Long): Unit = {
@@ -157,7 +163,8 @@ object Sinks {
   /** Config-table CRUD, delete half (watchlist.js DELETE /:id — `DELETE
     * FROM watchlist WHERE id=$1`). Without a transactional format a
     * keyed delete is read-filter-overwrite through a temp dir (two-phase
-    * so readers never see a half-written table) — the right trade for
+    * — crash-safe for the source, see [[twoPhaseOverwrite]]'s isolation
+    * caveat) — the right trade for
     * user-scale config tables; FACT-table deletion is partition
     * retention ([[dropPartitionsOlderThan]]), never this.
     */
@@ -176,19 +183,25 @@ object Sinks {
     * id=$4`). Rows matching `predicate` take the `assignments` values;
     * every other row — and every unassigned column — passes through
     * unchanged. Same read-modify-overwrite shape as [[deleteWhere]]
-    * (two-phase, reader-safe), and the same scope note: this is for
+    * (two-phase, crash-safe), and the same scope note: this is for
     * user-scale config tables, never the fact table. NULL-valued
     * predicates leave the row unmodified, matching SQL UPDATE.
     */
   def updateWhere(spark: SparkSession, path: String, predicate: Column,
                   assignments: Map[String, Column]): Unit = {
     val current = spark.read.parquet(path)
-    // evaluate the predicate against PRE-update values once, so an
-    // assignment to a column the predicate reads can't re-match rows
-    val marked = current.withColumn("__hit", coalesce(predicate, lit(false)))
-    val updated = assignments.foldLeft(marked) { case (df, (name, value)) =>
-      df.withColumn(name, when(col("__hit"), value).otherwise(col(name)))
-    }.drop("__hit").select(current.columns.map(col): _*)
+    // ONE projection evaluates the predicate AND every assignment RHS
+    // against PRE-update values — SQL UPDATE semantics: `SET a=b, b=a`
+    // swaps, an assigned predicate column can't re-match, and the result
+    // can't depend on assignment iteration order (a sequential
+    // withColumn fold would feed post-update values into later RHS)
+    val hit = coalesce(predicate, lit(false))
+    val updated = current.select(current.columns.map { name =>
+      assignments.get(name) match {
+        case Some(value) => when(hit, value).otherwise(col(name)).as(name)
+        case None => col(name)
+      }
+    }: _*)
     twoPhaseOverwrite(spark, updated, path)
   }
 

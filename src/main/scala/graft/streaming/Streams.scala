@@ -371,7 +371,7 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sfNew = Dedup.shingleFrame(batch, n).persist()
-        val bNew = Dedup.bandFrame(sfNew, numHashes, bands)
+        val bNew = Dedup.bandFrame(sfNew, numHashes, bands).persist()
         // probe 1: against the accepted index (bands → verify on shingles)
         val idxSh = readOr(shPath, "doc_id BIGINT, sh ARRAY<STRING>")
           .select(col("doc_id").as("acc_id"), col("sh").as("acc_sh"))
@@ -387,9 +387,18 @@ object Streams {
           .filter((size(array_intersect(col("sh"), col("acc_sh"))) /
             size(array_union(col("sh"), col("acc_sh")))) >= theta)
           .select(col("doc_id")).distinct()
-        // probe 2: against lower-id batch-mates (the batch self-join)
-        val mateHits = Dedup.minhashNearDup(batch, n, theta,
-            numHashes, bands)
+        // probe 2: against lower-id batch-mates — candidates from the
+        // SAME persisted shingle + band frames as probe 1 (re-running
+        // minhashNearDup on the raw batch would repeat the whole
+        // doc→shingle→minhash chain, the dominant per-batch cost), then
+        // the identical exact-Jaccard verify; pairs keep doc_a < doc_b
+        val mateHits = Dedup.candidatesFromBands(bNew)
+          .join(sfNew.select(col("doc_id").as("doc_a"),
+            col("sh").as("sa")), "doc_a")
+          .join(sfNew.select(col("doc_id").as("doc_b"),
+            col("sh").as("sb")), "doc_b")
+          .filter((size(array_intersect(col("sa"), col("sb"))) /
+            size(array_union(col("sa"), col("sb")))) >= theta)
           .select(col("doc_b").as("doc_id")).distinct()
         // Two-phase acceptance: the decision is materialized ONCE into a
         // staging snapshot whose plan reads only the PRE-batch index;
@@ -409,6 +418,7 @@ object Streams {
         acc.select(col("doc_id"))
           .write.mode("append").parquet(outDir)
         sfNew.unpersist()
+        bNew.unpersist()
         val sp = new org.apache.hadoop.fs.Path(staging)
         sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(sp, true)

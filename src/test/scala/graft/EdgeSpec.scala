@@ -181,6 +181,16 @@ class EdgeSpec extends AnyFunSuite {
     graft.sources.Sinks.updateWhere(spark, dir, col("n") === 30L,
       Map("n" -> (col("n") + 1L)))
     assert(rows() == Set((1L, "a", 99L), (2L, null, 20L), (3L, "c", 31L)))
+    // SQL UPDATE evaluates ALL assignment RHS against pre-update values:
+    // SET note=n, n=note on row 1 swaps (note="99", n fails cast → null is
+    // not the shape here; use two bigint-compatible columns instead)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-updw2")
+      .resolve("t").toString
+    Seq((1L, 10L, 20L)).toDF("id", "a", "b").write.parquet(dir2)
+    graft.sources.Sinks.updateWhere(spark, dir2, lit(true),
+      Map("a" -> col("b"), "b" -> col("a")))
+    assert(spark.read.parquet(dir2).select("id", "a", "b")
+      .as[(Long, Long, Long)].collect().toSet == Set((1L, 20L, 10L)))
   }
 
   test("char_ngrams: sliding codepoint windows, empty below n, multibyte") {
