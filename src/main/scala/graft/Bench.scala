@@ -150,8 +150,13 @@ object Bench {
       val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e9
     }
     q6(); q7() // warm
-    Map("n6_serving" -> math.min(t(() => q6()), t(() => q6())),
+    val out = Map("n6_serving" -> math.min(t(() => q6()), t(() => q6())),
         "n7_serving" -> math.min(t(() => q7()), t(() => q7())))
+    // artifact dirs are embedding-scale parquet — delete, don't leak a
+    // growing /tmp across bench runs
+    val p = new org.apache.hadoop.fs.Path(tmp)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    out
   } catch { case _: Throwable => Map.empty }
 
   def main(args: Array[String]): Unit = {
@@ -202,9 +207,13 @@ object Bench {
     val twinSparkSmall: Map[String, Double] =
       if (smallSf == sfDir) Map.empty
       else {
-        // same failure rule as timeAll: a failed run's elapsed time is
-        // meaningless — DROP the entry (its twin slope then filters out
-        // below) instead of publishing a bogus spark_small/marginal_ratio
+        // a failed run's elapsed time is meaningless — DROP the entry
+        // (its twin slope then filters out below) instead of publishing a
+        // bogus spark_small/marginal_ratio. Dropped silently, NOT via
+        // `errors`: that list flags failed BENCHMARK queries (whose main
+        // time is invalid); a query that only failed its optional small-SF
+        // slope sample still carries a valid benched time, and its absence
+        // from twin_slopes is the signal.
         def pass(): Map[String, Double] = duckHeadline.flatMap { name =>
           SparkEntry.queries.get(name).flatMap { fn =>
             val t0 = System.nanoTime()
@@ -212,7 +221,7 @@ object Bench {
               fn(spark, smallSf).write.format("noop")
                 .mode("overwrite").save()
               Some(name -> (System.nanoTime() - t0) / 1e9)
-            } catch { case _: Throwable => errors += name; None }
+            } catch { case _: Throwable => None }
           }
         }.toMap
         val p1 = pass(); val p2 = pass()
@@ -232,15 +241,19 @@ object Bench {
       .map { case (k, v) => s""""$k":${ms2(v)}""" }
       .mkString("{", ",", "}")
     // marginal slope per twin: Δt over sf_small→sf on each engine, and
-    // Spark-over-DuckDB ratio of the slopes (null when the DuckDB delta
-    // sits inside bench jitter — a ratio against noise is meaningless)
+    // Spark-over-DuckDB ratio of the slopes (null when EITHER delta sits
+    // inside bench jitter — a ratio against noise is meaningless, and a
+    // jittery Spark delta can even go negative; errored queries carry a
+    // meaningless main time, so they are excluded entirely)
     val slopesJson = duckHeadline
       .filter(k => results.contains(k) && duck.contains(k) &&
-        twinSparkSmall.contains(k) && duckSmall.contains(k))
+        twinSparkSmall.contains(k) && duckSmall.contains(k) &&
+        !errors.contains(k))
       .map { k =>
         val ss = results(k) - twinSparkSmall(k)
         val ds = duck(k) - duckSmall(k)
-        val ratio = if (math.abs(ds) < 0.01) "null" else ms2(ss / ds)
+        val ratio = if (math.abs(ds) < 0.01 || math.abs(ss) < 0.01) "null"
+          else ms2(ss / ds)
         s""""$k":{"spark_small":${ms(twinSparkSmall(k))},"spark":${ms(results(k))},"duck_small":${ms(duckSmall(k))},"duck":${ms(duck(k))},"spark_slope":${ms(ss)},"duck_slope":${ms(ds)},"marginal_ratio":$ratio}"""
       }.mkString("{", ",", "}")
     val full = (results.toSeq.sortBy(_._1)

@@ -137,12 +137,21 @@ case class MinHashSigExpr(child: Expression, k: Int)
   * the SQL form exactly (regexp_split_to_array(trim(lower(text)),'\s+')
   * and w[i:i+n-1] joins in the DuckDB oracles); ROOT-locale lowercasing
   * matches UTF8String/DuckDB ASCII behavior on this data.
+  *
+  * Whitespace is PINNED to the Java `\s` six: space \t \n \x0B \f \r —
+  * edge-stripping uses that explicit class, NOT String.trim (which eats
+  * every char <= U+0020: a doc starting with a C0 control would shingle
+  * differently here than in Text.normalize and the two-arg-trim
+  * oracles). Known residue: RE2's `\s` (DuckDB's split) excludes \x0B,
+  * so an INTERIOR vertical tab still tokenizes differently — accepted,
+  * documented, absent from the fixtures.
   */
 object ShingleKernel {
   def shingles(text: org.apache.spark.unsafe.types.UTF8String, n: Int,
                distinct: Boolean): ArrayData = {
     val words = text.toString.toLowerCase(java.util.Locale.ROOT)
-      .trim.split("\\s+")
+      .replaceAll("^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$", "")
+      .split("\\s+")
     val m = words.length - n + 1
     if (m <= 0)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(

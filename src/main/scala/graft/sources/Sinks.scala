@@ -190,6 +190,13 @@ object Sinks {
   def updateWhere(spark: SparkSession, path: String, predicate: Column,
                   assignments: Map[String, Column]): Unit = {
     val current = spark.read.parquet(path)
+    // SQL UPDATE errors on an unknown column — a typo'd assignment key
+    // must fail loudly, not rewrite the whole table unchanged while the
+    // caller believes the PATCH took (exact match: the projection below
+    // binds by the table's own column names)
+    val unknown = assignments.keySet.diff(current.columns.toSet)
+    require(unknown.isEmpty,
+      s"updateWhere: no such column(s): ${unknown.toSeq.sorted.mkString(", ")}")
     // ONE projection evaluates the predicate AND every assignment RHS
     // against PRE-update values — SQL UPDATE semantics: `SET a=b, b=a`
     // swaps, an assigned predicate column can't re-match, and the result

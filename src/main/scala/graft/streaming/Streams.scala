@@ -346,9 +346,12 @@ object Streams {
     * write) upgrades it to pruned buckets. Per-batch appends accumulate
     * small files — run [[graft.sources.Sinks.compactSmallFiles]] over
     * the index dirs as maintenance. The appends inherit the landing
-    * append's idempotency caveat (a batch retried after a partial write
-    * re-appends) — production hardens them with the batchId-conditional
-    * two-phase pattern of [[twoPhaseSink]].
+    * append's idempotency caveat: a batch retried after a partial write
+    * re-appends (duplicates, never loss — the index probe excludes a
+    * doc's own id, so a retry whose index append survived re-accepts the
+    * doc instead of self-rejecting it out of the output); production
+    * hardens the appends with the batchId-conditional two-phase pattern
+    * of [[twoPhaseSink]].
     */
   def neardupIngest(docs: DataFrame, indexDir: String, outDir: String,
                     checkpoint: String, n: Int = 3, theta: Double = 0.8,
@@ -379,6 +382,14 @@ object Streams {
           .select(col("doc_id").as("acc_id"), col("band"), col("bh"))
         val idxHits = bNew
           .join(idxBands, Seq("band", "bh"))
+          // self-exclusion: after a checkpoint retry of a batch that died
+          // between the index append and the outDir append, the doc's own
+          // index entry is already present — without this filter it
+          // near-dups ITSELF, is silently dropped from the accepted
+          // output forever, and index and output diverge. With it, the
+          // retry re-accepts and re-appends (duplicates — the documented
+          // at-least-once caveat), never loses.
+          .filter(col("doc_id") =!= col("acc_id"))
           .select(col("doc_id"), col("acc_id")).distinct()
           .join(sfNew, "doc_id")
           .join(idxSh, "acc_id")
@@ -413,7 +424,11 @@ object Streams {
         acceptedSh.write.mode("overwrite").parquet(staging)
         val acc = spark.read.parquet(staging)
         acc.write.mode("append").parquet(shPath)
-        Dedup.bandFrame(acc, numHashes, bands)
+        // band rows for the accepted docs come from the PERSISTED batch
+        // band frame (it derives only from the batch, so no self-read
+        // hazard) — re-running bandFrame over the staged shingles would
+        // repeat the signature chain, the dominant per-batch cost
+        bNew.join(acc.select(col("doc_id")), Seq("doc_id"), "left_semi")
           .write.mode("append").parquet(bandPath)
         acc.select(col("doc_id"))
           .write.mode("append").parquet(outDir)

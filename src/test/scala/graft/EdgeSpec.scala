@@ -191,6 +191,12 @@ class EdgeSpec extends AnyFunSuite {
       Map("a" -> col("b"), "b" -> col("a")))
     assert(spark.read.parquet(dir2).select("id", "a", "b")
       .as[(Long, Long, Long)].collect().toSet == Set((1L, 20L, 10L)))
+    // SQL UPDATE errors on an unknown column — a typo'd PATCH must fail
+    // loudly, not silently rewrite the table unchanged
+    val e = intercept[IllegalArgumentException](
+      graft.sources.Sinks.updateWhere(spark, dir2, lit(true),
+        Map("nope" -> lit(1L))))
+    assert(e.getMessage.contains("no such column"))
   }
 
   test("char_ngrams: sliding codepoint windows, empty below n, multibyte") {
