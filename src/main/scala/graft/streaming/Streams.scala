@@ -345,13 +345,13 @@ object Streams {
     * bh-bucketed index layout (the [[graft.sources.Sinks]] bucketed
     * write) upgrades it to pruned buckets. Per-batch appends accumulate
     * small files — run [[graft.sources.Sinks.compactSmallFiles]] over
-    * the index dirs as maintenance. The appends inherit the landing
-    * append's idempotency caveat: a batch retried after a partial write
-    * re-appends (duplicates, never loss — the index probe excludes a
-    * doc's own id, so a retry whose index append survived re-accepts the
-    * doc instead of self-rejecting it out of the output); production
-    * hardens the appends with the batchId-conditional two-phase pattern
-    * of [[twoPhaseSink]].
+    * the index dirs as maintenance. Writes are EXACTLY-ONCE: each batch
+    * overwrites its own `batch=<id>` partition of the index and output
+    * dirs, so a checkpoint retry rewrites the same partition instead of
+    * appending duplicates. The index probe still excludes a doc's own id
+    * — a retried batch's partial index partition may already be on disk
+    * when the probe reads it, and without the exclusion the doc would
+    * self-reject out of its own retry.
     */
   def neardupIngest(docs: DataFrame, indexDir: String, outDir: String,
                     checkpoint: String, n: Int = 3, theta: Double = 0.8,
@@ -372,7 +372,7 @@ object Streams {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sfNew = Dedup.shingleFrame(batch, n).persist()
         val bNew = Dedup.bandFrame(sfNew, numHashes, bands).persist()
         // probe 1: against the accepted index (bands → verify on shingles)
@@ -423,15 +423,19 @@ object Streams {
           .join(mateHits, Seq("doc_id"), "left_anti")
         acceptedSh.write.mode("overwrite").parquet(staging)
         val acc = spark.read.parquet(staging)
-        acc.write.mode("append").parquet(shPath)
+        // per-batch OVERWRITE partitions (batch=<id> dirs), not appends:
+        // a checkpoint retry rewrites its own partition, so the index and
+        // output are exactly-once — no duplicate rows to dedup at serve
+        // time, and the batchId keys the partition deterministically
+        acc.write.mode("overwrite").parquet(s"$shPath/batch=$batchId")
         // band rows for the accepted docs come from the PERSISTED batch
         // band frame (it derives only from the batch, so no self-read
         // hazard) — re-running bandFrame over the staged shingles would
         // repeat the signature chain, the dominant per-batch cost
         bNew.join(acc.select(col("doc_id")), Seq("doc_id"), "left_semi")
-          .write.mode("append").parquet(bandPath)
+          .write.mode("overwrite").parquet(s"$bandPath/batch=$batchId")
         acc.select(col("doc_id"))
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         sfNew.unpersist()
         bNew.unpersist()
         val sp = new org.apache.hadoop.fs.Path(staging)
@@ -450,9 +454,12 @@ object Streams {
     * Train rarely, encode continuously — the standard index-maintenance
     * split: a batch costs one broadcast of the (k × dim) centroid and
     * (m × 256) codebook frames plus a map-side assignment/encode pass,
-    * and the served index grows without retraining or rebuild. The two
-    * appends read only train-time artifacts, so batches cannot interfere
-    * with their own writes (unlike the dedup ingest, no staging needed).
+    * and the served index grows without retraining or rebuild. The
+    * writes read only train-time artifacts, so batches cannot interfere
+    * with their own writes (unlike the dedup ingest, no staging needed),
+    * and each batch overwrites its own `batch=<id>` partition so a
+    * checkpoint retry is idempotent — duplicate (vec_id, sub) code rows
+    * would otherwise double-count in the served ADC sums.
     */
   def annIndexMaintenance(vecs: DataFrame, centroidsPath: String,
                           codebookPath: String, cellsPath: String,
@@ -463,13 +470,13 @@ object Streams {
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cent = spark.read.parquet(centroidsPath)
         val book = spark.read.parquet(codebookPath)
         Similarity.ivfCells(batch, cent)
-          .write.mode("append").parquet(cellsPath)
+          .write.mode("overwrite").parquet(s"$cellsPath/batch=$batchId")
         Similarity.pqEncode(batch, book)
-          .write.mode("append").parquet(codesPath)
+          .write.mode("overwrite").parquet(s"$codesPath/batch=$batchId")
         ()
       }
       .start()

@@ -534,7 +534,8 @@ class StreamingSpec extends AnyFunSuite {
     }
     tick("t1", t1)
     tick("t2", t2)
-    val got = spark.read.parquet(outDir).as[Long].collect().toSet
+    val got = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
     assert(got == oracle)
     // the index carries exactly the accepted docs' shingle sets
     assert(spark.read.parquet(s"$index/shingles")
@@ -557,8 +558,9 @@ class StreamingSpec extends AnyFunSuite {
     centroids.write.parquet(s"$dir/centroids")
     val cb = Similarity.pqTrain(initial, m = 8, iters = 2)
     cb.write.parquet(s"$dir/codebook")
-    Similarity.ivfCells(initial, centroids).write.parquet(s"$dir/cells")
-    Similarity.pqEncode(initial, cb).write.parquet(s"$dir/codes")
+    Similarity.ivfCells(initial, centroids)
+      .write.parquet(s"$dir/cells/batch=-1")
+    Similarity.pqEncode(initial, cb).write.parquet(s"$dir/codes/batch=-1")
 
     val land = tmpDir("graft-annm-land")
     val ckpt = tmpDir("graft-annm-ckpt")
@@ -575,10 +577,11 @@ class StreamingSpec extends AnyFunSuite {
     tick("t2", arriving.filter(col("vec_id") >= 400))
 
     // grown artifacts == batch build over the full corpus
-    assert(spark.read.parquet(s"$dir/cells").as[(Long, Long)]
-      .collect().toSet ==
+    assert(spark.read.parquet(s"$dir/cells").select("vec_id", "cid")
+      .as[(Long, Long)].collect().toSet ==
       Similarity.ivfCells(all, centroids).as[(Long, Long)].collect().toSet)
-    assert(spark.read.parquet(s"$dir/codes").as[(Long, Int, Long)]
+    assert(spark.read.parquet(s"$dir/codes")
+      .select("vec_id", "sub", "code").as[(Long, Int, Long)]
       .collect().toSet ==
       Similarity.pqEncode(all, cb).as[(Long, Int, Long)].collect().toSet)
     // and the served search over the GROWN artifacts matches a
