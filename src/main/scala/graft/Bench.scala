@@ -121,10 +121,13 @@ object Bench {
     * exactly like any other entry (noop write, warm, min-of-2).
     */
   private def servingTimes(spark: SparkSession, sfDir: String)
-      : Map[String, Double] = try {
+      : Map[String, Double] = {
+    val tmp = try
+      java.nio.file.Files.createTempDirectory("graft-serve").toString
+    catch { case _: Throwable => return Map.empty }
+    try {
     import org.apache.spark.sql.functions.col
     import graft.operators.Similarity
-    val tmp = java.nio.file.Files.createTempDirectory("graft-serve").toString
     val v = Tables.embeddings(spark, sfDir)
     val probes = v.filter(col("vec_id") < 10)
     val centroids = v.filter(col("vec_id") % 50 === 0)
@@ -150,14 +153,20 @@ object Bench {
       val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e9
     }
     q6(); q7() // warm
-    val out = Map("n6_serving" -> math.min(t(() => q6()), t(() => q6())),
+    Map("n6_serving" -> math.min(t(() => q6()), t(() => q6())),
         "n7_serving" -> math.min(t(() => q7()), t(() => q7())))
-    // artifact dirs are embedding-scale parquet — delete, don't leak a
-    // growing /tmp across bench runs
-    val p = new org.apache.hadoop.fs.Path(tmp)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    out
-  } catch { case _: Throwable => Map.empty }
+    } catch { case _: Throwable => Map.empty }
+    finally {
+      // artifact dirs are embedding-scale parquet — delete on BOTH paths
+      // (the failure path is exactly where the leak used to survive);
+      // best-effort, a cleanup error must not fail the bench
+      try {
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      } catch { case _: Throwable => () }
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -147,11 +147,18 @@ case class MinHashSigExpr(child: Expression, k: Int)
   * documented, absent from the fixtures.
   */
 object ShingleKernel {
+  // precompiled: this kernel runs once per corpus row from the codegen'd
+  // expression — String.replaceAll/split(regex) would Pattern.compile
+  // (plus re-scan) on EVERY row
+  private val EdgeWs = java.util.regex.Pattern
+    .compile("^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$")
+  private val WsRun = java.util.regex.Pattern.compile("\\s+")
+
   def shingles(text: org.apache.spark.unsafe.types.UTF8String, n: Int,
                distinct: Boolean): ArrayData = {
-    val words = text.toString.toLowerCase(java.util.Locale.ROOT)
-      .replaceAll("^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$", "")
-      .split("\\s+")
+    val words = WsRun.split(
+      EdgeWs.matcher(text.toString.toLowerCase(java.util.Locale.ROOT))
+        .replaceAll(""))
     val m = words.length - n + 1
     if (m <= 0)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(

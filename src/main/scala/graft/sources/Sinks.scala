@@ -40,7 +40,12 @@ object Sinks {
     */
   private def twoPhaseOverwrite(spark: SparkSession, df: DataFrame,
                                 path: String): Unit = {
-    val tmp = path + ".tmp"
+    // underscore-prefixed sibling: hidden from Spark's partition/file
+    // discovery, so compacting one `batch=N` partition of a partitioned
+    // root never surfaces a phantom `batch=N.tmp` partition (which would
+    // break concurrent readers' partition-column inference mid-phase-1)
+    val p = new Path(path)
+    val tmp = new Path(p.getParent, "_tmp_" + p.getName).toString
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
     spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
     val (fs, tmpPath) = fsFor(spark, tmp)

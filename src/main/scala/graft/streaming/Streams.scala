@@ -343,16 +343,77 @@ object Streams {
     * per-batch verify cost scales with bucket collisions, not index
     * size. The per-batch O(index) scan is the remaining term: a
     * bh-bucketed index layout (the [[graft.sources.Sinks]] bucketed
-    * write) upgrades it to pruned buckets. Per-batch appends accumulate
-    * small files — run [[graft.sources.Sinks.compactSmallFiles]] over
-    * the index dirs as maintenance. Writes are EXACTLY-ONCE: each batch
-    * overwrites its own `batch=<id>` partition of the index and output
-    * dirs, so a checkpoint retry rewrites the same partition instead of
-    * appending duplicates. The index probe still excludes a doc's own id
-    * — a retried batch's partial index partition may already be on disk
-    * when the probe reads it, and without the exclusion the doc would
-    * self-reject out of its own retry.
+    * write) upgrades it to pruned buckets. Small files accumulate one
+    * `batch=<id>` dir per batch — compact a SEALED batch partition in
+    * place ([[graft.sources.Sinks.compactSmallFiles]] on the
+    * `…/batch=N` dir itself), NEVER the index root: a root compaction
+    * flattens the partition layout into plain files, after which the
+    * next batch's partitioned write makes every index read fail on
+    * conflicting directory structures, and replayed batches no longer
+    * replace their own rows.
+    *
+    * Write semantics: each batch overwrites its own `batch=<id>`
+    * partition of the index and output dirs, so replays converge to
+    * exactly-once output ON STREAM COMPLETION. The overwrite itself is
+    * delete-then-write, not atomic: a crash mid-replay leaves that one
+    * partition partial until the next retry completes (the checkpoint
+    * guarantees it re-runs), and a reader overlapping a replay can
+    * momentarily observe the replayed partition shrink. The index probe
+    * still excludes a doc's own id — a retried batch's partial index
+    * partition may already be on disk when the probe reads it, and
+    * without the exclusion the doc would self-reject out of its own
+    * retry.
+    *
+    * PRECONDITION: the checkpoint is part of the index's identity.
+    * Batch ids come from the checkpoint, so a FRESH checkpoint pointed
+    * at dirs a previous run populated restarts at batch 0 and would
+    * silently overwrite that run's partitions with unrelated data — the
+    * `_stream_id` marker written into each dir turns that mistake into
+    * a loud failure. Reprocessing from scratch needs fresh dirs.
     */
+  /** Loud guard for the per-batch-overwrite sinks' checkpoint
+    * precondition: batch ids restart at 0 under a fresh checkpoint, so
+    * pointing a NEW query at dirs an old run populated would silently
+    * clobber the old run's `batch=<id>` partitions. Every streaming
+    * query has a stable id in `checkpoint/metadata`; stamp it into an
+    * underscore-prefixed marker (invisible to parquet readers) in each
+    * output dir on first write and require a match ever after. A
+    * checkpoint-resumed query keeps its id, so legitimate restarts and
+    * replays pass; a fresh checkpoint fails fast instead of losing data.
+    */
+  private def guardStreamIdentity(spark: SparkSession, checkpoint: String,
+                                  dirs: Seq[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val metaPath = new org.apache.hadoop.fs.Path(s"$checkpoint/metadata")
+    val mfs = metaPath.getFileSystem(conf)
+    if (!mfs.exists(metaPath)) return // defensive: metadata precedes batches
+    val metaJson = {
+      val in = mfs.open(metaPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val id = "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(metaJson)
+      .map(_.group(1)).getOrElse(return)
+    dirs.foreach { dir =>
+      val marker = new org.apache.hadoop.fs.Path(s"$dir/_stream_id")
+      val fs = marker.getFileSystem(conf)
+      if (fs.exists(marker)) {
+        val prev = {
+          val in = fs.open(marker)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        }
+        require(prev == id,
+          s"$dir was written by stream $prev; this query ($id, checkpoint " +
+            s"$checkpoint) would overwrite its batch partitions. Resume " +
+            "with the original checkpoint, or write to fresh dirs.")
+      } else {
+        val out = fs.create(marker, true)
+        try out.write(id.getBytes("UTF-8")) finally out.close()
+      }
+    }
+  }
+
   def neardupIngest(docs: DataFrame, indexDir: String, outDir: String,
                     checkpoint: String, n: Int = 3, theta: Double = 0.8,
                     numHashes: Int = 128, bands: Int = 32)
@@ -364,7 +425,14 @@ object Streams {
     def readOr(path: String, schema: String): DataFrame = {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) spark.read.parquet(path)
+      // "has data" = a non-hidden child: the _stream_id marker (and any
+      // _staging leftovers) must not trip schema inference on a dir that
+      // holds no batch partitions yet
+      val hasData = fs.exists(p) && fs.listStatus(p).exists { st =>
+        val nm = st.getPath.getName
+        !nm.startsWith("_") && !nm.startsWith(".")
+      }
+      if (hasData) spark.read.parquet(path)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType.fromDDL(schema))
@@ -373,6 +441,7 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        guardStreamIdentity(spark, checkpoint, Seq(shPath, bandPath, outDir))
         val sfNew = Dedup.shingleFrame(batch, n).persist()
         val bNew = Dedup.bandFrame(sfNew, numHashes, bands).persist()
         // probe 1: against the accepted index (bands → verify on shingles)
@@ -383,12 +452,12 @@ object Streams {
         val idxHits = bNew
           .join(idxBands, Seq("band", "bh"))
           // self-exclusion: after a checkpoint retry of a batch that died
-          // between the index append and the outDir append, the doc's own
+          // between the index write and the outDir write, the doc's own
           // index entry is already present — without this filter it
           // near-dups ITSELF, is silently dropped from the accepted
           // output forever, and index and output diverge. With it, the
-          // retry re-accepts and re-appends (duplicates — the documented
-          // at-least-once caveat), never loses.
+          // retry re-accepts and rewrites its own batch partition (the
+          // exactly-once overwrite above), never loses.
           .filter(col("doc_id") =!= col("acc_id"))
           .select(col("doc_id"), col("acc_id")).distinct()
           .join(sfNew, "doc_id")
@@ -459,7 +528,11 @@ object Streams {
     * with their own writes (unlike the dedup ingest, no staging needed),
     * and each batch overwrites its own `batch=<id>` partition so a
     * checkpoint retry is idempotent — duplicate (vec_id, sub) code rows
-    * would otherwise double-count in the served ADC sums.
+    * would otherwise double-count in the served ADC sums. Same
+    * checkpoint precondition as [[neardupIngest]]: batch ids come from
+    * the checkpoint, so the `_stream_id` marker fails fast if a fresh
+    * checkpoint is pointed at populated cells/codes dirs (batch ids
+    * would restart at 0 and clobber served partitions).
     */
   def annIndexMaintenance(vecs: DataFrame, centroidsPath: String,
                           codebookPath: String, cellsPath: String,
@@ -471,6 +544,7 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        guardStreamIdentity(spark, checkpoint, Seq(cellsPath, codesPath))
         val cent = spark.read.parquet(centroidsPath)
         val book = spark.read.parquet(codebookPath)
         Similarity.ivfCells(batch, cent)

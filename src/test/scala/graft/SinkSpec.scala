@@ -121,6 +121,36 @@ class SinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).select("id").distinct().count() == 10000)
   }
 
+  test("compactSmallFiles on one sealed batch partition preserves the " +
+      "partitioned layout (the streaming-index maintenance recipe)") {
+    // the neardupIngest/annIndexMaintenance scaladocs direct compaction
+    // at `batch=N` dirs, never the root — prove the in-place partition
+    // compaction keeps partition discovery, values, and replayability
+    // (the compacted dir stays exactly one batch=N partition)
+    val root = tmp("graft-compact-part")
+    spark.range(0, 3000).select(col("id"))
+      .repartition(20).write.parquet(s"$root/batch=0")
+    spark.range(3000, 4000).select(col("id"))
+      .coalesce(1).write.parquet(s"$root/batch=1")
+    def files(dir: String) = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files(s"$root/batch=0") >= 15)
+    val bytes = org.apache.commons.io.FileUtils
+      .sizeOfDirectory(new java.io.File(s"$root/batch=0"))
+    Sinks.compactSmallFiles(spark, s"$root/batch=0", targetBytes = bytes)
+    assert(files(s"$root/batch=0") <= 2)
+    // root read still discovers both partitions with intact values
+    val got = spark.read.parquet(root)
+    assert(got.columns.toSet == Set("id", "batch"))
+    assert(got.count() == 4000)
+    assert(got.filter(col("batch") === 0).count() == 3000)
+    // no stray _tmp_ sibling left behind, and no phantom partition dir
+    val stray = new java.io.File(root).listFiles().map(_.getName)
+      .filterNot(n => n == "batch=0" || n == "batch=1" ||
+        n.startsWith("_") || n.startsWith("."))
+    assert(stray.isEmpty, s"unexpected entries: ${stray.mkString(", ")}")
+  }
+
   test("config-table CRUD: insertIfAbsent skips conflicts, deleteWhere " +
       "removes by key (watchlist lifecycle)") {
     val path = tmp("graft-watchlist")

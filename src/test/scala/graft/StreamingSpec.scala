@@ -540,6 +540,25 @@ class StreamingSpec extends AnyFunSuite {
     // the index carries exactly the accepted docs' shingle sets
     assert(spark.read.parquet(s"$index/shingles")
       .select("doc_id").as[Long].collect().toSet == oracle)
+
+    // checkpoint-identity guard: a FRESH checkpoint pointed at these
+    // populated dirs would restart batch ids at 0 and silently overwrite
+    // the run above's batch partitions — the _stream_id marker must turn
+    // that into a loud failure before any write happens
+    val before = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    val freshCkpt = tmpDir("graft-ndi-ckpt2")
+    val stream2 = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("recursiveFileLookup", "true").parquet(land)
+    val q2 = Streams.neardupIngest(stream2, index, outDir, freshCkpt)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.awaitTermination()
+    }
+    assert(ex.getMessage.contains("would overwrite"))
+    // nothing was clobbered
+    assert(spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet == before)
   }
 
   test("streaming ANN index maintenance: incrementally grown artifacts " +
