@@ -377,41 +377,79 @@ object Streams {
     * clobber the old run's `batch=<id>` partitions. Every streaming
     * query has a stable id in `checkpoint/metadata`; stamp it into an
     * underscore-prefixed marker (invisible to parquet readers) in each
-    * output dir on first write and require a match ever after. A
+    * output dir on first contact and require a match ever after. A
     * checkpoint-resumed query keeps its id, so legitimate restarts and
     * replays pass; a fresh checkpoint fails fast instead of losing data.
+    *
+    * FAIL-CLOSED on unmarked dirs that already hold non-negative batch
+    * partitions: those can only come from a run of this code whose
+    * marker was deleted, or a pre-marker run — adopting them silently
+    * would be exactly the clobber this guard exists to stop. SEED data
+    * (an initial batch build the stream grows from) belongs at negative
+    * batch ids (`batch=-1`), which adopt cleanly — a streaming batch id
+    * is never negative, so the two cannot collide. Marker creation is
+    * create-exclusive: two fresh queries racing the same dirs resolve
+    * first-writer-wins, the loser fails its batch 0 before writing.
     */
   private def guardStreamIdentity(spark: SparkSession, checkpoint: String,
-                                  dirs: Seq[String]): Unit = {
+                                  dirs: Seq[String]): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
     val metaPath = new org.apache.hadoop.fs.Path(s"$checkpoint/metadata")
     val mfs = metaPath.getFileSystem(conf)
-    if (!mfs.exists(metaPath)) return // defensive: metadata precedes batches
-    val metaJson = {
-      val in = mfs.open(metaPath)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    // defensive: metadata is written at query start, before any batch;
+    // report "not yet checked" so the caller's memo retries next batch
+    if (!mfs.exists(metaPath)) return false
+    def readUtf8(fs: org.apache.hadoop.fs.FileSystem,
+                 p: org.apache.hadoop.fs.Path): String = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
     }
+    val metaJson = readUtf8(mfs, metaPath)
+    // the id must parse: a guard that silently disables itself on a
+    // corrupt metadata file is no guard at all
     val id = "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(metaJson)
-      .map(_.group(1)).getOrElse(return)
+      .map(_.group(1)).getOrElse(sys.error(
+        s"cannot parse stream id from $metaPath — refusing to write " +
+          "without the fresh-checkpoint guard"))
+    def requireSameStream(dir: String, prev: String): Unit =
+      require(prev == id,
+        s"$dir was written by stream $prev; this query ($id, checkpoint " +
+          s"$checkpoint) would overwrite its batch partitions. Resume " +
+          "with the original checkpoint, or write to fresh dirs.")
     dirs.foreach { dir =>
       val marker = new org.apache.hadoop.fs.Path(s"$dir/_stream_id")
       val fs = marker.getFileSystem(conf)
-      if (fs.exists(marker)) {
-        val prev = {
-          val in = fs.open(marker)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
+      if (fs.exists(marker)) requireSameStream(dir, readUtf8(fs, marker))
+      else {
+        val dirPath = new org.apache.hadoop.fs.Path(dir)
+        if (fs.exists(dirPath)) {
+          val streamed = fs.listStatus(dirPath).iterator.map(_.getPath.getName)
+            .filter(_.startsWith("batch="))
+            .flatMap(nm => scala.util.Try(
+              nm.stripPrefix("batch=").toLong).toOption)
+            .exists(_ >= 0L)
+          require(!streamed,
+            s"$dir holds batch partitions but no _stream_id marker — a " +
+              "pre-marker streaming run wrote it (or the marker was " +
+              "deleted), and a new query's restarted batch ids would " +
+              "overwrite its data. Seed data belongs at negative batch " +
+              "ids; to adopt this dir intentionally, write the marker " +
+              "by hand.")
         }
-        require(prev == id,
-          s"$dir was written by stream $prev; this query ($id, checkpoint " +
-            s"$checkpoint) would overwrite its batch partitions. Resume " +
-            "with the original checkpoint, or write to fresh dirs.")
-      } else {
-        val out = fs.create(marker, true)
-        try out.write(id.getBytes("UTF-8")) finally out.close()
+        // create-exclusive: if a racing query created it first, fall
+        // back to the compare — first writer wins, the loser fails here
+        // before any data write
+        val won =
+          try {
+            val out = fs.create(marker, false)
+            try out.write(id.getBytes("UTF-8")) finally out.close()
+            true
+          } catch { case _: java.io.IOException => false }
+        if (!won) requireSameStream(dir, readUtf8(fs, marker))
       }
     }
+    true
   }
 
   def neardupIngest(docs: DataFrame, indexDir: String, outDir: String,
@@ -425,23 +463,29 @@ object Streams {
     def readOr(path: String, schema: String): DataFrame = {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // "has data" = a non-hidden child: the _stream_id marker (and any
-      // _staging leftovers) must not trip schema inference on a dir that
-      // holds no batch partitions yet
-      val hasData = fs.exists(p) && fs.listStatus(p).exists { st =>
-        val nm = st.getPath.getName
-        !nm.startsWith("_") && !nm.startsWith(".")
-      }
-      if (hasData) spark.read.parquet(path)
+      // EXPLICIT schema, never inference: a dir holding only the
+      // _stream_id marker, a _staging leftover, or a crash-partial
+      // batch dir (just `batch=N/_temporary`) has zero readable data
+      // files, and schema inference would throw on every retry — with
+      // the schema given, those all read as the empty frame they are
+      if (fs.exists(p))
+        spark.read.schema(StructType.fromDDL(schema)).parquet(path)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType.fromDDL(schema))
     }
+    // the identity guard is a fixed property of the run — check it on
+    // the first batch that sees checkpoint metadata, not on every
+    // micro-batch (4-6 small-object round trips per batch on S3
+    // otherwise)
+    @volatile var guarded = false
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        guardStreamIdentity(spark, checkpoint, Seq(shPath, bandPath, outDir))
+        if (!guarded)
+          guarded = guardStreamIdentity(spark, checkpoint,
+            Seq(shPath, bandPath, outDir))
         val sfNew = Dedup.shingleFrame(batch, n).persist()
         val bNew = Dedup.bandFrame(sfNew, numHashes, bands).persist()
         // probe 1: against the accepted index (bands → verify on shingles)
@@ -540,11 +584,14 @@ object Streams {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Similarity
     val spark = vecs.sparkSession
+    @volatile var guarded = false // once per run — see neardupIngest
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        guardStreamIdentity(spark, checkpoint, Seq(cellsPath, codesPath))
+        if (!guarded)
+          guarded = guardStreamIdentity(spark, checkpoint,
+            Seq(cellsPath, codesPath))
         val cent = spark.read.parquet(centroidsPath)
         val book = spark.read.parquet(codebookPath)
         Similarity.ivfCells(batch, cent)

@@ -145,9 +145,10 @@ class SinkSpec extends AnyFunSuite {
     assert(got.count() == 4000)
     assert(got.filter(col("batch") === 0).count() == 3000)
     // no stray _tmp_ sibling left behind, and no phantom partition dir
+    // (only checksum droppings are excusable — excluding all '_' names
+    // would hide exactly the _tmp_ leak this assertion exists to catch)
     val stray = new java.io.File(root).listFiles().map(_.getName)
-      .filterNot(n => n == "batch=0" || n == "batch=1" ||
-        n.startsWith("_") || n.startsWith("."))
+      .filterNot(n => n == "batch=0" || n == "batch=1" || n.startsWith("."))
     assert(stray.isEmpty, s"unexpected entries: ${stray.mkString(", ")}")
   }
 

@@ -559,6 +559,23 @@ class StreamingSpec extends AnyFunSuite {
     // nothing was clobbered
     assert(spark.read.parquet(outDir)
       .select("doc_id").as[Long].collect().toSet == before)
+
+    // fail-CLOSED on unmarked dirs: batch partitions without a marker
+    // (a pre-marker run, or the marker was deleted) must refuse, not
+    // silently adopt-and-clobber
+    for (d <- Seq(s"$index/shingles", s"$index/bands", outDir))
+      new java.io.File(d, "_stream_id").delete()
+    val stream3 = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("recursiveFileLookup", "true").parquet(land)
+    val q3 = Streams.neardupIngest(stream3, index, outDir,
+      tmpDir("graft-ndi-ckpt3"))
+    val ex3 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.awaitTermination()
+    }
+    assert(ex3.getMessage.contains("no _stream_id marker"))
+    assert(spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet == before)
   }
 
   test("streaming ANN index maintenance: incrementally grown artifacts " +
