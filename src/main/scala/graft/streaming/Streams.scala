@@ -381,24 +381,37 @@ object Streams {
     * checkpoint-resumed query keeps its id, so legitimate restarts and
     * replays pass; a fresh checkpoint fails fast instead of losing data.
     *
-    * FAIL-CLOSED on unmarked dirs that already hold non-negative batch
-    * partitions: those can only come from a run of this code whose
-    * marker was deleted, or a pre-marker run — adopting them silently
-    * would be exactly the clobber this guard exists to stop. SEED data
-    * (an initial batch build the stream grows from) belongs at negative
-    * batch ids (`batch=-1`), which adopt cleanly — a streaming batch id
-    * is never negative, so the two cannot collide. Marker creation is
-    * create-exclusive: two fresh queries racing the same dirs resolve
-    * first-writer-wins, the loser fails its batch 0 before writing.
+    * FAIL-CLOSED on unmarked dirs that already hold ANY content other
+    * than negative-batch seed partitions: non-negative `batch=N` dirs
+    * can only come from a run whose marker was deleted or a pre-marker
+    * run (restarted batch ids would clobber them), and plain files
+    * would corrupt into a mixed-depth layout once `batch=` dirs land
+    * beside them. SEED data (an initial batch build the stream grows
+    * from) belongs at negative batch ids (`batch=-1`), which adopt
+    * cleanly — a streaming batch id is never negative, so the two
+    * cannot collide.
+    *
+    * Validation runs over ALL dirs before any marker is stamped, and a
+    * failure mid-stamping rolls back this invocation's markers — an
+    * aborted query never leaves dirs claimed by an id that wrote no
+    * data. Stamping is create-exclusive, which is atomic on HDFS and
+    * local filesystems; object stores implement create(!overwrite) as
+    * check-then-write, so two queries STARTED at the same instant can
+    * both pass there — on S3-like stores, serializing first starts
+    * against the same dirs is operational discipline, and the guard
+    * still catches every non-simultaneous misuse.
     */
   private def guardStreamIdentity(spark: SparkSession, checkpoint: String,
-                                  dirs: Seq[String]): Boolean = {
+                                  dirs: Seq[String]): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val metaPath = new org.apache.hadoop.fs.Path(s"$checkpoint/metadata")
     val mfs = metaPath.getFileSystem(conf)
-    // defensive: metadata is written at query start, before any batch;
-    // report "not yet checked" so the caller's memo retries next batch
-    if (!mfs.exists(metaPath)) return false
+    // metadata is written at query start, before any batch runs —
+    // proceeding without it would write UNMARKED batch partitions that
+    // the fail-closed check below then rejects forever after
+    require(mfs.exists(metaPath),
+      s"checkpoint metadata $metaPath missing — cannot establish the " +
+        "stream identity the overwrite-partition sinks require")
     def readUtf8(fs: org.apache.hadoop.fs.FileSystem,
                  p: org.apache.hadoop.fs.Path): String = {
       val in = fs.open(p)
@@ -417,39 +430,83 @@ object Streams {
         s"$dir was written by stream $prev; this query ($id, checkpoint " +
           s"$checkpoint) would overwrite its batch partitions. Resume " +
           "with the original checkpoint, or write to fresh dirs.")
-    dirs.foreach { dir =>
-      val marker = new org.apache.hadoop.fs.Path(s"$dir/_stream_id")
-      val fs = marker.getFileSystem(conf)
-      if (fs.exists(marker)) requireSameStream(dir, readUtf8(fs, marker))
-      else {
+    def markerOf(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/_stream_id")
+
+    // phase 1 — validate EVERY dir with no side effects: a failure on
+    // the k-th dir must not leave dirs 0..k-1 already claimed
+    val toStamp = dirs.map { dir =>
+      dir -> markerOf(dir).getFileSystem(conf)
+    }.filter { case (dir, fs) =>
+      if (fs.exists(markerOf(dir))) {
+        requireSameStream(dir, readUtf8(fs, markerOf(dir)))
+        false
+      } else {
         val dirPath = new org.apache.hadoop.fs.Path(dir)
         if (fs.exists(dirPath)) {
-          val streamed = fs.listStatus(dirPath).iterator.map(_.getPath.getName)
-            .filter(_.startsWith("batch="))
-            .flatMap(nm => scala.util.Try(
-              nm.stripPrefix("batch=").toLong).toOption)
-            .exists(_ >= 0L)
-          require(!streamed,
-            s"$dir holds batch partitions but no _stream_id marker — a " +
-              "pre-marker streaming run wrote it (or the marker was " +
-              "deleted), and a new query's restarted batch ids would " +
-              "overwrite its data. Seed data belongs at negative batch " +
-              "ids; to adopt this dir intentionally, write the marker " +
-              "by hand.")
+          val foreign = fs.listStatus(dirPath).iterator
+            .map(_.getPath.getName)
+            .filter(nm => !nm.startsWith("_") && !nm.startsWith("."))
+            .filterNot(nm => nm.startsWith("batch=") && scala.util.Try(
+              nm.stripPrefix("batch=").toLong).toOption.exists(_ < 0L))
+            .take(3).toList
+          require(foreign.isEmpty,
+            s"$dir holds pre-existing content (${foreign.mkString(", ")}" +
+              ") and no _stream_id marker — adopting it could overwrite " +
+              "a pre-marker streaming run's partitions or mix batch= " +
+              "dirs into a plain layout. Seed partitions belong at " +
+              "negative batch ids; to adopt this dir intentionally, " +
+              "write the marker by hand.")
         }
-        // create-exclusive: if a racing query created it first, fall
-        // back to the compare — first writer wins, the loser fails here
-        // before any data write
+        true
+      }
+    }
+    // phase 2 — stamp the unmarked dirs create-exclusively (a racing
+    // query's marker surfacing between the phases means we lost: fall
+    // back to the compare, which fails before any data write), rolling
+    // back this invocation's markers on any failure
+    val created = scala.collection.mutable.ListBuffer
+      .empty[(org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path)]
+    try {
+      toStamp.foreach { case (dir, fs) =>
+        val marker = markerOf(dir)
         val won =
           try {
             val out = fs.create(marker, false)
+            created += ((fs, marker))
             try out.write(id.getBytes("UTF-8")) finally out.close()
             true
-          } catch { case _: java.io.IOException => false }
+          } catch {
+            // only an exists-conflict means "lost the race"; a create
+            // failure for any other reason propagates (and anything
+            // thrown after the create is rolled back below)
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+            case _: java.io.IOException
+                if !created.exists(_._2 == marker) && fs.exists(marker) =>
+              false
+          }
         if (!won) requireSameStream(dir, readUtf8(fs, marker))
       }
+    } catch {
+      case e: Throwable =>
+        created.foreach { case (fs, p) =>
+          try fs.delete(p, false) catch { case _: java.io.IOException => () }
+        }
+        throw e
     }
-    true
+  }
+
+  /** Memoized per-run wrapper for [[guardStreamIdentity]]: the identity
+    * is a fixed property of the query run, so check on the first batch
+    * only instead of paying 4-6 small-object round trips (metadata +
+    * marker per dir — real latency on object stores) every micro-batch.
+    */
+  private def guardOnce(spark: SparkSession, checkpoint: String,
+                        dirs: Seq[String]): () => Unit = {
+    @volatile var done = false
+    () => if (!done) {
+      guardStreamIdentity(spark, checkpoint, dirs)
+      done = true
+    }
   }
 
   def neardupIngest(docs: DataFrame, indexDir: String, outDir: String,
@@ -474,18 +531,13 @@ object Streams {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType.fromDDL(schema))
     }
-    // the identity guard is a fixed property of the run — check it on
-    // the first batch that sees checkpoint metadata, not on every
-    // micro-batch (4-6 small-object round trips per batch on S3
-    // otherwise)
-    @volatile var guarded = false
+    val ensureGuarded = guardOnce(spark, checkpoint,
+      Seq(shPath, bandPath, outDir))
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!guarded)
-          guarded = guardStreamIdentity(spark, checkpoint,
-            Seq(shPath, bandPath, outDir))
+        ensureGuarded()
         val sfNew = Dedup.shingleFrame(batch, n).persist()
         val bNew = Dedup.bandFrame(sfNew, numHashes, bands).persist()
         // probe 1: against the accepted index (bands → verify on shingles)
@@ -584,14 +636,13 @@ object Streams {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Similarity
     val spark = vecs.sparkSession
-    @volatile var guarded = false // once per run — see neardupIngest
+    val ensureGuarded = guardOnce(spark, checkpoint,
+      Seq(cellsPath, codesPath))
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!guarded)
-          guarded = guardStreamIdentity(spark, checkpoint,
-            Seq(cellsPath, codesPath))
+        ensureGuarded()
         val cent = spark.read.parquet(centroidsPath)
         val book = spark.read.parquet(codebookPath)
         Similarity.ivfCells(batch, cent)
