@@ -425,12 +425,38 @@ object Streams {
       .map(_.group(1)).getOrElse(sys.error(
         s"cannot parse stream id from $metaPath — refusing to write " +
           "without the fresh-checkpoint guard"))
-    def requireSameStream(dir: String, prev: String): Unit =
+    def requireSameStream(dir: String, prev: String): Unit = {
+      // a BLANK marker is a torn stamp (a create that materialized but
+      // never got its write) — name the repair instead of comparing
+      // against the empty string
+      require(prev.nonEmpty,
+        s"$dir/_stream_id exists but is empty — a torn marker stamp. " +
+          "Delete the empty marker and restart the query.")
       require(prev == id,
         s"$dir was written by stream $prev; this query ($id, checkpoint " +
           s"$checkpoint) would overwrite its batch partitions. Resume " +
           "with the original checkpoint, or write to fresh dirs.")
+    }
     def markerOf(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/_stream_id")
+    def requireAdoptable(dir: String,
+                         fs: org.apache.hadoop.fs.FileSystem): Unit = {
+      val dirPath = new org.apache.hadoop.fs.Path(dir)
+      if (fs.exists(dirPath)) {
+        val foreign = fs.listStatus(dirPath).iterator
+          .map(_.getPath.getName)
+          .filter(nm => !nm.startsWith("_") && !nm.startsWith("."))
+          .filterNot(nm => nm.startsWith("batch=") && scala.util.Try(
+            nm.stripPrefix("batch=").toLong).toOption.exists(_ < 0L))
+          .take(3).toList
+        require(foreign.isEmpty,
+          s"$dir holds pre-existing content (${foreign.mkString(", ")}" +
+            ") and no _stream_id marker — adopting it could overwrite " +
+            "a pre-marker streaming run's partitions or mix batch= " +
+            "dirs into a plain layout. Seed partitions belong at " +
+            "negative batch ids; to adopt this dir intentionally, " +
+            "write the marker by hand.")
+      }
+    }
 
     // phase 1 — validate EVERY dir with no side effects: a failure on
     // the k-th dir must not leave dirs 0..k-1 already claimed
@@ -441,22 +467,7 @@ object Streams {
         requireSameStream(dir, readUtf8(fs, markerOf(dir)))
         false
       } else {
-        val dirPath = new org.apache.hadoop.fs.Path(dir)
-        if (fs.exists(dirPath)) {
-          val foreign = fs.listStatus(dirPath).iterator
-            .map(_.getPath.getName)
-            .filter(nm => !nm.startsWith("_") && !nm.startsWith("."))
-            .filterNot(nm => nm.startsWith("batch=") && scala.util.Try(
-              nm.stripPrefix("batch=").toLong).toOption.exists(_ < 0L))
-            .take(3).toList
-          require(foreign.isEmpty,
-            s"$dir holds pre-existing content (${foreign.mkString(", ")}" +
-              ") and no _stream_id marker — adopting it could overwrite " +
-              "a pre-marker streaming run's partitions or mix batch= " +
-              "dirs into a plain layout. Seed partitions belong at " +
-              "negative batch ids; to adopt this dir intentionally, " +
-              "write the marker by hand.")
-        }
+        requireAdoptable(dir, fs)
         true
       }
     }
@@ -468,6 +479,10 @@ object Streams {
       .empty[(org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path)]
     try {
       toStamp.foreach { case (dir, fs) =>
+        // re-check right before the stamp: content landing between the
+        // phases (phase 1 is several round trips on 3 dirs) must not be
+        // silently adopted — the create-exclusive only races MARKERS
+        requireAdoptable(dir, fs)
         val marker = markerOf(dir)
         val won =
           try {
@@ -488,8 +503,19 @@ object Streams {
       }
     } catch {
       case e: Throwable =>
+        // best-effort rollback, but never SILENT: a marker that could
+        // not be removed stays claimed by an id that wrote nothing, so
+        // name it on the rethrown error
         created.foreach { case (fs, p) =>
-          try fs.delete(p, false) catch { case _: java.io.IOException => () }
+          try {
+            if (!fs.delete(p, false) && fs.exists(p))
+              e.addSuppressed(new java.io.IOException(
+                s"rollback left marker $p in place — delete it by hand"))
+          } catch {
+            case io: java.io.IOException =>
+              e.addSuppressed(new java.io.IOException(
+                s"rollback failed for marker $p — delete it by hand", io))
+          }
         }
         throw e
     }

@@ -576,6 +576,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(ex3.getMessage.contains("no _stream_id marker"))
     assert(spark.read.parquet(outDir)
       .select("doc_id").as[Long].collect().toSet == before)
+
+    // the refusal covers PLAIN content too, not just batch= partitions:
+    // an unmarked dir of flat parquet files (a batch job's output) must
+    // refuse — batch= dirs landing beside flat files would corrupt the
+    // layout into mixed depths
+    val plainOut = tmpDir("graft-ndi-plain") + "/accepted"
+    Seq(99L).toDF("doc_id").write.parquet(plainOut)
+    val q4 = Streams.neardupIngest(
+      spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("recursiveFileLookup", "true").parquet(land),
+      tmpDir("graft-ndi-idx4") + "/idx", plainOut,
+      tmpDir("graft-ndi-ckpt4"))
+    val ex4 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q4.awaitTermination()
+    }
+    assert(ex4.getMessage.contains("pre-existing content"))
+    assert(spark.read.parquet(plainOut).count() == 1)
   }
 
   test("streaming ANN index maintenance: incrementally grown artifacts " +
