@@ -34,7 +34,8 @@ object Bench {
     "w11_forming_bar", "t10b_alert_wallet_tvl",
     "n7_ann_ivfpq", "d12_bloom_decontaminate", "a21_percentile_sketch",
     "a22_salted_agg", "b1_tpch_q1", "b2_tpch_q3", "b3_tpch_q6",
-    "m2_media_extract", "m3_frame_sample", "m4_media_resize")
+    "m2_media_extract", "m3_frame_sample", "m4_media_resize",
+    "n8_knn_graph", "d15_boilerplate", "t18_split_assign")
 
   /** The 2×-criterion twin (r7 verdict #8): time the SAME SQL the oracle
     * runs, in DuckDB, over the SAME parquet — a measurable single-node

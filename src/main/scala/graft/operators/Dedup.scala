@@ -333,6 +333,42 @@ object Dedup {
     docs.join(dropIds, Seq("doc_id"), "left_anti")
   }
 
+  /** Per-source boilerplate profiling (the C4/CCNet cleaning step): a
+    * doc's text is cut into non-overlapping `w`-word chunks (full
+    * windows at stride `w` — the <w-word tail is not a chunk), and a
+    * chunk is BOILERPLATE when it appears in >= `minDocs` distinct docs
+    * of the SAME source — navigation, headers, license banners repeat
+    * within a crawl source, body text doesn't. Returns one row per doc:
+    * chunk count, boilerplate-chunk count, the boilerplate ratio, and a
+    * keep flag (ratio <= 1/2 — a doc that is mostly boilerplate is
+    * dropped outright, matching the common pipeline gate).
+    *
+    * Scale: chunking is the map-side codegen shingle kernel at stride w;
+    * the profile is two hash aggregations on the (source, chunk) key and
+    * one shuffled join back — volume tracks corpus token count, never
+    * pairs. No broadcast: the boilerplate set is per-source unbounded
+    * (a big crawl source can contribute millions of repeated chunks).
+    */
+  def boilerplateProfile(docs: DataFrame, w: Int, minDocs: Int)
+      : DataFrame = {
+    val chunks = spreadPartitions(docs)
+      .select(col("doc_id"), col("source"),
+        posexplode(Text.shingles(col("text"), w)))
+      .filter(col("pos") % w === 0)
+      .select(col("doc_id"), col("source"), col("col").as("g"))
+    val boiler = chunks.groupBy(col("source"), col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("source"), col("g"), lit(1).as("bp"))
+    chunks.join(boiler, Seq("source", "g"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(col("bp")).as("n_boiler"))
+      .withColumn("boiler_ratio", round4(
+        col("n_boiler").cast("double") / col("n_chunks")))
+      .withColumn("keep", col("n_boiler") * 2 <= col("n_chunks"))
+  }
+
   /** DuckDB oracle for the Jaccard pair queries (both the brute-force
     * baseline and — because verification is exact and band misses are
     * ~1e-8 — the LSH variant).

@@ -167,6 +167,47 @@ object Similarity {
         col("cand_id").as("neighbor_id"), round4(col("cos")).as("cosine"))
   }
 
+  /** Corpus-wide k-NN GRAPH via LSH buckets: every vector is both probe
+    * and candidate, so — unlike the serving paths above, where the probe
+    * batch is small and broadcast — NEITHER side of the candidate join
+    * fits in a broadcast. Candidates come from a plain shuffled
+    * self-equi-join on the (table, code) bucket key: both sides hash-
+    * partition on the bucket, cost tracks Σ bucket² occupancy, and no
+    * stage materializes anything corpus-sized on the driver. This is the
+    * knn-graph shape SemDeDup-style clustering and graph-based dedup
+    * consume; defaults trade recall down (fewer tables, longer codes)
+    * relative to the serving paths because the graph pays candidates on
+    * EVERY row, not a query batch. Output matches lshTopK: one row per
+    * (probe_id, rank≤k) edge — a vector whose buckets contain no other
+    * vector contributes no edges (isolated node).
+    */
+  def knnGraph(vecs: DataFrame, k: Int,
+               tables: Int = 4, bits: Int = 6): DataFrame = {
+    val coded = vecs
+      .select(col("vec_id"), col("embedding"),
+        posexplode(lshCodes(col("embedding"), tables, bits)))
+      .select(col("vec_id"), col("embedding"),
+        col("pos").as("table"), col("col").as("code"))
+    val p = coded.select(col("vec_id").as("probe_id"),
+      col("embedding").as("pe"), col("table"), col("code"))
+    val v = coded.select(col("vec_id").as("cand_id"),
+      col("embedding").as("ce"), col("table"), col("code"))
+    val cands = v.join(p, Seq("table", "code")) // shuffled — see Scaladoc
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("pe"), col("cand_id"), col("ce"))
+      .dropDuplicates("probe_id", "cand_id")
+    val scored = cands.withColumn("cos", cosineFromScaled(
+      dotScaled(col("pe"), col("ce")),
+      normScaled(col("pe")), normScaled(col("ce"))))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("cand_id").as("neighbor_id"), round4(col("cos")).as("cosine"))
+  }
+
   /** Deterministic Lloyd (k-means) iterations for IVF centroid training:
     * assign every vector to its nearest centroid (centroids are FEW —
     * broadcast; the corpus never self-joins), recompute each centroid as

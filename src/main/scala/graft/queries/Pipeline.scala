@@ -334,6 +334,20 @@ object Pipeline {
         .orderBy(col("probe_id"), col("rank"))
     },
 
+    // N8: corpus-wide k-NN GRAPH — every vector gets its LSH-bucketed
+    // top-k edge list. Unlike the n1-n7 serving paths (small probe
+    // batch, broadcast), both join sides here are corpus-scale: the
+    // candidate join is a plain shuffled self-equi-join on the bucket
+    // key, the shape SemDeDup clustering and graph dedup consume.
+    // Deterministic like n2 (same splitmix64 planes, scaled-long
+    // projections), so the whole graph carries a full DuckDB oracle;
+    // graph-tuned defaults (fewer tables, longer codes) keep the
+    // Σ bucket² candidate volume bounded.
+    "n8_knn_graph" -> { (s, d) =>
+      Similarity.knnGraph(Tables.embeddings(s, d), k = 5)
+        .orderBy(col("probe_id"), col("rank"))
+    },
+
     // T1: per-source corpus stats (doc counts, language spread, length
     // moments) — the triage pass before any filtering decision.
     "t1_text_stats" -> { (s, d) =>
@@ -691,6 +705,41 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // D15: per-source boilerplate profiling — the C4/CCNet cleaning
+    // step: non-overlapping 2-word chunks; a chunk repeating in >= 3
+    // distinct docs of the SAME source is boilerplate (headers, nav,
+    // license banners repeat within a crawl source; body text doesn't).
+    // Per-doc chunk/boilerplate counts + ratio + the mostly-boilerplate
+    // drop gate. Chunking is the map-side codegen shingle kernel at
+    // stride w; the profile is two hash aggregations on (source, chunk)
+    // and a shuffled join back — volume tracks token count, never pairs,
+    // and nothing broadcasts (a big crawl source's boilerplate set is
+    // unbounded).
+    "d15_boilerplate" -> { (s, d) =>
+      Dedup.boilerplateProfile(Tables.documents(s, d), w = 2, minDocs = 3)
+        .orderBy(col("doc_id"))
+    },
+
+    // T18: deterministic stratified dataset split — the reproducible
+    // train/val/test assignment every corpus release needs: membership
+    // by a salted content-independent hash of doc_id (the t7/t11/t17
+    // idiom), 80/10/10 via integer byte thresholds (204/230 of 256), so
+    // the same doc lands in the same split on any engine, run, or
+    // partitioning, and new docs never reshuffle old assignments. Pure
+    // map-side projection — no shuffle at any corpus width.
+    "t18_split_assign" -> { (s, d) =>
+      val b0 = conv(substring(md5(
+        concat(lit("split:"), col("doc_id").cast("string"))), 1, 2),
+        16, 10).cast("long")
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(b0 < 204, lit("train"))
+            .when(b0 < 230, lit("val"))
+            .otherwise(lit("test")))
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+
     // T16: PII redaction — regex detect-and-mask of emails and IPv4s, the
     // compliance pass before a corpus ships. The fixture text carries no
     // PII, so the entry first INJECTS deterministic synthetic PII (derived
@@ -802,7 +851,8 @@ object Pipeline {
     * expansion on the probe side (code XOR 1<<b per bit).
     */
   private def lshOracle(multiProbe: Boolean, tables: Int = 8, bits: Int = 4,
-                        dim: Int = 64, k: Int = 5): String = {
+                        dim: Int = 64, k: Int = 5,
+                        probePred: String = "vec_id < 10"): String = {
     val signRows = (for { t <- 0 until tables; b <- 0 until bits } yield {
       val s = (0 until dim).map(d =>
         if (graft.plans.LshKernel.signNeg(t, b, d)) '-' else '+').mkString
@@ -828,7 +878,8 @@ object Pipeline {
                 CAST(SUM(CASE WHEN p > 0 THEN 1 << b ELSE 0 END) AS BIGINT)
                   AS code
               FROM pj GROUP BY 1, 2),
-       pc AS (SELECT vec_id AS probe_id, t, code FROM cd WHERE vec_id < 10),
+       pc AS (SELECT vec_id AS probe_id, t, code FROM cd
+              WHERE $probePred),
        $probeBuckets,
        ca AS (SELECT DISTINCT p.probe_id, c.vec_id AS cand_id
               FROM pcx p JOIN cd c ON p.t = c.t AND p.code = c.code
@@ -866,6 +917,11 @@ object Pipeline {
     "d3_simhash" -> Text.simhash32OracleSql,
     "n2_ann_lsh" -> lshOracle(multiProbe = false),
     "n5_ann_multiprobe" -> lshOracle(multiProbe = true),
+    // n8: same machinery, graph-tuned (4 tables × 6 bits) and EVERY
+    // vector is a probe — the oracle is the n2 twin with the probe
+    // restriction dropped
+    "n8_knn_graph" -> lshOracle(multiProbe = false, tables = 4, bits = 6,
+      probePred = "TRUE"),
     // the bloom stage is pruning-only (no false negatives + exact
     // confirm), so the oracle is the plain fingerprint anti-join
     "d12_bloom_decontaminate" ->
@@ -1499,6 +1555,42 @@ object Pipeline {
                    + (strpos('0123456789abcdef', substr(m, 2, 1))-1) AS b0
                FROM h)
          SELECT b.doc_id, b.lang, b.source FROM b JOIN thr USING (source)
-         WHERE b.b0 < thr.thr ORDER BY doc_id"""
+         WHERE b.b0 < thr.thr ORDER BY doc_id""",
+    // two-arg trim: the chunker is the Java-trim shingle kernel (see
+    // jaccardOracleSql); chunks are full 2-word windows at stride 2,
+    // i.e. shingle positions with (i-1) % 2 = 0, tail dropped
+    "d15_boilerplate" ->
+      """WITH t AS (SELECT doc_id, source,
+           regexp_split_to_array(trim(lower(text),
+             ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
+             '\s+') AS w
+         FROM documents),
+         sh AS (SELECT doc_id, source, array_to_string(w[i:i+1], ' ') AS g
+                FROM t, unnest(generate_series(1, len(w)-1)) AS gs(i)
+                WHERE (i-1) % 2 = 0),
+         bp AS (SELECT source, g FROM sh GROUP BY 1, 2
+                HAVING count(DISTINCT doc_id) >= 3),
+         per AS (SELECT sh.doc_id, count(*) AS n_chunks,
+                   count(bp.g) AS n_boiler
+                 FROM sh LEFT JOIN bp
+                   ON sh.source = bp.source AND sh.g = bp.g
+                 GROUP BY 1)
+         SELECT doc_id, n_chunks, n_boiler,
+           round(CAST(n_boiler AS DOUBLE) / n_chunks, 4) AS boiler_ratio,
+           n_boiler * 2 <= n_chunks AS keep
+         FROM per ORDER BY doc_id""",
+    "t18_split_assign" ->
+      """WITH h AS (SELECT doc_id, lang,
+           md5('split:' || CAST(doc_id AS VARCHAR)) AS m
+         FROM documents),
+         b AS (SELECT doc_id, lang,
+             16*(strpos('0123456789abcdef', substr(m, 1, 1))-1)
+               + (strpos('0123456789abcdef', substr(m, 2, 1))-1) AS b0
+           FROM h)
+         SELECT doc_id, lang,
+           CASE WHEN b0 < 204 THEN 'train'
+                WHEN b0 < 230 THEN 'val'
+                ELSE 'test' END AS split
+         FROM b ORDER BY doc_id"""
   )
 }

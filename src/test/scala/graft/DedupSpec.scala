@@ -127,6 +127,36 @@ class DedupSpec extends AnyFunSuite {
     assert(got == (0L to 60L).map(_ -> 0L).toMap)
   }
 
+  test("boilerplateProfile flags per-source repeated chunks, not body " +
+    "text, and gates mostly-boilerplate docs") {
+    // srcA: three docs share the 4-word banner (2 chunks); bodies are
+    // unique. srcB: one doc repeats srcA's banner — but only once within
+    // ITS source, so there it is NOT boilerplate. Doc 4 is banner-only →
+    // ratio 1.0 → dropped by the keep gate. Doc 5's 5th word is a tail
+    // (<w words) and must not count as a chunk.
+    val banner = "all rights reserved inc"
+    val docs = Seq(
+      (1L, "srcA", s"$banner alpha beta gamma delta"),
+      (2L, "srcA", s"$banner epsilon zeta eta theta"),
+      (3L, "srcA", s"$banner iota kappa lambda mu"),
+      (4L, "srcA", banner),
+      (5L, "srcB", s"$banner extra"),
+      (6L, "srcB", "nu xi omicron pi")
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.boilerplateProfile(docs, w = 2, minDocs = 3)
+      .select("doc_id", "n_chunks", "n_boiler", "keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((4L, 2L, true)))  // banner flagged, body clean
+    assert(got(2L) == ((4L, 2L, true)))
+    assert(got(3L) == ((4L, 2L, true)))
+    assert(got(4L) == ((2L, 2L, false))) // banner-only → gated out
+    // srcB's lone banner copy is below minDocs WITHIN srcB: not flagged;
+    // "extra" is a 1-word tail, not a chunk
+    assert(got(5L) == ((2L, 0L, true)))
+    assert(got(6L) == ((2L, 0L, true)))
+  }
+
   test("simhash: near-identical docs are close in Hamming distance") {
     val w = (1 to 60).map(i => s"w$i")
     val df = Seq((1L, w.mkString(" ")),

@@ -351,6 +351,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(multi >= 0.6, s"multi-probe recall $multi < 0.6")
   }
 
+  test("knnGraph equals lshTopK run with the whole corpus as probes, " +
+    "and its plan broadcasts neither side of the candidate join") {
+    // same buckets, same scoring, same ranking — the graph op differs
+    // ONLY in join strategy (shuffled self-join vs broadcast probes), so
+    // the edge sets must be identical at matching (tables, bits)
+    val viaServing = Similarity.lshTopK(vecs, vecs, 5,
+        tables = 4, bits = 6)
+      .select("probe_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val graph = Similarity.knnGraph(vecs, 5)
+    val got = graph.select("probe_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == viaServing)
+    // the serving path FORCES a probe broadcast; the graph path must not
+    // force one anywhere — at corpus scale both sides are unbounded.
+    // (AQE may still choose a runtime broadcast at this fixture size, so
+    // inspect the analyzed plan for the HINT, not the executed join.)
+    val hints = graph.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"unexpected broadcast hint in knnGraph plan")
+  }
+
   test("semanticPrune reuses the assignment stage across its self-join") {
     // the assignment subtree (broadcast-centroid scoring + per-vector
     // argmax) appears three times in the composed plan (anti-join left,
