@@ -197,17 +197,36 @@ object Dedup {
     // decimal — no overflow, no float drift) strictly drops iff any label
     // changed; comparing round sums replaces the join+filter+count probe
     // with one tiny aggregate over the already-checkpointed frame
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast(
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("comp").cast(
         org.apache.spark.sql.types.DecimalType(38, 0)))).head().getDecimal(0)
+      // sum over an EMPTY frame is null (an edgeless graph — e.g. a
+      // theta cut that drops every kNN edge): treat as 0 so the probe
+      // converges instead of NPE-ing
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = labelSum(labels)
     var changed = true
     while (changed) {
       val nbrLabels = sym
         .join(labels.select(col("id").as("nbr"), col("comp")), "nbr")
         .select(col("id"), col("comp"))
-      val next = labels.union(nbrLabels)
+      val prop = labels.union(nbrLabels)
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+      // pointer-jump (path doubling): additionally adopt the label OF
+      // the label — propagation distance doubles per round, so rounds
+      // track O(log diameter) instead of O(diameter). Every step stays a
+      // monotone min, so the fixpoint (component minimum everywhere) is
+      // unchanged; what shrinks is the round count, and with it the
+      // per-round fixed scheduling cost that dominates chain-y graphs
+      // (the d16 mutual-kNN graph cut CC wall-time ~3x). The jump join
+      // touches only the label frame — one row per node IN the graph —
+      // never the edge set.
+      val jump = prop.select(col("id").as("jid"), col("comp").as("jcomp"))
+      val next = prop.join(jump, col("comp") === col("jid"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("jcomp"), col("comp")))
+            .as("comp"))
         .localCheckpoint(true)
       val s = labelSum(next)
       changed = s.compareTo(prevSum) != 0
@@ -331,6 +350,39 @@ object Dedup {
       .filter(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id"))
     docs.join(dropIds, Seq("doc_id"), "left_anti")
+  }
+
+  /** Duplicate groups from EMBEDDING space: mutual-kNN graph clustering
+    * — the SemDeDup-adjacent composition the k-NN graph exists to feed.
+    * Edges are [[Similarity.knnGraph]] edges at cosine >= theta kept
+    * only when MUTUAL (a in b's top-k AND b in a's top-k — the standard
+    * asymmetry filter: a point on a cluster fringe lists the hub in its
+    * top-k, but the hub's top-k is full of closer points, so one-way
+    * edges chain unrelated regions together); groups are connected
+    * components over the mutual edges. Returns (id, comp) for every
+    * grouped vector — ungrouped vectors are absent (singletons).
+    *
+    * Scale: the graph is the shuffled-bucket kNN (no broadcast, no
+    * all-pairs); the mutuality filter is a self-semi-join on the edge
+    * key — both sides hash-partition on (doc_a, doc_b); CC is the
+    * bounded-round min-label loop. Nothing materializes on the driver.
+    */
+  def embeddingGraphGroups(vecs: DataFrame, k: Int, theta: Double)
+      : DataFrame = {
+    // materialize the θ-cut edge list ONCE: it feeds both sides of the
+    // mutuality self-join and every CC round — without the cut, the
+    // whole kNN graph (buckets, scoring, ranking) re-computes per
+    // consumer. Edge volume is ≤ k rows per vector, far below the
+    // corpus the graph was built from.
+    val edges = Similarity.knnGraph(vecs, k)
+      .filter(col("cosine") >= theta)
+      .select(col("probe_id").as("doc_a"), col("neighbor_id").as("doc_b"))
+      .localCheckpoint(true)
+    val rev = edges
+      .select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))
+    val mutual = edges.join(rev, Seq("doc_a", "doc_b"), "left_semi")
+      .filter(col("doc_a") < col("doc_b"))
+    connectedComponents(mutual)
   }
 
   /** Per-source boilerplate profiling (the C4/CCNet cleaning step): a

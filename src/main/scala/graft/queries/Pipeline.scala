@@ -720,6 +720,20 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // D16: embedding-space duplicate groups — the SemDeDup-adjacent
+    // composition n8's graph exists to feed: knnGraph edges at cosine
+    // >= 0.3, kept only when MUTUAL (one-way edges chain a cluster hub
+    // to its fringe and beyond; mutuality is the standard asymmetry
+    // filter), then connected components. Every stage is deterministic
+    // (n2-style LSH buckets, scaled-long cosine, min-label CC), so the
+    // whole composition — graph, mutuality, grouping — hash-verifies
+    // against one recursive DuckDB oracle.
+    "d16_graph_dedup" -> { (s, d) =>
+      Dedup.embeddingGraphGroups(Tables.embeddings(s, d), k = 5,
+          theta = 0.3)
+        .orderBy(col("id"))
+    },
+
     // T18: deterministic stratified dataset split — the reproducible
     // train/val/test assignment every corpus release needs: membership
     // by a salted content-independent hash of doc_id (the t7/t11/t17
@@ -1579,6 +1593,28 @@ object Pipeline {
            round(CAST(n_boiler AS DOUBLE) / n_chunks, 4) AS boiler_ratio,
            n_boiler * 2 <= n_chunks AS keep
          FROM per ORDER BY doc_id""",
+    // d16: the n8 oracle (probe restriction dropped) nested as a CTE —
+    // the d14 pattern — then mutual-edge filter + the d8 reach-CTE CC.
+    // cosine is the round4'd output column on BOTH engines, so the
+    // theta cut can't straddle a representation difference.
+    "d16_graph_dedup" ->
+      s"""WITH RECURSIVE g AS (${lshOracle(multiProbe = false,
+            tables = 4, bits = 6, probePred = "TRUE")}),
+         m AS (SELECT e.probe_id AS a, e.neighbor_id AS b
+               FROM g e JOIN g r ON e.probe_id = r.neighbor_id
+                                AND e.neighbor_id = r.probe_id
+               WHERE e.cosine >= 0.3 AND r.cosine >= 0.3
+                 AND e.probe_id < e.neighbor_id),
+         ed AS (SELECT a AS src, b AS dst FROM m
+                UNION ALL SELECT b, a FROM m),
+         v AS (SELECT DISTINCT src AS id FROM ed),
+         reach AS (
+           SELECT id, id AS r FROM v
+           UNION
+           SELECT reach.id, ed.dst AS r
+           FROM reach JOIN ed ON reach.r = ed.src
+         )
+         SELECT id, min(r) AS comp FROM reach GROUP BY id ORDER BY id""",
     "t18_split_assign" ->
       """WITH h AS (SELECT doc_id, lang,
            md5('split:' || CAST(doc_id AS VARCHAR)) AS m

@@ -157,6 +157,45 @@ class DedupSpec extends AnyFunSuite {
     assert(got(6L) == ((2L, 0L, true)))
   }
 
+  test("embeddingGraphGroups = union-find over the mutual theta-cut " +
+    "knnGraph edges; one-way edges contribute nothing") {
+    import graft.operators.Similarity
+    val vecs = Tables.embeddings(spark, sfDir)
+    // driver-side union-to-min reference over ONLY the mutual edges
+    def ufWant(edges: Set[(Long, Long)]): Map[Long, Long] = {
+      val mutual = edges.filter { case (a, b) => a < b && edges((b, a)) }
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      mutual.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    def check(theta: Double): Set[(Long, Long)] = {
+      val edges = Similarity.knnGraph(vecs, 5)
+        .filter(col("cosine") >= theta)
+        .select("probe_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      val got = Dedup.embeddingGraphGroups(vecs, 5, theta)
+        .as[(Long, Long)].collect().toMap
+      assert(got == ufWant(edges), s"theta=$theta")
+      edges
+    }
+    assert(check(0.3).nonEmpty, "no edges survive the d16 theta cut")
+    // theta=-1 keeps the WHOLE top-k edge set, where kNN asymmetry is
+    // structural (a fringe point lists the hub; the hub's k is full of
+    // closer points) — so the one-way-edge discard is genuinely load-
+    // bearing here, not vacuous
+    val all = check(-1.0)
+    assert(all.exists { case (a, b) => !all((b, a)) },
+      "fixture produced no one-way edges — the asymmetry filter is moot")
+  }
+
   test("simhash: near-identical docs are close in Hamming distance") {
     val w = (1 to 60).map(i => s"w$i")
     val df = Seq((1L, w.mkString(" ")),

@@ -79,6 +79,15 @@ class EdgeSpec extends AnyFunSuite {
     assert(Similarity.cosinePairs(noVecs, 0.5).count() == 0)
   }
 
+  test("kNN graph, graph groups, and boilerplate profile on empty " +
+      "input return empty, not errors") {
+    assert(Similarity.knnGraph(noVecs, 5).count() == 0)
+    assert(Dedup.embeddingGraphGroups(noVecs, 5, 0.3).count() == 0)
+    val noSrcDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "source", "text")
+    assert(Dedup.boilerplateProfile(noSrcDocs, 2, 3).count() == 0)
+  }
+
   test("served PQ searches with an EMPTY probe batch return empty — " +
       "geometry comes from the codebook, not probes.head()") {
     val vecs = Tables.embeddings(spark, SparkTestSession.sfDir)
