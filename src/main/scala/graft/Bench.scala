@@ -36,7 +36,8 @@ object Bench {
     "a22_salted_agg", "b1_tpch_q1", "b2_tpch_q3", "b3_tpch_q6",
     "m2_media_extract", "m3_frame_sample", "m4_media_resize",
     "n8_knn_graph", "d15_boilerplate", "t18_split_assign",
-    "d16_graph_dedup")
+    "d16_graph_dedup", "d17_substring_runs", "t19_quality_classifier",
+    "t20_unigram_surprisal", "t21_chunk_windows")
 
   /** The 2×-criterion twin (r7 verdict #8): time the SAME SQL the oracle
     * runs, in DuckDB, over the SAME parquet — a measurable single-node
@@ -55,7 +56,8 @@ object Bench {
     "a5_ohlcv_build", "a11_token_matrix", "w1_dedupe_keep_latest",
     "o2_topk", "d1_exact_dedup", "t8_quality_gate", "api1_token_list",
     "j11_asof_join", "w8_moving_avg", "d2_minhash_neardup",
-    "b1_tpch_q1", "api3_ohlcv_route", "d15_boilerplate")
+    "b1_tpch_q1", "api3_ohlcv_route", "d15_boilerplate",
+    "d17_substring_runs")
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {

@@ -421,6 +421,93 @@ object Dedup {
       .withColumn("keep", col("n_boiler") * 2 <= col("n_chunks"))
   }
 
+  /** Exact duplicated-substring spans (the suffix-array dedup signal of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", re-expressed relationally): for every doc pair sharing at
+    * least one run of >= `minRun` CONSECUTIVE tokens, the length of the
+    * longest shared run and how many distinct runs clear the bar.
+    * Jaccard-style set overlap (d2/d4) can't see this — two docs sharing
+    * one verbatim 50-token paragraph inside otherwise-different text sit
+    * far below any Jaccard θ, yet that paragraph is exactly what
+    * memorization-risk dedup needs to find.
+    *
+    * Mechanics: positional `k`-grams (the codegen shingle kernel +
+    * posexplode), equi-join on the gram hash across docs, then a match at
+    * (pa, pb) lies on diagonal pa-pb — consecutive pa values on one
+    * diagonal are one contiguous shared span, found with the classic
+    * gaps-and-islands grouping (pa - row_number). A run of t tokens
+    * yields t-k+1 consecutive gram matches, so run_tokens = island+k-1.
+    *
+    * Scale: no O(n²) — join volume tracks SHARED grams only (k=5-grams
+    * collide across unrelated docs at ~(corpus grams)²/|Σ|^k odds);
+    * `maxDocsPerGram` (opt-in, same shape as minhashCandidates.maxBucket)
+    * drops boilerplate grams appearing in more than that many docs before
+    * the self-join, bounding any bucket's pair fan-out. The island window
+    * partitions by (doc_a, doc_b, diag) — bounded by a single doc's
+    * length, never corpus-wide.
+    */
+  def substringRuns(docs: DataFrame, k: Int, minRun: Int,
+                    maxDocsPerGram: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = spreadPartitions(docs)
+      .select(col("doc_id"),
+        posexplode(Text.shingles(col("text"), k)))
+      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("gh"))
+    val bounded = maxDocsPerGram match {
+      case Some(cap) =>
+        val ok = grams.groupBy(col("gh"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") <= cap).select(col("gh"))
+        grams.join(ok, Seq("gh"), "left_semi")
+      case None => grams
+    }
+    val m = bounded.as("a")
+      .join(bounded.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"),
+        (col("a.pos") - col("b.pos")).as("diag"))
+    // (pa, diag) is unique per pair (pb = pa - diag), so row_number is
+    // deterministic without a tiebreaker
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    m.withColumn("isl", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("isl"))
+      .agg((count(lit(1)) + lit(k - 1)).as("run_tokens"))
+      .filter(col("run_tokens") >= minRun)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("run_tokens")).as("max_run"),
+        count(lit(1)).as("n_runs"))
+  }
+
+  /** DuckDB twin of [[substringRuns]] (no gram cap — the oracle path).
+    * Joins on the gram STRING where the operator joins on xxhash64(gram):
+    * identical match sets barring a 64-bit collision (~(grams)²/2⁶⁵).
+    */
+  def substringRunsOracleSql(k: Int, minRun: Int): String = {
+    val span = k - 1
+    s"""WITH t AS (SELECT doc_id,
+          regexp_split_to_array(trim(lower(text),
+            ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
+            '\\s+') AS w
+        FROM documents),
+      sh AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+$span], ' ') AS g
+             FROM t, unnest(generate_series(1, len(w)-$span)) AS gs(i)),
+      m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+              a.pos - b.pos AS diag
+            FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id),
+      r AS (SELECT doc_a, doc_b, diag, pa,
+              pa - row_number() OVER (
+                PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS isl
+            FROM m),
+      runs AS (SELECT doc_a, doc_b, count(*) + $span AS run_tokens
+               FROM r GROUP BY doc_a, doc_b, diag, isl)
+      SELECT doc_a, doc_b, max(run_tokens) AS max_run,
+        count(*) AS n_runs
+      FROM runs WHERE run_tokens >= $minRun
+      GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b"""
+  }
+
   /** DuckDB oracle for the Jaccard pair queries (both the brute-force
     * baseline and — because verification is exact and band misses are
     * ~1e-8 — the LSH variant).

@@ -734,6 +734,103 @@ object Pipeline {
         .orderBy(col("id"))
     },
 
+    // D17: exact duplicated-substring spans — the Lee-et-al suffix-array
+    // dedup signal, relationally: doc pairs sharing >= 10 CONSECUTIVE
+    // tokens (one verbatim paragraph inside otherwise-different text sits
+    // far below any Jaccard θ, yet is exactly the memorization-risk case).
+    // Positional 5-grams → gram-hash equi-join → gaps-and-islands run
+    // detection per (pair, diagonal). Join volume tracks SHARED grams,
+    // never n²; the island window partitions per pair+diagonal.
+    "d17_substring_runs" -> { (s, d) =>
+      Dedup.substringRuns(Tables.documents(s, d), k = 5, minRun = 10)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // T19: hashed-linear quality classifier — the fastText-style scorer
+    // the GPT-3/LLaMA data pipelines run over every candidate doc: each
+    // token hashes into one of 1024 weight buckets (md5 → 16-bit → mod),
+    // the model is the bucket weight vector (here a deterministic
+    // pseudo-random stand-in — the real thing loads trained weights; the
+    // scoring plumbing is identical), and the doc score is the mean
+    // weight. Weights stay INTEGER milli-units through the aggregation —
+    // a float sum would be partition-order-dependent — with ONE exact
+    // long/long division at the end, so the score is engine-exact.
+    // Map-side explode + one hash aggregate on doc_id: no cross-doc
+    // shuffle at any corpus width.
+    "t19_quality_classifier" -> { (s, d) =>
+      val bkt = expr("conv(substring(md5(tok), 1, 4), 16, 10)")
+        .cast("long") % 1024
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(Text.words(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          ((bkt * 2654435761L) % 2001 - 1000).as("w_milli"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("w_milli")).as("s_milli"))
+        .select(col("doc_id"), col("n_tok"),
+          round4(col("s_milli").cast("double") /
+            (col("n_tok") * 1000.0)).as("score"),
+          (col("s_milli") > 0).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
+    // T20: unigram-surprisal quality filter — the CCNet perplexity gate
+    // with the KenLM model replaced by the corpus's own unigram LM, in
+    // integer bit-units so both engines agree exactly: a token seen cnt
+    // times in a total-token corpus scores floor(log2(total/cnt)) bits
+    // (length(bin(total div cnt)) - 1 — integer-only, no float log whose
+    // last ulp could differ across libm implementations), and a doc's
+    // score is mean bits per token (exact long sum, one IEEE division).
+    // Head/middle/tail banding mirrors CCNet's perplexity terciles.
+    // Scale: one vocab aggregate + a shuffled join back on the token —
+    // the vocab is corpus-dependent and never broadcast (AQE decides).
+    "t20_unigram_surprisal" -> { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(Text.words(col("text"))).as("tok"))
+      val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val total = vocab.agg(sum(col("cnt")).as("total"))
+      val bits = vocab.crossJoin(broadcast(total))
+        .select(col("tok"),
+          (length(bin(expr("total div cnt"))) - 1)
+            .cast("long").as("bits"))
+      tok.join(bits, Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("bits")).as("bits_sum"))
+        .select(col("doc_id"), col("n_tok"), col("bits_sum"),
+          round4(col("bits_sum").cast("double") / col("n_tok"))
+            .as("avg_bits"),
+          when(col("bits_sum") * 100 < col("n_tok") * 405, lit("head"))
+            .when(col("bits_sum") * 100 < col("n_tok") * 425,
+              lit("middle"))
+            .otherwise(lit("tail")).as("band"))
+        .orderBy(col("doc_id"))
+    },
+
+    // T21: retrieval chunking — the RAG indexing step: overlapping
+    // fixed-size token windows (16 tokens, stride 12) per doc, each with
+    // its ordinal, start offset, token count, and an md5 content
+    // fingerprint (the join key a downstream embedding/index stage would
+    // carry). Pure map-side sequence + explode + slice — no shuffle at
+    // any corpus width; chunk count derives from the doc's own length.
+    "t21_chunk_windows" -> { (s, d) =>
+      val W = 16; val S = 12
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), Text.words(col("text")).as("w"))
+        .withColumn("len", size(col("w")).cast("long"))
+        .withColumn("nc",
+          when(col("len") <= W, lit(1L)).otherwise(
+            expr(s"(len - $W + $S - 1) div $S") + 1))
+      base.select(col("doc_id"), col("w"), col("len"),
+          explode(sequence(lit(0L), col("nc") - 1)).as("ci"))
+        .withColumn("start_tok", col("ci") * S)
+        .withColumn("n_tok", least(lit(W.toLong), col("len") - col("start_tok")))
+        .select(col("doc_id"), col("ci").as("chunk_idx"), col("start_tok"),
+          col("n_tok"),
+          md5(concat_ws(" ",
+            slice(col("w"), (col("start_tok") + 1).cast("int"),
+              col("n_tok").cast("int")))).as("chunk_fp"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
     // T18: deterministic stratified dataset split — the reproducible
     // train/val/test assignment every corpus release needs: membership
     // by a salted content-independent hash of doc_id (the t7/t11/t17
@@ -1627,6 +1724,64 @@ object Pipeline {
            CASE WHEN b0 < 204 THEN 'train'
                 WHEN b0 < 230 THEN 'val'
                 ELSE 'test' END AS split
-         FROM b ORDER BY doc_id"""
+         FROM b ORDER BY doc_id""",
+    "d17_substring_runs" -> Dedup.substringRunsOracleSql(5, 10),
+    // t19/t20/t21 tokenize via the t13 words-twin (plain trim + \s+
+    // split — the fixture carries no leading control whitespace, same
+    // caveat t13/t12 already document)
+    "t19_quality_classifier" ->
+      """WITH tok AS (SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+         FROM documents),
+         b AS (SELECT doc_id,
+             (16*16*16*(strpos('0123456789abcdef', substr(md5(tok),1,1))-1)
+             +16*16*(strpos('0123456789abcdef', substr(md5(tok),2,1))-1)
+             +16*(strpos('0123456789abcdef', substr(md5(tok),3,1))-1)
+             +(strpos('0123456789abcdef', substr(md5(tok),4,1))-1))
+             % 1024 AS bkt
+           FROM tok),
+         sc AS (SELECT doc_id, count(*) AS n_tok,
+             CAST(sum((bkt * 2654435761) % 2001 - 1000) AS BIGINT)
+               AS s_milli
+           FROM b GROUP BY 1)
+         SELECT doc_id, n_tok,
+           round(CAST(s_milli AS DOUBLE)/(n_tok*1000.0), 4) AS score,
+           s_milli > 0 AS keep
+         FROM sc ORDER BY doc_id""",
+    "t20_unigram_surprisal" ->
+      """WITH tok AS (SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+         FROM documents),
+         v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v),
+         s AS (SELECT tok,
+                 CAST(length(bin(total // cnt)) - 1 AS BIGINT) AS bits
+               FROM v, tot),
+         per AS (SELECT doc_id, count(*) AS n_tok,
+                   CAST(sum(bits) AS BIGINT) AS bits_sum
+                 FROM tok JOIN s USING (tok) GROUP BY 1)
+         SELECT doc_id, n_tok, bits_sum,
+           round(CAST(bits_sum AS DOUBLE)/n_tok, 4) AS avg_bits,
+           CASE WHEN bits_sum*100 < n_tok*405 THEN 'head'
+                WHEN bits_sum*100 < n_tok*425 THEN 'middle'
+                ELSE 'tail' END AS band
+         FROM per ORDER BY doc_id""",
+    "t21_chunk_windows" ->
+      """WITH d AS (SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS w
+         FROM documents),
+         c AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS len,
+             CASE WHEN len(w) <= 16 THEN 1
+                  ELSE (len(w) - 16 + 11) // 12 + 1 END AS nc
+           FROM d),
+         e AS (SELECT doc_id, w, len, CAST(i AS BIGINT) AS chunk_idx
+               FROM c, unnest(generate_series(0, nc - 1)) AS gs(i)),
+         f AS (SELECT doc_id, chunk_idx, chunk_idx * 12 AS start_tok,
+                 least(16, len - chunk_idx * 12) AS n_tok, w
+               FROM e)
+         SELECT doc_id, chunk_idx, start_tok, n_tok,
+           md5(array_to_string(w[start_tok + 1 : start_tok + n_tok], ' '))
+             AS chunk_fp
+         FROM f ORDER BY doc_id, chunk_idx"""
   )
 }

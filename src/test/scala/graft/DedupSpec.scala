@@ -196,6 +196,67 @@ class DedupSpec extends AnyFunSuite {
       "fixture produced no one-way edges — the asymmetry filter is moot")
   }
 
+  test("substringRuns finds a planted verbatim span that Jaccard misses") {
+    // 12 shared tokens embedded in otherwise-disjoint 60-token docs:
+    // Jaccard ~ 12/108 — far below any near-dup θ — but exactly the
+    // memorization-risk span the suffix-array signal exists to find
+    val shared = (1 to 12).map(i => s"s$i")
+    val doc1 = ((1 to 24).map(i => s"a$i") ++ shared ++
+      (25 to 48).map(i => s"a$i")).mkString(" ")
+    val doc2 = ((1 to 10).map(i => s"b$i") ++ shared ++
+      (11 to 48).map(i => s"b$i")).mkString(" ")
+    val doc3 = (1 to 60).map(i => s"c$i").mkString(" ")
+    val docs = Seq((1L, doc1), (2L, doc2), (3L, doc3)).toDF("doc_id", "text")
+    val runs = Dedup.substringRuns(docs, k = 5, minRun = 10)
+      .select("doc_a", "doc_b", "max_run", "n_runs")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(runs == Set((1L, 2L, 12L, 1L)))
+    val jacc = Dedup.minhashNearDup(docs, n = 3, theta = 0.8)
+      .count()
+    assert(jacc == 0L, "the planted span must NOT be a Jaccard near-dup")
+  }
+
+  test("substringRuns: identical docs give one full-length run; " +
+      "split spans count separately") {
+    val w = (1 to 30).map(i => s"w$i")
+    // doc 2 = doc 1 verbatim; doc 3 shares tokens 1-12 and 19-30 but
+    // breaks the middle — two runs of 12, never one of 30
+    val broken = (w.take(12) ++ Seq("X", "Y", "Z", "Q", "R", "S") ++
+      w.drop(18)).mkString(" ")
+    val docs = Seq((1L, w.mkString(" ")), (2L, w.mkString(" ")),
+      (3L, broken)).toDF("doc_id", "text")
+    val got = Dedup.substringRuns(docs, k = 5, minRun = 10)
+      .select("doc_a", "doc_b", "max_run", "n_runs")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got((1L, 2L)) == (30L, 1L))
+    assert(got((1L, 3L)) == (12L, 2L))
+    assert(got((2L, 3L)) == (12L, 2L))
+  }
+
+  test("substringRuns maxDocsPerGram drops boilerplate-gram pairs only") {
+    // one 10-token boilerplate sentence in 20 docs; a planted unique
+    // 15-token span between docs 100/101 whose grams appear in 2 docs
+    val boiler = (1 to 10).map(i => s"t$i").mkString(" ")
+    val span = (1 to 15).map(i => s"u$i")
+    val docs = ((1 to 20).map(i =>
+        (i.toLong, s"filler$i more$i $boiler tail$i end$i")) ++ Seq(
+      (100L, (span ++ (1 to 20).map(i => s"p$i")).mkString(" ")),
+      (101L, ((1 to 20).map(i => s"q$i") ++ span).mkString(" "))))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.substringRuns(docs, k = 5, minRun = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.substringRuns(docs, k = 5, minRun = 10,
+        maxDocsPerGram = Some(5))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped.contains((100L, 101L)))
+    assert(capped.subsetOf(uncapped))
+    assert(!capped.exists { case (a, b) => a <= 20 && b <= 20 },
+      "boilerplate-only pairs must be gone under the cap")
+    assert(uncapped.exists { case (a, b) => a <= 20 && b <= 20 },
+      "fixture must actually produce boilerplate pairs uncapped")
+  }
+
   test("simhash: near-identical docs are close in Hamming distance") {
     val w = (1 to 60).map(i => s"w$i")
     val df = Seq((1L, w.mkString(" ")),
