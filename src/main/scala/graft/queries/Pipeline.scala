@@ -895,6 +895,44 @@ object Pipeline {
           expr("try_cast(substring(source, 4) AS BIGINT)") % 4 + 1)
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
+    },
+
+    // PIPE1: the corpus build, COMPOSED — the capstone chain a training-
+    // data release actually runs, every stage one of the independently-
+    // verified operators, each applied to the SURVIVORS of the previous:
+    //   1. exact dedup (d1): keep the first copy of each normalized text
+    //   2. boilerplate gate (d15): drop mostly-boilerplate docs (profile
+    //      computed over the deduped survivors, not the raw corpus)
+    //   3. quality gate (t8): score >= 40 in an allowed language set
+    //   4. domain mix (t17): rebalance sources to weight/Σw shares of
+    //      half the surviving corpus
+    //   5. split assign (t18): salted 80/10/10 train/val/test
+    // One declarative plan end to end — Catalyst sees the whole chain
+    // (the dedup/boilerplate gates are semi-joins, no materialization
+    // barrier between stages) — and every stage is deterministic, so the
+    // COMPOSITION hash-verifies against a single DuckDB CTE chain.
+    "pipe1_corpus_build" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val s1 = docs.join(
+        Dedup.exactDedup(docs).select(col("keep_doc_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val s2 = s1.join(
+        Dedup.boilerplateProfile(s1, w = 2, minDocs = 3)
+          .filter(col("keep")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val s3 = s2.filter(Text.qualityScore(col("text")) >= 40d &&
+        col("lang").isin("en", "de", "es"))
+      val s4 = domainMix(s3,
+        expr("try_cast(substring(source, 4) AS BIGINT)") % 4 + 1)
+      val b0 = conv(substring(md5(
+        concat(lit("split:"), col("doc_id").cast("string"))), 1, 2),
+        16, 10).cast("long")
+      s4.withColumn("split",
+          when(b0 < 204, lit("train"))
+            .when(b0 < 230, lit("val"))
+            .otherwise(lit("test")))
+        .select(col("doc_id"), col("lang"), col("source"), col("split"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -1782,6 +1820,69 @@ object Pipeline {
          SELECT doc_id, chunk_idx, start_tok, n_tok,
            md5(array_to_string(w[start_tok + 1 : start_tok + n_tok], ' '))
              AS chunk_fp
-         FROM f ORDER BY doc_id, chunk_idx"""
+         FROM f ORDER BY doc_id, chunk_idx""",
+    // pipe1: the d1 → d15 → t8 → t17 → t18 twins chained as CTEs, each
+    // stage reading the previous stage's survivors — the same composition
+    // the Spark entry declares
+    "pipe1_corpus_build" -> {
+      val stop = Text.stopwords.map(duckMarker).mkString(" + ")
+      s"""WITH k1 AS (SELECT min(doc_id) AS doc_id FROM documents
+           GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))),
+         s1 AS (SELECT d.* FROM documents d JOIN k1 USING (doc_id)),
+         bt AS (SELECT doc_id, source,
+             regexp_split_to_array(trim(lower(text),
+               ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
+               '\\s+') AS w
+           FROM s1),
+         sh AS (SELECT doc_id, source, array_to_string(w[i:i+1], ' ') AS g
+                FROM bt, unnest(generate_series(1, len(w)-1)) AS gs(i)
+                WHERE (i-1) % 2 = 0),
+         bp AS (SELECT source, g FROM sh GROUP BY 1, 2
+                HAVING count(DISTINCT doc_id) >= 3),
+         per AS (SELECT sh.doc_id, count(*) AS n_chunks,
+                   count(bp.g) AS n_boiler
+                 FROM sh LEFT JOIN bp
+                   ON sh.source = bp.source AND sh.g = bp.g
+                 GROUP BY 1),
+         s2 AS (SELECT s1.* FROM s1 JOIN per USING (doc_id)
+                WHERE per.n_boiler * 2 <= per.n_chunks),
+         qd AS (SELECT doc_id, lang, source,
+             len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS wc,
+             ($stop) AS stopc,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+               x -> regexp_full_match(x, '^[a-z]+$$'))) AS alphac
+           FROM s2),
+         s3 AS (SELECT doc_id, lang, source FROM qd
+           WHERE round(100.0 * (0.5 * (CAST(stopc AS DOUBLE) / wc)
+               + 0.3 * (CAST(least(wc, 50) AS DOUBLE) / 50.0)
+               + 0.2 * (CAST(alphac AS DOUBLE) / wc)), 4) >= 40
+             AND lang IN ('en','de','es')),
+         c AS (SELECT source, count(*) AS cnt,
+             (TRY_CAST(substr(source, 4) AS BIGINT) % 4) + 1 AS w
+           FROM s3 GROUP BY source),
+         t AS (SELECT sum(cnt) AS n, sum(w) AS wsum FROM c),
+         thr AS (SELECT source, (256 * (n // 2) * w) // (wsum * cnt) AS thr
+                 FROM c, t),
+         mb AS (SELECT doc_id, lang, source,
+             16*(strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))-1)
+               + (strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))-1) AS b0
+           FROM s3),
+         s4 AS (SELECT mb.doc_id, mb.lang, mb.source
+                FROM mb JOIN thr USING (source) WHERE mb.b0 < thr.thr),
+         sb AS (SELECT doc_id, lang, source,
+             16*(strpos('0123456789abcdef',
+                   substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1))-1)
+               + (strpos('0123456789abcdef',
+                   substr(md5('split:' || CAST(doc_id AS VARCHAR)), 2, 1))-1)
+               AS b0
+           FROM s4)
+         SELECT doc_id, lang, source,
+           CASE WHEN b0 < 204 THEN 'train'
+                WHEN b0 < 230 THEN 'val'
+                ELSE 'test' END AS split
+         FROM sb ORDER BY doc_id"""
+    }
   )
 }

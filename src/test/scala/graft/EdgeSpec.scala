@@ -73,6 +73,18 @@ class EdgeSpec extends AnyFunSuite {
     assert(Dedup.jaccardBruteForce(short, 3, 0.1).count() == 0)
   }
 
+  test("substringRuns on empty/short/self-similar input returns empty, " +
+      "not errors") {
+    assert(Dedup.substringRuns(noDocs, 5, 10).count() == 0)
+    // below the gram width: no positional grams, no pairs
+    val short = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    assert(Dedup.substringRuns(short, 5, 10).count() == 0)
+    // a doc repeating its own text never pairs with itself (doc_a < doc_b)
+    val self = Seq((1L, ((1 to 15) ++ (1 to 15)).map(i => s"w$i")
+      .mkString(" "))).toDF("doc_id", "text")
+    assert(Dedup.substringRuns(self, 5, 10).count() == 0)
+  }
+
   test("ANN with empty probe/candidate sides returns empty") {
     assert(Similarity.bruteForceTopK(noVecs, noVecs, 5).count() == 0)
     assert(Similarity.lshTopK(noVecs, noVecs, 5).count() == 0)
