@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   *
@@ -8,6 +10,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * through these helpers so filter/column pushdown reaches the parquet scan
   * (Catalyst handles pruning; we never cache the raw frames globally because
   * the correctness runner executes each query once).
+  *
+  * Timestamp columns are schema-adaptive: the driver has shipped `ts` /
+  * `l_shipdate` / `o_orderdate` both as parquet TIMESTAMP(NANOS) (which
+  * Spark 4 only reads as a raw LONG under the legacy conf) and as
+  * TIMESTAMP(MICROS) without timezone (which reads as TIMESTAMP_NTZ). Both
+  * normalize here to session-zone TimestampType (sessions pin UTC), so
+  * every downstream query and oracle sees identical instants either way.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -17,52 +26,76 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Normalize one timestamp-bearing column to TimestampType, whatever
+    * physical type the parquet delivered:
+    *   - LongType      → raw nanos (legacy conf path): floor to micros, the
+    *                     same truncation DuckDB applies to TIMESTAMP_NS.
+    *   - TIMESTAMP_NTZ → wall-clock micros: reinterpret in the session zone
+    *                     (UTC) — a cast, same instant, no arithmetic.
+    *   - TimestampType → already there.
+    */
+  private def normTs(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case LongType =>
+        df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(c, col(c).cast(TimestampType))
+      case _ => df
+    }
+
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = apply(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame =
+    normTs(apply(s, d, "orders"), "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    normTs(apply(s, d, "lineitem"), "l_shipdate")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-    * to TimestampType. Read it as a raw nanos LONG (legacy conf) and floor
-    * to microseconds — the same truncation DuckDB applies, so the oracle
-    * sees identical instants.
-    *
-    * Our own sessions (Verify/Bench/tests) set the conf at build time; the
-    * runtime set below stays because the driver smoke-checks `entry` with a
-    * session it builds itself. It is an idempotent conf write, not a
-    * behavior toggle mid-query (flagged in the round-1 review; this is the
-    * narrowest form that keeps driver-owned sessions working).
+  /** `events.ts` normalized to TimestampType (see [[normTs]]). The legacy
+    * conf is set unconditionally so the nanos variant of the fixture stays
+    * readable; it is a no-op for the micros variant. Idempotent conf write,
+    * not a behavior toggle mid-query (flagged in the round-1 review; this
+    * is the narrowest form that keeps driver-owned sessions working, which
+    * matters because the driver smoke-checks `entry` with a session it
+    * builds itself).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    normTs(apply(s, d, "events"), "ts")
   }
 
-  /** events with `ts >= cut` applied on the RAW nanos column, BEFORE the
-    * micros conversion. A filter on the converted `ts` sits above a
+  /** events with `ts >= cut` applied on the STORED column, BEFORE any
+    * normalization projection. A filter on the converted `ts` sits above a
     * derived projection and can never reach the parquet scan; filtering
-    * the stored long pushes down (PushedFilters: GreaterThanOrEqual(ts,…))
-    * and prunes row groups — the difference between scanning a day and
-    * scanning 100 TB. Equivalent to filtering the converted column because
-    * cutoffs carry micro precision: floor_micros(nanos) ≥ cutMicros ⟺
-    * nanos ≥ cutMicros·1000.
+    * the stored representation pushes down (PushedFilters shows the
+    * cutoff) and prunes row groups — the difference between scanning a
+    * day and scanning 100 TB.
+    *
+    *   - raw-nanos LONG: cutoffs carry micro precision, so
+    *     floor_micros(nanos) ≥ cutMicros ⟺ nanos ≥ cutMicros·1000.
+    *   - TIMESTAMP_NTZ: compare against the cut instant's UTC wall-clock
+    *     as an NTZ literal — parquet pushes timestamp predicates natively.
     */
   def eventsFrom(s: SparkSession, d: String,
                  cut: java.time.Instant): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val cutNanos = Math.addExact(
-      Math.multiplyExact(cut.getEpochSecond, 1000000000L), cut.getNano.toLong)
-    apply(s, d, "events")
-      .filter(org.apache.spark.sql.functions.col("ts") >= cutNanos)
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = apply(s, d, "events")
+    val pred: Column = raw.schema("ts").dataType match {
+      case LongType =>
+        val cutNanos = Math.addExact(
+          Math.multiplyExact(cut.getEpochSecond, 1000000000L),
+          cut.getNano.toLong)
+        col("ts") >= cutNanos
+      case TimestampNTZType =>
+        col("ts") >= org.apache.spark.sql.functions.lit(
+          java.time.LocalDateTime.ofInstant(cut, java.time.ZoneOffset.UTC))
+      case _ =>
+        col("ts") >= org.apache.spark.sql.functions.lit(
+          java.sql.Timestamp.from(cut))
+    }
+    normTs(raw.filter(pred), "ts")
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

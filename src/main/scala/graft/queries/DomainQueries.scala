@@ -152,12 +152,11 @@ object DomainQueries {
     // order dates vs a collected literal anchor.
     "f11_security_score" -> { (s, d) =>
       val o = Tables.orders(s, d)
-      // o_orderdate is parquet TIMESTAMP(ms) without timezone → Spark
-      // reads TIMESTAMP_NTZ (LocalDateTime); epoch taken as UTC to match
-      // DuckDB's epoch() on naive timestamps.
+      // o_orderdate is normalized to session-zone (UTC) TimestampType by
+      // Tables.orders whatever the parquet physical type; epoch matches
+      // DuckDB's epoch() on the same instants.
       val anchorSec = o.agg(max(col("o_orderdate"))).head()
-        .getAs[java.time.LocalDateTime](0)
-        .toEpochSecond(java.time.ZoneOffset.UTC)
+        .getTimestamp(0).toInstant.getEpochSecond
       val firstSeen = o.groupBy(col("o_custkey"))
         .agg(min(col("o_orderdate")).as("first_seen"),
           count_if(col("o_totalprice") > 1000d).as("big_orders"))
@@ -269,8 +268,7 @@ object DomainQueries {
       val m = tokenMatrix(s, d).filter(col("token_id") === 42L)
       val o = Tables.orders(s, d)
       val anchorSec = o.agg(max(col("o_orderdate"))).head()
-        .getAs[java.time.LocalDateTime](0)
-        .toEpochSecond(java.time.ZoneOffset.UTC)
+        .getTimestamp(0).toInstant.getEpochSecond
       val firstSeen = o.filter(col("o_custkey") === 42L)
         .groupBy(col("o_custkey"))
         .agg(min(col("o_orderdate")).as("first_seen"))

@@ -20,12 +20,14 @@ import graft.functions.Core._
   */
 object Streams {
 
-  /** events landing-zone schema (ts as raw nanos LONG — see Tables.events:
-    * parquet TIMESTAMP(NANOS) reads as long under the legacy conf).
+  /** events landing-zone schema (ts as TIMESTAMP(MICROS) without timezone,
+    * matching the fixture parquet — see Tables.normTs; the stream casts it
+    * to session-zone TimestampType so event-time ops see the same instants
+    * as the batch path).
     */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -40,7 +42,7 @@ object Streams {
     spark.readStream
       .schema(eventsSchema)
       .parquet(landingDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", col("ts").cast(TimestampType))
 
   /** T4: exactly-once-ish key dedup, the streaming twin of the existence
     * probe on (pool_id, tx_hash, msg_index). State is the seen-key set;
