@@ -760,7 +760,9 @@ object DomainQueries {
          FROM events GROUP BY user_id ORDER BY user_id""",
     "x2_array_topwords" ->
       """SELECT word, count(*) AS n FROM (
-           SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+           SELECT unnest(regexp_split_to_array(trim(lower(text),
+             ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
+             '\s+')) AS word
            FROM documents)
          GROUP BY word ORDER BY n DESC, word LIMIT 20""",
     "x3_handle_normalize" ->

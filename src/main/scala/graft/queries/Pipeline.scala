@@ -964,7 +964,7 @@ object Pipeline {
 
   /** DuckDB twin of Text.markerCount (space-padded split-count). */
   private def duckMarker(m: String): String =
-    s"(len(string_split(' ' || regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') || ' ', ' $m ')) - 1)"
+    s"(len(string_split(' ' || regexp_replace(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+', ' ', 'g') || ' ', ' $m ')) - 1)"
 
   private def duckLangScore(lang: String): String =
     Text.langMarkers.toMap.apply(lang).map(duckMarker).mkString(" + ")
@@ -1046,7 +1046,7 @@ object Pipeline {
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" ->
-      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+      """SELECT md5(regexp_replace(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+', ' ', 'g')) AS fp,
            min(doc_id) AS keep_doc_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY keep_doc_id""",
     "d2_minhash_neardup" -> Dedup.jaccardOracleSql(3, 0.8),
@@ -1076,7 +1076,7 @@ object Pipeline {
     "d12_bloom_decontaminate" ->
       """WITH f AS (SELECT doc_id, lang, source,
            md5(array_to_string(
-             (regexp_split_to_array(trim(lower(text)), '\s+'))[1:5], ' '))
+             (regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+'))[1:5], ' '))
              AS fp
          FROM documents),
          ev AS (SELECT DISTINCT fp FROM f WHERE doc_id % 20 = 0)
@@ -1135,7 +1135,7 @@ object Pipeline {
          ORDER BY a.vec_id""",
     "t14_length_outliers" ->
       """WITH d AS (SELECT doc_id, source,
-           len(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+           len(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+')) AS tok
          FROM documents),
          b AS (SELECT source, quantile_cont(tok, 0.05) AS lo,
                  quantile_cont(tok, 0.95) AS hi
@@ -1146,7 +1146,7 @@ object Pipeline {
          ORDER BY d.doc_id""",
     "t15_tfidf_keywords" ->
       """WITH w AS (SELECT doc_id,
-           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+           unnest(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+')) AS word
          FROM documents),
          tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
          df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
@@ -1163,7 +1163,7 @@ object Pipeline {
          FROM r WHERE rn <= 3 ORDER BY doc_id, score DESC, word""",
     "t13_doc_freq" ->
       """WITH w AS (SELECT DISTINCT doc_id,
-           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+           unnest(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+')) AS word
          FROM documents),
          d AS (SELECT word, count(*) AS df FROM w GROUP BY 1),
          n AS (SELECT count(*) AS n_docs FROM documents)
@@ -1188,7 +1188,7 @@ object Pipeline {
          ORDER BY c.group_id, c.doc_id""",
     "t11_stratified_sample" ->
       """WITH d AS (SELECT doc_id, lang, source,
-           substr(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 1)
+           substr(md5(regexp_replace(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+', ' ', 'g')), 1, 1)
              AS nib
          FROM documents)
          SELECT doc_id, lang, source FROM d
@@ -1199,8 +1199,8 @@ object Pipeline {
          ORDER BY doc_id""",
     "t12_seq_pack" ->
       """WITH d AS (SELECT doc_id, source,
-           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
-           len(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+           md5(regexp_replace(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+', ' ', 'g')) AS fp,
+           len(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+')) AS tok
          FROM documents),
          sh AS (SELECT doc_id, source, fp, tok,
            CAST(strpos('0123456789abcdef', substr(fp, 1, 1)) - 1 AS BIGINT)
@@ -1216,7 +1216,7 @@ object Pipeline {
          FROM c ORDER BY source, shard, chunk_id, chunk_offset, doc_id""",
     "t6_repetition" ->
       """WITH t AS (SELECT doc_id,
-           regexp_split_to_array(trim(lower(text)), '\s+') AS w
+           regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+') AS w
          FROM documents),
          sh AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
                 FROM t, unnest(generate_series(1, len(w)-2)) AS g(i)),
@@ -1498,7 +1498,7 @@ object Pipeline {
          FROM r WHERE rank <= 5 ORDER BY probe_id, rank""",
     "t1_text_stats" ->
       """WITH d AS (SELECT source, lang, n_chars,
-           len(regexp_split_to_array(trim(lower(text)), '\s+')) AS wc
+           len(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+')) AS wc
          FROM documents)
          SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
            round(CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE)/count(n_chars), 4) AS avg_chars,
@@ -1517,9 +1517,9 @@ object Pipeline {
     "t3_quality_score" -> {
       val stop = Text.stopwords.map(duckMarker).mkString(" + ")
       s"""WITH d AS (SELECT doc_id,
-           len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS wc,
+           len(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) AS wc,
            ($stop) AS stopc,
-           len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+           len(list_filter(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+'),
              x -> regexp_full_match(x, '^[a-z]+$$'))) AS alphac
          FROM documents)
          SELECT doc_id,
@@ -1530,7 +1530,7 @@ object Pipeline {
     },
     "t4_token_count" ->
       """WITH n AS (SELECT doc_id,
-           regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+           regexp_replace(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+', ' ', 'g') AS t
          FROM documents)
          SELECT doc_id, length(t) AS n_chars_norm,
            len(string_split(t, ' ')) AS ws_tokens,
@@ -1538,14 +1538,14 @@ object Pipeline {
          FROM n ORDER BY doc_id""",
     "t5_fingerprint" ->
       """WITH t AS (SELECT doc_id, text,
-           regexp_split_to_array(trim(lower(text)), '\s+') AS w
+           regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+') AS w
          FROM documents),
          sh AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
                 FROM t, unnest(generate_series(1, len(w)-2)) AS g(i)),
          m AS (SELECT doc_id, min(md5(s)) AS min_shingle_fp
                FROM sh GROUP BY 1)
          SELECT d.doc_id,
-           md5(regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g')) AS doc_fp,
+           md5(regexp_replace(trim(lower(d.text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+', ' ', 'g')) AS doc_fp,
            m.min_shingle_fp
          FROM documents d JOIN m ON d.doc_id = m.doc_id
          ORDER BY d.doc_id""",
@@ -1563,15 +1563,15 @@ object Pipeline {
          ORDER BY lang, rn""",
     "t7_hash_sample" ->
       """SELECT doc_id, lang, source FROM documents
-         WHERE substr(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 1)
+         WHERE substr(md5(regexp_replace(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+', ' ', 'g')), 1, 1)
            IN ('0','1','2','3','4','5','6','7')
          ORDER BY doc_id""",
     "t8_quality_gate" -> {
       val stop = Text.stopwords.map(duckMarker).mkString(" + ")
       s"""WITH d AS (SELECT doc_id, lang,
-           len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS wc,
+           len(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) AS wc,
            ($stop) AS stopc,
-           len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+           len(list_filter(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+'),
              x -> regexp_full_match(x, '^[a-z]+$$'))) AS alphac
          FROM documents),
          q AS (SELECT doc_id, lang,
@@ -1769,7 +1769,7 @@ object Pipeline {
     // caveat t13/t12 already document)
     "t19_quality_classifier" ->
       """WITH tok AS (SELECT doc_id,
-           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+           unnest(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+')) AS tok
          FROM documents),
          b AS (SELECT doc_id,
              (16*16*16*(strpos('0123456789abcdef', substr(md5(tok),1,1))-1)
@@ -1788,7 +1788,7 @@ object Pipeline {
          FROM sc ORDER BY doc_id""",
     "t20_unigram_surprisal" ->
       """WITH tok AS (SELECT doc_id,
-           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+           unnest(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+')) AS tok
          FROM documents),
          v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
          tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v),
@@ -1806,7 +1806,7 @@ object Pipeline {
          FROM per ORDER BY doc_id""",
     "t21_chunk_windows" ->
       """WITH d AS (SELECT doc_id,
-           regexp_split_to_array(trim(lower(text)), '\s+') AS w
+           regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+') AS w
          FROM documents),
          c AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS len,
              CASE WHEN len(w) <= 16 THEN 1
@@ -1827,7 +1827,7 @@ object Pipeline {
     "pipe1_corpus_build" -> {
       val stop = Text.stopwords.map(duckMarker).mkString(" + ")
       s"""WITH k1 AS (SELECT min(doc_id) AS doc_id FROM documents
-           GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))),
+           GROUP BY md5(regexp_replace(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+', ' ', 'g'))),
          s1 AS (SELECT d.* FROM documents d JOIN k1 USING (doc_id)),
          bt AS (SELECT doc_id, source,
              regexp_split_to_array(trim(lower(text),
@@ -1847,9 +1847,9 @@ object Pipeline {
          s2 AS (SELECT s1.* FROM s1 JOIN per USING (doc_id)
                 WHERE per.n_boiler * 2 <= per.n_chunks),
          qd AS (SELECT doc_id, lang, source,
-             len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS wc,
+             len(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) AS wc,
              ($stop) AS stopc,
-             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+             len(list_filter(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+'),
                x -> regexp_full_match(x, '^[a-z]+$$'))) AS alphac
            FROM s2),
          s3 AS (SELECT doc_id, lang, source FROM qd
