@@ -37,7 +37,8 @@ object Bench {
     "m2_media_extract", "m3_frame_sample", "m4_media_resize",
     "n8_knn_graph", "d15_boilerplate", "t18_split_assign",
     "d16_graph_dedup", "d17_substring_runs", "t19_quality_classifier",
-    "t20_unigram_surprisal", "t21_chunk_windows")
+    "t20_unigram_surprisal", "t21_chunk_windows", "t22_bm25_topk",
+    "t22_serving")
 
   /** The 2×-criterion twin (r7 verdict #8): time the SAME SQL the oracle
     * runs, in DuckDB, over the SAME parquet — a measurable single-node
@@ -57,7 +58,7 @@ object Bench {
     "o2_topk", "d1_exact_dedup", "t8_quality_gate", "api1_token_list",
     "j11_asof_join", "w8_moving_avg", "d2_minhash_neardup",
     "b1_tpch_q1", "api3_ohlcv_route", "d15_boilerplate",
-    "d17_substring_runs")
+    "d17_substring_runs", "t22_bm25_topk")
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
@@ -153,12 +154,23 @@ object Bench {
         k = 5, nprobe = 8)
       .orderBy(col("probe_id"), col("rank"))
       .write.format("noop").mode("overwrite").save()
+    // t22's serving twin: inverted-index artifact built once (untimed),
+    // then BM25 from postings only — the pushdown-pruned index read a
+    // search SLA pays, vs the whole-corpus tokenize+aggregate in the
+    // t22_bm25_topk headline entry
+    import graft.operators.Retrieval
+    Retrieval.buildPostings(Tables.documents(spark, sfDir), s"$tmp/bm25")
+    def q22(): Unit = Retrieval
+      .bm25FromPostings(spark, s"$tmp/bm25",
+        Seq("dup", "vector", "merge", "scan"), 20)
+      .write.format("noop").mode("overwrite").save()
     def t(fn: () => Unit): Double = {
       val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e9
     }
-    q6(); q7() // warm
+    q6(); q7(); q22() // warm
     Map("n6_serving" -> math.min(t(() => q6()), t(() => q6())),
-        "n7_serving" -> math.min(t(() => q7()), t(() => q7())))
+        "n7_serving" -> math.min(t(() => q7()), t(() => q7())),
+        "t22_serving" -> math.min(t(() => q22()), t(() => q22())))
     } catch { case _: Throwable => Map.empty }
     finally {
       // artifact dirs are embedding-scale parquet — delete on BOTH paths

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Core.{round4, spreadPartitions}
+import graft.functions.Text
+
+/** Full-text retrieval over the corpus — the RAG-serving counterpart of
+  * the chunking/indexing ops (t21 cuts documents into embed/index units;
+  * this ranks whole documents for a term query). The reference exposes
+  * token search as a prefix/ILIKE scan (api/routes/search.js:15-60); a
+  * training-data engine additionally needs relevance-ranked retrieval,
+  * so the scorer is BM25 (Robertson et al.) with two deliberate,
+  * engine-exactness-preserving substitutions, both following the t15/t20
+  * precedent of never letting a libm call into a hash-compared value:
+  *
+  *   - idf uses the exact RATIONAL Robertson form without the log:
+  *     (N - df + ½)/(df + ½) = (2N − 2df + 1)/(2df + 1) — integers on
+  *     both sides of one IEEE division. The log is monotone, so per-term
+  *     ordering is unchanged; cross-term weighting shifts toward rarer
+  *     terms, which is the documented trade for a bit-stable score.
+  *   - the saturation term with k1 = 6/5, b = 3/4 is cross-multiplied to
+  *     one integer ratio:
+  *       tf·(k1+1) / (tf + k1·(1 − b + b·dl·N/L))
+  *         = 44·L·tf / (20·L·tf + 6·L + 18·dl·N)
+  *     (L = Σ dl, N = doc count) — again integers into one division.
+  *
+  * Each per-term score is a product of two exactly-rounded doubles; the
+  * query score sums the fixed term list left-associatively, so Spark and
+  * DuckDB produce bit-identical doubles with no aggregation-order
+  * nondeterminism (the term set is a query constant, never a SUM over
+  * rows).
+  *
+  * Scale shape: tf comes from a map-side `word IN terms` filter BEFORE
+  * the per-doc aggregate — shuffle volume tracks query-term occurrences,
+  * not corpus tokens; N/L/df are one tiny aggregate each, broadcast
+  * back; ranking is TakeOrdered(k), never a window over the corpus.
+  */
+object Retrieval {
+
+  /** Per-doc (doc_id, dl) with dl = whitespace token count, the same
+    * tokenization every text op uses (Text.words / the shingle kernel).
+    */
+  private def docLengths(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(Text.words(col("text"))).cast("long").as("dl"))
+
+  /** Per-doc tf columns (`tf_<term>`) for the fixed term list, restricted
+    * to docs containing at least one query term.
+    */
+  private def termFreqs(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val words = spreadPartitions(docs)
+      .select(col("doc_id"), explode_outer(Text.words(col("text")))
+        .as("word"))
+      .filter(col("word").isin(terms: _*))
+    val aggs = terms.map(t =>
+      sum(when(col("word") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+    words.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The fixed-order BM25 score column over `tf_<t>`/`df_<t>`/`dl`/
+    * `n_docs`/`l_tot` columns. Shared verbatim by the direct and the
+    * postings-served paths so the two can only diverge on their inputs.
+    */
+  private def scoreCol(terms: Seq[String]): Column = {
+    def one(t: String): Column = {
+      val tf = col(s"tf_$t"); val df = col(s"df_$t")
+      val idf = (lit(2L) * col("n_docs") - lit(2L) * df + lit(1L))
+        .cast("double") / (lit(2L) * df + lit(1L)).cast("double")
+      val sat = (lit(44L) * col("l_tot") * tf).cast("double") /
+        (lit(20L) * col("l_tot") * tf + lit(6L) * col("l_tot")
+          + lit(18L) * col("dl") * col("n_docs")).cast("double")
+      idf * sat
+    }
+    round4(terms.map(one).reduceLeft(_ + _))
+  }
+
+  private def rank(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .select(col("doc_id"), col("dl"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+
+  /** Top-k docs for `terms`, scored directly from the corpus. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val dl = docLengths(docs)
+    val consts = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("l_tot"))
+    val tf = termFreqs(docs, terms)
+    val dfAggs = terms.map(t =>
+      sum(when(col(s"tf_$t") > 0L, 1L).otherwise(0L)).as(s"df_$t"))
+    val dfs = tf.agg(dfAggs.head, dfAggs.tail: _*)
+    val scored = tf.join(dl, "doc_id")
+      .crossJoin(broadcast(consts))
+      .crossJoin(broadcast(dfs))
+      .withColumn("score", scoreCol(terms))
+    rank(scored, k)
+  }
+
+  /** Inverted-index artifact: `postings/` (word, doc_id, tf, dl — dl
+    * denormalized so the serve path never rejoins the corpus),
+    * `dict/` (word, df — one row per vocab word), `meta/` (n_docs,
+    * l_tot). The index build is the expensive whole-corpus pass; serving
+    * reads only the queried words' postings (word-equality pushdown +
+    * dictionary row-group skip — the parquet analogue of seeking a
+    * posting list). Mirrors the PQ/IVF artifact lifecycle (Similarity):
+    * train/build once, serve many.
+    */
+  def buildPostings(docs: DataFrame, dir: String): Unit = {
+    val dl = docLengths(docs)
+    val words = spreadPartitions(docs)
+      .select(col("doc_id"), explode_outer(Text.words(col("text")))
+        .as("word"))
+    val postings = words.groupBy(col("word"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id")
+      .select(col("word"), col("doc_id"), col("tf"), col("dl"))
+    // sortWithinPartitions after a word-hash repartition: each parquet
+    // file covers a contiguous word run, so a term query's min/max +
+    // dictionary pruning skips every irrelevant row group
+    postings.repartition(col("word")).sortWithinPartitions("word", "doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/postings")
+    postings.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/dict")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("l_tot"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+  }
+
+  /** Top-k for `terms` served from a prebuilt postings artifact — no
+    * corpus access; the scan touches only row groups containing the
+    * query terms.
+    */
+  def bm25FromPostings(spark: SparkSession, dir: String,
+                       terms: Seq[String], k: Int): DataFrame = {
+    val post = spark.read.parquet(s"$dir/postings")
+      .filter(col("word").isin(terms: _*))
+    val tfAggs = terms.map(t =>
+      sum(when(col("word") === t, col("tf")).otherwise(0L)).as(s"tf_$t"))
+    val tf = post.groupBy(col("doc_id"))
+      .agg(max(col("dl")).as("dl"), tfAggs: _*)
+    val dict = spark.read.parquet(s"$dir/dict")
+      .filter(col("word").isin(terms: _*))
+    val dfAggs = terms.map(t =>
+      sum(when(col("word") === t, col("df")).otherwise(0L)).as(s"df_$t"))
+    val dfs = dict.agg(dfAggs.head, dfAggs.tail: _*)
+    val consts = spark.read.parquet(s"$dir/meta")
+    val scored = tf
+      .crossJoin(broadcast(consts))
+      .crossJoin(broadcast(dfs))
+      .withColumn("score", scoreCol(terms))
+    rank(scored, k)
+  }
+}

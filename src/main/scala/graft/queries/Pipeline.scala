@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Core._
 import graft.functions.Text
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Retrieval, Similarity}
 
 /** Training-data pipeline queries — the operators a 100 TB LLM-corpus
   * build needs on top of the reference's own surface: deduplication
@@ -829,6 +829,24 @@ object Pipeline {
             slice(col("w"), (col("start_tok") + 1).cast("int"),
               col("n_tok").cast("int")))).as("chunk_fp"))
         .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // T22: BM25 document retrieval — relevance-ranked full-text search
+    // over the corpus (the serving counterpart of t21's chunk index; the
+    // reference's token search is a prefix ILIKE scan,
+    // api/routes/search.js:15-60). Scoring is BM25 with the rational
+    // Robertson idf and the k1=6/5, b=3/4 saturation term cross-multiplied
+    // to integer ratios — one IEEE division per factor, fixed-order term
+    // sum, so the doubles hash-match DuckDB bit-for-bit (t15/t20
+    // precedent: no libm log in a compared value). Scale shape: the tf
+    // aggregate sees only `word IN terms` rows (map-side filter before
+    // the shuffle); N/L/df are tiny broadcast aggregates; ranking is
+    // TakeOrdered(20). The postings-artifact serving twin
+    // (Retrieval.buildPostings/bm25FromPostings) is spec-pinned equal
+    // and benched separately.
+    "t22_bm25_topk" -> { (s, d) =>
+      Retrieval.bm25TopK(Tables.documents(s, d),
+        Seq("dup", "vector", "merge", "scan"), 20)
     },
 
     // T18: deterministic stratified dataset split — the reproducible
@@ -1804,6 +1822,45 @@ object Pipeline {
                 WHEN bits_sum*100 < n_tok*425 THEN 'middle'
                 ELSE 'tail' END AS band
          FROM per ORDER BY doc_id""",
+    // t22: same integer cross-multiplied BM25 as Retrieval.scoreCol —
+    // every factor is BIGINT math into one CAST-to-DOUBLE division, the
+    // four term scores summed in the same left-assoc order as the Scala
+    // reduceLeft, so the doubles are bit-identical.
+    "t22_bm25_topk" ->
+      """WITH d AS (SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+')) AS BIGINT) AS dl
+         FROM documents),
+         w AS (SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+')) AS word
+         FROM documents),
+         tf AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN word = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS tf_dup,
+             CAST(SUM(CASE WHEN word = 'vector' THEN 1 ELSE 0 END) AS BIGINT) AS tf_vector,
+             CAST(SUM(CASE WHEN word = 'merge' THEN 1 ELSE 0 END) AS BIGINT) AS tf_merge,
+             CAST(SUM(CASE WHEN word = 'scan' THEN 1 ELSE 0 END) AS BIGINT) AS tf_scan
+           FROM w WHERE word IN ('dup', 'vector', 'merge', 'scan')
+           GROUP BY doc_id),
+         c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS l_tot FROM d),
+         f AS (SELECT
+             CAST(SUM(CASE WHEN tf_dup > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_dup,
+             CAST(SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_vector,
+             CAST(SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_merge,
+             CAST(SUM(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_scan
+           FROM tf),
+         s AS (SELECT tf.doc_id, d.dl,
+             (CAST(2*n_docs - 2*df_dup + 1 AS DOUBLE) / CAST(2*df_dup + 1 AS DOUBLE))
+               * (CAST(44*l_tot*tf_dup AS DOUBLE) / CAST(20*l_tot*tf_dup + 6*l_tot + 18*d.dl*n_docs AS DOUBLE))
+             + (CAST(2*n_docs - 2*df_vector + 1 AS DOUBLE) / CAST(2*df_vector + 1 AS DOUBLE))
+               * (CAST(44*l_tot*tf_vector AS DOUBLE) / CAST(20*l_tot*tf_vector + 6*l_tot + 18*d.dl*n_docs AS DOUBLE))
+             + (CAST(2*n_docs - 2*df_merge + 1 AS DOUBLE) / CAST(2*df_merge + 1 AS DOUBLE))
+               * (CAST(44*l_tot*tf_merge AS DOUBLE) / CAST(20*l_tot*tf_merge + 6*l_tot + 18*d.dl*n_docs AS DOUBLE))
+             + (CAST(2*n_docs - 2*df_scan + 1 AS DOUBLE) / CAST(2*df_scan + 1 AS DOUBLE))
+               * (CAST(44*l_tot*tf_scan AS DOUBLE) / CAST(20*l_tot*tf_scan + 6*l_tot + 18*d.dl*n_docs AS DOUBLE))
+             AS raw
+           FROM tf JOIN d USING (doc_id), c, f)
+         SELECT doc_id, dl, round(raw, 4) AS score
+         FROM s ORDER BY score DESC, doc_id LIMIT 20""",
     "t21_chunk_windows" ->
       """WITH d AS (SELECT doc_id,
            regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+') AS w

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Retrieval
+
+/** BM25 retrieval: the postings-artifact serving path must reproduce the
+  * direct corpus scoring exactly (same shared score expression, different
+  * inputs — this pins the inputs), and serving must touch only the
+  * queried words' postings (the pushdown that makes the artifact an
+  * index rather than a copy of the corpus).
+  */
+class RetrievalSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+
+  private val terms = Seq("dup", "vector", "merge", "scan")
+
+  test("postings-served BM25 == direct BM25 (top-20, scores and order)") {
+    val docs = Tables.documents(spark, sfDir)
+    val direct = Retrieval.bm25TopK(docs, terms, 20).collect().toSeq
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-postings").toString
+    try {
+      Retrieval.buildPostings(docs, dir)
+      val served = Retrieval.bm25FromPostings(spark, dir, terms, 20)
+        .collect().toSeq
+      assert(served == direct)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+  }
+
+  test("serving scan pushes the term filter into the postings read") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-postings-pd").toString
+    try {
+      Retrieval.buildPostings(Tables.documents(spark, sfDir), dir)
+      // sparkPlan, not executedPlan: AQE wraps the executed plan in an
+      // AdaptiveSparkPlanExec whose children aren't visible to collect
+      // until execution (same convention as PlanLintSpec)
+      val plan = Retrieval.bm25FromPostings(spark, dir, terms, 20)
+        .queryExecution.sparkPlan
+      val postingsScans = plan.collect {
+        case s: FileSourceScanExec
+            if s.metadata.getOrElse("Location", "").contains("postings") =>
+          s.metadata.getOrElse("PushedFilters", "")
+      }
+      assert(postingsScans.nonEmpty)
+      assert(postingsScans.exists(_.contains("word")),
+        s"postings scan lost the term pushdown: $postingsScans")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+  }
+}
