@@ -97,16 +97,16 @@ object Retrieval {
     rank(scored, k)
   }
 
-  /** Inverted-index artifact: `postings/` (word, doc_id, tf, dl — dl
-    * denormalized so the serve path never rejoins the corpus),
-    * `dict/` (word, df — one row per vocab word), `meta/` (n_docs,
-    * l_tot). The index build is the expensive whole-corpus pass; serving
-    * reads only the queried words' postings (word-equality pushdown +
-    * dictionary row-group skip — the parquet analogue of seeking a
-    * posting list). Mirrors the PQ/IVF artifact lifecycle (Similarity):
-    * train/build once, serve many.
+  /** The three index frames for one corpus slice: postings
+    * (word, doc_id, tf, dl — dl denormalized so the serve path never
+    * rejoins the corpus), dict partial (word, df), meta partial
+    * (n_docs, l_tot). Dict and meta are PARTIALS — the serve path sums
+    * them, so a whole-corpus build (one partial) and a streamed index
+    * (one partial per micro-batch partition) serve through the same
+    * code with the same result.
     */
-  def buildPostings(docs: DataFrame, dir: String): Unit = {
+  def indexPartials(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val dl = docLengths(docs)
     val words = spreadPartitions(docs)
       .select(col("doc_id"), explode_outer(Text.words(col("text")))
@@ -118,17 +118,35 @@ object Retrieval {
     // sortWithinPartitions after a word-hash repartition: each parquet
     // file covers a contiguous word run, so a term query's min/max +
     // dictionary pruning skips every irrelevant row group
-    postings.repartition(col("word")).sortWithinPartitions("word", "doc_id")
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/postings")
-    postings.groupBy(col("word")).agg(count(lit(1)).as("df"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/dict")
-    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("l_tot"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+    val sorted = postings.repartition(col("word"))
+      .sortWithinPartitions("word", "doc_id")
+    val dict = postings.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val meta = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("l_tot"))
+    (sorted, dict, meta)
+  }
+
+  /** Inverted-index artifact: `postings/`, `dict/`, `meta/` (see
+    * [[indexPartials]]). The index build is the expensive whole-corpus
+    * pass; serving reads only the queried words' postings
+    * (word-equality pushdown + dictionary row-group skip — the parquet
+    * analogue of seeking a posting list). Mirrors the PQ/IVF artifact
+    * lifecycle (Similarity): train/build once, serve many. The
+    * streaming twin appending `batch=<id>` partitions to the same three
+    * dirs is [[graft.streaming.Streams.postingsMaintenance]].
+    */
+  def buildPostings(docs: DataFrame, dir: String): Unit = {
+    val (postings, dict, meta) = indexPartials(docs)
+    postings.write.mode(SaveMode.Overwrite).parquet(s"$dir/postings")
+    dict.write.mode(SaveMode.Overwrite).parquet(s"$dir/dict")
+    meta.write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
   }
 
   /** Top-k for `terms` served from a prebuilt postings artifact — no
     * corpus access; the scan touches only row groups containing the
-    * query terms.
+    * query terms. Dict and meta are summed, so both the one-shot build
+    * and the streamed batch-partitioned index serve here: per-term df
+    * sums across partials, n_docs/l_tot sum across per-batch meta rows
+    * (partial-count rows per batch, never corpus-scale).
     */
   def bm25FromPostings(spark: SparkSession, dir: String,
                        terms: Seq[String], k: Int): DataFrame = {
@@ -144,6 +162,7 @@ object Retrieval {
       sum(when(col("word") === t, col("df")).otherwise(0L)).as(s"df_$t"))
     val dfs = dict.agg(dfAggs.head, dfAggs.tail: _*)
     val consts = spark.read.parquet(s"$dir/meta")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("l_tot")).as("l_tot"))
     val scored = tf
       .crossJoin(broadcast(consts))
       .crossJoin(broadcast(dfs))

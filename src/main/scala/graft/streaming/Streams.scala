@@ -682,6 +682,49 @@ object Streams {
       .start()
   }
 
+  /** Streaming text-index maintenance — the third of the index-
+    * maintenance triple beside [[neardupIngest]] (dedup index) and
+    * [[annIndexMaintenance]] (ANN artifacts): arriving documents extend
+    * the BM25 inverted index that
+    * [[graft.operators.Retrieval.bm25FromPostings]] serves from. Each
+    * micro-batch writes its OWN postings/dict/meta partials under a
+    * `batch=<id>` partition; the serve path sums dict/meta partials, so
+    * the streamed index answers queries identically to a one-shot
+    * [[graft.operators.Retrieval.buildPostings]] over the union of all
+    * batches (StreamingSpec pins batch ≡ stream on the served top-k).
+    * The writes derive only from the batch — no read of the index being
+    * written, so no staging snapshot is needed (the annIndexMaintenance
+    * shape, not the neardupIngest one) — and per-batch overwrite
+    * partitions make checkpoint retries idempotent: a retried batch
+    * rewrites its own partition instead of double-counting df/l_tot
+    * partials. Same `_stream_id` precondition as the other two: a fresh
+    * checkpoint pointed at populated index dirs fails fast.
+    */
+  def postingsMaintenance(docs: DataFrame, indexDir: String,
+                          checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Retrieval
+    val spark = docs.sparkSession
+    val postingsPath = s"$indexDir/postings"
+    val dictPath = s"$indexDir/dict"
+    val metaPath = s"$indexDir/meta"
+    val ensureGuarded = guardOnce(spark, checkpoint,
+      Seq(postingsPath, dictPath, metaPath))
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ensureGuarded()
+        val (postings, dict, meta) = Retrieval.indexPartials(batch)
+        postings.write.mode("overwrite")
+          .parquet(s"$postingsPath/batch=$batchId")
+        dict.write.mode("overwrite").parquet(s"$dictPath/batch=$batchId")
+        meta.write.mode("overwrite").parquet(s"$metaPath/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** T5: candle continuity with explicit state — open of the first candle
     * of each batch continues from the PREVIOUS batch's last close, exactly
     * the reference's lastCloseByPool map, surviving restarts via the

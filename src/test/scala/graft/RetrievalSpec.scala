@@ -33,6 +33,46 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("streamed postings index serves the same top-k as the batch build") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Tables.documents(spark, sfDir)
+    val land = java.nio.file.Files
+      .createTempDirectory("graft-bm25-land").toString
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-bm25-idx").toString + "/index"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-bm25-ckpt").toString
+    try {
+      // two ticks against the SAME checkpoint → two batch=<id> partitions
+      docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+        .write.parquet(s"$land/t1")
+      def runOnce(): Unit = {
+        val stream = spark.readStream
+          .schema("doc_id BIGINT, text STRING, lang STRING, " +
+            "source STRING, n_chars BIGINT")
+          .option("recursiveFileLookup", "true")
+          .parquet(land)
+        val q = streaming.Streams.postingsMaintenance(stream, idx, ckpt)
+        q.awaitTermination()
+      }
+      runOnce()
+      docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+        .write.parquet(s"$land/t2")
+      runOnce()
+      val served = Retrieval.bm25FromPostings(spark, idx, terms, 20)
+        .collect().toSeq
+      val direct = Retrieval.bm25TopK(docs, terms, 20).collect().toSeq
+      assert(served == direct)
+    } finally {
+      Seq(land, idx, ckpt).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
+    }
+  }
+
   test("serving scan pushes the term filter into the postings read") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-postings-pd").toString
