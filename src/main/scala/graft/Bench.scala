@@ -154,23 +154,29 @@ object Bench {
         k = 5, nprobe = 8)
       .orderBy(col("probe_id"), col("rank"))
       .write.format("noop").mode("overwrite").save()
-    // t22's serving twin: inverted-index artifact built once (untimed),
-    // then BM25 from postings only — the pushdown-pruned index read a
-    // search SLA pays, vs the whole-corpus tokenize+aggregate in the
-    // t22_bm25_topk headline entry
-    import graft.operators.Retrieval
-    Retrieval.buildPostings(Tables.documents(spark, sfDir), s"$tmp/bm25")
-    def q22(): Unit = Retrieval
-      .bm25FromPostings(spark, s"$tmp/bm25",
-        Seq("dup", "vector", "merge", "scan"), 20)
-      .write.format("noop").mode("overwrite").save()
     def t(fn: () => Unit): Double = {
       val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e9
     }
-    q6(); q7(); q22() // warm
-    Map("n6_serving" -> math.min(t(() => q6()), t(() => q6())),
-        "n7_serving" -> math.min(t(() => q7()), t(() => q7())),
-        "t22_serving" -> math.min(t(() => q22()), t(() => q22())))
+    q6(); q7() // warm
+    val ann = Map(
+      "n6_serving" -> math.min(t(() => q6()), t(() => q6())),
+      "n7_serving" -> math.min(t(() => q7()), t(() => q7())))
+    // t22's serving twin: inverted-index artifact built once (untimed),
+    // then BM25 from postings only — the pushdown-pruned index read a
+    // search SLA pays, vs the whole-corpus tokenize+aggregate in the
+    // t22_bm25_topk headline entry. Its OWN try: a text-index failure
+    // must not discard the already-measured ANN serving entries.
+    val text = try {
+      import graft.operators.Retrieval
+      Retrieval.buildPostings(Tables.documents(spark, sfDir), s"$tmp/bm25")
+      def q22(): Unit = Retrieval
+        .bm25FromPostings(spark, s"$tmp/bm25",
+          Seq("dup", "vector", "merge", "scan"), 20)
+        .write.format("noop").mode("overwrite").save()
+      q22() // warm
+      Map("t22_serving" -> math.min(t(() => q22()), t(() => q22())))
+    } catch { case _: Throwable => Map.empty[String, Double] }
+    ann ++ text
     } catch { case _: Throwable => Map.empty }
     finally {
       // artifact dirs are embedding-scale parquet — delete on BOTH paths

@@ -33,6 +33,16 @@ object Tables {
     *   - TIMESTAMP_NTZ → wall-clock micros: reinterpret in the session zone
     *                     (UTC) — a cast, same instant, no arithmetic.
     *   - TimestampType → already there.
+    *
+    * Pushdown caveat: on the NTZ variant, Catalyst's
+    * UnwrapCastInBinaryComparison keeps literal comparisons against the
+    * cast column pushable (PlanLintSpec pins b2/b3/b5/p2). On the
+    * raw-nanos variant the `timestamp_micros(div)` projection is
+    * arithmetic, not a cast — timestamp-literal filters written above it
+    * stop reaching the scan. events has the eventsFrom stored-column
+    * cutoff for exactly that case; if the driver ever ships
+    * orders/lineitem as NANOS again, their date filters need the same
+    * treatment (the lint will flag it).
     */
   private def normTs(df: DataFrame, c: String): DataFrame =
     df.schema(c).dataType match {
@@ -48,10 +58,14 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = apply(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame =
+  def orders(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     normTs(apply(s, d, "orders"), "o_orderdate")
-  def lineitem(s: SparkSession, d: String): DataFrame =
+  }
+  def lineitem(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     normTs(apply(s, d, "lineitem"), "l_shipdate")
+  }
 
   /** `events.ts` normalized to TimestampType (see [[normTs]]). The legacy
     * conf is set unconditionally so the nanos variant of the fixture stays

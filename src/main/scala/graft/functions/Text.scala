@@ -100,7 +100,7 @@ object Text {
       .map(i => s"CASE WHEN s_$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END")
       .mkString(" + ")
     s"""WITH w AS (SELECT doc_id,
-          unnest(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) AS word
+          unnest(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\\s\\x0B]+')) AS word
         FROM documents),
       h AS (SELECT doc_id, md5(word) AS m FROM w),
       wb AS (SELECT doc_id, $wh AS wh FROM h),

@@ -489,7 +489,7 @@ object Dedup {
     s"""WITH t AS (SELECT doc_id,
           regexp_split_to_array(trim(lower(text),
             ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
-            '\\s+') AS w
+            '[\\s\\x0B]+') AS w
         FROM documents),
       sh AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+$span], ' ') AS g
              FROM t, unnest(generate_series(1, len(w)-$span)) AS gs(i)),
@@ -521,7 +521,7 @@ object Dedup {
     s"""WITH t AS (SELECT doc_id,
           regexp_split_to_array(trim(lower(text),
             ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
-            '\\s+') AS w
+            '[\\s\\x0B]+') AS w
         FROM documents),
       sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+$span], ' ') AS s
              FROM t, unnest(generate_series(1, len(w)-$span)) AS g(i)),

@@ -20,11 +20,13 @@ import graft.functions.Text
   *     both sides of one IEEE division. The log is monotone, so per-term
   *     ordering is unchanged; cross-term weighting shifts toward rarer
   *     terms, which is the documented trade for a bit-stable score.
-  *   - the saturation term with k1 = 6/5, b = 3/4 is cross-multiplied to
-  *     one integer ratio:
+  *   - the saturation term with k1 = 6/5, b = 3/4 is reduced to integer
+  *     factors normalized by L:
   *       tf·(k1+1) / (tf + k1·(1 − b + b·dl·N/L))
-  *         = 44·L·tf / (20·L·tf + 6·L + 18·dl·N)
-  *     (L = Σ dl, N = doc count) — again integers into one division.
+  *         = 44·tf / (20·tf + 6 + 18·dl·N/L)
+  *     (L = Σ dl, N = doc count) — every integer product Int64-safe at
+  *     corpus scale (see scoreCol), combined by a FIXED-ORDER chain of
+  *     exactly-rounded IEEE ops.
   *
   * Each per-term score is a product of two exactly-rounded doubles; the
   * query score sums the fixed term list left-associatively, so Spark and
@@ -62,15 +64,27 @@ object Retrieval {
   /** The fixed-order BM25 score column over `tf_<t>`/`df_<t>`/`dl`/
     * `n_docs`/`l_tot` columns. Shared verbatim by the direct and the
     * postings-served paths so the two can only diverge on their inputs.
+    *
+    * The saturation ratio is normalized by L BEFORE any product so no
+    * BIGINT intermediate carries an L·tf term: at the 100 TB design
+    * point L (corpus tokens) ~ 1e13 and a frequent term's tf ~ 1e5, so
+    * the naive 44·L·tf cross-multiplication overflows Int64 (ANSI-mode
+    * Spark throws, DuckDB errors, non-ANSI wraps silently). Dividing
+    * through by L gives 44·tf / (20·tf + 6 + 18·dl·N/L); the largest
+    * integer product left is 18·dl·N (~1e16 at dl 1e5, N 1e10). The
+    * denominator becomes a fixed-order chain of two exactly-rounded
+    * IEEE ops (one division, one addition) — still bit-identical across
+    * engines, just no longer a single integer ratio.
     */
   private def scoreCol(terms: Seq[String]): Column = {
     def one(t: String): Column = {
       val tf = col(s"tf_$t"); val df = col(s"df_$t")
       val idf = (lit(2L) * col("n_docs") - lit(2L) * df + lit(1L))
         .cast("double") / (lit(2L) * df + lit(1L)).cast("double")
-      val sat = (lit(44L) * col("l_tot") * tf).cast("double") /
-        (lit(20L) * col("l_tot") * tf + lit(6L) * col("l_tot")
-          + lit(18L) * col("dl") * col("n_docs")).cast("double")
+      val sat = (lit(44L) * tf).cast("double") /
+        ((lit(20L) * tf + lit(6L)).cast("double")
+          + (lit(18L) * col("dl") * col("n_docs")).cast("double")
+            / col("l_tot").cast("double"))
       idf * sat
     }
     round4(terms.map(one).reduceLeft(_ + _))
@@ -97,16 +111,23 @@ object Retrieval {
     rank(scored, k)
   }
 
-  /** The three index frames for one corpus slice: postings
-    * (word, doc_id, tf, dl — dl denormalized so the serve path never
-    * rejoins the corpus), dict partial (word, df), meta partial
-    * (n_docs, l_tot). Dict and meta are PARTIALS — the serve path sums
-    * them, so a whole-corpus build (one partial) and a streamed index
-    * (one partial per micro-batch partition) serve through the same
-    * code with the same result.
+  /** Write one corpus slice's index partials: postings (word, doc_id,
+    * tf, dl — dl denormalized so the serve path never rejoins the
+    * corpus) to `postingsDir`, dict partial (word, df) to `dictDir`,
+    * meta partial (n_docs, l_tot) to `metaDir`. Dict and meta are
+    * PARTIALS — the serve path sums them, so a whole-corpus build (one
+    * partial) and a streamed index (one partial per micro-batch
+    * partition) serve through the same code with the same result.
+    *
+    * The corpus tokenize+aggregate — the expensive pass — runs ONCE:
+    * dict and meta derive from the postings parquet just written (both
+    * read back artifact-sized data, never the corpus; a lazy
+    * three-consumer composition would re-run the explode+groupBy chain
+    * per write).
     */
-  def indexPartials(docs: DataFrame)
-      : (DataFrame, DataFrame, DataFrame) = {
+  def writeIndexSlice(docs: DataFrame, postingsDir: String,
+                      dictDir: String, metaDir: String): Unit = {
+    val spark = docs.sparkSession
     val dl = docLengths(docs)
     val words = spreadPartitions(docs)
       .select(col("doc_id"), explode_outer(Text.words(col("text")))
@@ -118,15 +139,21 @@ object Retrieval {
     // sortWithinPartitions after a word-hash repartition: each parquet
     // file covers a contiguous word run, so a term query's min/max +
     // dictionary pruning skips every irrelevant row group
-    val sorted = postings.repartition(col("word"))
-      .sortWithinPartitions("word", "doc_id")
-    val dict = postings.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    val meta = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("l_tot"))
-    (sorted, dict, meta)
+    postings.repartition(col("word")).sortWithinPartitions("word", "doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(postingsDir)
+    val written = spark.read.parquet(postingsDir)
+    // postings are unique per (word, doc_id), so df = posting count
+    written.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .write.mode(SaveMode.Overwrite).parquet(dictDir)
+    // every doc has >= 1 posting (empty text still tokenizes to the ''
+    // token, both engines), so per-doc rows reconstruct N and L exactly
+    written.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("l_tot"))
+      .write.mode(SaveMode.Overwrite).parquet(metaDir)
   }
 
   /** Inverted-index artifact: `postings/`, `dict/`, `meta/` (see
-    * [[indexPartials]]). The index build is the expensive whole-corpus
+    * [[writeIndexSlice]]). The index build is the expensive whole-corpus
     * pass; serving reads only the queried words' postings
     * (word-equality pushdown + dictionary row-group skip — the parquet
     * analogue of seeking a posting list). Mirrors the PQ/IVF artifact
@@ -134,12 +161,8 @@ object Retrieval {
     * streaming twin appending `batch=<id>` partitions to the same three
     * dirs is [[graft.streaming.Streams.postingsMaintenance]].
     */
-  def buildPostings(docs: DataFrame, dir: String): Unit = {
-    val (postings, dict, meta) = indexPartials(docs)
-    postings.write.mode(SaveMode.Overwrite).parquet(s"$dir/postings")
-    dict.write.mode(SaveMode.Overwrite).parquet(s"$dir/dict")
-    meta.write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
-  }
+  def buildPostings(docs: DataFrame, dir: String): Unit =
+    writeIndexSlice(docs, s"$dir/postings", s"$dir/dict", s"$dir/meta")
 
   /** Top-k for `terms` served from a prebuilt postings artifact — no
     * corpus access; the scan touches only row groups containing the

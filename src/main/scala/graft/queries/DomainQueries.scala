@@ -762,7 +762,7 @@ object DomainQueries {
       """SELECT word, count(*) AS n FROM (
            SELECT unnest(regexp_split_to_array(trim(lower(text),
              ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
-             '\s+')) AS word
+             '[\s\x0B]+')) AS word
            FROM documents)
          GROUP BY word ORDER BY n DESC, word LIMIT 20""",
     "x3_handle_normalize" ->

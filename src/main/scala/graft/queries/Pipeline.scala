@@ -835,9 +835,9 @@ object Pipeline {
     // over the corpus (the serving counterpart of t21's chunk index; the
     // reference's token search is a prefix ILIKE scan,
     // api/routes/search.js:15-60). Scoring is BM25 with the rational
-    // Robertson idf and the k1=6/5, b=3/4 saturation term cross-multiplied
-    // to integer ratios — one IEEE division per factor, fixed-order term
-    // sum, so the doubles hash-match DuckDB bit-for-bit (t15/t20
+    // Robertson idf and the k1=6/5, b=3/4 saturation term reduced to
+    // L-normalized Int64-safe integer factors combined in a fixed IEEE
+    // operation order, so the doubles hash-match DuckDB bit-for-bit (t15/t20
     // precedent: no libm log in a compared value). Scale shape: the tf
     // aggregate sees only `word IN terms` rows (map-side filter before
     // the shuffle); N/L/df are tiny broadcast aggregates; ranking is
@@ -982,7 +982,7 @@ object Pipeline {
 
   /** DuckDB twin of Text.markerCount (space-padded split-count). */
   private def duckMarker(m: String): String =
-    s"(len(string_split(' ' || regexp_replace(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+', ' ', 'g') || ' ', ' $m ')) - 1)"
+    s"(len(string_split(' ' || regexp_replace(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\\s\\x0B]+', ' ', 'g') || ' ', ' $m ')) - 1)"
 
   private def duckLangScore(lang: String): String =
     Text.langMarkers.toMap.apply(lang).map(duckMarker).mkString(" + ")
@@ -1064,7 +1064,7 @@ object Pipeline {
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" ->
-      """SELECT md5(regexp_replace(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+', ' ', 'g')) AS fp,
+      """SELECT md5(regexp_replace(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\s\x0B]+', ' ', 'g')) AS fp,
            min(doc_id) AS keep_doc_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY keep_doc_id""",
     "d2_minhash_neardup" -> Dedup.jaccardOracleSql(3, 0.8),
@@ -1094,7 +1094,7 @@ object Pipeline {
     "d12_bloom_decontaminate" ->
       """WITH f AS (SELECT doc_id, lang, source,
            md5(array_to_string(
-             (regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+'))[1:5], ' '))
+             (regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\s\x0B]+'))[1:5], ' '))
              AS fp
          FROM documents),
          ev AS (SELECT DISTINCT fp FROM f WHERE doc_id % 20 = 0)
@@ -1153,7 +1153,7 @@ object Pipeline {
          ORDER BY a.vec_id""",
     "t14_length_outliers" ->
       """WITH d AS (SELECT doc_id, source,
-           len(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+')) AS tok
+           len(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\s\x0B]+')) AS tok
          FROM documents),
          b AS (SELECT source, quantile_cont(tok, 0.05) AS lo,
                  quantile_cont(tok, 0.95) AS hi
@@ -1164,7 +1164,7 @@ object Pipeline {
          ORDER BY d.doc_id""",
     "t15_tfidf_keywords" ->
       """WITH w AS (SELECT doc_id,
-           unnest(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+')) AS word
+           unnest(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\s\x0B]+')) AS word
          FROM documents),
          tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
          df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
@@ -1181,7 +1181,7 @@ object Pipeline {
          FROM r WHERE rn <= 3 ORDER BY doc_id, score DESC, word""",
     "t13_doc_freq" ->
       """WITH w AS (SELECT DISTINCT doc_id,
-           unnest(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+')) AS word
+           unnest(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\s\x0B]+')) AS word
          FROM documents),
          d AS (SELECT word, count(*) AS df FROM w GROUP BY 1),
          n AS (SELECT count(*) AS n_docs FROM documents)
@@ -1206,7 +1206,7 @@ object Pipeline {
          ORDER BY c.group_id, c.doc_id""",
     "t11_stratified_sample" ->
       """WITH d AS (SELECT doc_id, lang, source,
-           substr(md5(regexp_replace(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+', ' ', 'g')), 1, 1)
+           substr(md5(regexp_replace(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\s\x0B]+', ' ', 'g')), 1, 1)
              AS nib
          FROM documents)
          SELECT doc_id, lang, source FROM d
@@ -1217,8 +1217,8 @@ object Pipeline {
          ORDER BY doc_id""",
     "t12_seq_pack" ->
       """WITH d AS (SELECT doc_id, source,
-           md5(regexp_replace(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+', ' ', 'g')) AS fp,
-           len(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+')) AS tok
+           md5(regexp_replace(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\s\x0B]+', ' ', 'g')) AS fp,
+           len(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\s\x0B]+')) AS tok
          FROM documents),
          sh AS (SELECT doc_id, source, fp, tok,
            CAST(strpos('0123456789abcdef', substr(fp, 1, 1)) - 1 AS BIGINT)
@@ -1234,7 +1234,7 @@ object Pipeline {
          FROM c ORDER BY source, shard, chunk_id, chunk_offset, doc_id""",
     "t6_repetition" ->
       """WITH t AS (SELECT doc_id,
-           regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+') AS w
+           regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\s\x0B]+') AS w
          FROM documents),
          sh AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
                 FROM t, unnest(generate_series(1, len(w)-2)) AS g(i)),
@@ -1516,7 +1516,7 @@ object Pipeline {
          FROM r WHERE rank <= 5 ORDER BY probe_id, rank""",
     "t1_text_stats" ->
       """WITH d AS (SELECT source, lang, n_chars,
-           len(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+')) AS wc
+           len(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\s\x0B]+')) AS wc
          FROM documents)
          SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
            round(CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE)/count(n_chars), 4) AS avg_chars,
@@ -1535,9 +1535,9 @@ object Pipeline {
     "t3_quality_score" -> {
       val stop = Text.stopwords.map(duckMarker).mkString(" + ")
       s"""WITH d AS (SELECT doc_id,
-           len(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) AS wc,
+           len(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\\s\\x0B]+')) AS wc,
            ($stop) AS stopc,
-           len(list_filter(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+'),
+           len(list_filter(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\\s\\x0B]+'),
              x -> regexp_full_match(x, '^[a-z]+$$'))) AS alphac
          FROM documents)
          SELECT doc_id,
@@ -1548,7 +1548,7 @@ object Pipeline {
     },
     "t4_token_count" ->
       """WITH n AS (SELECT doc_id,
-           regexp_replace(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+', ' ', 'g') AS t
+           regexp_replace(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\s\x0B]+', ' ', 'g') AS t
          FROM documents)
          SELECT doc_id, length(t) AS n_chars_norm,
            len(string_split(t, ' ')) AS ws_tokens,
@@ -1556,21 +1556,21 @@ object Pipeline {
          FROM n ORDER BY doc_id""",
     "t5_fingerprint" ->
       """WITH t AS (SELECT doc_id, text,
-           regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+') AS w
+           regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\s\x0B]+') AS w
          FROM documents),
          sh AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
                 FROM t, unnest(generate_series(1, len(w)-2)) AS g(i)),
          m AS (SELECT doc_id, min(md5(s)) AS min_shingle_fp
                FROM sh GROUP BY 1)
          SELECT d.doc_id,
-           md5(regexp_replace(trim(lower(d.text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+', ' ', 'g')) AS doc_fp,
+           md5(regexp_replace(trim(lower(d.text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\s\x0B]+', ' ', 'g')) AS doc_fp,
            m.min_shingle_fp
          FROM documents d JOIN m ON d.doc_id = m.doc_id
          ORDER BY d.doc_id""",
     "t9_char_ngrams" ->
       """WITH nrm AS (SELECT lang,
            regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'),
-             '\s+', ' ', 'g') AS t
+             '[\s\x0B]+', ' ', 'g') AS t
          FROM documents),
          tri AS (SELECT lang, substr(t, i, 3) AS tri
                  FROM nrm, unnest(generate_series(1, length(t)-2)) AS g(i)),
@@ -1581,15 +1581,15 @@ object Pipeline {
          ORDER BY lang, rn""",
     "t7_hash_sample" ->
       """SELECT doc_id, lang, source FROM documents
-         WHERE substr(md5(regexp_replace(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+', ' ', 'g')), 1, 1)
+         WHERE substr(md5(regexp_replace(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\s\x0B]+', ' ', 'g')), 1, 1)
            IN ('0','1','2','3','4','5','6','7')
          ORDER BY doc_id""",
     "t8_quality_gate" -> {
       val stop = Text.stopwords.map(duckMarker).mkString(" + ")
       s"""WITH d AS (SELECT doc_id, lang,
-           len(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) AS wc,
+           len(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\\s\\x0B]+')) AS wc,
            ($stop) AS stopc,
-           len(list_filter(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+'),
+           len(list_filter(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\\s\\x0B]+'),
              x -> regexp_full_match(x, '^[a-z]+$$'))) AS alphac
          FROM documents),
          q AS (SELECT doc_id, lang,
@@ -1651,7 +1651,7 @@ object Pipeline {
       """WITH t AS (SELECT doc_id,
            regexp_split_to_array(trim(lower(text),
              ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
-             '\s+') AS w
+             '[\s\x0B]+') AS w
          FROM documents),
          sh AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g
                 FROM t, unnest(generate_series(1, len(w)-7)) AS gs(i)),
@@ -1730,7 +1730,7 @@ object Pipeline {
       """WITH t AS (SELECT doc_id, source,
            regexp_split_to_array(trim(lower(text),
              ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
-             '\s+') AS w
+             '[\s\x0B]+') AS w
          FROM documents),
          sh AS (SELECT doc_id, source, array_to_string(w[i:i+1], ' ') AS g
                 FROM t, unnest(generate_series(1, len(w)-1)) AS gs(i)
@@ -1787,7 +1787,7 @@ object Pipeline {
     // caveat t13/t12 already document)
     "t19_quality_classifier" ->
       """WITH tok AS (SELECT doc_id,
-           unnest(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+')) AS tok
+           unnest(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\s\x0B]+')) AS tok
          FROM documents),
          b AS (SELECT doc_id,
              (16*16*16*(strpos('0123456789abcdef', substr(md5(tok),1,1))-1)
@@ -1806,7 +1806,7 @@ object Pipeline {
          FROM sc ORDER BY doc_id""",
     "t20_unigram_surprisal" ->
       """WITH tok AS (SELECT doc_id,
-           unnest(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+')) AS tok
+           unnest(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\s\x0B]+')) AS tok
          FROM documents),
          v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
          tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v),
@@ -1822,16 +1822,17 @@ object Pipeline {
                 WHEN bits_sum*100 < n_tok*425 THEN 'middle'
                 ELSE 'tail' END AS band
          FROM per ORDER BY doc_id""",
-    // t22: same integer cross-multiplied BM25 as Retrieval.scoreCol —
-    // every factor is BIGINT math into one CAST-to-DOUBLE division, the
-    // four term scores summed in the same left-assoc order as the Scala
-    // reduceLeft, so the doubles are bit-identical.
+    // t22: same L-normalized integer-factor BM25 as Retrieval.scoreCol —
+    // BIGINT factors into CAST-to-DOUBLE divisions combined in the same
+    // fixed operation order as the Scala expression, the four term
+    // scores summed in the same left-assoc order as the reduceLeft, so
+    // the doubles are bit-identical.
     "t22_bm25_topk" ->
       """WITH d AS (SELECT doc_id,
-           CAST(len(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+')) AS BIGINT) AS dl
+           CAST(len(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\s\x0B]+')) AS BIGINT) AS dl
          FROM documents),
          w AS (SELECT doc_id,
-           unnest(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+')) AS word
+           unnest(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\s\x0B]+')) AS word
          FROM documents),
          tf AS (SELECT doc_id,
              CAST(SUM(CASE WHEN word = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS tf_dup,
@@ -1850,20 +1851,20 @@ object Pipeline {
            FROM tf),
          s AS (SELECT tf.doc_id, d.dl,
              (CAST(2*n_docs - 2*df_dup + 1 AS DOUBLE) / CAST(2*df_dup + 1 AS DOUBLE))
-               * (CAST(44*l_tot*tf_dup AS DOUBLE) / CAST(20*l_tot*tf_dup + 6*l_tot + 18*d.dl*n_docs AS DOUBLE))
+               * (CAST(44*tf_dup AS DOUBLE) / (CAST(20*tf_dup + 6 AS DOUBLE) + CAST(18*d.dl*n_docs AS DOUBLE) / CAST(l_tot AS DOUBLE)))
              + (CAST(2*n_docs - 2*df_vector + 1 AS DOUBLE) / CAST(2*df_vector + 1 AS DOUBLE))
-               * (CAST(44*l_tot*tf_vector AS DOUBLE) / CAST(20*l_tot*tf_vector + 6*l_tot + 18*d.dl*n_docs AS DOUBLE))
+               * (CAST(44*tf_vector AS DOUBLE) / (CAST(20*tf_vector + 6 AS DOUBLE) + CAST(18*d.dl*n_docs AS DOUBLE) / CAST(l_tot AS DOUBLE)))
              + (CAST(2*n_docs - 2*df_merge + 1 AS DOUBLE) / CAST(2*df_merge + 1 AS DOUBLE))
-               * (CAST(44*l_tot*tf_merge AS DOUBLE) / CAST(20*l_tot*tf_merge + 6*l_tot + 18*d.dl*n_docs AS DOUBLE))
+               * (CAST(44*tf_merge AS DOUBLE) / (CAST(20*tf_merge + 6 AS DOUBLE) + CAST(18*d.dl*n_docs AS DOUBLE) / CAST(l_tot AS DOUBLE)))
              + (CAST(2*n_docs - 2*df_scan + 1 AS DOUBLE) / CAST(2*df_scan + 1 AS DOUBLE))
-               * (CAST(44*l_tot*tf_scan AS DOUBLE) / CAST(20*l_tot*tf_scan + 6*l_tot + 18*d.dl*n_docs AS DOUBLE))
+               * (CAST(44*tf_scan AS DOUBLE) / (CAST(20*tf_scan + 6 AS DOUBLE) + CAST(18*d.dl*n_docs AS DOUBLE) / CAST(l_tot AS DOUBLE)))
              AS raw
            FROM tf JOIN d USING (doc_id), c, f)
          SELECT doc_id, dl, round(raw, 4) AS score
          FROM s ORDER BY score DESC, doc_id LIMIT 20""",
     "t21_chunk_windows" ->
       """WITH d AS (SELECT doc_id,
-           regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+') AS w
+           regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\s\x0B]+') AS w
          FROM documents),
          c AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS len,
              CASE WHEN len(w) <= 16 THEN 1
@@ -1884,12 +1885,12 @@ object Pipeline {
     "pipe1_corpus_build" -> {
       val stop = Text.stopwords.map(duckMarker).mkString(" + ")
       s"""WITH k1 AS (SELECT min(doc_id) AS doc_id FROM documents
-           GROUP BY md5(regexp_replace(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+', ' ', 'g'))),
+           GROUP BY md5(regexp_replace(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\\s\\x0B]+', ' ', 'g'))),
          s1 AS (SELECT d.* FROM documents d JOIN k1 USING (doc_id)),
          bt AS (SELECT doc_id, source,
              regexp_split_to_array(trim(lower(text),
                ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
-               '\\s+') AS w
+               '[\\s\\x0B]+') AS w
            FROM s1),
          sh AS (SELECT doc_id, source, array_to_string(w[i:i+1], ' ') AS g
                 FROM bt, unnest(generate_series(1, len(w)-1)) AS gs(i)
@@ -1904,9 +1905,9 @@ object Pipeline {
          s2 AS (SELECT s1.* FROM s1 JOIN per USING (doc_id)
                 WHERE per.n_boiler * 2 <= per.n_chunks),
          qd AS (SELECT doc_id, lang, source,
-             len(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) AS wc,
+             len(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\\s\\x0B]+')) AS wc,
              ($stop) AS stopc,
-             len(list_filter(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+'),
+             len(list_filter(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\\s\\x0B]+'),
                x -> regexp_full_match(x, '^[a-z]+$$'))) AS alphac
            FROM s2),
          s3 AS (SELECT doc_id, lang, source FROM qd

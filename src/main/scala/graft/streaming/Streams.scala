@@ -20,14 +20,19 @@ import graft.functions.Core._
   */
 object Streams {
 
-  /** events landing-zone schema (ts as TIMESTAMP(MICROS) without timezone,
-    * matching the fixture parquet — see Tables.normTs; the stream casts it
-    * to session-zone TimestampType so event-time ops see the same instants
-    * as the batch path).
+  /** events landing-zone schema, parameterized on the physical type the
+    * landing files carry for `ts`. The fixture has shipped events.ts as
+    * BOTH parquet TIMESTAMP(NANOS) — readable only as a raw LONG under
+    * the legacy conf — and TIMESTAMP(MICROS) no-tz (TIMESTAMP_NTZ); the
+    * batch loaders adapt (Tables.normTs), and the stream must too: a
+    * file stream's user schema is fixed up front, so a hard-pinned
+    * wrong variant fails every micro-batch with a parquet conversion
+    * error.
     */
-  val eventsSchema: StructType = StructType(Seq(
+  def eventsSchema(tsType: org.apache.spark.sql.types.DataType)
+      : StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", TimestampNTZType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -36,13 +41,27 @@ object Streams {
   /** T1: micro-batch file source over a landing directory. File arrival
     * order plays block-height order; the stream's checkpointLocation is
     * the `index_state` twin — restart resumes after the last committed
-    * batch, never re-emitting it.
+    * batch, never re-emitting it. The `ts` physical type is probed from
+    * the landing files with a one-off batch read (an empty landing dir
+    * falls back to the current micros fixture shape), then normalized
+    * to session-zone TimestampType exactly like the batch path.
     */
-  def eventsStream(spark: SparkSession, landingDir: String): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
-      .parquet(landingDir)
-      .withColumn("ts", col("ts").cast(TimestampType))
+  def eventsStream(spark: SparkSession, landingDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsIsRawNanos =
+      try spark.read.parquet(landingDir).schema("ts").dataType == LongType
+      catch { case _: Throwable => false }
+    if (tsIsRawNanos)
+      spark.readStream
+        .schema(eventsSchema(LongType))
+        .parquet(landingDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else
+      spark.readStream
+        .schema(eventsSchema(TimestampNTZType))
+        .parquet(landingDir)
+        .withColumn("ts", col("ts").cast(TimestampType))
+  }
 
   /** T4: exactly-once-ish key dedup, the streaming twin of the existence
     * probe on (pool_id, tx_hash, msg_index). State is the seen-key set;
@@ -715,11 +734,12 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ensureGuarded()
-        val (postings, dict, meta) = Retrieval.indexPartials(batch)
-        postings.write.mode("overwrite")
-          .parquet(s"$postingsPath/batch=$batchId")
-        dict.write.mode("overwrite").parquet(s"$dictPath/batch=$batchId")
-        meta.write.mode("overwrite").parquet(s"$metaPath/batch=$batchId")
+        // one tokenize pass per batch; dict/meta derive from the written
+        // postings partition (see Retrieval.writeIndexSlice)
+        Retrieval.writeIndexSlice(batch,
+          s"$postingsPath/batch=$batchId",
+          s"$dictPath/batch=$batchId",
+          s"$metaPath/batch=$batchId")
         ()
       }
       .start()

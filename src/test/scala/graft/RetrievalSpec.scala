@@ -83,9 +83,13 @@ class RetrievalSpec extends AnyFunSuite {
       // until execution (same convention as PlanLintSpec)
       val plan = Retrieval.bm25FromPostings(spark, dir, terms, 20)
         .queryExecution.sparkPlan
+      // "/postings" (the subdirectory), NOT "postings": the temp-dir
+      // prefix contains the bare word, so a bare match would also catch
+      // the dict scan — which carries its own word pushdown and would
+      // keep this green even if the postings scan lost its filter
       val postingsScans = plan.collect {
         case s: FileSourceScanExec
-            if s.metadata.getOrElse("Location", "").contains("postings") =>
+            if s.metadata.getOrElse("Location", "").contains("/postings") =>
           s.metadata.getOrElse("PushedFilters", "")
       }
       assert(postingsScans.nonEmpty)
