@@ -849,6 +849,25 @@ object Pipeline {
         Seq("dup", "vector", "merge", "scan"), 20)
     },
 
+    // API5: search-result facets — the serving composite every search
+    // UI pairs with t22's ranked hits (the reference's search route
+    // returns grouped token/pool/recent sections, api/routes/search.js:
+    // 62-118; facet counts are the corpus analogue): for docs matching
+    // ANY query term, doc and char counts per (lang, source). Pure
+    // integers (no score in the output), so the oracle is exact. Scale
+    // shape: arrays_overlap is a map-side per-row membership test — no
+    // explode, no shuffle before the facet aggregate, whose cardinality
+    // is |langs|×|sources|, never corpus-scale.
+    "api5_search_facets" -> { (s, d) =>
+      val terms = Seq("dup", "vector", "merge", "scan")
+      Tables.documents(s, d)
+        .filter(arrays_overlap(Text.words(col("text")),
+          array(terms.map(lit): _*)))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang"), col("source"))
+    },
+
     // T18: deterministic stratified dataset split — the reproducible
     // train/val/test assignment every corpus release needs: membership
     // by a salted content-independent hash of doc_id (the t7/t11/t17
@@ -1822,6 +1841,14 @@ object Pipeline {
                 WHEN bits_sum*100 < n_tok*425 THEN 'middle'
                 ELSE 'tail' END AS band
          FROM per ORDER BY doc_id""",
+    "api5_search_facets" ->
+      """SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM documents
+         WHERE list_has_any(
+           regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\s\x0B]+'),
+           ['dup', 'vector', 'merge', 'scan'])
+         GROUP BY lang, source ORDER BY lang, source""",
     // t22: same L-normalized integer-factor BM25 as Retrieval.scoreCol —
     // BIGINT factors into CAST-to-DOUBLE divisions combined in the same
     // fixed operation order as the Scala expression, the four term
