@@ -175,7 +175,13 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       q22() // warm
       Map("t22_serving" -> math.min(t(() => q22()), t(() => q22())))
-    } catch { case _: Throwable => Map.empty[String, Double] }
+    } catch { case e: Throwable =>
+      // absent-key with a visible cause, not a silent hole: a consumer
+      // diffing bench runs must be able to tell "build broke" from
+      // "entry not implemented"
+      System.err.println(s"[graft] t22_serving bench failed: $e")
+      Map.empty[String, Double]
+    }
     ann ++ text
     } catch { case _: Throwable => Map.empty }
     finally {

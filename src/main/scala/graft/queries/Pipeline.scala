@@ -1588,7 +1588,7 @@ object Pipeline {
          ORDER BY d.doc_id""",
     "t9_char_ngrams" ->
       """WITH nrm AS (SELECT lang,
-           regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'),
+           regexp_replace(regexp_replace(lower(text), '^[\s\x0B]+|[\s\x0B]+$', '', 'g'),
              '[\s\x0B]+', ' ', 'g') AS t
          FROM documents),
          tri AS (SELECT lang, substr(t, i, 3) AS tri

@@ -48,19 +48,36 @@ object Streams {
     */
   def eventsStream(spark: SparkSession, landingDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsIsRawNanos =
-      try spark.read.parquet(landingDir).schema("ts").dataType == LongType
-      catch { case _: Throwable => false }
-    if (tsIsRawNanos)
-      spark.readStream
-        .schema(eventsSchema(LongType))
-        .parquet(landingDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else
-      spark.readStream
-        .schema(eventsSchema(TimestampNTZType))
-        .parquet(landingDir)
-        .withColumn("ts", col("ts").cast(TimestampType))
+    // probe the PHYSICAL type the landing files carry and pin exactly it
+    // (collapsing "not long" to NTZ would break an LTZ-micros variant the
+    // batch loader passes through). An empty dir leaves the probe at the
+    // current micros-NTZ fixture default — that pin is for the stream's
+    // LIFETIME (a file source's user schema is fixed at creation), so
+    // starting the stream before ANY file has landed, against a
+    // different-variant producer, fails every micro-batch until restart;
+    // warn loudly instead of silently defaulting.
+    val probed: org.apache.spark.sql.types.DataType =
+      try spark.read.parquet(landingDir).schema("ts").dataType
+      catch {
+        case e: Throwable =>
+          System.err.println(
+            s"[graft] eventsStream: cannot probe ts type in $landingDir " +
+              s"(${e.getMessage}); defaulting to TIMESTAMP_NTZ — restart " +
+              "the stream if the first landed files carry another variant")
+          TimestampNTZType
+      }
+    probed match {
+      case LongType =>
+        spark.readStream
+          .schema(eventsSchema(LongType))
+          .parquet(landingDir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case t =>
+        spark.readStream
+          .schema(eventsSchema(t))
+          .parquet(landingDir)
+          .withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** T4: exactly-once-ish key dedup, the streaming twin of the existence

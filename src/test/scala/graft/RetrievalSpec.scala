@@ -33,6 +33,35 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("BM25 behavioral properties: term monotonicity, rarity weighting, " +
+      "length penalty") {
+    import spark.implicits._
+    // crafted corpus: controlled tf/dl/df so the BM25 shape is assertable
+    val docs = Seq(
+      (1L, "rare common filler filler filler"),       // rare once, short
+      (2L, "rare rare common filler filler"),         // rare twice
+      (3L, "common filler filler filler filler"),     // common only
+      (4L, "rare common " + Seq.fill(48)("filler").mkString(" ")), // long
+      (5L, "filler filler filler filler filler"),     // no query terms
+      (6L, "common common filler filler filler")      // common twice
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, Seq("rare", "common"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // docs with no query term never appear
+    assert(!out.contains(5L))
+    // term-frequency monotonicity at equal length: doc 2 (rare x2)
+    // outscores doc 1 (rare x1); doc 6 (common x2) outscores doc 3
+    assert(out(2L) > out(1L))
+    assert(out(6L) > out(3L))
+    // rarity weighting: 'rare' (df=3) contributes more than 'common'
+    // (df=5) at equal tf and dl — doc 1 vs doc 6 both have one extra
+    // occurrence beyond the shared 'common', doc 1's being the rare term
+    assert(out(1L) > out(6L))
+    // length penalty: same tf (rare+common once each), longer doc scores
+    // lower
+    assert(out(4L) < out(1L))
+  }
+
   test("streamed postings index serves the same top-k as the batch build") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.streaming.Trigger
