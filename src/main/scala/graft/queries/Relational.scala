@@ -537,6 +537,49 @@ object Relational {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // b6 = Q4 order-priority checking (shape): a date-windowed dim side
+    // EXISTS-probed against the fact with a cross-table line predicate —
+    // the canonical "orders with at least one late line" semi-join. The
+    // fixture lacks commit/receipt dates, so lateness is l_shipdate more
+    // than 60 days after o_orderdate; the plan shape (windowed scan →
+    // one shuffled left-semi with an equi key + non-equi conjunct → tiny
+    // group-by) is Q4's. The semi-join dedups order keys BEFORE the
+    // aggregate, so the agg input is bounded by |orders in window|.
+    "b6_tpch_q4" -> { (s, d) =>
+      val from = to_timestamp(lit("1996-01-01 00:00:00"))
+      val until = to_timestamp(lit("1996-07-01 00:00:00"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= from && col("o_orderdate") < until)
+      val l = Tables.lineitem(s, d)
+      o.join(l,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // b7 = Q12 shipmode/priority (shape): fact⋈dim with a date-windowed
+    // fact scan and a two-way conditional count by priority class —
+    // grouped by l_linestatus standing in for shipmode. Every fact
+    // predicate is in PushedFilters; the join shuffles on the order key
+    // and the aggregate is |linestatus|-row.
+    "b7_tpch_q12" -> { (s, d) =>
+      val from = to_timestamp(lit("1997-01-01 00:00:00"))
+      val until = to_timestamp(lit("1998-01-01 00:00:00"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= from && col("l_shipdate") < until)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          count_if(col("o_orderpriority") === "1-URGENT" ||
+            col("o_orderpriority") === "2-HIGH").as("high_line_count"),
+          count_if(col("o_orderpriority") =!= "1-URGENT" &&
+            col("o_orderpriority") =!= "2-HIGH").as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    },
+
     // S2: tx-hash derivation — upper-hex sha256 of the base64-DECODED tx
     // bytes (core/parse.js:20): the wire form is base64, the hash input is
     // the decoded payload. Round 1 hashed the raw text and mirrored that
@@ -915,6 +958,25 @@ object Relational {
            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
            AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          GROUP BY 1 ORDER BY revenue DESC, n_name""",
+    "b6_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem
+             WHERE l_orderkey = o_orderkey
+               AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY 1 ORDER BY 1""",
+    "b7_tpch_q12" ->
+      """SELECT l_linestatus,
+           count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+             AS high_line_count,
+           count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+             AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY 1 ORDER BY 1""",
     "s2_txhash" ->
       """SELECT doc_id,
          upper(sha256(decode(from_base64(base64(encode(text)))))) AS tx_hash

@@ -99,7 +99,9 @@ class PlanLintSpec extends AnyFunSuite {
     // their date windows into the orders scan
     "b3_tpch_q6" -> "l_shipdate",
     "b2_tpch_q3" -> "o_orderdate",
-    "b5_tpch_q5" -> "o_orderdate")
+    "b5_tpch_q5" -> "o_orderdate",
+    "b6_tpch_q4" -> "o_orderdate",
+    "b7_tpch_q12" -> "l_shipdate")
 
   test("time-cutoff, keyset, and lookup queries keep their scan pushdown") {
     val missing = mustPush.toSeq.sortBy(_._1).flatMap { case (name, col) =>
