@@ -95,8 +95,9 @@ class PlanLintSpec extends AnyFunSuite {
     "api4_token_detail" -> "c_custkey",
     "api1_token_list" -> "event_type",
     // the TPC-H anchors' headline claims: Q6 is the pure
-    // scan-filter-aggregate (every predicate at the scan), Q3/Q5 carry
-    // their date windows into the orders scan
+    // scan-filter-aggregate (every predicate at the scan); Q3/Q5/Q4
+    // carry their date windows into the orders scan, Q12 into the
+    // lineitem scan
     "b3_tpch_q6" -> "l_shipdate",
     "b2_tpch_q3" -> "o_orderdate",
     "b5_tpch_q5" -> "o_orderdate",
