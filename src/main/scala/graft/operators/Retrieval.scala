@@ -8,9 +8,11 @@ import graft.functions.Text
 
 /** Full-text retrieval over the corpus — the RAG-serving counterpart of
   * the chunking/indexing ops (t21 cuts documents into embed/index units;
-  * this ranks whole documents for a term query). The reference exposes
-  * token search as a prefix/ILIKE scan (api/routes/search.js:15-60); a
-  * training-data engine additionally needs relevance-ranked retrieval,
+  * this ranks whole documents for a term query). The reference's nearest
+  * shape is the multi-key token lookup (api/util/resolve-token.js:10-28:
+  * denom/symbol/name matched case-insensitively, tie-broken by match
+  * quality) — lookup, not ranking; a training-data engine (per the
+  * builder brief) additionally needs relevance-ranked retrieval,
   * so the scorer is BM25 (Robertson et al.) with two deliberate,
   * engine-exactness-preserving substitutions, both following the t15/t20
   * precedent of never letting a libm call into a hash-compared value:
@@ -148,8 +150,53 @@ object Retrieval {
     // every doc has >= 1 posting (empty text still tokenizes to the ''
     // token, both engines), so per-doc rows reconstruct N and L exactly
     written.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("l_tot"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("l_tot"),
+        max(col("dl")).as("max_dl"))
+      .select(col("n_docs"), col("l_tot"),
+        assertDlBounded(col("max_dl")).as("max_dl_checked"))
+      .select(col("n_docs"), col("l_tot"))
       .write.mode(SaveMode.Overwrite).parquet(metaDir)
+  }
+
+  /** Int64-safety bound on a single document's token length. scoreCol's
+    * largest integer product is 18·dl·n_docs; at the N = 1e10-docs
+    * design point that overflows Long once dl exceeds
+    * (2^63−1)/18/1e10 ≈ 5.1e7 tokens — one pathological giant document
+    * would make ANSI-mode Spark (and the DuckDB twin) throw at SERVE
+    * time. writeIndexSlice validates at BUILD time instead (the
+    * read-back pass is already paid), failing with the bound in the
+    * message; the direct bm25TopK path computes dl in-query and relies
+    * on the same documented bound (ANSI overflow is its fail-safe).
+    */
+  val MaxDocLenTokens: Long = Long.MaxValue / 18L / 10000000000L
+
+  private def assertDlBounded(maxDl: Column): Column =
+    when(maxDl > lit(MaxDocLenTokens), raise_error(concat(
+      lit("graft.Retrieval: document length "), maxDl.cast("string"),
+      lit(s" tokens exceeds MaxDocLenTokens=$MaxDocLenTokens; " +
+        "18*dl*n_docs would overflow Int64 at the 1e10-doc design " +
+        "point. Split or drop the document before indexing."))))
+      .otherwise(maxDl)
+
+  /** Doc_ids indexed by MORE than one micro-batch partition — violations
+    * of the postingsMaintenance append-only precondition (see its
+    * Scaladoc): cross-batch re-delivery of a doc_id double-counts its
+    * tf/df/n_docs/l_tot contributions at serve time. Returns the
+    * offending (doc_id, n_batches) rows; empty ⇔ the streamed index is
+    * serve-equivalent to a one-shot build. Index-artifact-scale scan
+    * (postings rows, never the corpus) — run as an on-demand
+    * maintenance check. A one-shot buildPostings artifact has no
+    * `batch` partition column and trivially passes.
+    */
+  def postingsDisjointnessViolations(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val post = spark.read.parquet(s"$dir/postings")
+    if (!post.columns.contains("batch"))
+      post.select(col("doc_id"), lit(1L).as("n_batches")).limit(0)
+    else
+      post.select(col("doc_id"), col("batch")).distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_batches"))
+        .filter(col("n_batches") > 1L)
   }
 
   /** Inverted-index artifact: `postings/`, `dict/`, `meta/` (see

@@ -833,8 +833,9 @@ object Pipeline {
 
     // T22: BM25 document retrieval — relevance-ranked full-text search
     // over the corpus (the serving counterpart of t21's chunk index; the
-    // reference's token search is a prefix ILIKE scan,
-    // api/routes/search.js:15-60). Scoring is BM25 with the rational
+    // reference's nearest shape is the multi-key exact/ci token lookup,
+    // api/util/resolve-token.js:10-28 — lookup, not ranking; relevance
+    // ranking is builder-brief scope). Scoring is BM25 with the rational
     // Robertson idf and the k1=6/5, b=3/4 saturation term reduced to
     // L-normalized Int64-safe integer factors combined in a fixed IEEE
     // operation order, so the doubles hash-match DuckDB bit-for-bit (t15/t20
@@ -850,9 +851,10 @@ object Pipeline {
     },
 
     // API5: search-result facets — the serving composite every search
-    // UI pairs with t22's ranked hits (the reference's search route
-    // returns grouped token/pool/recent sections, api/routes/search.js:
-    // 62-118; facet counts are the corpus analogue): for docs matching
+    // UI pairs with t22's ranked hits (the reference's token list route
+    // returns grouped/ranked sections over joined aggregates,
+    // api/routes/tokens.js:193-241; facet counts are the corpus
+    // analogue): for docs matching
     // ANY query term, doc and char counts per (lang, source). Pure
     // integers (no score in the output), so the oracle is exact. Scale
     // shape: arrays_overlap is a map-side per-row membership test — no

@@ -42,29 +42,35 @@ object Streams {
     * order plays block-height order; the stream's checkpointLocation is
     * the `index_state` twin — restart resumes after the last committed
     * batch, never re-emitting it. The `ts` physical type is probed from
-    * the landing files with a one-off batch read (an empty landing dir
-    * falls back to the current micros fixture shape), then normalized
-    * to session-zone TimestampType exactly like the batch path.
+    * the landing files with a one-off batch read, then normalized to
+    * session-zone TimestampType exactly like the batch path. An empty
+    * (unprobeable) landing dir fails fast unless the caller pins the
+    * producer's type via `tsTypeIfEmpty` — the file source fixes its
+    * schema at creation, so a wrong guess wedges the stream for life.
     */
-  def eventsStream(spark: SparkSession, landingDir: String): DataFrame = {
+  def eventsStream(spark: SparkSession, landingDir: String,
+                   tsTypeIfEmpty: Option[org.apache.spark.sql.types.DataType] = None)
+      : DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // probe the PHYSICAL type the landing files carry and pin exactly it
     // (collapsing "not long" to NTZ would break an LTZ-micros variant the
-    // batch loader passes through). An empty dir leaves the probe at the
-    // current micros-NTZ fixture default — that pin is for the stream's
-    // LIFETIME (a file source's user schema is fixed at creation), so
-    // starting the stream before ANY file has landed, against a
-    // different-variant producer, fails every micro-batch until restart;
-    // warn loudly instead of silently defaulting.
+    // batch loader passes through). The pin is for the stream's LIFETIME
+    // (a file source's user schema is fixed at creation), so a guessed
+    // default against an empty dir would make EVERY micro-batch fail
+    // until a manual restart if the producer lands the other variant.
+    // Fail fast instead: require one landed file, or an explicit
+    // `tsTypeIfEmpty` pin from a caller who knows the producer's type.
     val probed: org.apache.spark.sql.types.DataType =
       try spark.read.parquet(landingDir).schema("ts").dataType
       catch {
         case e: Throwable =>
-          System.err.println(
-            s"[graft] eventsStream: cannot probe ts type in $landingDir " +
-              s"(${e.getMessage}); defaulting to TIMESTAMP_NTZ — restart " +
-              "the stream if the first landed files carry another variant")
-          TimestampNTZType
+          tsTypeIfEmpty.getOrElse(throw new IllegalStateException(
+            s"eventsStream: cannot probe ts type in $landingDir " +
+              s"(${e.getMessage}). The file source pins its schema for " +
+              "the stream's lifetime, so guessing here would wedge the " +
+              "stream if the producer lands the other timestamp variant. " +
+              "Land one file first, or pass tsTypeIfEmpty to pin the " +
+              "producer's known type explicitly.", e))
       }
     probed match {
       case LongType =>
@@ -735,6 +741,18 @@ object Streams {
     * rewrites its own partition instead of double-counting df/l_tot
     * partials. Same `_stream_id` precondition as the other two: a fresh
     * checkpoint pointed at populated index dirs fails fast.
+    *
+    * PRECONDITION — doc_ids disjoint across micro-batches (append-only
+    * corpus). The batch ≡ stream serve-equivalence holds because each
+    * doc's tf/dl/n_docs/l_tot contribution lives in exactly one
+    * `batch=<id>` partition. A doc RE-DELIVERED in a later batch (an
+    * update or a duplicate landing file — NOT a checkpoint retry, which
+    * overwrites its own partition) is summed twice at serve time,
+    * silently skewing scores. Document updates need a rebuild
+    * ([[graft.operators.Retrieval.buildPostings]]) or an offline
+    * compaction of the offending doc's partitions;
+    * [[graft.operators.Retrieval.postingsDisjointnessViolations]] is
+    * the on-demand detector (RetrievalSpec pins it both ways).
     */
   def postingsMaintenance(docs: DataFrame, indexDir: String,
                           checkpoint: String)

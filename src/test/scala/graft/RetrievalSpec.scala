@@ -26,6 +26,9 @@ class RetrievalSpec extends AnyFunSuite {
       val served = Retrieval.bm25FromPostings(spark, dir, terms, 20)
         .collect().toSeq
       assert(served == direct)
+      // one-shot build: no batch partitions → detector trivially passes
+      assert(Retrieval.postingsDisjointnessViolations(spark, dir)
+        .collect().isEmpty)
     } finally {
       val p = new org.apache.hadoop.fs.Path(dir)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -93,6 +96,19 @@ class RetrievalSpec extends AnyFunSuite {
         .collect().toSeq
       val direct = Retrieval.bm25TopK(docs, terms, 20).collect().toSeq
       assert(served == direct)
+      // the equivalence above holds under the append-only precondition:
+      // doc_ids disjoint across micro-batches. Pin the detector both
+      // ways — clean index is violation-free...
+      assert(Retrieval.postingsDisjointnessViolations(spark, idx)
+        .collect().isEmpty)
+      // ...and a RE-DELIVERED doc (same doc_id, later batch — an update,
+      // not a checkpoint retry) is flagged by exactly its doc_id
+      docs.filter(col("doc_id") === 0).coalesce(1)
+        .write.parquet(s"$land/t3")
+      runOnce()
+      val bad = Retrieval.postingsDisjointnessViolations(spark, idx)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(bad == Seq((0L, 2L)), s"expected doc 0 in 2 batches: $bad")
     } finally {
       Seq(land, idx, ckpt).foreach { d =>
         val p = new org.apache.hadoop.fs.Path(d)
