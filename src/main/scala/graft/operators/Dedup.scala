@@ -367,14 +367,15 @@ object Dedup {
     * key — both sides hash-partition on (doc_a, doc_b); CC is the
     * bounded-round min-label loop. Nothing materializes on the driver.
     */
-  def embeddingGraphGroups(vecs: DataFrame, k: Int, theta: Double)
+  def embeddingGraphGroups(vecs: DataFrame, k: Int, theta: Double,
+                           tables: Int = 4, bits: Int = 6)
       : DataFrame = {
     // materialize the θ-cut edge list ONCE: it feeds both sides of the
     // mutuality self-join and every CC round — without the cut, the
     // whole kNN graph (buckets, scoring, ranking) re-computes per
     // consumer. Edge volume is ≤ k rows per vector, far below the
     // corpus the graph was built from.
-    val edges = Similarity.knnGraph(vecs, k)
+    val edges = Similarity.knnGraph(vecs, k, tables, bits)
       .filter(col("cosine") >= theta)
       .select(col("probe_id").as("doc_a"), col("neighbor_id").as("doc_b"))
       .localCheckpoint(true)

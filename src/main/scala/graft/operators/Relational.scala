@@ -67,6 +67,30 @@ object Relational {
       .drop("__rn")
   }
 
+  /** Skew-safe top-k per group: the window form ([[topKPerGroup]]) sorts
+    * each group in ONE task, so a hot key (the main pool holding half the
+    * trades — the realistic DEX shape) serializes half the table through
+    * a single sort. Two stages instead: stage 1 takes the per-(key, salt)
+    * top-k — the hot key's sort fans out across `saltBuckets` tasks —
+    * and stage 2 re-ranks only the k·saltBuckets survivors per key.
+    * Exact for any row-level total order (the global top-k is a subset
+    * of the union of per-bucket top-ks); `ord` must end in a unique
+    * tiebreak for determinism, same contract as the window form.
+    * SkewSpec pins value-identity against [[topKPerGroup]]; the bench
+    * carries the hot-key pair (skew_topk_naive vs skew_topk_salted).
+    */
+  def topKPerGroupSalted(df: DataFrame, keys: Seq[String], ord: Seq[Column],
+                         k: Int, saltBuckets: Int): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)))
+    val w1 = Window.partitionBy((keys.map(col) :+ col("__salt")): _*)
+      .orderBy(ord: _*)
+    val survivors = salted.withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= k)
+      .drop("__rn", "__salt")
+    topKPerGroup(survivors, keys, ord, k)
+  }
+
   /** Skew-safe aggregation: two-stage (salted partial → final) groupBy for
     * hot keys. At 100 TB a handful of keys (the main pool, the router
     * signer) can hold a large share of rows; a single groupBy funnels each

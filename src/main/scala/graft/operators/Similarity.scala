@@ -177,7 +177,18 @@ object Similarity {
     * knn-graph shape SemDeDup-style clustering and graph-based dedup
     * consume; defaults trade recall down (fewer tables, longer codes)
     * relative to the serving paths because the graph pays candidates on
-    * EVERY row, not a query batch. Output matches lshTopK: one row per
+    * EVERY row, not a query batch.
+    *
+    * SCALE CONTRACT — `bits` must grow with log2(n). Σ bucket² is only
+    * bounded while per-bucket occupancy is bounded; with 2^bits buckets
+    * per table, occupancy is n / 2^bits, so a FIXED code width turns the
+    * candidate join quadratic as the corpus grows (measured in
+    * SCALING.json: the 4×6-bit default is calibrated to the sf0.1
+    * fixture's 2k vectors; at 10×/30× the fixed geometry superlinearly
+    * blows up while bits = 6 + log2(n/2000) holds the slope linear).
+    * Callers at corpus scale pass bits ≈ log2(n) − log2(target
+    * occupancy); recall lost to narrower buckets is bought back with
+    * `tables`, the standard LSH trade. Output matches lshTopK: one row per
     * (probe_id, rank≤k) edge — a vector whose buckets contain no other
     * vector contributes no edges (isolated node).
     */

@@ -405,6 +405,22 @@ object Relational {
         .orderBy(col("c_nationkey"), col("c_acctbal").desc, col("c_custkey"))
     },
 
+    // O8: the skew-safe two-stage form of o7 — same answer (the oracle
+    // is o7's SQL verbatim: salting is an execution strategy, not a
+    // semantics change), but a hot group's sort fans out across salt
+    // buckets instead of serializing through one window task. The
+    // hot-key timing pair lives in Bench (skew_topk_naive vs
+    // skew_topk_salted on a 50%-hot-key frame).
+    "o8_topk_salted" -> { (s, d) =>
+      graft.operators.Relational.topKPerGroupSalted(
+        Tables.customer(s, d)
+          .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal")),
+        Seq("c_nationkey"),
+        Seq(col("c_acctbal").desc, col("c_custkey")), k = 3,
+        saltBuckets = 8)
+        .orderBy(col("c_nationkey"), col("c_acctbal").desc, col("c_custkey"))
+    },
+
     // O6: router-leg combine — exact groupBy instead of the reference's
     // oversample heuristic (api/routes/trades.js:237-321,469; SURVEY F10).
     "o6_router_combine" -> { (s, d) =>
@@ -864,6 +880,15 @@ object Relational {
          ON c_custkey = lv.user_id
          ORDER BY last_seen ASC, c_custkey LIMIT 20""",
     "o7_topk_per_group" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal FROM (
+           SELECT c_nationkey, c_custkey, c_acctbal, row_number() OVER (
+             PARTITION BY c_nationkey
+             ORDER BY c_acctbal DESC, c_custkey) AS rn
+           FROM customer) WHERE rn <= 3
+         ORDER BY c_nationkey, c_acctbal DESC, c_custkey""",
+    // o8 = o7's oracle verbatim: the salted two-stage plan must be
+    // value-identical to the single-window plan
+    "o8_topk_salted" ->
       """SELECT c_nationkey, c_custkey, c_acctbal FROM (
            SELECT c_nationkey, c_custkey, c_acctbal, row_number() OVER (
              PARTITION BY c_nationkey

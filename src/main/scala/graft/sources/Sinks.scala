@@ -127,6 +127,50 @@ object Sinks {
       .sortBy(bucketCol)
       .saveAsTable(table)
 
+  /** Bucket-preserving compaction — [[compactSmallFiles]] for BUCKETED
+    * tables, where the path-based pass would be a correctness bug: a
+    * plain repartition(n) rewrite scatters each bucket's rows across
+    * files, the rewritten table loses its bucket metadata, and every
+    * join that was shuffle-free pays the exchange again. Instead:
+    * re-read the table, cluster back to one partition per bucket with
+    * repartition(numBuckets, bucketCols) — Spark's repartition uses the
+    * same murmur3 HashPartitioning that bucketing does, so each write
+    * task holds exactly one bucket and emits exactly ONE file — and
+    * rewrite through the SAME bucketBy/sortBy path into a staging
+    * table, then swap names in the catalog. Result: file count drops
+    * from files-per-ingest × buckets to one per non-empty bucket (at
+    * most `buckets`), and the no-Exchange join property is untouched
+    * (SinkSpec pins both).
+    */
+  def compactBucketed(spark: SparkSession, table: String): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"compactBucketed: $table has no bucket spec — use " +
+        "compactSmallFiles for unbucketed layouts"))
+    val bucketCols = spec.bucketColumnNames.map(col)
+    // read the table's FILES as plain parquet, not spark.table(table):
+    // against the bucketed scan the optimizer can simultaneously drop
+    // the repartition as redundant (the scan claims the bucket hash
+    // partitioning) AND disable the bucketed scan as unnecessary for a
+    // write — leaving size-packed input partitions and one file per
+    // (task × bucket) instead of one per bucket. A metadata-free read
+    // keeps the exchange real; repartition's murmur3-pmod is the same
+    // mapping the bucket writer uses, so each task holds exactly one
+    // bucket and emits exactly one file.
+    val clustered = spark.read.parquet(meta.location.toString)
+      .repartition(spec.numBuckets, bucketCols: _*)
+    val staging = s"${table}_compacting"
+    var w = clustered.write.mode(SaveMode.Overwrite)
+      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+        spec.bucketColumnNames.tail: _*)
+    if (spec.sortColumnNames.nonEmpty)
+      w = w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+    w.saveAsTable(staging)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+  }
+
   /** Small-file compaction — the maintenance pass every append-heavy
     * layout needs at scale: a 120 ms-flush ingest (T3) leaves thousands
     * of row-group-sized files per partition, and scan cost becomes file-

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+/** Skew-safe plan variants must be VALUE-identical to their naive
+  * single-task forms — salting is an execution strategy, never a
+  * semantics change. The timing evidence (hot key = 50% of rows, salted
+  * beating naive) lives in Bench's skew_* entries; this spec pins the
+  * correctness half of that pair.
+  */
+class SkewSpec extends AnyFunSuite {
+
+  import SparkTestSession.{spark, sfDir}
+  import spark.implicits._
+
+  private val ord = Seq(col("c_acctbal").desc, col("c_custkey"))
+
+  test("salted top-k == window top-k on the customer fixture, " +
+      "across bucket counts") {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+    val naive = Relational.topKPerGroup(cust, Seq("c_nationkey"), ord, 3)
+      .orderBy(col("c_nationkey"), col("c_acctbal").desc, col("c_custkey"))
+      .collect().toSeq
+    for (buckets <- Seq(1, 8, 32)) {
+      val salted = Relational
+        .topKPerGroupSalted(cust, Seq("c_nationkey"), ord, 3, buckets)
+        .orderBy(col("c_nationkey"), col("c_acctbal").desc, col("c_custkey"))
+        .collect().toSeq
+      assert(salted == naive, s"diverged at saltBuckets=$buckets")
+    }
+  }
+
+  test("salted top-k == window top-k on a constructed 50%-hot-key frame " +
+      "with heavy ties") {
+    // hot group 0 holds half the rows; values collide in runs of 10 so
+    // the unique tiebreak (id) is load-bearing on both plans
+    val df = (0L until 20000L).map { i =>
+      val g = if (i % 2 == 0) 0L else 1L + i % 37
+      (g, (i / 10) % 100, i)
+    }.toDF("g", "v", "id")
+    val o = Seq(col("v").desc, col("id"))
+    val naive = Relational.topKPerGroup(df, Seq("g"), o, 5)
+      .orderBy(col("g"), col("v").desc, col("id")).collect().toSeq
+    val salted = Relational.topKPerGroupSalted(df, Seq("g"), o, 5, 16)
+      .orderBy(col("g"), col("v").desc, col("id")).collect().toSeq
+    assert(salted == naive)
+    // the hot group really is hot, and k rows survive for every group
+    assert(naive.count(_.getLong(0) == 0L) == 5)
+    assert(naive.size == 5 * (1 + 37))
+  }
+
+  test("k larger than a salt bucket's share still returns the exact " +
+      "global top-k (survivor-union covers it)") {
+    // 40 rows in one group, k=25, 16 buckets → ~2-3 rows per bucket,
+    // every row survives stage 1; stage 2 must still cut to exactly 25
+    val df = (0L until 40L).map(i => (1L, i, i)).toDF("g", "v", "id")
+    val o = Seq(col("v").desc, col("id"))
+    val naive = Relational.topKPerGroup(df, Seq("g"), o, 25)
+      .orderBy(col("v").desc).collect().toSeq
+    val salted = Relational.topKPerGroupSalted(df, Seq("g"), o, 25, 16)
+      .orderBy(col("v").desc).collect().toSeq
+    assert(salted == naive)
+    assert(salted.size == 25)
+  }
+}

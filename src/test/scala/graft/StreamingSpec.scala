@@ -815,4 +815,95 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchAlerts == Set((1L, 3720L), (1L, 4500L)))
     assert(streamed == batchAlerts)
   }
+
+  test("event-time end-to-end chain: watermarked dedup → event-time " +
+      "stream-stream as-of → alert eval; batch ≡ stream on the final " +
+      "alert set; beyond-delay straggler dropped per contract") {
+    // the event-time variant of the chain above (r9 verdict #7): stage 1
+    // dedups replays with a LONG (1 h) watermark delay, stage 2 is the
+    // watermark-gated as-of with a SHORT (300 s) delay — so the injected
+    // straggler (id 9, 400 s behind the as-of watermark at arrival)
+    // SURVIVES dedup into the clean zone but is dropped by the as-of
+    // stage's standard late-data filter, exactly the documented contract
+    // boundary of asOfStreamStreamEventTime.
+    val factsLand = tmpDir("graft-etc-facts")
+    val refsLand = tmpDir("graft-etc-refs")
+    val cleanDir = tmpDir("graft-etc-clean") + "/t"
+    val matchDir = tmpDir("graft-etc-match") + "/t"
+    val ck1 = tmpDir("graft-etc-ck1")
+    val ck2 = tmpDir("graft-etc-ck2")
+    def tick(name: String, facts: Seq[(Long, Long, Long)],
+             refs: Seq[(Long, Long, Double)]): Unit = {
+      if (facts.nonEmpty)
+        facts.toDF("key", "t", "id").coalesce(1)
+          .write.parquet(s"$factsLand/$name")
+      if (refs.nonEmpty)
+        refs.toDF("key", "t", "v").coalesce(1)
+          .write.parquet(s"$refsLand/$name")
+      // stage 1: watermarked dedup into the clean zone (replays and
+      // in-batch dups absorbed; 1 h delay keeps the straggler eligible)
+      val raw = spark.readStream
+        .schema("key BIGINT, t BIGINT, id BIGINT")
+        .option("recursiveFileLookup", "true").parquet(factsLand)
+        .withColumn("ts", timestamp_seconds(col("t")))
+      val q1 = Streams.dedupeKeysWatermarked(raw, "ts", "1 hour", Seq("id"))
+        .drop("ts")
+        .writeStream.format("parquet").option("path", cleanDir)
+        .outputMode("append").option("checkpointLocation", ck1)
+        .trigger(Trigger.AvailableNow()).start()
+      q1.awaitTermination()
+      // stage 2: event-time as-of over clean facts × refs (300 s delay)
+      val cleanFacts = spark.readStream
+        .schema("key BIGINT, t BIGINT, id BIGINT").parquet(cleanDir)
+      val refStream = spark.readStream
+        .schema("key BIGINT, t BIGINT, v DOUBLE")
+        .option("recursiveFileLookup", "true").parquet(refsLand)
+      val q2 = Streams.asOfStreamStreamEventTime(
+          cleanFacts, refStream, delay = "300 seconds")
+        .toDF().writeStream.format("parquet").option("path", matchDir)
+        .outputMode("append").option("checkpointLocation", ck2)
+        .trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination()
+    }
+    // watermark (delay 300 s) advances tick-over-tick; each tick flushes
+    // the pending facts its START-of-batch watermark has passed
+    tick("b1", Seq((1L, 1000L, 1L), (1L, 1300L, 2L), (1L, 1300L, 2L)),
+      Seq((1L, 900L, 10.0), (1L, 1200L, 20.0)))          // wm 0 → 1000
+    tick("b2", Seq((1L, 1600L, 3L), (1L, 1300L, 2L),     // replay of id 2
+        (1L, 600L, 9L)),                                 // straggler: 600 < wm 1000
+      Seq((1L, 1500L, 30.0)))                            // wm 1000 → 1300; id 1 flushed
+    tick("b3", Seq((1L, 2000L, 4L)), Seq((1L, 1900L, 40.0))) // wm 1300→1700; id 2 flushed
+    tick("b4", Seq.empty, Seq((1L, 2400L, 50.0)))        // wm 1700→2100; id 3 flushed
+    tick("b5", Seq.empty, Seq((1L, 2700L, 60.0)))        // wm 2100→2400; id 4 flushed
+    // dedup held: replays collapsed, straggler PRESENT in the clean zone
+    // (it is not late for the 1 h dedup delay)
+    val clean = spark.read.parquet(cleanDir).select("id")
+      .as[Long].collect().toSeq
+    assert(clean.sorted == Seq(1L, 2L, 3L, 4L, 9L))
+    // batch twin: distinct facts, minus the contract-dropped straggler,
+    // each matched to the prevailing ref at its event time in plain Scala
+    val refs = Seq((900L, 10.0), (1200L, 20.0), (1500L, 30.0),
+      (1900L, 40.0), (2400L, 50.0), (2700L, 60.0))
+    val eligible = Seq((1000L, 1L), (1300L, 2L), (1600L, 3L), (2000L, 4L))
+    val batchMatches = eligible.map { case (t, id) =>
+      id -> refs.filter(_._1 <= t).lastOption.map(_._2)
+    }.toMap
+    val streamMatches = spark.read.parquet(matchDir)
+      .select("id", "ref").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(streamMatches == batchMatches,
+      s"stream $streamMatches != batch $batchMatches")
+    // the straggler was dropped by the as-of stage, not answered-with-miss
+    assert(!streamMatches.contains(9L))
+    // alert eval (rule: enriched value >= 20) — batch ≡ stream on the
+    // final alert set
+    val streamAlerts = spark.read.parquet(matchDir)
+      .filter(col("ref") >= 20.0).select("id").as[Long].collect().toSet
+    val batchAlerts = batchMatches.collect {
+      case (id, Some(v)) if v >= 20.0 => id
+    }.toSet
+    assert(batchAlerts == Set(2L, 3L, 4L))
+    assert(streamAlerts == batchAlerts)
+  }
 }
