@@ -47,7 +47,14 @@ object Scaling {
     * deployment would use.
     */
   val factorCap: Map[String, Double] = Map(
-    "d16_graph_dedup" -> 10.0, "n8_knn_graph" -> 10.0)
+    "d16_graph_dedup" -> 10.0, "n8_knn_graph" -> 10.0,
+    // n6/n7 train in-query with centroid count DERIVED from n
+    // (vec_id % 50 == 0 — the oracle-pinned fixture geometry), so Lloyd
+    // assignment is O(n²/50): quadratic by construction, same finding
+    // class as the fixed-width kNN graph. Real IVF scales k ~ sqrt(n);
+    // the serving entries (n6_serving/n7_serving) carry the SLA number
+    // and are linear in the probe batch, not the corpus.
+    "n6_ann_pq" -> 10.0, "n7_ann_ivfpq" -> 10.0)
 
   /** bits = 6 + ceil(log2(factor)): per-bucket occupancy pinned to the
     * 1× calibration as the corpus grows — the knnGraph scale contract,
@@ -190,7 +197,7 @@ object Scaling {
         }
       }.toMap
 
-    val (baseF, _) = dirs.head
+    val (_, baseF) = dirs.head
     val entries = querySet.filter(times.contains).flatMap { name =>
       val pts = times(name).collect { case (f, Some(t)) => (f, t) }
       if (pts.size < 2) None

@@ -53,6 +53,24 @@ class SkewSpec extends AnyFunSuite {
     assert(naive.size == 5 * (1 + 37))
   }
 
+  test("window top-k plans a map-side WindowGroupLimit — the engine's " +
+      "native partial top-k that makes the naive form skew-safe") {
+    // the measured SCALING.json result: the naive row_number<=k window
+    // BEATS the salted two-stage at every factor (2.14 s vs 3.16 s at
+    // 30x on the 50%-hot frame), because Spark inserts a PARTIAL
+    // WindowGroupLimit below the shuffle — each map partition forwards
+    // at most k rows per group, so the hot group ships k*partitions
+    // rows, not 9M. Pin the plan shape that carries that conclusion:
+    // if a future ordering/pattern stops the rewrite firing, the salted
+    // operator becomes the fallback and this pin flags the change.
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+    val plan = Relational.topKPerGroup(cust, Seq("c_nationkey"), ord, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"window top-k lost its native partial group-limit:\n$plan")
+  }
+
   test("k larger than a salt bucket's share still returns the exact " +
       "global top-k (survivor-union covers it)") {
     // 40 rows in one group, k=25, 16 buckets → ~2-3 rows per bucket,
