@@ -219,6 +219,30 @@ object Similarity {
         col("cand_id").as("neighbor_id"), round4(col("cos")).as("cosine"))
   }
 
+  /** The knnGraph scale contract, executable: bits sized so per-bucket
+    * occupancy stays at `targetOccupancy` regardless of corpus size —
+    * ceil(log2(n / target)), floored at 1 and capped at 24 (16M buckets;
+    * code evaluation cost grows with bits, and past that width bucket
+    * collisions are no longer the bottleneck). SCALING.json measured
+    * the fixed 6-bit default quadratic at 10× while this rule's widths
+    * held the slope near-linear through 30×.
+    */
+  def autoBits(n: Long, targetOccupancy: Int = 32): Int =
+    math.min(24, math.max(1,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetOccupancy))
+        / math.log(2)).toInt))
+
+  /** [[knnGraph]] with the code width derived from the corpus count —
+    * one scalar count() (a map-side-combined aggregate, never corpus
+    * data on the driver), then the bucketed graph at the occupancy the
+    * 1× calibration was tuned for. The oracle-pinned fixture queries
+    * keep explicit widths (the DuckDB twin replays a fixed sign
+    * matrix); pipelines without a pinned oracle should use this form.
+    */
+  def knnGraphAuto(vecs: DataFrame, k: Int, tables: Int = 4,
+                   targetOccupancy: Int = 32): DataFrame =
+    knnGraph(vecs, k, tables, autoBits(vecs.count(), targetOccupancy))
+
   /** Deterministic Lloyd (k-means) iterations for IVF centroid training:
     * assign every vector to its nearest centroid (centroids are FEW —
     * broadcast; the corpus never self-joins), recompute each centroid as

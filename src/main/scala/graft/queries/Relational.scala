@@ -596,6 +596,63 @@ object Relational {
         .orderBy(col("l_linestatus"))
     },
 
+    // b8 = Q10 returned-item reporting: quarter-windowed orders joined
+    // to the 'R'-flagged slice of the fact table and the customer→nation
+    // context, revenue per customer, top 20. The returnflag predicate
+    // and the date window both land in PushedFilters; the heavy join is
+    // fact⋈orders on the order key; customer/nation context joins
+    // behind the aggregate's key. Exact-decimal revenue (dsum) like b2.
+    "b8_tpch_q10" -> { (s, d) =>
+      val from = to_timestamp(lit("1996-01-01 00:00:00"))
+      val until = to_timestamp(lit("1996-04-01 00:00:00"))
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= from && col("o_orderdate") < until),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.nation(s, d),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1d) - col("l_discount")))
+          .as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // b9 = Q7 volume shipping: the two-nation trade-flow report — the
+    // fact table joined to BOTH its supplier's and its customer's
+    // nation, filtered to the (N1,N2)∪(N2,N1) pair, yearly revenue per
+    // direction. Exercises the same dim twice under different keys
+    // (n1/n2 aliases), a 2-year fact window in PushedFilters, and a
+    // 2×2×|years| aggregate.
+    "b9_tpch_q7" -> { (s, d) =>
+      val from = to_timestamp(lit("1996-01-01 00:00:00"))
+      val until = to_timestamp(lit("1998-01-01 00:00:00"))
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= from && col("l_shipdate") < until)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("s_nk"))
+        .join(n2, col("c_nationkey") === col("c_nk"))
+        .filter(
+          (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1d) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+
     // S2: tx-hash derivation — upper-hex sha256 of the base64-DECODED tx
     // bytes (core/parse.js:20): the wire form is base64, the hash input is
     // the decoded payload. Round 1 hashed the raw text and mirrored that
@@ -1002,6 +1059,36 @@ object Relational {
          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
            AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
          GROUP BY 1 ORDER BY 1""",
+    "b8_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6)))
+             AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+         JOIN lineitem ON o_orderkey = l_orderkey AND l_returnflag = 'R'
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1, 2, 4, 5
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "b9_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6)))
+             AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         GROUP BY 1, 2, 3
+         ORDER BY 1, 2, 3""",
     "s2_txhash" ->
       """SELECT doc_id,
          upper(sha256(decode(from_base64(base64(encode(text)))))) AS tx_hash

@@ -387,4 +387,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(txt.contains("ReusedExchange") || txt.contains("ReusedQueryStage"),
       s"no exchange/stage reuse in semanticPrune plan:\n$txt")
   }
+
+  test("autoBits holds per-bucket occupancy constant as n grows " +
+      "(the knnGraph scale contract, executable)") {
+    // the SCALING.json calibration points: 2k vectors → the tuned
+    // 6-bit width; 20k → 10; 60k → 11; floors and caps at the ends
+    assert(Similarity.autoBits(2000) == 6)
+    assert(Similarity.autoBits(20000) == 10)
+    assert(Similarity.autoBits(60000) == 11)
+    assert(Similarity.autoBits(10) == 1)
+    assert(Similarity.autoBits(Long.MaxValue) == 24)
+    // occupancy bound: for any n, n / 2^bits <= targetOccupancy
+    for (n <- Seq(100L, 5000L, 123456L, 10000000L)) {
+      val b = Similarity.autoBits(n)
+      assert(n.toDouble / (1L << b) <= 32.0 + 1e-9, s"n=$n bits=$b")
+    }
+  }
+
+  test("knnGraphAuto == knnGraph at the width autoBits derives") {
+    val n = vecs.count()
+    val expectBits = Similarity.autoBits(n)
+    val auto = Similarity.knnGraphAuto(vecs, k = 3)
+      .orderBy(col("probe_id"), col("rank")).collect().toSeq
+    val explicit = Similarity.knnGraph(vecs, k = 3, tables = 4,
+        bits = expectBits)
+      .orderBy(col("probe_id"), col("rank")).collect().toSeq
+    assert(auto == explicit)
+    assert(auto.nonEmpty)
+  }
 }
