@@ -102,16 +102,33 @@ object Bench {
         |CAP = float(os.environ.get("GRAFT_DUCK_CAP_SEC", "60"))
         |dead = set()
         |def run_capped(k):
-        |    t = threading.Timer(CAP, con.interrupt)
+        |    fired = []
+        |    def trip():
+        |        fired.append(1)
+        |        con.interrupt()
+        |    t = threading.Timer(CAP, trip)
         |    t.start()
         |    try:
         |        con.execute(qs[k]).fetch_arrow_table()
         |        return True
-        |    except Exception:
+        |    except Exception as e:
         |        dead.add(k)
+        |        # an over-cap interrupt is the documented slow-twin
+        |        # signal; anything else is a REGRESSION and must be
+        |        # visible, not silently identical to the capped case
+        |        if not fired:
+        |            sys.stderr.write(f"[duck] {k} FAILED: {e}\n")
         |        return False
         |    finally:
         |        t.cancel()
+        |        if fired:
+        |            # absorb a stale interrupt that landed between the
+        |            # query finishing and cancel(), so it cannot hit
+        |            # the NEXT query on this shared connection
+        |            try:
+        |                con.execute("select 1").fetchall()
+        |            except Exception:
+        |                pass
         |# warm-up pass mirrors the Spark side: first execution pays
         |# parquet-read + catalog warmup that would otherwise land on
         |# whichever query sorts first
@@ -134,7 +151,10 @@ object Bench {
       script.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val proc = new ProcessBuilder("python3",
       tmp.resolve("duck.py").toString, sfDir,
-      tmp.resolve("sql.json").toString).redirectErrorStream(false).start()
+      tmp.resolve("sql.json").toString)
+      // stderr flows through to the bench log so a "[duck] ... FAILED"
+      // regression line is visible instead of vanishing with the twin
+      .redirectError(ProcessBuilder.Redirect.INHERIT).start()
     val outStr = new String(proc.getInputStream.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8).trim
     if (proc.waitFor() != 0 || !outStr.startsWith("{")) Map.empty

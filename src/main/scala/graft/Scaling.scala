@@ -190,8 +190,12 @@ object Scaling {
             None
           } else {
             val t = timeOne(name, dir, f)
+            // Locale.ROOT: the f-interpolator uses the JVM default
+            // locale, and a comma decimal separator would silently
+            // match nothing in tools/merge_scaling.py's regex
             System.err.println(s"[scaling] $name @${f}x -> " +
-              t.fold("FAIL")(x => f"$x%.2f s"))
+              t.fold("FAIL")(x => String.format(java.util.Locale.ROOT,
+                "%.2f s", Double.box(x))))
             Some((f, t))
           }
         }

@@ -91,8 +91,13 @@ object Relational {
     */
   def topKPerGroupSalted(df: DataFrame, keys: Seq[String], ord: Seq[Column],
                          k: Int, saltBuckets: Int): DataFrame = {
+    // salt from ROW CONTENT, never monotonically_increasing_id: a
+    // non-deterministic salt feeding a shuffle breaks under map-stage
+    // retries (recomputed rows land in different buckets than the
+    // copies surviving reducers already fetched — rows dropped or
+    // doubled). Identical rows sharing a bucket is harmless here.
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)))
+      pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets)))
     val w1 = Window.partitionBy((keys.map(col) :+ col("__salt")): _*)
       .orderBy(ord: _*)
     val survivors = salted.withColumn("__rn", row_number().over(w1))
@@ -116,8 +121,11 @@ object Relational {
   def saltedAggregate(df: DataFrame, keys: Seq[String], saltBuckets: Int,
                       partials: Seq[(String, Column, Column => Column)])
       : DataFrame = {
+    // content-derived salt (see topKPerGroupSalted): deterministic
+    // under map-stage retries; identical rows sharing a bucket only
+    // shifts partial sizes, never values
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)))
+      pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets)))
     val stage1 = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(partials.head._2.as(partials.head._1),

@@ -149,14 +149,35 @@ object Retrieval {
       .write.mode(SaveMode.Overwrite).parquet(dictDir)
     // every doc has >= 1 posting (empty text still tokenizes to the ''
     // token, both engines), so per-doc rows reconstruct N and L exactly
-    written.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+    val meta = written.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("l_tot"),
         max(col("dl")).as("max_dl"))
-      .select(col("n_docs"), col("l_tot"),
-        assertDlBounded(col("max_dl")).as("max_dl_checked"))
-      .select(col("n_docs"), col("l_tot"))
+      .head()
+    // driver-side on the ONE aggregate row — a raise_error column here
+    // is dead code (the projection to (n_docs, l_tot) lets Catalyst
+    // prune the branch entirely; caught by the r10 review with a repro)
+    requireDlBounded(
+      if (meta.isNullAt(2)) 0L else meta.getLong(2), MaxDocLenTokens)
+    spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          meta.getLong(0), if (meta.isNullAt(1)) 0L else meta.getLong(1))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_docs",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("l_tot",
+            org.apache.spark.sql.types.LongType))))
       .write.mode(SaveMode.Overwrite).parquet(metaDir)
   }
+
+  /** The build-time Int64 bound check, factored for testability (the
+    * production bound needs a >5.1e7-token document to trip).
+    */
+  private[graft] def requireDlBounded(maxDl: Long, bound: Long): Unit =
+    if (maxDl > bound) throw new IllegalStateException(
+      s"graft.Retrieval: document length $maxDl tokens exceeds " +
+        s"MaxDocLenTokens=$bound; 18*dl*n_docs would overflow Int64 at " +
+        "the 1e10-doc design point. Split or drop the document before " +
+        "indexing.")
 
   /** Int64-safety bound on a single document's token length. scoreCol's
     * largest integer product is 18·dl·n_docs; at the N = 1e10-docs
@@ -169,14 +190,6 @@ object Retrieval {
     * on the same documented bound (ANSI overflow is its fail-safe).
     */
   val MaxDocLenTokens: Long = Long.MaxValue / 18L / 10000000000L
-
-  private def assertDlBounded(maxDl: Column): Column =
-    when(maxDl > lit(MaxDocLenTokens), raise_error(concat(
-      lit("graft.Retrieval: document length "), maxDl.cast("string"),
-      lit(s" tokens exceeds MaxDocLenTokens=$MaxDocLenTokens; " +
-        "18*dl*n_docs would overflow Int64 at the 1e10-doc design " +
-        "point. Split or drop the document before indexing."))))
-      .otherwise(maxDl)
 
   /** Doc_ids indexed by MORE than one micro-batch partition — violations
     * of the postingsMaintenance append-only precondition (see its

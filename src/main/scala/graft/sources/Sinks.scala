@@ -110,6 +110,60 @@ object Sinks {
       .partitionBy(partitionCol)
       .parquet(path)
 
+  /** Morton (Z-order) interleave of two non-negative longs already
+    * scaled into [0, 2^bitsPer): bit i of `a` lands at z-bit 2i, bit i
+    * of `b` at 2i+1, so sorting by z clusters BOTH dimensions at every
+    * scale simultaneously. Folded shift/mask Column composition — one
+    * codegen'd projection, no UDF. 21+21 bits = 42-bit z, Long-safe.
+    */
+  def mortonInterleave(a: Column, b: Column, bitsPer: Int = 21): Column =
+    (0 until bitsPer).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** Z-ordered layout write — the multi-column pruning lever the
+    * partition/bucket layouts can't give: partitioning prunes on ONE
+    * hierarchy (month), bucketing co-locates a JOIN key but its hash
+    * scatters range predicates. Z-ordering sorts by the Morton
+    * interleave of two query dimensions (pool × time is the DEX shape:
+    * "this pool, this week" touches a handful of row groups instead of
+    * every file of the month), so parquet min/max stats become TIGHT on
+    * BOTH columns and the reader's row-group skipping fires for
+    * predicates on either. Columns are min/max-scaled into 21-bit space
+    * with one tiny bounds aggregate (broadcast, never a shuffle of the
+    * data itself); the write is repartitionByRange(z) +
+    * sortWithinPartitions(z) — range partitioning keeps z-runs disjoint
+    * across files, so each file covers a contiguous z-rectangle.
+    * SinkSpec proves the claim from the parquet FOOTERS: the fraction
+    * of files whose [min,max] admits a given key under z-order vs a
+    * time-sorted layout — the same statistics the scan's row-group
+    * filter consults.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String,
+                    colB: String, files: Int): Unit = {
+    val bounds = df.agg(
+      min(col(colA)).as("amin"), max(col(colA)).as("amax"),
+      min(col(colB)).as("bmin"), max(col(colB)).as("bmax"))
+    def scaled(c: Column, lo: Column, hi: Column): Column = {
+      val span = (hi - lo).cast("double")
+      val unit = when(span > 0d, (c - lo).cast("double") / span)
+        .otherwise(lit(0d))
+      least(floor(unit * (1L << 21).toDouble).cast("long"),
+        lit((1L << 21) - 1L))
+    }
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__z", mortonInterleave(
+        scaled(col(colA), col("amin"), col("amax")),
+        scaled(col(colB), col("bmin"), col("bmax"))))
+      .drop("amin", "amax", "bmin", "bmax")
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Bucketed table write — the co-located-join storage layout: both
     * sides of a recurring equi-join (trades ⋈ pool_state on pool_id,
     * matrix reads, …), bucketed on the join key with the same bucket
@@ -167,8 +221,17 @@ object Sinks {
     if (spec.sortColumnNames.nonEmpty)
       w = w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
     w.saveAsTable(staging)
-    spark.sql(s"DROP TABLE `$table`")
+    // swap via rename-aside, not DROP-then-RENAME: a crash between the
+    // two catalog ops must never lose the data or leave NO table — the
+    // old data survives under `<table>_precompact` until the new name
+    // is in place, and recovery from any crash point is a rename, not
+    // a restore. (The brief window where `table` resolves to neither
+    // name is inherent to a two-op catalog swap; readers retry.)
+    val retired = s"${table}_precompact"
+    spark.sql(s"DROP TABLE IF EXISTS `$retired`")
+    spark.sql(s"ALTER TABLE `$table` RENAME TO `$retired`")
     spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+    spark.sql(s"DROP TABLE `$retired`")
   }
 
   /** Small-file compaction — the maintenance pass every append-heavy

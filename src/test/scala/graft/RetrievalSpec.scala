@@ -36,6 +36,16 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("build-time dl bound check: trips above the bound, passes at it " +
+      "(driver-side — a raise_error column was Catalyst-pruned dead code)") {
+    Retrieval.requireDlBounded(10L, 10L)
+    Retrieval.requireDlBounded(0L, 10L)
+    val e = intercept[IllegalStateException] {
+      Retrieval.requireDlBounded(11L, 10L)
+    }
+    assert(e.getMessage.contains("11") && e.getMessage.contains("overflow"))
+  }
+
   test("BM25 behavioral properties: term monotonicity, rarity weighting, " +
       "length penalty") {
     import spark.implicits._

@@ -456,8 +456,51 @@ class SinkSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS bk_frag")
       spark.sql("DROP TABLE IF EXISTS bk_frag_compacting")
+      spark.sql("DROP TABLE IF EXISTS bk_frag_precompact")
       spark.sql("DROP TABLE IF EXISTS bk_dim")
     }
+  }
+
+  test("writeZOrdered: z-layout makes file stats tight on BOTH query " +
+      "dimensions; a time-sorted layout prunes only time") {
+    import org.apache.spark.sql.DataFrame
+    val e = Tables.events(spark, SparkTestSession.sfDir)
+      .select(col("user_id"),
+        unix_timestamp(col("ts")).as("tsec"), col("value"))
+    val zDir = tmp("graft-zorder")
+    val tDir = tmp("graft-tsorted")
+    Sinks.writeZOrdered(e, zDir, "user_id", "tsec", files = 16)
+    e.repartitionByRange(16, col("tsec")).sortWithinPartitions(col("tsec"))
+      .write.mode("overwrite").parquet(tDir)
+    // rows survive the rewrite
+    assert(spark.read.parquet(zDir).count() == e.count())
+    // per-FILE min/max — the statistics the scan's row-group filter
+    // consults (one row group per file at this size)
+    def stats(dir: String, c: String): Seq[(Long, Long)] =
+      new java.io.File(dir).listFiles
+        .filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
+          val r = spark.read.parquet(f.getPath)
+            .agg(min(col(c)), max(col(c))).head
+          (r.getLong(0), r.getLong(1))
+        }
+    def containFrac(st: Seq[(Long, Long)], vs: Seq[Long]): Double =
+      vs.map(v => st.count { case (lo, hi) => lo <= v && v <= hi })
+        .sum.toDouble / (st.size * vs.size)
+    val users = e.select("user_id").distinct()
+      .orderBy(col("user_id")).limit(40).as[Long].collect().toSeq
+    val zUser = containFrac(stats(zDir, "user_id"), users)
+    val tUser = containFrac(stats(tDir, "user_id"), users)
+    // time-sorted: every file spans ~all users → a user predicate reads
+    // everything; z-ordered: files cover z-rectangles → most files'
+    // user range excludes any given user
+    assert(tUser > 0.9, s"time-sorted user stats unexpectedly tight: $tUser")
+    assert(zUser < 0.5 && zUser < tUser / 2,
+      s"z-order did not tighten user stats: z=$zUser ts=$tUser")
+    // and the time dimension STAYS prunable under z-order (files cover
+    // bounded time rectangles too — that's the simultaneity claim)
+    val times = e.select("tsec").distinct().limit(40).as[Long].collect()
+    val zTime = containFrac(stats(zDir, "tsec"), times.toSeq)
+    assert(zTime < 0.6, s"z-order lost time prunability: $zTime")
   }
 
   test("S5: csvUpsert — incoming wins on key, last-wins within batch") {
