@@ -102,7 +102,12 @@ class PlanLintSpec extends AnyFunSuite {
     "b2_tpch_q3" -> "o_orderdate",
     "b5_tpch_q5" -> "o_orderdate",
     "b6_tpch_q4" -> "o_orderdate",
-    "b7_tpch_q12" -> "l_shipdate")
+    "b7_tpch_q12" -> "l_shipdate",
+    // r10 anchors: Q10's quarter window reaches the orders scan (the
+    // returnflag slice lands on lineitem's scan the same way), Q7's
+    // two-year window the lineitem scan
+    "b8_tpch_q10" -> "o_orderdate",
+    "b9_tpch_q7" -> "l_shipdate")
 
   test("time-cutoff, keyset, and lookup queries keep their scan pushdown") {
     val missing = mustPush.toSeq.sortBy(_._1).flatMap { case (name, col) =>
