@@ -467,6 +467,43 @@ object Pipeline {
           col("chunk_offset"), col("doc_id"))
     },
 
+    // T23: pack MANIFEST — the dataloader-facing artifact t12's per-doc
+    // rows feed: one row per packed sequence with its ordered boundary
+    // map (offset:doc:tokens triples), doc count, and used-token count —
+    // exactly what a training loader needs to build attention masks that
+    // stop at document boundaries. The boundary map is a canonical
+    // STRING, not an array column: deterministic, and the arrow-level
+    // hash compare treats strings identically across engines (list
+    // field-name metadata differs). The transform lambda runs per
+    // PACKED SEQUENCE (post-aggregate, budget-bounded arrays), never
+    // per corpus row, so interpreted-HOF cost is off the hot path.
+    "t23_pack_manifest" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val budget = 512L
+      val w = Window.partitionBy(col("source"), col("shard"))
+        .orderBy(col("fp"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          md5(Text.normalize(col("text"))).as("fp"),
+          size(Text.words(col("text"))).cast("long").as("tok"))
+        .withColumn("shard",
+          expr("conv(substring(fp, 1, 1), 16, 10)").cast("long"))
+        .withColumn("cum", sum(col("tok")).over(w))
+        .withColumn("chunk_id", expr(s"(cum - tok) div $budget"))
+        .withColumn("off", expr(s"(cum - tok) % $budget"))
+        .groupBy(col("source"), col("shard"), col("chunk_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          max(col("off") + col("tok")).as("used_tokens"),
+          expr("concat_ws(',', transform(" +
+            "array_sort(collect_list(struct(off, doc_id, tok))), " +
+            "s -> concat(cast(s.off as string), ':', " +
+            "cast(s.doc_id as string), ':', cast(s.tok as string))))")
+            .as("boundaries"))
+        .orderBy(col("source"), col("shard"), col("chunk_id"))
+    },
+
     // T8s: quality-gate filter — the corpus-cleaning pass that consumes
     // t3's score: keep docs above a quality threshold in an allowed
     // language set, with the reasons projected for audit.
@@ -1253,6 +1290,34 @@ object Pipeline {
            CAST((cum - tok) // 512 AS BIGINT) AS chunk_id,
            CAST((cum - tok) % 512 AS BIGINT) AS chunk_offset
          FROM c ORDER BY source, shard, chunk_id, chunk_offset, doc_id""",
+    // t23 reuses t12's packing CTE; the boundary string is built with
+    // the same (offset, doc_id) total order the Spark array_sort gives
+    // (struct sort is field-order lexicographic: off, then doc_id)
+    "t23_pack_manifest" ->
+      """WITH d AS (SELECT doc_id, source,
+           md5(regexp_replace(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\s\x0B]+', ' ', 'g')) AS fp,
+           len(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\s\x0B]+')) AS tok
+         FROM documents),
+         sh AS (SELECT doc_id, source, fp, tok,
+           CAST(strpos('0123456789abcdef', substr(fp, 1, 1)) - 1 AS BIGINT)
+             AS shard
+         FROM d),
+         c AS (SELECT doc_id, source, shard, tok,
+           sum(tok) OVER (PARTITION BY source, shard ORDER BY fp, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM sh),
+         p AS (SELECT doc_id, source, shard, tok,
+           (cum - tok) // 512 AS chunk_id,
+           (cum - tok) % 512 AS chunk_offset
+         FROM c)
+         SELECT source, shard, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(chunk_offset + tok) AS BIGINT) AS used_tokens,
+           string_agg(
+             CAST(chunk_offset AS VARCHAR) || ':' ||
+             CAST(doc_id AS VARCHAR) || ':' || CAST(tok AS VARCHAR),
+             ',' ORDER BY chunk_offset, doc_id) AS boundaries
+         FROM p GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     "t6_repetition" ->
       """WITH t AS (SELECT doc_id,
            regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\s\x0B]+') AS w
