@@ -38,7 +38,9 @@ object Bench {
     "n8_knn_graph", "d15_boilerplate", "t18_split_assign",
     "d16_graph_dedup", "d17_substring_runs", "t19_quality_classifier",
     "t20_unigram_surprisal", "t21_chunk_windows", "t22_bm25_topk",
-    "t22_serving")
+    "t22_serving",
+    "b10_tpch_q13", "b11_tpch_q21", "b12_tpch_q22", "b13_tpch_q14",
+    "b14_tpch_q19")
 
   /** The 2×-criterion twin (r7 verdict #8): time the SAME SQL the oracle
     * runs, in DuckDB, over the SAME parquet — a measurable single-node
@@ -63,7 +65,12 @@ object Bench {
     // whose scaling behavior matters most (d16's oracle is the recursive
     // CC CTE; all six reuse their CORRECTNESS-green oracle SQL verbatim)
     "d16_graph_dedup", "n8_knn_graph", "pipe1_corpus_build",
-    "d14_canonical_pick", "n7_ann_ivfpq", "n6_ann_pq")
+    "d14_canonical_pick", "n7_ann_ivfpq", "n6_ann_pq",
+    // r10 continuation: the double-correlated self-join anchor — the one
+    // new TPC-H shape whose decorrelation strategy differs most between
+    // engines (DuckDB rewrites the EXISTS pair; Spark plans explicit
+    // semi+anti hash joins)
+    "b11_tpch_q21")
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {

@@ -504,6 +504,50 @@ object Pipeline {
         .orderBy(col("source"), col("shard"), col("chunk_id"))
     },
 
+    // T24: dataset card — the one-stop per-(source, lang) corpus report a
+    // release ships beside the data: volume (docs, whitespace tokens),
+    // quality (mean + gate-pass count reusing t3/t8's exact formula),
+    // exact-duplicate exposure (docs whose d1 fingerprint occurs >1×
+    // corpus-wide), and the word-count distribution (exact median + max).
+    // Scale shape: one shuffle on the fingerprint (d1's), a join back
+    // that reuses that partitioning, and a sort-based median via
+    // partitioned window row_number — NOT exact `percentile`, whose
+    // per-group value buffer is O(group) memory and dies on a
+    // billion-doc (source, lang) group; the two middle ranks average in
+    // double exactly like DuckDB's interpolation on integer ranks.
+    "t24_dataset_card" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"),
+          size(Text.words(col("text"))).cast("long").as("wc"),
+          Text.qualityScore(col("text")).as("quality"),
+          md5(Text.normalize(col("text"))).as("fp"))
+      val fpCounts = base.groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_fp"))
+      val agg = base.join(fpCounts, "fp")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("wc")).as("total_tokens"),
+          round4(davg(col("quality"))).as("avg_quality"),
+          count_if(col("quality") >= 40d).as("gate_pass"),
+          count_if(col("n_fp") > 1L).as("dup_docs"),
+          max(col("wc")).as("max_wc"))
+      val part = Window.partitionBy(col("source"), col("lang"))
+      val ranked = base
+        .withColumn("rn",
+          row_number().over(part.orderBy(col("wc"), col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(part))
+      val median = ranked
+        // `div`, not `/`: Column `/` is true (double) division, and the
+        // rank equality would silently miss every even-sized group
+        .filter(col("rn") === expr("(n + 1) div 2") ||
+          col("rn") === expr("(n + 2) div 2"))
+        .groupBy(col("source"), col("lang"))
+        .agg(avg(col("wc")).as("median_wc"))
+      agg.join(median, Seq("source", "lang"))
+        .orderBy(col("source"), col("lang"))
+    },
+
     // T8s: quality-gate filter — the corpus-cleaning pass that consumes
     // t3's score: keep docs above a quality threshold in an allowed
     // language set, with the reasons projected for audit.
@@ -1318,6 +1362,42 @@ object Pipeline {
              CAST(doc_id AS VARCHAR) || ':' || CAST(tok AS VARCHAR),
              ',' ORDER BY chunk_offset, doc_id) AS boundaries
          FROM p GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "t24_dataset_card" -> {
+      val stop = Text.stopwords.map(duckMarker).mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, source, lang,
+           len(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\\s\\x0B]+')) AS wc,
+           ($stop) AS stopc,
+           len(list_filter(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\\s\\x0B]+'),
+             x -> regexp_full_match(x, '^[a-z]+$$'))) AS alphac,
+           md5(regexp_replace(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\\s\\x0B]+', ' ', 'g')) AS fp
+         FROM documents),
+         q AS (SELECT doc_id, source, lang, wc, fp,
+           round(100.0 * (0.5 * (CAST(stopc AS DOUBLE) / wc)
+             + 0.3 * (CAST(least(wc, 50) AS DOUBLE) / 50.0)
+             + 0.2 * (CAST(alphac AS DOUBLE) / wc)), 4) AS quality
+         FROM d),
+         c AS (SELECT fp, count(*) AS n_fp FROM q GROUP BY 1),
+         j AS (SELECT q.*, c.n_fp FROM q JOIN c USING (fp)),
+         agg AS (SELECT source, lang, count(*) AS n_docs,
+           CAST(SUM(wc) AS BIGINT) AS total_tokens,
+           round(CAST(SUM(CAST(quality AS DECIMAL(38,6))) AS DOUBLE)
+             / count(quality), 4) AS avg_quality,
+           count(*) FILTER (WHERE quality >= 40) AS gate_pass,
+           count(*) FILTER (WHERE n_fp > 1) AS dup_docs,
+           max(wc) AS max_wc
+         FROM j GROUP BY 1, 2),
+         r AS (SELECT source, lang, wc,
+           row_number() OVER (PARTITION BY source, lang
+             ORDER BY wc, doc_id) AS rn,
+           count(*) OVER (PARTITION BY source, lang) AS n
+         FROM q),
+         med AS (SELECT source, lang, AVG(wc) AS median_wc
+           FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+           GROUP BY 1, 2)
+         SELECT agg.*, med.median_wc
+         FROM agg JOIN med USING (source, lang)
+         ORDER BY source, lang"""
+    },
     "t6_repetition" ->
       """WITH t AS (SELECT doc_id,
            regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\s\x0B]+') AS w

@@ -653,6 +653,120 @@ object Relational {
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     },
 
+    // b10 = Q13 customer distribution: LEFT OUTER join with a join-side
+    // predicate (the comment filter stands in as a priority filter), then
+    // two stacked aggregates — orders-per-customer, customers-per-count.
+    // The outer join must keep orderless customers (count = 0 bucket);
+    // the second aggregate's input is |customer| rows, so the heavy work
+    // is the first shuffle only.
+    "b10_tpch_q13" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // b11 = Q21 suppliers-who-kept-orders-waiting (shape): late lines on
+    // finished orders where ANOTHER supplier shipped the same order
+    // (EXISTS → left-semi self-join) but NO other supplier was also late
+    // (NOT EXISTS → left-anti self-join over the late subset). Lateness is
+    // the b6 stand-in (ship > orderdate + 60d; fixture has no
+    // commit/receipt dates). Exercises the double correlated self-join
+    // decorrelation — both probes shuffle on the order key, the anti
+    // side's build input is only the LATE lines (already filtered), and
+    // the supplier context joins after the count's key is formed.
+    "b11_tpch_q21" -> { (s, d) =>
+      val late = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val others = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("l2_ok"), col("l_suppkey").as("l2_sk"))
+      val lateOthers = late
+        .select(col("l_orderkey").as("l3_ok"), col("l_suppkey").as("l3_sk"))
+      late
+        .join(others,
+          col("l_orderkey") === col("l2_ok") &&
+            col("l_suppkey") =!= col("l2_sk"), "left_semi")
+        .join(lateOthers,
+          col("l_orderkey") === col("l3_ok") &&
+            col("l_suppkey") =!= col("l3_sk"), "left_anti")
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    },
+
+    // b12 = Q22 global-sales-opportunity (shape): scalar-subquery
+    // threshold (average positive balance, exact-decimal sum so both
+    // engines divide identical doubles) + anti join against the order
+    // fact (customers with NO urgent order; the fixture's every-customer-
+    // orders density makes plain "no orders" empty, so the urgent slice
+    // stands in for the Q22 "no recent orders" correlate). The 1-row
+    // aggregate broadcasts; the anti join shuffles on the customer key.
+    "b12_tpch_q22" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val bal = c.filter(col("c_acctbal") > 0d)
+        .agg(davg(col("c_acctbal")).as("avg_bal"))
+      c.join(broadcast(bal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+          dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // b13 = Q14 promo revenue share: month-windowed fact ⋈ part dim with
+    // a conditional numerator over the joined row — the share-of-total
+    // pattern (one scan, one dim join, two sums in one aggregate). The
+    // date window is in PushedFilters; the division happens once on two
+    // exact-decimal doubles so both engines produce the identical bit.
+    "b13_tpch_q14" -> { (s, d) =>
+      val rev = col("l_extendedprice") * (lit(1d) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00"))
+          && col("l_shipdate") < to_timestamp(lit("1997-03-01 00:00:00")))
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .agg((lit(100d) * dsumIf(rev, col("p_type") === "PROMO") /
+          dsum(rev)).as("promo_revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // b14 = Q19 discounted-revenue brackets: the OR-of-ANDs predicate
+    // spanning both join sides — brand/size brackets on the dim,
+    // quantity brackets on the fact. The planner can push only the
+    // per-side disjunction envelopes (quantity 1-30 to the fact scan,
+    // brand IN (...) to the dim scan); the full bracket evaluates as a
+    // post-join filter. Pinned because naive OR handling re-scans or
+    // drops the pushdown entirely.
+    "b14_tpch_q19" -> { (s, d) =>
+      val bracket =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1d, 11d)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10d, 20d)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20d, 30d))
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .filter(bracket)
+        .agg(dsum(col("l_extendedprice") * (lit(1d) - col("l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
     // S2: tx-hash derivation — upper-hex sha256 of the base64-DECODED tx
     // bytes (core/parse.js:20): the wire form is base64, the hash input is
     // the decoded payload. Round 1 hashed the raw text and mirrored that
@@ -1089,6 +1203,61 @@ object Relational {
              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
          GROUP BY 1, 2, 3
          ORDER BY 1, 2, 3""",
+    "b10_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             AND o_orderpriority <> '1-URGENT'
+           GROUP BY 1)
+         GROUP BY 1 ORDER BY custdist DESC, c_count DESC""",
+    "b11_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM lineitem l1
+         JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+         JOIN supplier ON l1.l_suppkey = s_suppkey
+         WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+           AND EXISTS (SELECT 1 FROM lineitem l2
+             WHERE l2.l_orderkey = l1.l_orderkey
+               AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             WHERE l3.l_orderkey = l1.l_orderkey
+               AND l3.l_suppkey <> l1.l_suppkey
+               AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""",
+    "b12_tpch_q22" ->
+      """SELECT c_mktsegment, count(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+             AS totacctbal
+         FROM customer
+         WHERE c_acctbal > (
+             SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+               / count(c_acctbal)
+             FROM customer WHERE c_acctbal > 0)
+           AND NOT EXISTS (SELECT 1 FROM orders
+             WHERE o_custkey = c_custkey
+               AND o_orderpriority = '1-URGENT')
+         GROUP BY 1 ORDER BY 1""",
+    "b13_tpch_q14" ->
+      """SELECT 100 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+             THEN l_extendedprice*(1-l_discount) ELSE 0 END
+             AS DECIMAL(38,6))) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice*(1-l_discount)
+             AS DECIMAL(38,6))) AS DOUBLE) AS promo_revenue,
+           count(*) AS n
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-03-01 00:00:00'""",
+    "b14_tpch_q19" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice*(1-l_discount)
+             AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           count(*) AS n
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+             AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+             AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 20 AND 30)""",
     "s2_txhash" ->
       """SELECT doc_id,
          upper(sha256(decode(from_base64(base64(encode(text)))))) AS tx_hash

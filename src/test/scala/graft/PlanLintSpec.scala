@@ -107,7 +107,15 @@ class PlanLintSpec extends AnyFunSuite {
     // returnflag slice lands on lineitem's scan the same way), Q7's
     // two-year window the lineitem scan
     "b8_tpch_q10" -> "o_orderdate",
-    "b9_tpch_q7" -> "l_shipdate")
+    "b9_tpch_q7" -> "l_shipdate",
+    // b11's late-line probe prunes orders to status F at the scan; b13's
+    // month window reaches the lineitem scan; b14's OR-of-ANDs must keep
+    // at least the per-side disjunction envelope (quantity brackets) in
+    // the fact scan — the regression this pin guards is the planner
+    // giving up on the disjunction entirely
+    "b11_tpch_q21" -> "o_orderstatus",
+    "b13_tpch_q14" -> "l_shipdate",
+    "b14_tpch_q19" -> "l_quantity")
 
   test("time-cutoff, keyset, and lookup queries keep their scan pushdown") {
     val missing = mustPush.toSeq.sortBy(_._1).flatMap { case (name, col) =>
