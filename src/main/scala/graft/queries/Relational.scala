@@ -767,6 +767,80 @@ object Relational {
           count(lit(1)).as("n"))
     },
 
+    // b15 = Q17 small-quantity-order revenue: the correlated per-group
+    // scalar (20% of each part's mean quantity) as a group-by + join-back
+    // instead of a per-row subquery. The brand filter prunes FIRST via a
+    // left-semi join on the part key, so the threshold aggregate and the
+    // re-join see only the brand's lineitems — the decorrelated plan the
+    // optimizer should reach, written directly. The threshold is exact
+    // decimal mean × 0.2 in double (commutative with the twin's 0.2 ×
+    // mean), so the < comparison cannot flip between engines.
+    "b15_tpch_q17" -> { (s, d) =>
+      val pk = Tables.part(s, d).filter(col("p_brand") === "Brand#23")
+        .select(col("p_partkey"))
+      val li = Tables.lineitem(s, d)
+        .join(pk, col("l_partkey") === col("p_partkey"), "left_semi")
+      val thr = li.groupBy(col("l_partkey").as("t_pk"))
+        .agg((davg(col("l_quantity")) * 0.2d).as("thr"))
+      li.join(thr, col("l_partkey") === col("t_pk"))
+        .filter(col("l_quantity") < col("thr"))
+        .agg((dsum(col("l_extendedprice")) / 7.0d).as("avg_yearly"),
+          count(lit(1)).as("n"))
+    },
+
+    // b16 = Q15 top supplier: quarter-windowed revenue per supplier,
+    // then keep the max-revenue row(s) — the "aggregate, then filter on
+    // the aggregate's own max" shape. The max is a 1-row scalar
+    // broadcast (the lint's sanctioned pattern); supplier context joins
+    // after the filter, when at most a handful of rows survive.
+    "b16_tpch_q15" -> { (s, d) =>
+      val from = to_timestamp(lit("1996-01-01 00:00:00"))
+      val until = to_timestamp(lit("1996-04-01 00:00:00"))
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= from && col("l_shipdate") < until)
+        .groupBy(col("l_suppkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1d) - col("l_discount")))
+          .as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mr"))
+      rev.join(broadcast(mx))
+        .filter(col("total_revenue") === col("mr"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    // b17 = Q8 market share: two-year revenue in one consuming region,
+    // split by whether the SUPPLIER sits in the focus nation — share =
+    // conditional sum / total sum per year, both exact-decimal doubles
+    // divided once. The region→nation→customer chain prunes the order
+    // side before the fact join; the supplier nation tags the numerator.
+    "b17_tpch_q8" -> { (s, d) =>
+      val from = to_timestamp(lit("1996-01-01 00:00:00"))
+      val until = to_timestamp(lit("1998-01-01 00:00:00"))
+      val rev = col("l_extendedprice") * (lit(1d) - col("l_discount"))
+      val suppNation = Tables.nation(s, d)
+        .select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))
+      Tables.region(s, d).filter(col("r_name") === "ASIA")
+        .join(Tables.nation(s, d),
+          col("r_regionkey") === col("n_regionkey"))
+        .join(Tables.customer(s, d),
+          col("n_nationkey") === col("c_nationkey"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= from && col("o_orderdate") < until),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(suppNation, col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((dsumIf(rev, col("supp_nation") === "NATION_1") / dsum(rev))
+          .as("mkt_share"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_year"))
+    },
+
     // S2: tx-hash derivation — upper-hex sha256 of the base64-DECODED tx
     // bytes (core/parse.js:20): the wire form is base64, the hash input is
     // the decoded payload. Round 1 hashed the raw text and mirrored that
@@ -1258,6 +1332,48 @@ object Relational {
              AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
              AND l_quantity BETWEEN 20 AND 30)""",
+    "b15_tpch_q17" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+             AS DOUBLE) / 7.0 AS avg_yearly,
+           count(*) AS n
+         FROM lineitem l JOIN part p ON p_partkey = l_partkey
+         WHERE p_brand = 'Brand#23'
+           AND l_quantity < (
+             SELECT (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(38,6)))
+               AS DOUBLE) / count(l2.l_quantity)) * 0.2
+             FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""",
+    "b16_tpch_q15" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice*(1-l_discount)
+               AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         ORDER BY s_suppkey""",
+    "b17_tpch_q8" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_1'
+             THEN l_extendedprice*(1-l_discount) ELSE 0 END
+             AS DECIMAL(38,6))) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice*(1-l_discount)
+             AS DECIMAL(38,6))) AS DOUBLE) AS mkt_share,
+           count(*) AS n
+         FROM region
+         JOIN nation n1 ON r_regionkey = n1.n_regionkey
+         JOIN customer ON n1.n_nationkey = c_nationkey
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY 1 ORDER BY 1""",
     "s2_txhash" ->
       """SELECT doc_id,
          upper(sha256(decode(from_base64(base64(encode(text)))))) AS tx_hash

@@ -115,7 +115,11 @@ class PlanLintSpec extends AnyFunSuite {
     // giving up on the disjunction entirely
     "b11_tpch_q21" -> "o_orderstatus",
     "b13_tpch_q14" -> "l_shipdate",
-    "b14_tpch_q19" -> "l_quantity")
+    "b14_tpch_q19" -> "l_quantity",
+    // b15's brand filter prunes the part scan before the semi join;
+    // b16's quarter window reaches the lineitem scan
+    "b15_tpch_q17" -> "p_brand",
+    "b16_tpch_q15" -> "l_shipdate")
 
   test("time-cutoff, keyset, and lookup queries keep their scan pushdown") {
     val missing = mustPush.toSeq.sortBy(_._1).flatMap { case (name, col) =>
