@@ -40,7 +40,8 @@ object Bench {
     "t20_unigram_surprisal", "t21_chunk_windows", "t22_bm25_topk",
     "t22_serving",
     "b10_tpch_q13", "b11_tpch_q21", "b12_tpch_q22", "b13_tpch_q14",
-    "b14_tpch_q19", "b15_tpch_q17", "b16_tpch_q15", "b17_tpch_q8")
+    "b14_tpch_q19", "b15_tpch_q17", "b16_tpch_q15", "b17_tpch_q8",
+    "t24_dataset_card", "t25_cdc_chunks", "d18_cdc_neardup")
 
   /** The 2×-criterion twin (r7 verdict #8): time the SAME SQL the oracle
     * runs, in DuckDB, over the SAME parquet — a measurable single-node

@@ -32,6 +32,12 @@ object Scaling {
     "d16_graph_dedup", "n8_knn_graph", "pipe1_corpus_build",
     "d14_canonical_pick", "n7_ann_ivfpq", "n6_ann_pq",
     "n8_adaptive_bits", "d16_adaptive_bits",
+    // r10 continuation: the new anchor shapes + the dataset card —
+    // b11's double self-join and t24's fingerprint-join+window-median
+    // are the two whose slopes could hide a surprise
+    "b10_tpch_q13", "b11_tpch_q21", "b12_tpch_q22", "b13_tpch_q14",
+    "b14_tpch_q19", "b15_tpch_q17", "b16_tpch_q15", "b17_tpch_q8",
+    "t24_dataset_card", "t25_cdc_chunks", "d18_cdc_neardup",
     // LAST: the skew pairs toggle session confs (broadcast off,
     // skew-join on/off) from inside their builders — keeping them at
     // the tail means nothing downstream inherits the toggles

@@ -540,4 +540,138 @@ object Dedup {
       WHERE inter / (x.n + y.n - inter) >= $theta
       ORDER BY doc_a, doc_b"""
   }
+
+  /** Content-defined chunking (the storage-dedup/FastCDC idea, reduced to
+    * its relational core): chunk boundaries are the positions where the
+    * hash of the trailing `w`-char window lands in a 1/16 target band
+    * (first md5 hex == '0'), so boundaries are a pure function of LOCAL
+    * content — an insertion early in a document shifts fixed windows
+    * (t21) at every later offset but re-synchronizes CDC boundaries
+    * within one chunk, which is what makes chunk fingerprints a
+    * shift-robust dedup signal. Expected chunk length = 16 chars + the
+    * window tail.
+    *
+    * Shape: the rolling window is the codegen'd char-ngram kernel, hashed
+    * per ROW after posexplode (md5 stays in whole-stage codegen; no
+    * interpreted per-gram lambda), boundary positions fold with ONE hash
+    * aggregate on doc_id, and chunk reassembly is array arithmetic on the
+    * per-doc boundary list (bounded by the doc's chunk count). No
+    * cross-doc shuffle anywhere — the aggregate and the join back to the
+    * normalized text both partition on doc_id.
+    *
+    * Output: (doc_id, chunk_ix, start, len, chunk_fp), 1-based start.
+    */
+  def cdcChunks(docs: DataFrame, w: Int = 8): DataFrame = {
+    val nrm = spreadPartitions(docs)
+      .select(col("doc_id"), Text.normalize(col("text")).as("t"))
+    val ends = nrm
+      .select(col("doc_id"),
+        posexplode_outer(graft.plans.Expressions.charNgrams(col("t"), w)))
+      .filter(col("col").isNotNull &&
+        substring(md5(col("col")), 1, 1) === "0")
+      // pos is 0-based; the window covers chars [pos+1, pos+w] 1-based,
+      // so the chunk ending at this boundary closes at char pos+w
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos") + w)).as("ends"))
+    nrm.join(ends, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("t"),
+        concat(array(lit(1)),
+          transform(coalesce(col("ends"),
+            array().cast("array<int>")), e => e + 1)).as("starts"))
+      .select(col("doc_id"), col("t"), col("starts"),
+        posexplode(col("starts")))
+      // try_element_at, not element_at: ANSI mode throws on the last
+      // chunk's out-of-bounds next-start probe
+      .withColumn("nxt",
+        coalesce(try_element_at(col("starts"), col("pos") + 2),
+          length(col("t")) + 1))
+      .filter(col("nxt") > col("col"))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_ix"),
+        col("col").cast("long").as("start"),
+        (col("nxt") - col("col")).cast("long").as("len"),
+        md5(col("t").substr(col("col"), col("nxt") - col("col")))
+          .as("chunk_fp"))
+  }
+
+  /** CDC-chunk near-dup pairs: docs sharing >= `minShared` distinct chunk
+    * fingerprints. The candidate generator the chunking exists for —
+    * join volume tracks SHARED chunks (equi-join on the fingerprint),
+    * never n²; `maxDocsPerChunk` (same shape as substringRuns'
+    * maxDocsPerGram) drops boilerplate chunks appearing in more than
+    * that many docs before the self-join, bounding any fingerprint's
+    * pair fan-out at corpus scale.
+    */
+  def cdcNearDup(docs: DataFrame, w: Int = 8, minShared: Int = 3,
+                 maxDocsPerChunk: Option[Int] = None): DataFrame = {
+    val ch = cdcChunks(docs, w)
+      .select(col("doc_id"), col("chunk_fp")).distinct()
+    val bounded = maxDocsPerChunk match {
+      case Some(cap) =>
+        val ok = ch.groupBy(col("chunk_fp"))
+          .agg(count(lit(1)).as("nd"))
+          .filter(col("nd") <= cap).select(col("chunk_fp"))
+        ch.join(ok, Seq("chunk_fp"), "left_semi")
+      case None => ch
+    }
+    bounded.as("a")
+      .join(bounded.as("b"),
+        col("a.chunk_fp") === col("b.chunk_fp") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_chunks"))
+      .filter(col("shared_chunks") >= minShared)
+  }
+
+  private val duckNorm =
+    """regexp_replace(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\s\x0B]+', ' ', 'g')"""
+
+  /** DuckDB twin of [[cdcChunks]]. */
+  def cdcChunksOracleSql(w: Int): String =
+    s"""WITH nrm AS (SELECT doc_id, $duckNorm AS t FROM documents),
+      b AS (SELECT doc_id, i + ${w - 1} AS e
+            FROM nrm, unnest(generate_series(1, length(t) - ${w - 1}))
+              AS gs(i)
+            WHERE substr(md5(substr(t, i, $w)), 1, 1) = '0'),
+      st AS (SELECT doc_id, 1 AS s FROM nrm
+             UNION ALL SELECT doc_id, e + 1 FROM b),
+      o AS (SELECT doc_id, s,
+              row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1
+                AS chunk_ix,
+              lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt
+            FROM st),
+      c AS (SELECT o.doc_id, chunk_ix, s AS start,
+              coalesce(nxt, length(t) + 1) - s AS len,
+              substr(t, s, coalesce(nxt, length(t) + 1) - s) AS chunk
+            FROM o JOIN nrm ON o.doc_id = nrm.doc_id)
+      SELECT doc_id, CAST(chunk_ix AS BIGINT) AS chunk_ix,
+        CAST(start AS BIGINT) AS start, CAST(len AS BIGINT) AS len,
+        md5(chunk) AS chunk_fp
+      FROM c WHERE len > 0
+      ORDER BY doc_id, chunk_ix"""
+
+  /** DuckDB twin of [[cdcNearDup]] (no chunk cap — the oracle path). */
+  def cdcNearDupOracleSql(w: Int, minShared: Int): String =
+    s"""WITH nrm AS (SELECT doc_id, $duckNorm AS t FROM documents),
+      b AS (SELECT doc_id, i + ${w - 1} AS e
+            FROM nrm, unnest(generate_series(1, length(t) - ${w - 1}))
+              AS gs(i)
+            WHERE substr(md5(substr(t, i, $w)), 1, 1) = '0'),
+      st AS (SELECT doc_id, 1 AS s FROM nrm
+             UNION ALL SELECT doc_id, e + 1 FROM b),
+      o AS (SELECT doc_id, s,
+              lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt
+            FROM st),
+      ch AS (SELECT DISTINCT o.doc_id,
+               md5(substr(t, s, coalesce(nxt, length(t) + 1) - s))
+                 AS chunk_fp
+             FROM o JOIN nrm ON o.doc_id = nrm.doc_id
+             WHERE coalesce(nxt, length(t) + 1) - s > 0)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        count(*) AS shared_chunks
+      FROM ch a JOIN ch b
+        ON a.chunk_fp = b.chunk_fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= $minShared
+      ORDER BY doc_a, doc_b"""
 }

@@ -515,36 +515,14 @@ object Pipeline {
     // per-group value buffer is O(group) memory and dies on a
     // billion-doc (source, lang) group; the two middle ranks average in
     // double exactly like DuckDB's interpolation on integer ranks.
+    // Batch and streaming share every expression through CorpusCard:
+    // signals (wc/quality/fp projection) and the aggregate live there,
+    // and Streams.cardMaintenance + CorpusCard.serve reproduce this
+    // output bit-identically from accumulated micro-batch slices
+    // (StreamingSpec pins the equality).
     "t24_dataset_card" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val base = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), col("lang"),
-          size(Text.words(col("text"))).cast("long").as("wc"),
-          Text.qualityScore(col("text")).as("quality"),
-          md5(Text.normalize(col("text"))).as("fp"))
-      val fpCounts = base.groupBy(col("fp"))
-        .agg(count(lit(1)).as("n_fp"))
-      val agg = base.join(fpCounts, "fp")
-        .groupBy(col("source"), col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("wc")).as("total_tokens"),
-          round4(davg(col("quality"))).as("avg_quality"),
-          count_if(col("quality") >= 40d).as("gate_pass"),
-          count_if(col("n_fp") > 1L).as("dup_docs"),
-          max(col("wc")).as("max_wc"))
-      val part = Window.partitionBy(col("source"), col("lang"))
-      val ranked = base
-        .withColumn("rn",
-          row_number().over(part.orderBy(col("wc"), col("doc_id"))))
-        .withColumn("n", count(lit(1)).over(part))
-      val median = ranked
-        // `div`, not `/`: Column `/` is true (double) division, and the
-        // rank equality would silently miss every even-sized group
-        .filter(col("rn") === expr("(n + 1) div 2") ||
-          col("rn") === expr("(n + 2) div 2"))
-        .groupBy(col("source"), col("lang"))
-        .agg(avg(col("wc")).as("median_wc"))
-      agg.join(median, Seq("source", "lang"))
+      import graft.operators.CorpusCard
+      CorpusCard.card(CorpusCard.signals(Tables.documents(s, d)))
         .orderBy(col("source"), col("lang"))
     },
 
@@ -824,6 +802,25 @@ object Pipeline {
     // never n²; the island window partitions per pair+diagonal.
     "d17_substring_runs" -> { (s, d) =>
       Dedup.substringRuns(Tables.documents(s, d), k = 5, minRun = 10)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // T25: content-defined chunking — CDC boundaries from a rolling
+    // window hash (see Dedup.cdcChunks): shift-robust variable chunks,
+    // the storage-dedup complement to t21's fixed windows. Map-side
+    // except one per-doc boundary fold; no cross-doc shuffle.
+    "t25_cdc_chunks" -> { (s, d) =>
+      Dedup.cdcChunks(Tables.documents(s, d), w = 8)
+        .orderBy(col("doc_id"), col("chunk_ix"))
+    },
+
+    // D18: CDC-chunk near-dup pairs — docs sharing >= 3 distinct chunk
+    // fingerprints. The candidate generator CDC chunking exists for:
+    // join volume tracks SHARED chunks (fingerprint equi-join), and the
+    // boilerplate cap (cdcNearDup.maxDocsPerChunk, off on the oracle
+    // path) bounds fan-out at corpus scale.
+    "d18_cdc_neardup" -> { (s, d) =>
+      Dedup.cdcNearDup(Tables.documents(s, d), w = 8, minShared = 3)
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
@@ -1948,6 +1945,8 @@ object Pipeline {
                 ELSE 'test' END AS split
          FROM b ORDER BY doc_id""",
     "d17_substring_runs" -> Dedup.substringRunsOracleSql(5, 10),
+    "t25_cdc_chunks" -> Dedup.cdcChunksOracleSql(8),
+    "d18_cdc_neardup" -> Dedup.cdcNearDupOracleSql(8, 3),
     // t19/t20/t21 tokenize via the t13 words-twin (plain trim + \s+
     // split — the fixture carries no leading control whitespace, same
     // caveat t13/t12 already document)

@@ -780,6 +780,52 @@ object Streams {
       .start()
   }
 
+  /** Continuously maintained dataset card — the streaming twin of the
+    * batch t24 report (see [[graft.operators.CorpusCard]] for the full
+    * design): each micro-batch appends three ADDITIVE slices (group
+    * counters with integer-unit quality sums, the bounded word-count
+    * histogram that keeps the exact median computable, and per-group
+    * fingerprint counts for corpus-wide duplicate exposure);
+    * `CorpusCard.serve` folds them into output bit-identical to the
+    * batch card. Every slice derives from its batch alone — no read of
+    * prior state, so no staging step — and writes overwrite their own
+    * `batch=<id>` partition, so a checkpoint retry is exactly-once.
+    * Same `_stream_id` precondition as [[neardupIngest]]: a fresh
+    * checkpoint pointed at populated artifact dirs fails fast (batch
+    * ids would restart at 0 and clobber served partitions). Same
+    * doc_id-append-only precondition as [[postingsMaintenance]]: a
+    * RE-DELIVERED doc (an update, not a retry) double-counts; the
+    * fingerprint slice makes that visible as dup-exposure drift.
+    */
+  def cardMaintenance(docs: DataFrame, indexDir: String,
+                      checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.CorpusCard
+    val spark = docs.sparkSession
+    val countersPath = s"$indexDir/counters"
+    val histPath = s"$indexDir/hist"
+    val fpPath = s"$indexDir/fp"
+    val ensureGuarded = guardOnce(spark, checkpoint,
+      Seq(countersPath, histPath, fpPath))
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ensureGuarded()
+        // one signal pass per batch feeds all three slices
+        val base = CorpusCard.signals(batch).persist()
+        CorpusCard.counterSlice(base).write.mode("overwrite")
+          .parquet(s"$countersPath/batch=$batchId")
+        CorpusCard.histSlice(base).write.mode("overwrite")
+          .parquet(s"$histPath/batch=$batchId")
+        CorpusCard.fpSlice(base).write.mode("overwrite")
+          .parquet(s"$fpPath/batch=$batchId")
+        base.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** T5: candle continuity with explicit state — open of the first candle
     * of each batch continues from the PREVIOUS batch's last close, exactly
     * the reference's lastCloseByPool map, surviving restarts via the

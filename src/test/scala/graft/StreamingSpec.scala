@@ -906,4 +906,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchAlerts == Set(2L, 3L, 4L))
     assert(streamAlerts == batchAlerts)
   }
+
+  test("streamed dataset-card slices serve bit-identically to the " +
+      "batch t24 report") {
+    import graft.operators.CorpusCard
+    val docs = Tables.documents(spark, sfDir)
+    val land = tmpDir("graft-card-land")
+    val idx = tmpDir("graft-card-idx") + "/card"
+    val ckpt = tmpDir("graft-card-ckpt")
+    val docsSchema = "doc_id BIGINT, text STRING, lang STRING, " +
+      "source STRING, n_chars BIGINT"
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(docsSchema)
+        .option("recursiveFileLookup", "true").parquet(land)
+      Streams.cardMaintenance(stream, idx, ckpt).awaitTermination()
+    }
+    // two ticks against the same checkpoint → two batch=<id> slices;
+    // the fixture's duplicate texts land in BOTH ticks, so corpus-wide
+    // dup exposure must fold across slice boundaries, not within one
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$land/t1")
+    runOnce()
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$land/t2")
+    runOnce()
+    val served = CorpusCard.serve(spark, idx)
+      .orderBy(col("source"), col("lang")).collect().toSeq
+    val direct = SparkEntry.queries("t24_dataset_card")(spark, sfDir)
+      .collect().toSeq
+    // bit-identical, doubles included: integer-unit quality sums and
+    // the histogram median reproduce the batch card's exact doubles
+    assert(served == direct)
+    // exactly-once under a checkpoint retry: re-running the SAME
+    // landing content against the same checkpoint replays nothing
+    // (AvailableNow with no new files → no batch), and the served card
+    // is unchanged
+    runOnce()
+    val again = CorpusCard.serve(spark, idx)
+      .orderBy(col("source"), col("lang")).collect().toSeq
+    assert(again == served)
+  }
 }
