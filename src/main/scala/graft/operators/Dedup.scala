@@ -597,21 +597,33 @@ object Dedup {
   /** CDC-chunk near-dup pairs: docs sharing >= `minShared` distinct chunk
     * fingerprints. The candidate generator the chunking exists for —
     * join volume tracks SHARED chunks (equi-join on the fingerprint),
-    * never n²; `maxDocsPerChunk` (same shape as substringRuns'
-    * maxDocsPerGram) drops boilerplate chunks appearing in more than
-    * that many docs before the self-join, bounding any fingerprint's
-    * pair fan-out at corpus scale.
+    * never n². `maxDocsPerChunk` drops boilerplate chunks appearing in
+    * more than that many docs BEFORE the self-join (same shape as
+    * substringRuns' maxDocsPerGram) and is ON by default: it is load-
+    * bearing, not an optimization. Measured at 10× sf0.1 the uncapped
+    * join went quadratic (90 s vs 3.9 s at 1×) because common
+    * stopword-run chunks are shared by hundreds of docs — one sf0.01
+    * chunk sits in 156 docs, alone contributing ~12k of the uncapped
+    * 823 "pairs"; with the cap the result is the 37 genuine dup-family
+    * pairs and the fan-out of any fingerprint is bounded by cap². This
+    * is the C4-style boilerplate exclusion, as a safety property.
     */
   def cdcNearDup(docs: DataFrame, w: Int = 8, minShared: Int = 3,
-                 maxDocsPerChunk: Option[Int] = None): DataFrame = {
+                 maxDocsPerChunk: Option[Int] = Some(16)): DataFrame = {
     val ch = cdcChunks(docs, w)
       .select(col("doc_id"), col("chunk_fp")).distinct()
+    // cap via a WINDOW count, not an aggregate + semi-join: the window
+    // form computes the chunking chain once and leaves the frame
+    // partitioned on chunk_fp, so the self-join's two sides reuse ONE
+    // exchange (the aggregate form re-ran the whole doc→chunk chain for
+    // the count side and again per join side)
     val bounded = maxDocsPerChunk match {
       case Some(cap) =>
-        val ok = ch.groupBy(col("chunk_fp"))
-          .agg(count(lit(1)).as("nd"))
-          .filter(col("nd") <= cap).select(col("chunk_fp"))
-        ch.join(ok, Seq("chunk_fp"), "left_semi")
+        ch.withColumn("nd", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("chunk_fp"))))
+          .filter(col("nd") <= cap)
+          .select(col("doc_id"), col("chunk_fp"))
       case None => ch
     }
     bounded.as("a")
@@ -651,8 +663,12 @@ object Dedup {
       FROM c WHERE len > 0
       ORDER BY doc_id, chunk_ix"""
 
-  /** DuckDB twin of [[cdcNearDup]] (no chunk cap — the oracle path). */
-  def cdcNearDupOracleSql(w: Int, minShared: Int): String =
+  /** DuckDB twin of [[cdcNearDup]], cap included — the oracle verifies
+    * the load-bearing boilerplate exclusion, not just the join.
+    */
+  def cdcNearDupOracleSql(w: Int, minShared: Int,
+                          maxDocsPerChunk: Option[Int] = Some(16))
+      : String =
     s"""WITH nrm AS (SELECT doc_id, $duckNorm AS t FROM documents),
       b AS (SELECT doc_id, i + ${w - 1} AS e
             FROM nrm, unnest(generate_series(1, length(t) - ${w - 1}))
@@ -663,11 +679,15 @@ object Dedup {
       o AS (SELECT doc_id, s,
               lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt
             FROM st),
-      ch AS (SELECT DISTINCT o.doc_id,
+      ch0 AS (SELECT DISTINCT o.doc_id,
                md5(substr(t, s, coalesce(nxt, length(t) + 1) - s))
                  AS chunk_fp
              FROM o JOIN nrm ON o.doc_id = nrm.doc_id
-             WHERE coalesce(nxt, length(t) + 1) - s > 0)
+             WHERE coalesce(nxt, length(t) + 1) - s > 0),
+      ch AS (SELECT doc_id, chunk_fp FROM ch0${maxDocsPerChunk.fold("")(
+        cap => s"""
+             WHERE chunk_fp IN (SELECT chunk_fp FROM ch0
+               GROUP BY 1 HAVING count(*) <= $cap)""")})
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         count(*) AS shared_chunks
       FROM ch a JOIN ch b

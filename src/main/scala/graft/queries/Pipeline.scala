@@ -816,11 +816,14 @@ object Pipeline {
 
     // D18: CDC-chunk near-dup pairs — docs sharing >= 3 distinct chunk
     // fingerprints. The candidate generator CDC chunking exists for:
-    // join volume tracks SHARED chunks (fingerprint equi-join), and the
-    // boilerplate cap (cdcNearDup.maxDocsPerChunk, off on the oracle
-    // path) bounds fan-out at corpus scale.
+    // join volume tracks SHARED chunks (fingerprint equi-join). The
+    // boilerplate cap (<= 16 docs per chunk) is ON and oracle-verified —
+    // it is load-bearing: uncapped, stopword-run chunks shared by
+    // hundreds of docs turn the self-join quadratic (measured 90 s at
+    // 10× vs 3.9 s at 1× before the cap; see Dedup.cdcNearDup).
     "d18_cdc_neardup" -> { (s, d) =>
-      Dedup.cdcNearDup(Tables.documents(s, d), w = 8, minShared = 3)
+      Dedup.cdcNearDup(Tables.documents(s, d), w = 8, minShared = 3,
+          maxDocsPerChunk = Some(16))
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
@@ -1946,7 +1949,7 @@ object Pipeline {
          FROM b ORDER BY doc_id""",
     "d17_substring_runs" -> Dedup.substringRunsOracleSql(5, 10),
     "t25_cdc_chunks" -> Dedup.cdcChunksOracleSql(8),
-    "d18_cdc_neardup" -> Dedup.cdcNearDupOracleSql(8, 3),
+    "d18_cdc_neardup" -> Dedup.cdcNearDupOracleSql(8, 3, Some(16)),
     // t19/t20/t21 tokenize via the t13 words-twin (plain trim + \s+
     // split — the fixture carries no leading control whitespace, same
     // caveat t13/t12 already document)
