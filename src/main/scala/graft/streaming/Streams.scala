@@ -681,6 +681,96 @@ object Streams {
       .start()
   }
 
+  /** Streaming CDC-chunk dedup ingest — [[neardupIngest]]'s structure
+    * over the content-defined-chunk signal (Dedup.cdcChunks): a doc is
+    * rejected when it shares >= `minShared` distinct chunk fingerprints
+    * with an already-accepted doc (cross-batch, via the accumulated
+    * chunk index) or with a lower-id batch-mate (the same chain-greedy
+    * order as the minhash ingest). Chunk fingerprints are shift-robust
+    * (an insertion re-synchronizes within one chunk), so this catches
+    * the prefix/suffix-edited near-copies that fixed-window signals
+    * shift past.
+    *
+    * Same two-phase acceptance as [[neardupIngest]]: the decision
+    * materializes ONCE into a staging snapshot whose plan reads only
+    * the PRE-batch index, then every artifact derives from that on-disk
+    * snapshot — writing from the lazy frame would let the second action
+    * re-read the index partition the first just appended, and a doc
+    * would near-dup ITSELF. Same self-exclusion filter for checkpoint
+    * retries, same per-batch `batch=<id>` overwrite for exactly-once,
+    * same `_stream_id` guard. Like the minhash ingest, the streaming
+    * form carries no boilerplate cap — the batch-side cap
+    * (Dedup.cdcNearDup.maxDocsPerChunk) is where corpus-scale
+    * boilerplate is excluded before data reaches an ingest.
+    */
+  def cdcIngest(docs: DataFrame, indexDir: String, outDir: String,
+                checkpoint: String, w: Int = 8, minShared: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    val spark = docs.sparkSession
+    val chPath = s"$indexDir/chunks"
+    val ensureGuarded = guardOnce(spark, checkpoint, Seq(chPath, outDir))
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ensureGuarded()
+        val chNew = Dedup.cdcChunks(batch, w)
+          .select(col("doc_id"), col("chunk_fp")).distinct().persist()
+        val idx = {
+          val p = new org.apache.hadoop.fs.Path(chPath)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p))
+            spark.read.schema(StructType.fromDDL(
+              "doc_id BIGINT, chunk_fp STRING")).parquet(chPath)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType.fromDDL("doc_id BIGINT, chunk_fp STRING"))
+        }
+        val idxHits = chNew
+          .join(idx.select(col("doc_id").as("acc_id"), col("chunk_fp")),
+            Seq("chunk_fp"))
+          // self-exclusion: a checkpoint retry that died between the
+          // index write and the outDir write finds its own chunks
+          // already indexed — without this filter it rejects ITSELF
+          .filter(col("doc_id") =!= col("acc_id"))
+          .groupBy(col("doc_id"), col("acc_id"))
+          .agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= minShared)
+          .select(col("doc_id")).distinct()
+        val mateHits = chNew.as("a")
+          .join(chNew.as("b"),
+            col("a.chunk_fp") === col("b.chunk_fp") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"),
+            col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= minShared)
+          .select(col("doc_b").as("doc_id")).distinct()
+        // the staged decision is the accepted DOC-ID set, not the chunk
+        // rows: a chunk-less doc (empty text) has no chunk rows but must
+        // still be accepted — deriving acceptance from chNew would
+        // silently drop it from its own batch
+        val staging = s"$indexDir/_staging"
+        batch.select(col("doc_id")).distinct()
+          .join(idxHits, Seq("doc_id"), "left_anti")
+          .join(mateHits, Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").parquet(staging)
+        val acc = spark.read.parquet(staging)
+        // chunk rows for accepted docs come from the PERSISTED batch
+        // frame (derives only from the batch — no index self-read)
+        chNew.join(acc, Seq("doc_id"), "left_semi")
+          .write.mode("overwrite").parquet(s"$chPath/batch=$batchId")
+        acc.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        chNew.unpersist()
+        val sp = new org.apache.hadoop.fs.Path(staging)
+        sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(sp, true)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming ANN index maintenance — the serving-artifact twin of
     * [[neardupIngest]] for the embedding side: arriving vectors are
     * assigned to the TRAINED IVF cells and PQ-encoded against the TRAINED

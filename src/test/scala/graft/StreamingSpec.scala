@@ -907,6 +907,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamAlerts == batchAlerts)
   }
 
+  test("streaming CDC ingest: shift-robust chunk dedup across and " +
+      "within micro-batches") {
+    import graft.operators.Dedup
+    val base = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen green bottles stand quietly on the ancient stone wall " +
+      "near the harbour and the fishermen mend their long woven nets " +
+      "under a pale morning sky as gulls wheel slowly above the cold " +
+      "grey water waiting for the boats to return with the morning catch"
+    val other = "completely different content about distributed query " +
+      "engines partitioning shuffles and columnar storage formats with " +
+      "vectorized execution kernels and adaptive runtime replanning " +
+      "across many executors reading compressed immutable row groups " +
+      "while the optimizer prunes partitions and pushes predicates down"
+    val third = "a third unrelated passage concerning alpine meadows " +
+      "where marmots whistle between granite boulders and slow glaciers " +
+      "carve wide valleys beneath ridgelines traversed by climbers who " +
+      "started before dawn carrying rope and tea in battered steel flasks"
+    // sanity: the prefix-INSERTED copy re-synchronizes onto base's
+    // boundaries (the CDC property fixed windows lack) — they must share
+    // enough chunks to reject
+    val shifted = "xyzzy plugh " + base
+    val pairSanity = Dedup.cdcNearDup(
+      Seq((1L, base), (3L, shifted)).toDF("doc_id", "text"),
+      minShared = 3, maxDocsPerChunk = None).collect()
+    assert(pairSanity.length == 1,
+      s"insertion did not re-sync: ${pairSanity.toSeq}")
+
+    val land = tmpDir("graft-cdci-land")
+    val index = tmpDir("graft-cdci-idx") + "/idx"
+    val outDir = tmpDir("graft-cdci-out") + "/accepted"
+    val ckpt = tmpDir("graft-cdci-ckpt")
+    def tick(name: String, rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$land/$name")
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("recursiveFileLookup", "true").parquet(land)
+      Streams.cdcIngest(stream, index, outDir, ckpt).awaitTermination()
+    }
+    // tick 1: 1 accepted; 2 (exact copy) and 3 (prefix-inserted copy)
+    // rejected against batch-mate 1; 5 (unrelated) accepted
+    tick("t1", Seq((1L, base), (2L, base), (3L, shifted), (5L, other)))
+    // tick 2: 7 (copy of base) rejected against the INDEX from tick 1;
+    // 8 (copy of other) likewise; 9 (unrelated) accepted
+    tick("t2", Seq((7L, base), (8L, other), (9L, third)))
+    val got = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 5L, 9L))
+    // the chunk index holds exactly the accepted docs' chunks
+    assert(spark.read.parquet(s"$index/chunks")
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 5L, 9L))
+  }
+
   test("streamed dataset-card slices serve bit-identically to the " +
       "batch t24 report") {
     import graft.operators.CorpusCard
