@@ -53,6 +53,24 @@ object Tables {
       case _ => df
     }
 
+  /** Read a parquet artifact dir that may not exist yet, with an
+    * EXPLICIT schema, never inference: a dir holding only a _stream_id
+    * marker, a _staging leftover, or a crash-partial batch dir has zero
+    * readable data files, and inference would throw on every retry —
+    * with the schema given, those all read as the empty frame they are.
+    * Shared by the streaming maintenance paths (neardupIngest,
+    * cdcIngest, CorpusCard.serve) so a read-path fix lands once.
+    */
+  def readOrEmpty(spark: SparkSession, path: String, schemaDdl: String)
+      : DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")

@@ -50,11 +50,18 @@ object CorpusCard {
     * whitespace word count, the t3/t8 quality score, and the d1 exact
     * fingerprint (md5 of whitespace-normalized lowercased text).
     */
-  def signals(docs: DataFrame): DataFrame =
+  def signals(docs: DataFrame): DataFrame = {
+    // total over NULL text (treated as empty): without the coalesce a
+    // null doc yields wc = -1 (legacy size(null)), null quality, and a
+    // null fingerprint — batch card, DuckDB twin, and serve() would
+    // each resolve those differently (the twin's fp inner join drops
+    // the row; serve's n_docs disagrees with davg's count(quality))
+    val t = coalesce(col("text"), lit(""))
     docs.select(col("doc_id"), col("source"), col("lang"),
-      size(Text.words(col("text"))).cast("long").as("wc"),
-      Text.qualityScore(col("text")).as("quality"),
-      md5(Text.normalize(col("text"))).as("fp"))
+      size(Text.words(t)).cast("long").as("wc"),
+      Text.qualityScore(t).as("quality"),
+      md5(Text.normalize(t)).as("fp"))
+  }
 
   /** The batch card over a signal frame ([[signals]]). Exact median via
     * partitioned row_number ranks (middle two averaged in double) — NOT
@@ -112,15 +119,7 @@ object CorpusCard {
       .agg(count(lit(1)).as("dn"))
 
   private def readOr(spark: SparkSession, path: String, schema: String)
-      : DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
-      spark.read.schema(StructType.fromDDL(schema)).parquet(path)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType.fromDDL(schema))
-  }
+      : DataFrame = graft.Tables.readOrEmpty(spark, path, schema)
 
   /** Fold the accumulated slices into the batch card's exact output.
     *
@@ -172,6 +171,8 @@ object CorpusCard {
       .join(median, Seq("source", "lang"))
       .select(col("source"), col("lang"), col("n_docs"),
         col("total_tokens"),
+        // dividing by n_docs equals the batch davg's count(quality)
+        // BECAUSE signals() makes quality total (never null)
         round4((col("sum_q4").cast(org.apache.spark.sql.types
           .DecimalType(38, 6)) / lit(10000)).cast("double") /
           col("n_docs")).as("avg_quality"),

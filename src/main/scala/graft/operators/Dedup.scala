@@ -603,9 +603,9 @@ object Dedup {
     * bearing, not an optimization. Measured at 10× sf0.1 the uncapped
     * join went quadratic (90 s vs 3.9 s at 1×) because common
     * stopword-run chunks are shared by hundreds of docs — one sf0.01
-    * chunk sits in 156 docs, alone contributing ~12k of the uncapped
-    * 823 "pairs"; with the cap the result is the 37 genuine dup-family
-    * pairs and the fan-out of any fingerprint is bounded by cap². This
+    * chunk sits in 156 docs, alone generating ~12k candidate rows in
+    * the fingerprint join (the uncapped OUTPUT is 823 pairs); with the
+    * cap the result is the 37 genuine dup-family pairs and the fan-out of any fingerprint is bounded by cap². This
     * is the C4-style boilerplate exclusion, as a safety property.
     */
   def cdcNearDup(docs: DataFrame, w: Int = 8, minShared: Int = 3,

@@ -1364,13 +1364,15 @@ object Pipeline {
          FROM p GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     "t24_dataset_card" -> {
       val stop = Text.stopwords.map(duckMarker).mkString(" + ")
-      s"""WITH d AS (SELECT doc_id, source, lang,
+      s"""WITH doc0 AS (SELECT doc_id, source, lang,
+           coalesce(text, '') AS text FROM documents),
+         d AS (SELECT doc_id, source, lang,
            len(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\\s\\x0B]+')) AS wc,
            ($stop) AS stopc,
            len(list_filter(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\\s\\x0B]+'),
              x -> regexp_full_match(x, '^[a-z]+$$'))) AS alphac,
            md5(regexp_replace(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\\s\\x0B]+', ' ', 'g')) AS fp
-         FROM documents),
+         FROM doc0),
          q AS (SELECT doc_id, source, lang, wc, fp,
            round(100.0 * (0.5 * (CAST(stopc AS DOUBLE) / wc)
              + 0.3 * (CAST(least(wc, 50) AS DOUBLE) / 50.0)

@@ -587,20 +587,8 @@ object Streams {
     val spark = docs.sparkSession
     val shPath = s"$indexDir/shingles"
     val bandPath = s"$indexDir/bands"
-    def readOr(path: String, schema: String): DataFrame = {
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // EXPLICIT schema, never inference: a dir holding only the
-      // _stream_id marker, a _staging leftover, or a crash-partial
-      // batch dir (just `batch=N/_temporary`) has zero readable data
-      // files, and schema inference would throw on every retry — with
-      // the schema given, those all read as the empty frame they are
-      if (fs.exists(p))
-        spark.read.schema(StructType.fromDDL(schema)).parquet(path)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType.fromDDL(schema))
-    }
+    def readOr(path: String, schema: String): DataFrame =
+      graft.Tables.readOrEmpty(spark, path, schema)
     val ensureGuarded = guardOnce(spark, checkpoint,
       Seq(shPath, bandPath, outDir))
     docs.writeStream
@@ -717,16 +705,8 @@ object Streams {
         ensureGuarded()
         val chNew = Dedup.cdcChunks(batch, w)
           .select(col("doc_id"), col("chunk_fp")).distinct().persist()
-        val idx = {
-          val p = new org.apache.hadoop.fs.Path(chPath)
-          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(p))
-            spark.read.schema(StructType.fromDDL(
-              "doc_id BIGINT, chunk_fp STRING")).parquet(chPath)
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType.fromDDL("doc_id BIGINT, chunk_fp STRING"))
-        }
+        val idx = graft.Tables.readOrEmpty(spark, chPath,
+          "doc_id BIGINT, chunk_fp STRING")
         val idxHits = chNew
           .join(idx.select(col("doc_id").as("acc_id"), col("chunk_fp")),
             Seq("chunk_fp"))

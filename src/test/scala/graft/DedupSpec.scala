@@ -268,4 +268,23 @@ class DedupSpec extends AnyFunSuite {
     assert(ham(h(1L), h(2L)) <= 6)
     assert(ham(h(1L), h(3L)) > ham(h(1L), h(2L)))
   }
+
+  test("CorpusCard signals are total over NULL text (null == empty)") {
+    import graft.operators.CorpusCard
+    val df = Seq(
+      (1L, null.asInstanceOf[String], "en", "web"),
+      (2L, "", "en", "web"),
+      (3L, "some ordinary words here", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val sig = CorpusCard.signals(df).orderBy(col("doc_id")).collect()
+    // no nulls anywhere: a null doc would otherwise desync the batch
+    // card (davg counts non-null), the DuckDB twin (null-fp inner join
+    // drops the row), and the streaming serve fold (divides by n_docs)
+    assert(sig.forall(r => !r.anyNull))
+    // null text behaves exactly like empty text
+    assert(sig(0).toSeq.drop(1) == sig(1).toSeq.drop(1))
+    val card = CorpusCard.card(CorpusCard.signals(df)).collect()
+    assert(card.length == 1 && card(0).getLong(2) == 3L) // n_docs
+    assert(!card(0).anyNull)
+  }
 }

@@ -9,11 +9,20 @@ points simply don't contribute).
 
 Usage: merge_scaling.py OUT.json LOG [LOG...]
 """
-import sys, json, re
+import sys, json, os, re
 
 PAT = re.compile(r"\[scaling\] (\S+) @([0-9.]+)x -> ([0-9.]+) s")
 
 def main(out, logs):
+    # round-trip hand-added provenance: a "notes" dict in the existing
+    # OUT.json survives regeneration (a refresh once silently dropped
+    # the skew_topk re-measurement note)
+    notes = {}
+    if os.path.exists(out):
+        try:
+            notes = json.load(open(out)).get("notes", {})
+        except Exception:
+            pass
     best = {}
     for log in logs:
         for line in open(log, errors="replace"):
@@ -39,9 +48,12 @@ def main(out, logs):
             if len(ms) >= 2 and ms[0] > 0:
                 entry["superlinearity"] = round(ms[-1] / ms[0], 3)
         result[name] = entry
-    json.dump({"baseline_factor": 1.0,
-               "unit": "1x = sf0.1 (~17 MB on disk)",
-               "queries": result}, open(out, "w"), indent=1)
+    doc = {"baseline_factor": 1.0,
+           "unit": "1x = sf0.1 (~17 MB on disk)",
+           "queries": result}
+    if notes:
+        doc["notes"] = notes
+    json.dump(doc, open(out, "w"), indent=1)
     print(f"{out}: {len(result)} queries, "
           f"{sum(len(q['sec_by_factor']) for q in result.values())} points")
 
