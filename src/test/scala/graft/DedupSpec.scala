@@ -287,4 +287,53 @@ class DedupSpec extends AnyFunSuite {
     assert(card.length == 1 && card(0).getLong(2) == 3L) // n_docs
     assert(!card(0).anyNull)
   }
+
+  test("CorpusCard: sliced fold == batch card on random corpora " +
+      "(nulls, dups across slices, uneven groups)") {
+    import graft.operators.CorpusCard
+    val rnd = new scala.util.Random(42)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "the", "and",
+      "of", "is", "query", "engine")
+    for (trial <- 1 to 3) {
+      val n = 40 + rnd.nextInt(60)
+      def text(): String = rnd.nextInt(12) match {
+        case 0 => null // null text (totality path)
+        case 1 => "" // empty text
+        case _ => Seq.fill(1 + rnd.nextInt(25))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val base0 = (0 until n).map { i =>
+        (i.toLong, text(),
+          Seq("en", "de", "es")(rnd.nextInt(3)),
+          Seq("web", "book")(rnd.nextInt(2)))
+      }
+      // inject exact duplicates that land in DIFFERENT slices (doc_id
+      // mod 3 splits), so dup exposure must fold across slice files
+      val rows = base0 ++ (0 until 8).map { k =>
+        val src = base0(rnd.nextInt(base0.size))
+        ((n + k).toLong, src._2, src._3, src._4)
+      }
+      val df = rows.toDF("doc_id", "text", "lang", "source")
+      val idx = tmpDir(s"graft-cardfold-$trial")
+      for (b <- 0 until 3) {
+        val slice = CorpusCard.signals(
+          df.filter(col("doc_id") % 3 === b.toLong))
+        CorpusCard.counterSlice(slice).write
+          .parquet(s"$idx/counters/batch=$b")
+        CorpusCard.histSlice(slice).write
+          .parquet(s"$idx/hist/batch=$b")
+        CorpusCard.fpSlice(slice).write
+          .parquet(s"$idx/fp/batch=$b")
+      }
+      val served = CorpusCard.serve(spark, idx)
+        .orderBy(col("source"), col("lang")).collect().toSeq
+      val direct = CorpusCard.card(CorpusCard.signals(df))
+        .orderBy(col("source"), col("lang")).collect().toSeq
+      assert(served == direct, s"trial $trial diverged")
+      assert(direct.nonEmpty)
+    }
+  }
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
 }

@@ -135,6 +135,48 @@ class PlanLintSpec extends AnyFunSuite {
     assert(missing.isEmpty, "\n" + missing.mkString("\n"))
   }
 
+  test("d18's self-join reuses one exchange (the chunking chain " +
+      "computes once)") {
+    // the measured 6x regression guarded here: with the cap as an
+    // aggregate + semi-join, the doc->chunk chain re-ran for the count
+    // side AND once per self-join side; the window-count form leaves
+    // the frame partitioned on chunk_fp and the join's second side must
+    // resolve to a ReusedExchange. Broadcast disabled for the check:
+    // at the test fixture's size the planner broadcasts the self-join
+    // side (no reuse node exists on that plan shape) — the shuffled
+    // form forced here is the plan that runs at scale, where the reuse
+    // is load-bearing (SCALING.json d18 note).
+    // AQE materializes exchange reuse only in the FINAL adaptive plan,
+    // so execute (noop sink) and assert on the finalized plan string
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thresholdKey)
+    val finalPlan =
+      try {
+        spark.conf.set(thresholdKey, "-1")
+        val df = SparkEntry.queries("d18_cdc_neardup")(spark, sfDir)
+        // collect() executes THIS queryExecution (a write would spawn a
+        // fresh one and leave this plan un-finalized); result is tiny
+        df.collect()
+        df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+      } finally spark.conf.set(thresholdKey, saved)
+    // the ReusedExchange sits INSIDE a ShuffleQueryStage wrapper (a
+    // leaf to tree-collect), so assert on the rendered final plan
+    val planStr = finalPlan.toString
+    assert(planStr.contains("ReusedExchange"),
+      s"no ReusedExchange in d18's final plan:\n$planStr")
+    // cdcChunks itself scans documents twice (the nrm ⋈ ends boundary
+    // join), so ONE chain = 2 scans; a broken reuse duplicates the
+    // whole chain → 4
+    val scanLines = planStr.split("\n").count(_.contains("FileScan"))
+    assert(scanLines == 2,
+      s"d18's final plan has $scanLines file scans (expected 2 = one " +
+        s"chunking chain; 4 would mean the self-join re-ran it):\n$planStr")
+  }
+
   test("no query plan carries an unjustified scale anti-pattern") {
     val found = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
