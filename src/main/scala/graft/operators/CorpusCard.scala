@@ -121,6 +121,69 @@ object CorpusCard {
   private def readOr(spark: SparkSession, path: String, schema: String)
       : DataFrame = graft.Tables.readOrEmpty(spark, path, schema)
 
+  /** Compact the accumulated micro-batch slices: fold each artifact's
+    * additive rows into ONE batch partition, leaving [[serve]]'s output
+    * bit-identical (the slices are sums; summing them is associative).
+    * A long-running cardMaintenance stream accumulates one small file
+    * set per micro-batch — thousands of batch=<id> dirs whose open/seek
+    * cost eventually dominates the serve fold; compaction is the
+    * operational complement, same motive as Sinks.compactSmallFiles.
+    *
+    * Crash safety (the compactBucketed rename-aside discipline): the
+    * folded artifact is written BESIDE the live dir, the live dir is
+    * renamed aside, the folded one renamed in, and only then is the
+    * aside dropped — at every crash point either the old slices or the
+    * folded copy exist under a recoverable name, never neither. The
+    * stream must be STOPPED while compacting: the folded partition is
+    * `batch=<maxSeenId>`, so a later restart with the SAME checkpoint
+    * continues appending fresh batch ids above it, while a retry of the
+    * last pre-compaction batch would overwrite the folded partition —
+    * stop at a trigger boundary (AvailableNow drains) before calling.
+    */
+  def compactSlices(spark: SparkSession, indexDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def fold(sub: String, schema: String, keys: Seq[String],
+             sums: Seq[String]): Unit = {
+      val live = s"$indexDir/$sub"
+      val livePath = new org.apache.hadoop.fs.Path(live)
+      val fs = livePath.getFileSystem(conf)
+      if (!fs.exists(livePath)) return
+      val df = spark.read.schema(StructType.fromDDL(
+        schema + ", batch BIGINT")).parquet(live)
+      val maxBatch = df.agg(max(col("batch"))).head.get(0)
+      if (maxBatch == null) return
+      val folded = df.groupBy(keys.map(col): _*)
+        .agg(sum(col(sums.head)).as(sums.head),
+          sums.tail.map(c => sum(col(c)).as(c)): _*)
+      val next = s"$live._compacting"
+      val aside = s"$live._precompact"
+      folded.write.mode("overwrite")
+        .parquet(s"$next/batch=$maxBatch")
+      // preserve the stream-identity marker through the swap
+      val marker = new org.apache.hadoop.fs.Path(s"$live/_stream_id")
+      if (fs.exists(marker))
+        org.apache.hadoop.fs.FileUtil.copy(fs, marker, fs,
+          new org.apache.hadoop.fs.Path(s"$next/_stream_id"),
+          false, conf)
+      val nextPath = new org.apache.hadoop.fs.Path(next)
+      val asidePath = new org.apache.hadoop.fs.Path(aside)
+      fs.delete(asidePath, true)
+      require(fs.rename(livePath, asidePath),
+        s"compactSlices: cannot move $live aside")
+      require(fs.rename(nextPath, livePath),
+        s"compactSlices: cannot activate $next (old data at $aside)")
+      fs.delete(asidePath, true)
+    }
+    fold("counters",
+      "source STRING, lang STRING, n_docs BIGINT, sum_q4 BIGINT, " +
+        "gate_pass BIGINT",
+      Seq("source", "lang"), Seq("n_docs", "sum_q4", "gate_pass"))
+    fold("hist", "source STRING, lang STRING, wc BIGINT, dn BIGINT",
+      Seq("source", "lang", "wc"), Seq("dn"))
+    fold("fp", "fp STRING, source STRING, lang STRING, dn BIGINT",
+      Seq("fp", "source", "lang"), Seq("dn"))
+  }
+
   /** Fold the accumulated slices into the batch card's exact output.
     *
     * Median from the histogram: with per-group cumulative counts over

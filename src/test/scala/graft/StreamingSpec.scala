@@ -998,5 +998,33 @@ class StreamingSpec extends AnyFunSuite {
     val again = CorpusCard.serve(spark, idx)
       .orderBy(col("source"), col("lang")).collect().toSeq
     assert(again == served)
+
+    // compaction invariance: fold the accumulated slices into one
+    // partition per artifact (stream stopped — AvailableNow drained);
+    // the served card must not move by a bit
+    CorpusCard.compactSlices(spark, idx)
+    val compacted = CorpusCard.serve(spark, idx)
+      .orderBy(col("source"), col("lang")).collect().toSeq
+    assert(compacted == served)
+    for (sub <- Seq("counters", "hist", "fp")) {
+      val dirs = new java.io.File(s"$idx/$sub")
+        .listFiles().filter(_.getName.startsWith("batch="))
+      assert(dirs.length == 1, s"$sub not folded: ${dirs.toSeq}")
+    }
+    // the stream keeps appending ABOVE the folded partition: a third
+    // tick with NEW docs lands a fresh batch id (same checkpoint), and
+    // the served card equals the batch card over the widened corpus
+    val extra = Seq((100001L, "entirely new appended document text",
+        "en", "extra", 37L),
+      (100002L, "another appended document", "de", "extra", 25L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    extra.coalesce(1).write.parquet(s"$land/t3")
+    runOnce()
+    val widened = CorpusCard.serve(spark, idx)
+      .orderBy(col("source"), col("lang")).collect().toSeq
+    val widenedDirect = CorpusCard.card(
+        CorpusCard.signals(docs.unionByName(extra)))
+      .orderBy(col("source"), col("lang")).collect().toSeq
+    assert(widened == widenedDirect)
   }
 }
