@@ -70,8 +70,11 @@ object Bench {
     // r10 continuation: the double-correlated self-join anchor — the one
     // new TPC-H shape whose decorrelation strategy differs most between
     // engines (DuckDB rewrites the EXISTS pair; Spark plans explicit
-    // semi+anti hash joins)
-    "b11_tpch_q21")
+    // semi+anti hash joins) — plus the session's flagship additions so
+    // twin_slopes tracks them from the start: the dataset card, CDC
+    // chunking, and the capped CDC near-dup join
+    "b11_tpch_q21", "t24_dataset_card", "t25_cdc_chunks",
+    "d18_cdc_neardup")
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
