@@ -38,6 +38,7 @@ object Scaling {
     "b10_tpch_q13", "b11_tpch_q21", "b12_tpch_q22", "b13_tpch_q14",
     "b14_tpch_q19", "b15_tpch_q17", "b16_tpch_q15", "b17_tpch_q8",
     "t24_dataset_card", "t25_cdc_chunks", "d18_cdc_neardup",
+    "t8_gate_unsorted",
     // LAST: the skew pairs toggle session confs (broadcast off,
     // skew-join on/off) from inside their builders — keeping them at
     // the tail means nothing downstream inherits the toggles
@@ -72,6 +73,19 @@ object Scaling {
 
   val adaptiveQueries: Map[String, (org.apache.spark.sql.SparkSession,
       String, Double) => org.apache.spark.sql.DataFrame] = Map(
+    // t8 minus its oracle-determinism orderBy: the global sort's
+    // range-partitioner sampling re-executes the per-doc quality
+    // kernel, so the sorted form pays the scoring twice — this pair
+    // measures what a real deployment (unsorted gate output) saves
+    "t8_gate_unsorted" -> { (s, d, _) =>
+      import org.apache.spark.sql.functions.col
+      val q = graft.functions.Text.qualityScore(col("text"))
+      Tables.documents(s, d)
+        .withColumn("quality", q)
+        .filter(col("quality") >= 40d &&
+          col("lang").isin("en", "de", "es"))
+        .select(col("doc_id"), col("lang"), col("quality"))
+    },
     "n8_adaptive_bits" -> { (s, d, f) =>
       import org.apache.spark.sql.functions.col
       graft.operators.Similarity
