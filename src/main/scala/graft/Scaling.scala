@@ -32,6 +32,9 @@ object Scaling {
     "d16_graph_dedup", "n8_knn_graph", "pipe1_corpus_build",
     "d14_canonical_pick", "n7_ann_ivfpq", "n6_ann_pq",
     "n8_adaptive_bits", "d16_adaptive_bits",
+    // r10 third session: the production-training counterexample to the
+    // n4/n6/n7 quadratic — sample-bounded Lloyd, fixed k, no cap
+    "n9_ann_ivf_sampled",
     // r10 continuation: the new anchor shapes + the dataset card —
     // b11's double self-join and t24's fingerprint-join+window-median
     // are the two whose slopes could hide a surprise

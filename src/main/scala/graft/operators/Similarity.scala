@@ -293,6 +293,38 @@ object Similarity {
     cent.select(col("cid").as("vec_id"), col("cemb").as("embedding"))
   }
 
+  /** Production-shape IVF training: [[kmeansCentroids]] over a BOUNDED
+    * deterministic sample with a FIXED centroid count — the fix for the
+    * n4/n6/n7 scaling finding (SCALING.json: seeding k from the corpus
+    * size via `vec_id % 50 == 0` makes Lloyd assignment O(n²/50), the
+    * oracle-pinned fixture geometry). Here the training set is every
+    * `mod`-th vector with `mod = max(1, n / targetSample)` — ≤
+    * ~2·targetSample rows whatever the corpus size — and seeds are every
+    * `max(1, sampleCount / kCentroids)`-th SAMPLE member (expressed as a
+    * second modulus over vec_id, so both filters are pure arithmetic a
+    * SQL oracle replays). Training cost is O(targetSample · k · iters) —
+    * CONSTANT in corpus size; the downstream full-corpus assignment is
+    * the one linear pass IVF always pays. The two `count()`s are
+    * map-side-combined scalar aggregates (no corpus data on the driver).
+    *
+    * Contract: vec_ids must be dense-ish from 0 (the fixture and any
+    * re-keyed corpus satisfy this); a sparse id space just makes the
+    * sample smaller, never larger. kCentroids is approximate (±1: the
+    * modulus stride rounds down) — callers needing an exact k would rank
+    * the sample, which costs a sort the modulus form avoids.
+    */
+  def sampledTrainCentroids(vecs: DataFrame, targetSample: Long = 400L,
+                            kCentroids: Long = 16L, iters: Int = 2)
+      : DataFrame = {
+    val n = vecs.select(count(lit(1))).head().getLong(0)
+    val mod = math.max(1L, n / targetSample)
+    val sample = vecs.filter(col("vec_id") % mod === 0)
+    val sn = sample.select(count(lit(1))).head().getLong(0)
+    val seedMod = mod * math.max(1L, sn / kCentroids)
+    kmeansCentroids(sample, vecs.filter(col("vec_id") % seedMod === 0),
+      iters)
+  }
+
   /** IVF-style bucketed ANN: assign every vector to its nearest centroid
     * (one pass over vecs × centroids — centroids are FEW and broadcast),
     * probe the `nprobe` nearest centroid buckets, exact-score candidates,

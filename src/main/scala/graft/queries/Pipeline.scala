@@ -304,6 +304,27 @@ object Pipeline {
         .orderBy(col("probe_id"), col("rank"))
     },
 
+    // N9: IVF with SAMPLE-BOUNDED training — the production answer to the
+    // n4/n6/n7 scaling finding (their oracle-pinned geometry derives the
+    // centroid count from n, making Lloyd O(n²)): train the SAME two
+    // deterministic Lloyd iterations on a bounded modulus sample
+    // (≤ ~2·400 vectors whatever the corpus size) seeded with a FIXED
+    // ~16 centroids, then run the same nprobe-bucket search over the
+    // full corpus. Training cost is constant in corpus size; assignment
+    // and the candidate join are the linear passes IVF always pays
+    // (SCALING.json carries the measured slope). Both moduli are pure
+    // arithmetic over vec_id, so the whole path — sample, seeds, two
+    // Lloyd iterations, full-corpus assignment, pruned search — unrolls
+    // into SQL and n9 is hash-verified against a full DuckDB oracle.
+    "n9_ann_ivf_sampled" -> { (s, d) =>
+      val v = Tables.embeddings(s, d)
+      val trained = Similarity.sampledTrainCentroids(
+        v, targetSample = 400L, kCentroids = 16L, iters = 2)
+      Similarity.ivfTopK(v.filter(col("vec_id") < 10), v,
+        centroids = trained, k = 5, nprobe = 8)
+        .orderBy(col("probe_id"), col("rank"))
+    },
+
     // N6: product-quantization ANN — the corpus compresses to m codebook
     // ids per vector (64 floats → 8 codes, the RAM-residency lever at
     // 100 TB; IVF prunes candidates, PQ shrinks them); queries score the
@@ -1620,6 +1641,63 @@ object Pipeline {
                   CAST(CAST(SUM(CAST(u.x AS DECIMAL(38,6))) AS DOUBLE)
                     / COUNT(*) AS REAL) AS cx
                 FROM u JOIN a2 USING (vec_id) GROUP BY 1, 2),
+         s3 AS (SELECT a.vec_id, b.cid, ${duckCos("a.x", "b.cx")} AS csim
+                FROM u a JOIN c2 b ON a.i = b.i GROUP BY 1, 2),
+         vr AS (SELECT vec_id, cid, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+                FROM s3),
+         vb AS (SELECT vec_id AS cand_id, cid FROM vr WHERE rn = 1),
+         pb AS (SELECT vec_id AS probe_id, cid FROM vr
+                WHERE rn <= 8 AND vec_id < 10),
+         cands AS (SELECT DISTINCT probe_id, cand_id
+                   FROM pb JOIN vb USING (cid)
+                   WHERE probe_id <> cand_id),
+         sc AS (SELECT c.probe_id, c.cand_id,
+                  ${duckCos("a.x", "b.x")} AS cos
+                FROM cands c
+                JOIN u a ON a.vec_id = c.probe_id
+                JOIN u b ON b.vec_id = c.cand_id AND a.i = b.i
+                GROUP BY 1, 2),
+         r AS (SELECT probe_id, cand_id, cos, row_number() OVER (
+                 PARTITION BY probe_id ORDER BY cos DESC, cand_id)
+                 AS rank FROM sc)
+         SELECT probe_id, rank, cand_id AS neighbor_id,
+           round(cos, 4) AS cosine
+         FROM r WHERE rank <= 5 ORDER BY probe_id, rank""",
+    // n9: the n4 oracle with training restricted to the bounded modulus
+    // sample (su) and seeds to the fixed-k modulus (prm2) — both moduli
+    // computed from the same counts the Spark driver reads, as scalar
+    // CTEs. Only s3 (final assignment) sees the full corpus.
+    "n9_ann_ivf_sampled" ->
+      s"""WITH u AS ($duckUnnest),
+         prm AS (SELECT greatest(1, count(*) // 400) AS md
+                 FROM embeddings),
+         su AS (SELECT u.* FROM u, prm WHERE u.vec_id % prm.md = 0),
+         prm2 AS (SELECT prm.md * greatest(1, count(DISTINCT su.vec_id) // 16)
+                    AS sd
+                  FROM su, prm GROUP BY prm.md),
+         c0 AS (SELECT vec_id AS cid, x AS cx, i FROM u, prm2
+                WHERE vec_id % prm2.sd = 0),
+         s1 AS (SELECT a.vec_id, b.cid, ${duckCos("a.x", "b.cx")} AS csim
+                FROM su a JOIN c0 b ON a.i = b.i GROUP BY 1, 2),
+         a1 AS (SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+                  FROM s1) WHERE rn = 1),
+         c1 AS (SELECT a1.cid, su.i,
+                  CAST(CAST(SUM(CAST(su.x AS DECIMAL(38,6))) AS DOUBLE)
+                    / COUNT(*) AS REAL) AS cx
+                FROM su JOIN a1 USING (vec_id) GROUP BY 1, 2),
+         s2 AS (SELECT a.vec_id, b.cid, ${duckCos("a.x", "b.cx")} AS csim
+                FROM su a JOIN c1 b ON a.i = b.i GROUP BY 1, 2),
+         a2 AS (SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+                  FROM s2) WHERE rn = 1),
+         c2 AS (SELECT a2.cid, su.i,
+                  CAST(CAST(SUM(CAST(su.x AS DECIMAL(38,6))) AS DOUBLE)
+                    / COUNT(*) AS REAL) AS cx
+                FROM su JOIN a2 USING (vec_id) GROUP BY 1, 2),
          s3 AS (SELECT a.vec_id, b.cid, ${duckCos("a.x", "b.cx")} AS csim
                 FROM u a JOIN c2 b ON a.i = b.i GROUP BY 1, 2),
          vr AS (SELECT vec_id, cid, row_number() OVER (

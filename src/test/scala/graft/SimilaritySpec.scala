@@ -404,6 +404,36 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("sampledTrainCentroids: bounded sample, ~fixed k, deterministic, " +
+      "recall holds (the n9 scale contract, executable)") {
+    // the contract that makes training cost CONSTANT in corpus size:
+    // whatever n, mod = max(1, n/target) keeps the sample ≤ ~2·target
+    // and seedMod keeps the centroid count ~k. Replay the arithmetic
+    // for a sweep of corpus sizes (pure driver math — the same two
+    // divisions the operator does).
+    for (n <- Seq(10L, 500L, 2000L, 20000L, 200000L, 2000000000L)) {
+      val mod = math.max(1L, n / 400L)
+      val sn = (n + mod - 1) / mod // dense-id sample count, within ±1
+      assert(sn <= 2L * 400L, s"n=$n sample $sn exceeds the bound")
+      val seeds = (sn + math.max(1L, sn / 16L) - 1) / math.max(1L, sn / 16L)
+      assert(seeds >= 8L && seeds <= 32L, s"n=$n seeds $seeds off ~16")
+    }
+    // executable on the fixture: deterministic re-run, centroid count in
+    // the band, and trained-IVF recall at the n3/n4 floor
+    def trained() = Similarity.sampledTrainCentroids(vecs, 400L, 16L, 2)
+    val c1 = trained().as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    assert(c1 == trained().as[(Long, Seq[Float])].collect()
+      .sortBy(_._1).toSeq)
+    assert(c1.size >= 8 && c1.size <= 32, s"got ${c1.size} centroids")
+    val probes = vecs.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(probes, vecs, 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(probes, vecs, trained(), k = 5, nprobe = 8)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"sampled-trained IVF recall $recall < 0.3")
+  }
+
   test("knnGraphAuto == knnGraph at the width autoBits derives") {
     val n = vecs.count()
     val expectBits = Similarity.autoBits(n)
