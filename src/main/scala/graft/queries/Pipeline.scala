@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Core._
 import graft.functions.Text
-import graft.operators.{Dedup, Retrieval, Similarity}
+import graft.operators.{Dedup, Retrieval, Similarity, Tokenize}
 
 /** Training-data pipeline queries — the operators a 100 TB LLM-corpus
   * build needs on top of the reference's own surface: deduplication
@@ -907,6 +907,82 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // T26: interpolated BIGRAM surprisal — t20 with conditional context.
+    // A self-trained pure bigram LM is degenerate at the tails (a unique
+    // context seen once scores 0 bits exactly like verbatim boilerplate),
+    // so each token scores under the GEOMETRIC unigram/bigram mixture
+    // √(P(w|prev)·P(w)) — in bit-units: ubits(w) + bbits(prev,w), both
+    // floor(log2(count ratio)) integers (t20's length(bin(a div b))-1
+    // trick — no libm log in a compared value), divided by 2 only in the
+    // final per-doc mean. The first token has no context and scores
+    // 2·ubits. Repetitive boilerplate scores low on BOTH components;
+    // unique prose keeps its unigram mass — the CCNet perplexity shape
+    // with a closed-form corpus-trained model. Scale: two shuffled
+    // aggregates over transitions (bigram + context counts — the context
+    // table derives from the SMALLER bigram table, not the corpus), the
+    // t20 vocab aggregate, and shuffled joins back — nothing broadcast
+    // except the one-row total; transitions are map-side arrays_zip
+    // (codegen'd, no HOF lambda, no per-doc window shuffle).
+    "t26_bigram_surprisal" -> { (s, d) =>
+      val wl = Tables.documents(s, d)
+        .select(col("doc_id"), Text.words(col("text")).as("w"))
+      val tk = wl.select(col("doc_id"), posexplode(col("w")))
+        .select(col("doc_id"), (col("pos") + 1).as("i"),
+          col("col").as("tok"))
+      val tr = wl.filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(arrays_zip(
+          slice(col("w"), lit(1), size(col("w")) - 1).as("prev"),
+          slice(col("w"), lit(2), size(col("w")) - 1).as("tok"))).as("z"))
+        .select(col("doc_id"), col("z.prev").as("prev"),
+          col("z.tok").as("tok"))
+      val bg = tr.groupBy(col("prev"), col("tok"))
+        .agg(count(lit(1)).as("c_big"))
+      val cx = bg.groupBy(col("prev"))
+        .agg(sum(col("c_big")).as("c_ctx"))
+      val tb = bg.join(cx, Seq("prev"))
+        .select(col("prev"), col("tok"),
+          (length(bin(expr("c_ctx div c_big"))) - 1)
+            .cast("long").as("bbits"))
+      val v = tk.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val tot = v.agg(sum(col("cnt")).as("total"))
+      val ub = v.crossJoin(broadcast(tot))
+        .select(col("tok"),
+          (length(bin(expr("total div cnt"))) - 1)
+            .cast("long").as("ubits"))
+      val us = tk.join(ub, Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("ubits")).as("usum"))
+      val fd = tk.filter(col("i") === 1).join(ub, Seq("tok"))
+        .select(col("doc_id"), col("ubits").as("u1"))
+      val td = tr.join(tb, Seq("prev", "tok"))
+        .groupBy(col("doc_id")).agg(sum(col("bbits")).as("bsum"))
+      us.join(fd, Seq("doc_id"))
+        .join(td, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          (col("usum") + col("u1") + coalesce(col("bsum"), lit(0L)))
+            .as("bits_sum"))
+        .select(col("doc_id"), col("n_tok"), col("bits_sum"),
+          round4(col("bits_sum").cast("double") / (col("n_tok") * 2))
+            .as("avg_bits"),
+          when(col("bits_sum") * 100 < col("n_tok") * 2 * 410, lit("head"))
+            .when(col("bits_sum") * 100 < col("n_tok") * 2 * 420,
+              lit("middle"))
+            .otherwise(lit("tail")).as("band"))
+        .orderBy(col("doc_id"))
+    },
+
+    // T27: BPE merge training — the four most-frequent adjacent-symbol
+    // merges over the corpus's word-frequency table (operators/Tokenize:
+    // one corpus pass, then vocab-sized iterations; self-pairs excluded
+    // so application is a pure per-position map). Output carries
+    // n_syms_after — the corpus symbol count after EACH rewrite — so the
+    // oracle verifies every intermediate application, not just the four
+    // argmaxes.
+    "t27_bpe_merges" -> { (s, d) =>
+      Tokenize.bpeMerges(Tables.documents(s, d), k = 4)
+        .orderBy(col("step"))
+    },
+
     // T21: retrieval chunking — the RAG indexing step: overlapping
     // fixed-size token windows (16 tokens, stride 12) per doc, each with
     // its ordinal, start offset, token count, and an md5 content
@@ -1102,6 +1178,51 @@ object Pipeline {
   }
 
   // ---- oracle SQL ----
+
+  /** t27 twin: k BPE merge steps unrolled into CTE chains (the n4/n6
+    * unrolled-Lloyd precedent). Pair extraction is an (i, i+1)
+    * positional self-join per word; the rewrite is the same exclusive
+    * per-position CASE the Spark transform applies (l ≠ r guarantees
+    * non-overlap); every count stays BIGINT.
+    */
+  private def bpeOracle(k: Int): String = {
+    val steps = (1 to k).map { n =>
+      s"""t$n AS (SELECT word, freq, unnest(s) AS sym,
+                  generate_subscripts(s, 1) AS i FROM w${n - 1}),
+         p$n AS (SELECT a.sym AS l, b.sym AS r,
+                  CAST(sum(a.freq) AS BIGINT) AS cnt
+                FROM t$n a JOIN t$n b
+                  ON a.word = b.word AND b.i = a.i + 1
+                WHERE a.sym <> b.sym GROUP BY 1, 2),
+         m$n AS (SELECT l, r, cnt FROM p$n
+                 ORDER BY cnt DESC, l, r LIMIT 1),
+         w$n AS (SELECT word, freq,
+                  list_filter(list_transform(range(1, len(s) + 1), i ->
+                    CASE WHEN i < len(s) AND s[i] = l AND s[i+1] = r
+                           THEN l || r
+                         WHEN i > 1 AND s[i-1] = l AND s[i] = r
+                           THEN NULL
+                         ELSE s[i] END), x -> x IS NOT NULL) AS s
+                FROM w${n - 1}, m$n),
+         s$n AS (SELECT CAST(sum(freq * len(s)) AS BIGINT)
+                   AS n_syms_after FROM w$n)"""
+    }.mkString(",\n         ")
+    val rows = (1 to k).map { n =>
+      s"""SELECT CAST($n AS BIGINT) AS step, l AS "left", r AS "right",
+           l || r AS merged, cnt AS pair_count,
+           (SELECT n_syms_after FROM s$n) AS n_syms_after FROM m$n"""
+    }.mkString(" UNION ALL ")
+    s"""WITH wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+           FROM (SELECT unnest(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\\s\\x0B]+')) AS word
+                 FROM documents)
+           WHERE length(word) > 0 GROUP BY 1),
+         w0 AS (SELECT word, freq,
+                  list_append(list_transform(range(1, length(word) + 1),
+                    i -> substring(word, i, 1)), '</w>') AS s
+                FROM wf),
+         $steps
+         SELECT * FROM ($rows) ORDER BY step"""
+  }
 
   /** DuckDB twin of Text.markerCount (space-padded split-count). */
   private def duckMarker(m: String): String =
@@ -2070,6 +2191,48 @@ object Pipeline {
                 WHEN bits_sum*100 < n_tok*425 THEN 'middle'
                 ELSE 'tail' END AS band
          FROM per ORDER BY doc_id""",
+    // t26: transitions rebuilt by an (i, i+1) self-join over the
+    // positioned token list (the set Spark derives map-side from
+    // arrays_zip); every count stays integer until the single final
+    // division, so the doubles hash-match.
+    "t26_bigram_surprisal" ->
+      """WITH wl AS (SELECT doc_id,
+           regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\s\x0B]+') AS w
+         FROM documents),
+         tk AS (SELECT doc_id, unnest(w) AS tok,
+                  generate_subscripts(w, 1) AS i FROM wl),
+         tr AS (SELECT a.doc_id, a.tok AS prev, b.tok AS tok
+                FROM tk a JOIN tk b
+                  ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+         bg AS (SELECT prev, tok, count(*) AS c_big FROM tr GROUP BY 1, 2),
+         cx AS (SELECT prev, CAST(sum(c_big) AS BIGINT) AS c_ctx
+                FROM bg GROUP BY 1),
+         tb AS (SELECT prev, tok,
+                  CAST(length(bin(c_ctx // c_big)) - 1 AS BIGINT) AS bbits
+                FROM bg JOIN cx USING (prev)),
+         v AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v),
+         ub AS (SELECT tok,
+                  CAST(length(bin(total // cnt)) - 1 AS BIGINT) AS ubits
+                FROM v, tot),
+         us AS (SELECT doc_id, count(*) AS n_tok,
+                  CAST(sum(ubits) AS BIGINT) AS usum
+                FROM tk JOIN ub USING (tok) GROUP BY 1),
+         fd AS (SELECT doc_id, ubits AS u1
+                FROM tk JOIN ub USING (tok) WHERE i = 1),
+         td AS (SELECT doc_id, CAST(sum(bbits) AS BIGINT) AS bsum
+                FROM tr JOIN tb USING (prev, tok) GROUP BY 1),
+         per AS (SELECT us.doc_id, us.n_tok,
+                   us.usum + fd.u1 + COALESCE(td.bsum, 0) AS bits_sum
+                 FROM us JOIN fd USING (doc_id)
+                 LEFT JOIN td USING (doc_id))
+         SELECT doc_id, n_tok, bits_sum,
+           round(CAST(bits_sum AS DOUBLE)/(n_tok*2), 4) AS avg_bits,
+           CASE WHEN bits_sum*100 < n_tok*2*410 THEN 'head'
+                WHEN bits_sum*100 < n_tok*2*420 THEN 'middle'
+                ELSE 'tail' END AS band
+         FROM per ORDER BY doc_id""",
+    "t27_bpe_merges" -> bpeOracle(4),
     "api5_search_facets" ->
       """SELECT lang, source, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS chars

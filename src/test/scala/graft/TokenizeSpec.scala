@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Tokenize
+
+/** BPE merge training: a fully hand-computed tiny corpus (argmax ties,
+  * merged symbols re-entering later merges, multi-match rewrites), the
+  * exact symbol-count chain invariant, and segmentation consistency.
+  */
+class TokenizeSpec extends AnyFunSuite {
+
+  import SparkTestSession.{spark, sfDir}
+  import spark.implicits._
+
+  private def tiny = Seq(
+    (1L, "ab ab ab cab"),
+    (2L, "ab banana ab")).toDF("doc_id", "text")
+
+  test("bpeMerges: hand-computed merges, ties, and per-step counts") {
+    // vocab: ab×5, cab×1, banana×1; initial syms 5·3 + 4 + 7 = 26.
+    // step 1: (a,b)=6 ties (b,</w>)=6 → (a,b) on the (l,r) order; 26−6=20
+    // step 2: (ab,</w>)=6 — step 1's output symbol is the left side
+    // step 3: (a,n)=2 ties (n,a)=2 → (a,n); banana rewrites BOTH matches
+    val got = Tokenize.bpeMerges(tiny, 3).orderBy(col("step"))
+      .as[(Long, String, String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a", "b", "ab", 6L, 20L),
+      (2L, "ab", "</w>", "ab</w>", 6L, 14L),
+      (3L, "a", "n", "an", 2L, 12L)))
+  }
+
+  test("bpeSegmentation: rewritten vocab matches the merge chain and " +
+      "reconstructs every word") {
+    val seg = Tokenize.bpeSegmentation(tiny, 3)
+      .as[(String, Long, Seq[String], Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(seg("ab")._3 == Seq("ab</w>"))
+    assert(seg("cab")._3 == Seq("c", "ab</w>"))
+    assert(seg("banana")._3 == Seq("b", "an", "an", "a", "</w>"))
+    // Σ freq·n_syms equals the merge table's final n_syms_after
+    assert(seg.values.map(r => r._2 * r._4).sum == 12L)
+    // lossless: concatenating symbols and dropping the terminator
+    // reproduces the word — no rewrite may lose or duplicate characters
+    seg.values.foreach { case (word, _, syms, _) =>
+      assert(syms.mkString.replace("</w>", "") == word)
+    }
+  }
+
+  test("bpeMerges on the fixture: symbol-count chain is exact " +
+      "(n_syms_after[i] = n_syms_after[i-1] - pair_count[i])") {
+    val docs = Tables.documents(spark, sfDir)
+    val base = Tokenize.wordFreq(docs)
+      .select(sum(col("freq") * (length(col("word")) + 1)))
+      .head().getLong(0)
+    val steps = Tokenize.bpeMerges(docs, 3).orderBy(col("step"))
+      .select(col("pair_count"), col("n_syms_after"))
+      .as[(Long, Long)].collect()
+    var prev = base
+    steps.foreach { case (cnt, after) =>
+      assert(after == prev - cnt, s"chain broke: $prev - $cnt != $after")
+      assert(cnt > 0)
+      prev = after
+    }
+  }
+}
