@@ -46,12 +46,16 @@ class PlanLintSpec extends AnyFunSuite {
     *     corpus-scaling frame
     *   - d9/n3/n4/n7: k-centroid tables and 256-entry PQ codebook/LUT
     *     frames (k and codebook size chosen, ≪ corpus)
+    *   - n9: the sample-trained centroid table — ~16 rows by the
+    *     sampledTrainCentroids contract, corpus-size-INDEPENDENT (the
+    *     strongest bound in this family)
     *   - n1: the probe batch of the brute-force baseline (per-request
     *     sized; the corpus side streams)
     */
   private val nljOk: Set[String] = Set("d5_embedding_neardup",
     "d11_semantic_decontaminate", "d9_semantic_prune", "n1_ann_topk",
-    "n3_ann_ivf", "n4_ann_ivf_trained", "n7_ann_ivfpq")
+    "n3_ann_ivf", "n4_ann_ivf_trained", "n7_ann_ivfpq",
+    "n9_ann_ivf_sampled")
 
   private def isScalarAgg(p: SparkPlan): Boolean = p.collectFirst {
     case a: HashAggregateExec if a.groupingExpressions.isEmpty => true
