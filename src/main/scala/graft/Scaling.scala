@@ -33,8 +33,12 @@ object Scaling {
     "d14_canonical_pick", "n7_ann_ivfpq", "n6_ann_pq",
     "n8_adaptive_bits", "d16_adaptive_bits",
     // r10 third session: the production-training counterexample to the
-    // n4/n6/n7 quadratic — sample-bounded Lloyd, fixed k, no cap
-    "n9_ann_ivf_sampled",
+    // n4/n6/n7 quadratic (sample-bounded Lloyd, fixed k, no cap), the
+    // bigram-LM gate (two transition aggregates + joins back — the
+    // widest-shuffle text entry), and BPE training (one corpus pass,
+    // then vocab-sized iterations — the slope should be the wordFreq
+    // aggregate's alone)
+    "n9_ann_ivf_sampled", "t26_bigram_surprisal", "t27_bpe_merges",
     // r10 continuation: the new anchor shapes + the dataset card —
     // b11's double self-join and t24's fingerprint-join+window-median
     // are the two whose slopes could hide a surprise

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** BPE tokenizer training — the merge-learning loop every LLM corpus
@@ -31,14 +31,16 @@ import org.apache.spark.sql.functions._
   *     order.
   *
   * Scale shape: the driver loop runs `k` times (k is small); each
-  * iteration is one vocab aggregate + one one-row argmax. The argmax and
-  * the per-step symbol-count summary are localCheckpoint'd one-row
-  * frames (kmeansCentroids precedent) so iteration i never re-executes
-  * iteration j's aggregates. The symbol rewrite is a map-side
-  * transform/filter over the vocab's symbol arrays — higher-order
-  * lambdas are interpreted, which is fine OFF the corpus path (vocab
-  * rows, short arrays). Nothing corpus-scale is collected or broadcast;
-  * the only broadcasts are one-row frames.
+  * iteration is one vocab-sized aggregate whose ONE-ROW argmax is
+  * collected to the driver — the merge pair IS the trained artifact, so
+  * this is the bounded-collect class (the kmeans dimension probe, T7's
+  * new-key batch), not a corpus collect. The winning pair is then
+  * applied as LITERAL arguments in a map-side transform/filter over the
+  * vocab's symbol arrays — no join of any kind enters the plan
+  * (PlanLintSpec stays clean by construction). Higher-order lambdas are
+  * interpreted, which is fine OFF the corpus path (vocab rows, short
+  * arrays). The word table is localCheckpoint'd once so iterations never
+  * re-run the corpus pass.
   */
 object Tokenize {
 
@@ -68,18 +70,20 @@ object Tokenize {
     * the merged symbol when (s[i], s[i+1]) = (l, r), is consumed when
     * (s[i-1], s[i]) = (l, r), and passes through otherwise. With l ≠ r
     * the two conditions are exclusive, so this per-position map IS
-    * greedy non-overlapping application.
+    * greedy non-overlapping application. l and r are literals (the
+    * driver-collected argmax), so the plan stays join-free.
     */
-  private val applyMerge =
-    expr("""filter(transform(sequence(1, size(syms)), i ->
-        CASE WHEN i < size(syms) AND element_at(syms, i) = l
-                  AND element_at(syms, i + 1) = r
-               THEN concat(l, r)
-             WHEN i > 1 AND element_at(syms, i - 1) = l
-                  AND element_at(syms, i) = r
-               THEN CAST(NULL AS STRING)
-             ELSE element_at(syms, i) END),
-      x -> x IS NOT NULL)""")
+  private def applyMerge(l: String, r: String): Column = {
+    val s = col("syms")
+    filter(
+      transform(sequence(lit(1), size(s)), i =>
+        when(i < size(s) && element_at(s, i) === lit(l)
+            && element_at(s, i + 1) === lit(r), lit(l + r))
+          .when(i > lit(1) && element_at(s, i - 1) === lit(l)
+            && element_at(s, i) === lit(r), lit(null).cast("string"))
+          .otherwise(element_at(s, i))),
+      x => x.isNotNull)
+  }
 
   /** Word-frequency table from a document corpus: the ONE corpus-scale
     * pass. Empty tokens (an empty/whitespace-only doc normalizes to one
@@ -90,6 +94,26 @@ object Tokenize {
     .filter(length(col("word")) > 0)
     .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
+  /** One merge step: (left, right, pair_count, n_syms_after, rewritten
+    * words) — or None when no mergeable pair remains (exhausted or empty
+    * vocab), at which point training stops early.
+    */
+  private def step(words: DataFrame): Option[(String, String, Long, Long,
+      DataFrame)] = {
+    val top = pairs(words)
+      .orderBy(col("cnt").desc, col("l"), col("r"))
+      .limit(1).collect()
+    if (top.isEmpty) None
+    else {
+      val (l, r, cnt) =
+        (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      val next = words.withColumn("syms", applyMerge(l, r))
+      val after = next
+        .agg(sum(col("freq") * size(col("syms")))).head().getLong(0)
+      Some((l, r, cnt, after, next))
+    }
+  }
+
   /** Learn `k` BPE merges. Returns one row per step:
     * (step, left, right, merged, pair_count, n_syms_after) where
     * n_syms_after = Σ freq·|syms| AFTER applying that step's merge —
@@ -98,28 +122,23 @@ object Tokenize {
     * just the pair argmaxes.
     */
   def bpeMerges(docs: DataFrame, k: Int): DataFrame = {
-    // materialize the corpus aggregate ONCE — each iteration's pair
-    // count and summary otherwise re-run the corpus-scale wordFreq
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // materialize the corpus aggregate ONCE — each iteration otherwise
+    // re-runs the corpus-scale wordFreq
     var words = wordFreq(docs).withColumn("syms", initSyms)
       .localCheckpoint(true)
-    var steps = Vector.empty[DataFrame]
-    for (step <- 1 to k) {
-      val best = pairs(words)
-        .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1)
-        .localCheckpoint(true) // one row; stops iteration-plan nesting
-      words = words.crossJoin(broadcast(best))
-        .withColumn("syms", applyMerge)
-        .select(col("word"), col("freq"), col("syms"))
-      val summary = words
-        .agg(sum(col("freq") * size(col("syms"))).as("n_syms_after"))
-      steps = steps :+ best.crossJoin(summary)
-        .select(lit(step.toLong).as("step"), col("l").as("left"),
-          col("r").as("right"), concat(col("l"), col("r")).as("merged"),
-          col("cnt").as("pair_count"), col("n_syms_after"))
-        .localCheckpoint(true) // ditto — and each step executes ONCE
+    var rows = Vector.empty[(Long, String, String, String, Long, Long)]
+    var n = 1
+    var more = true
+    while (n <= k && more) step(words) match {
+      case Some((l, r, cnt, after, next)) =>
+        rows = rows :+ ((n.toLong, l, r, l + r, cnt, after))
+        words = next; n += 1
+      case None => more = false
     }
-    steps.reduce(_.union(_))
+    rows.toDF("step", "left", "right", "merged", "pair_count",
+      "n_syms_after")
   }
 
   /** The trained segmentation: every vocab word's symbol sequence after
@@ -130,16 +149,36 @@ object Tokenize {
   def bpeSegmentation(docs: DataFrame, k: Int): DataFrame = {
     var words = wordFreq(docs).withColumn("syms", initSyms)
       .localCheckpoint(true)
-    for (_ <- 1 to k) {
-      val best = pairs(words)
-        .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1)
-        .localCheckpoint(true)
-      words = words.crossJoin(broadcast(best))
-        .withColumn("syms", applyMerge)
-        .select(col("word"), col("freq"), col("syms"))
+    var n = 1
+    var more = true
+    while (n <= k && more) step(words) match {
+      case Some((_, _, _, _, next)) => words = next; n += 1
+      case None => more = false
     }
     words.select(col("word"), col("freq"), col("syms"),
       size(col("syms")).cast("long").as("n_syms"))
+  }
+
+  /** Corpus encoding under the trained tokenizer: per-doc BPE token
+    * counts — the "how many tokens is this corpus" number every training
+    * budget starts from, and the closed loop train → apply. Encoding is
+    * a VOCAB LOOKUP (doc words ⋈ segmentation), not a re-run of the
+    * merge rewrites per document: the segmentation table is vocab-sized,
+    * so the join is one corpus-scale shuffle (or a broadcast when the
+    * vocab fits — AQE decides), the same shape as t20's token join.
+    */
+  def bpeEncode(docs: DataFrame, k: Int): DataFrame = {
+    val seg = bpeSegmentation(docs, k).select(col("word"), col("n_syms"))
+    docs.select(col("doc_id"),
+        explode(graft.functions.Text.words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(seg, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_syms")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        graft.functions.Core.round4(
+          col("n_bpe_tokens").cast("double") / col("n_words"))
+          .as("tokens_per_word"))
   }
 }

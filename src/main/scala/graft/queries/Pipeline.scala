@@ -983,6 +983,16 @@ object Pipeline {
         .orderBy(col("step"))
     },
 
+    // T28: corpus encoding under the t27 tokenizer — per-doc BPE token
+    // counts via a vocab lookup (doc words ⋈ the trained segmentation),
+    // the number a training-budget plan starts from. Verifies the train
+    // → apply loop end to end: the oracle re-derives the segmentation
+    // through its own four unrolled merge steps.
+    "t28_bpe_encode" -> { (s, d) =>
+      Tokenize.bpeEncode(Tables.documents(s, d), k = 4)
+        .orderBy(col("doc_id"))
+    },
+
     // T21: retrieval chunking — the RAG indexing step: overlapping
     // fixed-size token windows (16 tokens, stride 12) per doc, each with
     // its ordinal, start offset, token count, and an md5 content
@@ -1186,6 +1196,20 @@ object Pipeline {
     * non-overlap); every count stays BIGINT.
     */
   private def bpeOracle(k: Int): String = {
+    val rows = (1 to k).map { n =>
+      s"""SELECT CAST($n AS BIGINT) AS step, l AS "left", r AS "right",
+           l || r AS merged, cnt AS pair_count,
+           (SELECT n_syms_after FROM s$n) AS n_syms_after FROM m$n"""
+    }.mkString(" UNION ALL ")
+    s"""WITH ${bpeCtes(k)}
+         SELECT * FROM ($rows) ORDER BY step"""
+  }
+
+  /** The k-step CTE chain shared by the t27 (merge table) and t28
+    * (corpus encode) oracles: wf/w0 initialization plus per-step
+    * t/p/m/w/s CTEs; w$k is the final segmentation.
+    */
+  private def bpeCtes(k: Int): String = {
     val steps = (1 to k).map { n =>
       s"""t$n AS (SELECT word, freq, unnest(s) AS sym,
                   generate_subscripts(s, 1) AS i FROM w${n - 1}),
@@ -1207,12 +1231,7 @@ object Pipeline {
          s$n AS (SELECT CAST(sum(freq * len(s)) AS BIGINT)
                    AS n_syms_after FROM w$n)"""
     }.mkString(",\n         ")
-    val rows = (1 to k).map { n =>
-      s"""SELECT CAST($n AS BIGINT) AS step, l AS "left", r AS "right",
-           l || r AS merged, cnt AS pair_count,
-           (SELECT n_syms_after FROM s$n) AS n_syms_after FROM m$n"""
-    }.mkString(" UNION ALL ")
-    s"""WITH wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+    s"""wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
            FROM (SELECT unnest(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\\s\\x0B]+')) AS word
                  FROM documents)
            WHERE length(word) > 0 GROUP BY 1),
@@ -1220,8 +1239,7 @@ object Pipeline {
                   list_append(list_transform(range(1, length(word) + 1),
                     i -> substring(word, i, 1)), '</w>') AS s
                 FROM wf),
-         $steps
-         SELECT * FROM ($rows) ORDER BY step"""
+         $steps"""
   }
 
   /** DuckDB twin of Text.markerCount (space-padded split-count). */
@@ -2233,6 +2251,21 @@ object Pipeline {
                 ELSE 'tail' END AS band
          FROM per ORDER BY doc_id""",
     "t27_bpe_merges" -> bpeOracle(4),
+    // t28: the same four-step chain, then doc words ⋈ w4 segmentation
+    "t28_bpe_encode" ->
+      s"""WITH ${bpeCtes(4)},
+         seg AS (SELECT word, CAST(len(s) AS BIGINT) AS n_syms FROM w4),
+         dtok AS (SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\\s\\x0B]+')) AS word
+           FROM documents),
+         j AS (SELECT doc_id, count(*) AS n_words,
+                 CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens
+               FROM dtok JOIN seg USING (word)
+               WHERE length(word) > 0 GROUP BY 1)
+         SELECT doc_id, n_words, n_bpe_tokens,
+           round(CAST(n_bpe_tokens AS DOUBLE)/n_words, 4)
+             AS tokens_per_word
+         FROM j ORDER BY doc_id""",
     "api5_search_facets" ->
       """SELECT lang, source, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS chars

@@ -48,6 +48,22 @@ class TokenizeSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeEncode: hand-computed per-doc token counts under the " +
+      "trained segmentation") {
+    // doc 1 = ab ab ab cab → ab(1 sym)×3 + cab(2) = 5 tokens / 4 words
+    // doc 2 = ab banana ab → ab×2 + banana(5) = 7 tokens / 3 words
+    val got = Tokenize.bpeEncode(tiny, 3).orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 5L, 1.25), (2L, 3L, 7L, 2.3333)))
+  }
+
+  test("empty corpus: bpeMerges and bpeEncode return empty, don't throw") {
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Tokenize.bpeMerges(none, 2).collect().isEmpty)
+    assert(Tokenize.bpeEncode(none, 2).collect().isEmpty)
+  }
+
   test("bpeMerges on the fixture: symbol-count chain is exact " +
       "(n_syms_after[i] = n_syms_after[i-1] - pair_count[i])") {
     val docs = Tables.documents(spark, sfDir)
