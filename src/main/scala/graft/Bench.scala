@@ -74,7 +74,13 @@ object Bench {
     // twin_slopes tracks them from the start: the dataset card, CDC
     // chunking, and the capped CDC near-dup join
     "b11_tpch_q21", "t24_dataset_card", "t25_cdc_chunks",
-    "d18_cdc_neardup")
+    "d18_cdc_neardup",
+    // r10 third session: the sample-bounded-training counterexample and
+    // the two tokenizer-side additions with corpus-scale joins (t27's
+    // oracle replays four unrolled vocab rewrites — the interesting twin:
+    // DuckDB pays the same chain single-node)
+    "n9_ann_ivf_sampled", "t26_bigram_surprisal", "t27_bpe_merges",
+    "t28_bpe_encode")
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {

@@ -39,6 +39,8 @@ object Scaling {
     // then vocab-sized iterations — the slope should be the wordFreq
     // aggregate's alone)
     "n9_ann_ivf_sampled", "t26_bigram_surprisal", "t27_bpe_merges",
+    "t28_bpe_encode", "t29_dsir_weights", "n9_adaptive_nlist",
+    "t29_xxhash",
     // r10 continuation: the new anchor shapes + the dataset card —
     // b11's double self-join and t24's fingerprint-join+window-median
     // are the two whose slopes could hide a surprise
@@ -98,6 +100,35 @@ object Scaling {
       graft.operators.Similarity
         .knnGraph(Tables.embeddings(s, d), k = 5,
           tables = 4, bits = adaptiveBits(f))
+        .orderBy(col("probe_id"), col("rank"))
+    },
+    // t29 with the deployment kernel: the oracle-pinned md5-nibble
+    // bucket exists for DuckDB bit-parity; a real corpus build hashes
+    // features with xxhash64 (codegen'd, no hex round-trip) — same
+    // plan, same counts shape, cheaper per-feature kernel
+    "t29_xxhash" -> { (s, d, _) =>
+      import org.apache.spark.sql.functions.col
+      graft.operators.Selection.dsirWeights(
+        Tables.documents(s, d), isTarget = col("lang") === "en",
+        bucket = graft.operators.Selection.xxhashBucket(1024))
+    },
+    // n9 with the LIST COUNT scaled as sqrt(n) (nlist = 16·√factor,
+    // training sample = 25·nlist — still corpus-size-independent per
+    // list): the oracle-pinned n9 keeps nlist=16, so its candidate set
+    // is (nprobe/nlist)·n ≈ 47% of the corpus per probe — linear with a
+    // large constant (measured 0.34 s/unit at 100×). Real IVF grows the
+    // list count with the corpus so per-probe candidates grow as n/√n;
+    // this entry measures sampled training + that geometry together.
+    "n9_adaptive_nlist" -> { (s, d, f) =>
+      import org.apache.spark.sql.functions.col
+      val v = Tables.embeddings(s, d)
+      val k = math.ceil(16 * math.sqrt(f)).toLong
+      val trained = graft.operators.Similarity
+        .sampledTrainCentroids(v, targetSample = 25L * k,
+          kCentroids = k, iters = 2)
+      graft.operators.Similarity
+        .ivfTopK(v.filter(col("vec_id") < 10), v,
+          centroids = trained, k = 5, nprobe = 8)
         .orderBy(col("probe_id"), col("rank"))
     },
     "d16_adaptive_bits" -> { (s, d, f) =>

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus selection by importance resampling — DSIR (Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling"):
+  * score every document by how much its hashed n-gram feature
+  * distribution resembles a TARGET set versus the whole corpus, then
+  * keep documents above a calibrated cut.
+  *
+  * Features are unigrams + space-joined bigrams hashed into `nBuckets`
+  * buckets; a bucket's weight is the add-one-smoothed target/corpus
+  * log-ratio in floor-log2 integer bit-units, DEFINED as a sum of
+  * floor-logs — (flog2(cnt_t+1) + flog2(S+B)) − (flog2(cnt_a+1) +
+  * flog2(T+B)) — so no product ever overflows Int64 at any corpus size
+  * (the BM25 Int64 lesson applied at design time; see
+  * Retrieval.MaxDocLenTokens for the incident).
+  *
+  * Scale shape: feature extraction is map-side (transitions via
+  * arrays_zip, codegen'd); the bucket-weight table is ≤ nBuckets rows —
+  * broadcast hash join, bounded by construction; the only corpus-scale
+  * shuffles are the nBuckets-group aggregate (map-side partials) and
+  * the per-doc sum. Kernel cost is the bucket hash on every feature
+  * occurrence: the oracle-pinned query uses the t19 md5-nibble bucket
+  * (DuckDB replays it bit-for-bit); deployments without a cross-engine
+  * parity constraint pass an xxhash64 bucket instead — same plan, ~
+  * cheaper kernel (Scaling's t29_xxhash entry measures the swap).
+  */
+object Selection {
+
+  /** The t19/t29 md5-nibble bucket — cross-engine reproducible. */
+  def md5Bucket(nBuckets: Int)(c: Column): Column =
+    conv(substring(md5(c), 1, 4), 16, 10).cast("long") % nBuckets
+
+  /** Deployment bucket: codegen'd 64-bit hash, no parity twin. */
+  def xxhashBucket(nBuckets: Int)(c: Column): Column =
+    pmod(xxhash64(c), lit(nBuckets.toLong))
+
+  private def flog(c: Column): Column = (length(bin(c)) - 1).cast("long")
+
+  /** Per-doc DSIR weights against the target predicate. Returns
+    * (doc_id, n_feat, score_bits, avg_bits, keep) where keep applies
+    * `cutCentibits` (score·100 > n_feat·cut — floor-log quantization
+    * biases every bucket ~1 bit down, so the natural cut sits below 0).
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column,
+                  bucket: Column => Column,
+                  cutCentibits: Int = -8,
+                  nBuckets: Int = 1024): DataFrame = {
+    val wl = docs.select(col("doc_id"), isTarget.as("tgt"),
+      graft.functions.Text.words(col("text")).as("w"))
+    val uni = wl.select(col("doc_id"), col("tgt"),
+      explode(col("w")).as("f"))
+    val big = wl.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("tgt"), explode(arrays_zip(
+        slice(col("w"), lit(1), size(col("w")) - 1).as("p"),
+        slice(col("w"), lit(2), size(col("w")) - 1).as("t"))).as("z"))
+      .select(col("doc_id"), col("tgt"),
+        concat(col("z.p"), lit(" "), col("z.t")).as("f"))
+    val feats = uni.unionByName(big)
+      .select(col("doc_id"), col("tgt"), bucket(col("f")).as("bkt"))
+    val aCnt = feats.groupBy(col("bkt")).agg(count(lit(1)).as("cnt_a"))
+    val tCnt = feats.filter(col("tgt"))
+      .groupBy(col("bkt")).agg(count(lit(1)).as("cnt_t"))
+    val tot = feats.agg(count(lit(1)).as("s_tot"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("t_tot"))
+    val bt = aCnt.join(tCnt, Seq("bkt"), "left")
+      .select(col("bkt"), coalesce(col("cnt_t"), lit(0L)).as("cnt_t"),
+        col("cnt_a"))
+      .crossJoin(broadcast(tot))
+      .select(col("bkt"),
+        ((flog(col("cnt_t") + 1) + flog(col("s_tot") + nBuckets))
+          - (flog(col("cnt_a") + 1) + flog(col("t_tot") + nBuckets)))
+          .as("sb"))
+    feats.join(broadcast(bt), Seq("bkt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feat"), sum(col("sb")).as("score_bits"))
+      .select(col("doc_id"), col("n_feat"), col("score_bits"),
+        graft.functions.Core.round4(
+          col("score_bits").cast("double") / col("n_feat"))
+          .as("avg_bits"),
+        (col("score_bits") * 100 > col("n_feat") * cutCentibits)
+          .as("keep"))
+  }
+}

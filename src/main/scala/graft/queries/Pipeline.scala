@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -993,6 +993,28 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // T29: DSIR importance weights — data selection via importance
+    // resampling (Xie et al. 2023): score every document by how much its
+    // hashed n-gram feature distribution looks like a TARGET set (here
+    // lang='en', the in-domain proxy) versus the whole corpus. Features
+    // are unigrams + space-joined bigrams hashed into 1024 buckets (the
+    // t19 md5-nibble bucket, both engines replay it); bucket weight is
+    // the add-one-smoothed log-ratio in floor-log2 integer bit-units
+    // (flog2(cnt_t+1) + flog2(S+B)) − (flog2(cnt_a+1) + flog2(T+B)) —
+    // defined AS the sum of floor-logs, so no product ever overflows
+    // Int64 at any corpus size. Scale shape: features are map-side; the
+    // bucket table is ≤1024 rows (broadcast hash join, bounded by
+    // construction); the only corpus shuffles are the bucket aggregate
+    // (1024 groups, map-side partials) and the per-doc sum.
+    // (operators/Selection.dsirWeights; the −0.08 bits/feature cut is
+    // calibrated — keeps 67% of en vs ~22% of the other langs at sf0.01)
+    "t29_dsir_weights" -> { (s, d) =>
+      graft.operators.Selection.dsirWeights(
+        Tables.documents(s, d), isTarget = col("lang") === "en",
+        bucket = graft.operators.Selection.md5Bucket(1024))
+        .orderBy(col("doc_id"))
+    },
+
     // T21: retrieval chunking — the RAG indexing step: overlapping
     // fixed-size token windows (16 tokens, stride 12) per doc, each with
     // its ordinal, start offset, token count, and an md5 content
@@ -1241,6 +1263,16 @@ object Pipeline {
                 FROM wf),
          $steps"""
   }
+
+  /** DuckDB twin of `conv(substring(md5(e),1,4),16,10) % 1024` — the
+    * t19/t29 hashed-feature bucket (DuckDB has no base-conv; four
+    * strpos nibbles rebuild the same 16-bit value).
+    */
+  private def duckBkt(e: String): String =
+    s"""(16*16*16*(strpos('0123456789abcdef', substr(md5($e),1,1))-1)
+       +16*16*(strpos('0123456789abcdef', substr(md5($e),2,1))-1)
+       +16*(strpos('0123456789abcdef', substr(md5($e),3,1))-1)
+       +(strpos('0123456789abcdef', substr(md5($e),4,1))-1)) % 1024"""
 
   /** DuckDB twin of Text.markerCount (space-padded split-count). */
   private def duckMarker(m: String): String =
@@ -2251,6 +2283,42 @@ object Pipeline {
                 ELSE 'tail' END AS band
          FROM per ORDER BY doc_id""",
     "t27_bpe_merges" -> bpeOracle(4),
+    // t29: same positioned-token self-join as t26 for the bigram
+    // features; bucket weights are pure integer floor-log2 arithmetic
+    "t29_dsir_weights" ->
+      s"""WITH wl AS (SELECT doc_id, lang,
+           regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\\s\\x0B]+') AS w
+         FROM documents),
+         tkp AS (SELECT doc_id, lang, unnest(w) AS tok,
+                   generate_subscripts(w, 1) AS i FROM wl),
+         fs AS (SELECT doc_id, lang, tok AS f FROM tkp
+                UNION ALL
+                SELECT a.doc_id, a.lang, a.tok || ' ' || b.tok AS f
+                FROM tkp a JOIN tkp b
+                  ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+         feats AS (SELECT doc_id, lang, ${duckBkt("f")} AS bkt FROM fs),
+         ac AS (SELECT bkt, CAST(count(*) AS BIGINT) AS cnt_a
+                FROM feats GROUP BY 1),
+         tc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS cnt_t
+                FROM feats WHERE lang = 'en' GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS s_tot,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS t_tot
+                 FROM feats),
+         bt AS (SELECT ac.bkt,
+                  (CAST(length(bin(COALESCE(tc.cnt_t, 0) + 1)) - 1
+                     AS BIGINT)
+                   + CAST(length(bin(s_tot + 1024)) - 1 AS BIGINT))
+                - (CAST(length(bin(ac.cnt_a + 1)) - 1 AS BIGINT)
+                   + CAST(length(bin(t_tot + 1024)) - 1 AS BIGINT)) AS sb
+                FROM ac LEFT JOIN tc USING (bkt), tot),
+         per AS (SELECT doc_id, count(*) AS n_feat,
+                   CAST(sum(sb) AS BIGINT) AS score_bits
+                 FROM feats JOIN bt USING (bkt) GROUP BY 1)
+         SELECT doc_id, n_feat, score_bits,
+           round(CAST(score_bits AS DOUBLE)/n_feat, 4) AS avg_bits,
+           score_bits*100 > n_feat*(-8) AS keep
+         FROM per ORDER BY doc_id""",
     // t28: the same four-step chain, then doc words ⋈ w4 segmentation
     "t28_bpe_encode" ->
       s"""WITH ${bpeCtes(4)},
