@@ -39,15 +39,11 @@ object Selection {
 
   private def flog(c: Column): Column = (length(bin(c)) - 1).cast("long")
 
-  /** Per-doc DSIR weights against the target predicate. Returns
-    * (doc_id, n_feat, score_bits, avg_bits, keep) where keep applies
-    * `cutCentibits` (score·100 > n_feat·cut — floor-log quantization
-    * biases every bucket ~1 bit down, so the natural cut sits below 0).
+  /** Per-occurrence bucketed features (doc_id, tgt, bkt): unigrams +
+    * space-joined bigrams, all map-side (transitions via arrays_zip).
     */
-  def dsirWeights(docs: DataFrame, isTarget: Column,
-                  bucket: Column => Column,
-                  cutCentibits: Int = -8,
-                  nBuckets: Int = 1024): DataFrame = {
+  def features(docs: DataFrame, isTarget: Column,
+               bucket: Column => Column): DataFrame = {
     val wl = docs.select(col("doc_id"), isTarget.as("tgt"),
       graft.functions.Text.words(col("text")).as("w"))
     val uni = wl.select(col("doc_id"), col("tgt"),
@@ -58,17 +54,31 @@ object Selection {
         slice(col("w"), lit(2), size(col("w")) - 1).as("t"))).as("z"))
       .select(col("doc_id"), col("tgt"),
         concat(col("z.p"), lit(" "), col("z.t")).as("f"))
-    val feats = uni.unionByName(big)
+    uni.unionByName(big)
       .select(col("doc_id"), col("tgt"), bucket(col("f")).as("bkt"))
-    val aCnt = feats.groupBy(col("bkt")).agg(count(lit(1)).as("cnt_a"))
-    val tCnt = feats.filter(col("tgt"))
-      .groupBy(col("bkt")).agg(count(lit(1)).as("cnt_t"))
-    val tot = feats.agg(count(lit(1)).as("s_tot"),
-      sum(when(col("tgt"), 1L).otherwise(0L)).as("t_tot"))
-    val bt = aCnt.join(tCnt, Seq("bkt"), "left")
-      .select(col("bkt"), coalesce(col("cnt_t"), lit(0L)).as("cnt_t"),
-        col("cnt_a"))
-      .crossJoin(broadcast(tot))
+  }
+
+  /** The DSIR model state: per-bucket (cnt_a, cnt_t) occurrence counts.
+    * Integer counts are ADDITIVE under any split of the corpus — per
+    * partition, per micro-batch — so streamed slices fold to exactly the
+    * batch model (Streams.dsirMaintenance writes one slice per batch;
+    * [[foldModel]] re-sums).
+    */
+  def modelSlice(feats: DataFrame): DataFrame = feats
+    .groupBy(col("bkt"))
+    .agg(count(lit(1)).as("cnt_a"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("cnt_t"))
+
+  def foldModel(slices: DataFrame): DataFrame = slices
+    .groupBy(col("bkt"))
+    .agg(sum(col("cnt_a")).as("cnt_a"), sum(col("cnt_t")).as("cnt_t"))
+
+  /** Score a feature stream against a (bkt, cnt_a, cnt_t) model. */
+  private def weightsFrom(feats: DataFrame, model: DataFrame,
+                          cutCentibits: Int, nBuckets: Int): DataFrame = {
+    val tot = model.agg(sum(col("cnt_a")).as("s_tot"),
+      sum(col("cnt_t")).as("t_tot"))
+    val bt = model.crossJoin(broadcast(tot))
       .select(col("bkt"),
         ((flog(col("cnt_t") + 1) + flog(col("s_tot") + nBuckets))
           - (flog(col("cnt_a") + 1) + flog(col("t_tot") + nBuckets)))
@@ -82,5 +92,35 @@ object Selection {
           .as("avg_bits"),
         (col("score_bits") * 100 > col("n_feat") * cutCentibits)
           .as("keep"))
+  }
+
+  /** Per-doc DSIR weights against the target predicate. Returns
+    * (doc_id, n_feat, score_bits, avg_bits, keep) where keep applies
+    * `cutCentibits` (score·100 > n_feat·cut — floor-log quantization
+    * biases every bucket ~1 bit down, so the natural cut sits below 0).
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column,
+                  bucket: Column => Column,
+                  cutCentibits: Int = -8,
+                  nBuckets: Int = 1024): DataFrame = {
+    val feats = features(docs, isTarget, bucket)
+    weightsFrom(feats, modelSlice(feats), cutCentibits, nBuckets)
+  }
+
+  /** Serve weights for `docs` from the slices a streamed
+    * Streams.dsirMaintenance run accumulated under `indexDir` — folded
+    * counts equal the batch model exactly (integer sums), so scoring the
+    * full ingested corpus here is bit-identical to [[dsirWeights]] over
+    * the same rows (StreamingSpec pins it). `docs` need not be the
+    * ingested corpus: scoring NEW documents against the accumulated
+    * model is the standing-selection serving shape.
+    */
+  def serve(docs: DataFrame, bucket: Column => Column, indexDir: String,
+            cutCentibits: Int = -8, nBuckets: Int = 1024): DataFrame = {
+    val spark = docs.sparkSession
+    val model = foldModel(graft.Tables.readOrEmpty(spark,
+      s"$indexDir/buckets", "bkt BIGINT, cnt_a BIGINT, cnt_t BIGINT"))
+    weightsFrom(features(docs, lit(false), bucket), model,
+      cutCentibits, nBuckets)
   }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -845,6 +845,41 @@ object Streams {
           s"$postingsPath/batch=$batchId",
           s"$dictPath/batch=$batchId",
           s"$metaPath/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** Continuously maintained DSIR selection model — the streaming twin
+    * of the t29 weights (see [[graft.operators.Selection]]): each
+    * micro-batch appends one ADDITIVE slice of per-bucket feature
+    * counts (total + target occurrences); `Selection.serve` folds the
+    * slices and scores any document frame against the accumulated
+    * model, bit-identically to the batch weights over the same corpus
+    * (integer counts are additive under any batch split). The sixth
+    * streaming-maintenance path, completing the set: every signal a
+    * corpus build maintains online — near-dup, ANN, postings, card,
+    * CDC, selection — has the same exactly-once slice discipline.
+    * Preconditions shared with [[cardMaintenance]]: `_stream_id` guard
+    * (fresh checkpoint + populated dir fails fast) and append-only
+    * doc_ids (a re-delivered doc double-counts its features).
+    */
+  def dsirMaintenance(docs: DataFrame, isTarget: Column,
+                      bucket: Column => Column, indexDir: String,
+                      checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Selection
+    val spark = docs.sparkSession
+    val bucketsPath = s"$indexDir/buckets"
+    val ensureGuarded = guardOnce(spark, checkpoint, Seq(bucketsPath))
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ensureGuarded()
+        Selection.modelSlice(Selection.features(batch, isTarget, bucket))
+          .write.mode("overwrite")
+          .parquet(s"$bucketsPath/batch=$batchId")
         ()
       }
       .start()

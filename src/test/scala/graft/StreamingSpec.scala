@@ -960,6 +960,49 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet == Set(1L, 5L, 9L))
   }
 
+  test("streamed DSIR model slices serve bit-identically to the " +
+      "batch t29 weights") {
+    import graft.operators.Selection
+    val docs = Tables.documents(spark, sfDir)
+    val land = tmpDir("graft-dsir-land")
+    val idx = tmpDir("graft-dsir-idx") + "/dsir"
+    val ckpt = tmpDir("graft-dsir-ckpt")
+    val docsSchema = "doc_id BIGINT, text STRING, lang STRING, " +
+      "source STRING, n_chars BIGINT"
+    val bucket = Selection.md5Bucket(1024) _
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(docsSchema)
+        .option("recursiveFileLookup", "true").parquet(land)
+      Streams.dsirMaintenance(stream, col("lang") === "en", bucket,
+        idx, ckpt).awaitTermination()
+    }
+    // two ticks with an uneven split (the en/other mix differs per
+    // batch, so folded counts must equal the corpus counts, not any
+    // single batch's)
+    docs.filter(col("doc_id") % 3 === 0).coalesce(1)
+      .write.parquet(s"$land/t1")
+    runOnce()
+    docs.filter(col("doc_id") % 3 =!= 0).coalesce(1)
+      .write.parquet(s"$land/t2")
+    runOnce()
+    val served = Selection.serve(docs, bucket, idx)
+      .orderBy(col("doc_id")).collect().toSeq
+    val direct = SparkEntry.queries("t29_dsir_weights")(spark, sfDir)
+      .collect().toSeq
+    assert(served == direct) // doubles included — integer model fold
+    // exactly-once under a checkpoint retry: no new files → no batch
+    runOnce()
+    assert(Selection.serve(docs, bucket, idx)
+      .orderBy(col("doc_id")).collect().toSeq == served)
+    // the standing-selection serving shape: NEW docs score against the
+    // accumulated model without re-ingesting them — same weights the
+    // batch model assigns (the new docs are not part of the counts)
+    val novel = Seq((900001L, "new document scored against the model"))
+      .toDF("doc_id", "text")
+    val scored = Selection.serve(novel, bucket, idx).collect()
+    assert(scored.length == 1 && scored(0).getLong(1) > 0)
+  }
+
   test("streamed dataset-card slices serve bit-identically to the " +
       "batch t24 report") {
     import graft.operators.CorpusCard
