@@ -385,4 +385,42 @@ object Sinks {
     // two-phase write: materialize the merge before overwriting the source
     twoPhaseOverwrite(spark, merged, tablePath)
   }
+
+  /** Training-shard export — the dataloader-facing last mile after
+    * gate → dedup → pack (pipe1/t12/t23): write the corpus as `nShards`
+    * shard directories plus a `_manifest` table the loader reads first.
+    *
+    *   - assignment is `xxhash64(id) mod nShards` — content-independent
+    *     and deterministic, so re-exports place every row in the same
+    *     shard (resumable pipelines), and hash balance keeps shard sizes
+    *     within a few percent at corpus scale;
+    *   - one repartition ON THE SHARD KEY aligns tasks with shards, so
+    *     each shard is ONE parquet file (loaders stripe readers over
+    *     files; a shard fragmented into per-task slivers defeats that),
+    *     written in stable (shard, id) order for reproducible bytes;
+    *   - the manifest (shard, n_rows, n_tokens) aggregates the data as
+    *     WRITTEN (read-back, not the input plan), so it describes what
+    *     is actually on disk; `_manifest` is underscore-hidden from
+    *     parquet directory listings, so reading the export root still
+    *     yields exactly the corpus.
+    *
+    * Returns the manifest. At 100 TB: nShards is chosen so a shard fits
+    * a loader worker (thousands); the shuffle is one exchange of the
+    * final packed corpus — the same exchange any deterministic global
+    * placement costs.
+    */
+  def writeTrainingShards(df: DataFrame, path: String, idCol: String,
+                          tokenCol: String, nShards: Int): DataFrame = {
+    val spark = df.sparkSession
+    df.withColumn("shard", pmod(xxhash64(col(idCol)), lit(nShards.toLong)))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
+    val manifest = spark.read.parquet(path)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"), sum(col(tokenCol)).as("n_tokens"))
+    manifest.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/_manifest")
+    spark.read.parquet(s"$path/_manifest")
+  }
 }

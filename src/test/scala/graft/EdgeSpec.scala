@@ -125,6 +125,15 @@ class EdgeSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("k", "n", "hi"))
   }
 
+  test("DSIR weights on an empty corpus: empty result, schema intact") {
+    val got = graft.operators.Selection.dsirWeights(noDocs,
+      isTarget = lit(false),
+      bucket = graft.operators.Selection.md5Bucket(1024))
+    assert(got.collect().isEmpty)
+    assert(got.columns.toSeq ==
+      Seq("doc_id", "n_feat", "score_bits", "avg_bits", "keep"))
+  }
+
   test("partition retention / keyed delete degenerate cases") {
     // nonexistent path: nothing to drop, no exception
     assert(graft.sources.Sinks.dropPartitionsOlderThan(

@@ -503,6 +503,40 @@ class SinkSpec extends AnyFunSuite {
     assert(zTime < 0.6, s"z-order lost time prunability: $zTime")
   }
 
+  test("training-shard export: deterministic placement, one file per " +
+      "shard, manifest matches disk, root read = corpus") {
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+      .select(col("doc_id"), col("n_chars"))
+    val dir = Files.createTempDirectory("graft-shards").toString + "/out"
+    val n = 8
+    val manifest = Sinks.writeTrainingShards(docs, dir, "doc_id",
+      "n_chars", n)
+    // manifest totals describe exactly what's on disk
+    val m = manifest.as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m.keySet.subsetOf((0L until n).toSet) && m.nonEmpty)
+    assert(m.values.map(_._1).sum == docs.count())
+    // reading the export root yields the corpus (manifest underscore-
+    // hidden), every row in its xxhash64-assigned shard
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    assert(back.filter(
+      col("shard") =!= pmod(xxhash64(col("doc_id")), lit(n.toLong)))
+      .count() == 0)
+    // one data file per shard — loaders stripe over files
+    for ((shard, (rows, _)) <- m) {
+      val files = new java.io.File(s"$dir/shard=$shard")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"shard $shard fragmented")
+      assert(spark.read.parquet(s"$dir/shard=$shard").count() == rows)
+    }
+    // re-export is placement-stable (same manifest)
+    val again = Sinks.writeTrainingShards(docs, dir, "doc_id",
+      "n_chars", n).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(again == m)
+  }
+
   test("S5: csvUpsert — incoming wins on key, last-wins within batch") {
     val dir = Files.createTempDirectory("graft-s5")
     val csv = dir.resolve("pools.csv")
