@@ -110,7 +110,7 @@ object Scaling {
       import org.apache.spark.sql.functions.col
       graft.operators.Selection.dsirWeights(
         Tables.documents(s, d), isTarget = col("lang") === "en",
-        bucket = graft.operators.Selection.xxhashBucket(1024))
+        hash = graft.operators.Selection.xxhashBucket(1024))
     },
     // n9 with the LIST COUNT scaled as sqrt(n) (nlist = 16·√factor,
     // training sample = 25·nlist — still corpus-size-independent per

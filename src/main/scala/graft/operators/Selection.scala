@@ -29,13 +29,28 @@ import org.apache.spark.sql.functions._
   */
 object Selection {
 
-  /** The t19/t29 md5-nibble bucket — cross-engine reproducible. */
-  def md5Bucket(nBuckets: Int)(c: Column): Column =
-    conv(substring(md5(c), 1, 4), 16, 10).cast("long") % nBuckets
+  /** A feature hash CARRIES its modulus: the smoothing terms (+B) must
+    * use the same bucket count the hash maps into — a separately-passed
+    * nBuckets invited a silent mis-smoothing when the two disagreed
+    * (r10 review finding).
+    */
+  final case class FeatureHash(nBuckets: Int, of: Column => Column)
+
+  /** The t19/t29 md5-nibble bucket — cross-engine reproducible. Only 4
+    * md5 nibbles (16 bits) feed the modulus, so nBuckets must divide
+    * 65536 or buckets would be biased/unreachable.
+    */
+  def md5Bucket(nBuckets: Int): FeatureHash = {
+    require(65536 % nBuckets == 0,
+      s"md5Bucket: $nBuckets does not divide 2^16 — buckets would be " +
+        "biased (non-divisor) or unreachable (> 65536)")
+    FeatureHash(nBuckets,
+      c => conv(substring(md5(c), 1, 4), 16, 10).cast("long") % nBuckets)
+  }
 
   /** Deployment bucket: codegen'd 64-bit hash, no parity twin. */
-  def xxhashBucket(nBuckets: Int)(c: Column): Column =
-    pmod(xxhash64(c), lit(nBuckets.toLong))
+  def xxhashBucket(nBuckets: Int): FeatureHash =
+    FeatureHash(nBuckets, c => pmod(xxhash64(c), lit(nBuckets.toLong)))
 
   private def flog(c: Column): Column = (length(bin(c)) - 1).cast("long")
 
@@ -43,7 +58,7 @@ object Selection {
     * space-joined bigrams, all map-side (transitions via arrays_zip).
     */
   def features(docs: DataFrame, isTarget: Column,
-               bucket: Column => Column): DataFrame = {
+               hash: FeatureHash): DataFrame = {
     val wl = docs.select(col("doc_id"), isTarget.as("tgt"),
       graft.functions.Text.words(col("text")).as("w"))
     val uni = wl.select(col("doc_id"), col("tgt"),
@@ -55,7 +70,7 @@ object Selection {
       .select(col("doc_id"), col("tgt"),
         concat(col("z.p"), lit(" "), col("z.t")).as("f"))
     uni.unionByName(big)
-      .select(col("doc_id"), col("tgt"), bucket(col("f")).as("bkt"))
+      .select(col("doc_id"), col("tgt"), hash.of(col("f")).as("bkt"))
   }
 
   /** The DSIR model state: per-bucket (cnt_a, cnt_t) occurrence counts.
@@ -73,12 +88,24 @@ object Selection {
     .groupBy(col("bkt"))
     .agg(sum(col("cnt_a")).as("cnt_a"), sum(col("cnt_t")).as("cnt_t"))
 
-  /** Score a feature stream against a (bkt, cnt_a, cnt_t) model. */
+  /** Score a feature stream against a (bkt, cnt_a, cnt_t) model. The
+    * weight table is built for EVERY bucket in [0, nBuckets) — buckets
+    * absent from the model get the add-one-smoothed zero-count weight
+    * flog(S+B) − flog(T+B) instead of silently dropping their features
+    * (r10 review finding: an inner join on the model's occupied buckets
+    * made serve() lose features — or whole documents — whose bucket the
+    * accumulated model had not seen yet).
+    */
   private def weightsFrom(feats: DataFrame, model: DataFrame,
                           cutCentibits: Int, nBuckets: Int): DataFrame = {
-    val tot = model.agg(sum(col("cnt_a")).as("s_tot"),
-      sum(col("cnt_t")).as("t_tot"))
-    val bt = model.crossJoin(broadcast(tot))
+    val spark = model.sparkSession
+    val full = spark.range(nBuckets).select(col("id").as("bkt"))
+      .join(model, Seq("bkt"), "left")
+      .select(col("bkt"), coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_t"), lit(0L)).as("cnt_t"))
+    val tot = full.agg(coalesce(sum(col("cnt_a")), lit(0L)).as("s_tot"),
+      coalesce(sum(col("cnt_t")), lit(0L)).as("t_tot"))
+    val bt = full.crossJoin(broadcast(tot))
       .select(col("bkt"),
         ((flog(col("cnt_t") + 1) + flog(col("s_tot") + nBuckets))
           - (flog(col("cnt_a") + 1) + flog(col("t_tot") + nBuckets)))
@@ -99,12 +126,10 @@ object Selection {
     * `cutCentibits` (score·100 > n_feat·cut — floor-log quantization
     * biases every bucket ~1 bit down, so the natural cut sits below 0).
     */
-  def dsirWeights(docs: DataFrame, isTarget: Column,
-                  bucket: Column => Column,
-                  cutCentibits: Int = -8,
-                  nBuckets: Int = 1024): DataFrame = {
-    val feats = features(docs, isTarget, bucket)
-    weightsFrom(feats, modelSlice(feats), cutCentibits, nBuckets)
+  def dsirWeights(docs: DataFrame, isTarget: Column, hash: FeatureHash,
+                  cutCentibits: Int = -8): DataFrame = {
+    val feats = features(docs, isTarget, hash)
+    weightsFrom(feats, modelSlice(feats), cutCentibits, hash.nBuckets)
   }
 
   /** Serve weights for `docs` from the slices a streamed
@@ -113,14 +138,16 @@ object Selection {
     * full ingested corpus here is bit-identical to [[dsirWeights]] over
     * the same rows (StreamingSpec pins it). `docs` need not be the
     * ingested corpus: scoring NEW documents against the accumulated
-    * model is the standing-selection serving shape.
+    * model is the standing-selection serving shape — unseen buckets
+    * score at the smoothed zero-count weight, and an empty model scores
+    * every feature 0 rather than dropping rows.
     */
-  def serve(docs: DataFrame, bucket: Column => Column, indexDir: String,
-            cutCentibits: Int = -8, nBuckets: Int = 1024): DataFrame = {
+  def serve(docs: DataFrame, hash: FeatureHash, indexDir: String,
+            cutCentibits: Int = -8): DataFrame = {
     val spark = docs.sparkSession
     val model = foldModel(graft.Tables.readOrEmpty(spark,
       s"$indexDir/buckets", "bkt BIGINT, cnt_a BIGINT, cnt_t BIGINT"))
-    weightsFrom(features(docs, lit(false), bucket), model,
-      cutCentibits, nBuckets)
+    weightsFrom(features(docs, lit(false), hash), model,
+      cutCentibits, hash.nBuckets)
   }
 }

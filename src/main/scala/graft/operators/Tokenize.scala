@@ -107,11 +107,37 @@ object Tokenize {
     else {
       val (l, r, cnt) =
         (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      // checkpoint each rewrite (kmeansCentroids precedent): without it
+      // iteration i replays all i−1 interpreted rewrites per action —
+      // O(k²) recompute and unbounded expression nesting for large k
       val next = words.withColumn("syms", applyMerge(l, r))
+        .localCheckpoint(true)
       val after = next
         .agg(sum(col("freq") * size(col("syms")))).head().getLong(0)
       Some((l, r, cnt, after, next))
     }
+  }
+
+  /** The shared training loop: k merge steps (early-stopped when no
+    * mergeable pair remains) returning BOTH artifacts — the merge rows
+    * and the rewritten vocabulary — so [[bpeMerges]] and
+    * [[bpeSegmentation]] cannot drift and neither pays the corpus pass
+    * twice.
+    */
+  private def train(docs: DataFrame, k: Int)
+      : (Vector[(Long, String, String, String, Long, Long)], DataFrame) = {
+    var words = wordFreq(docs).withColumn("syms", initSyms)
+      .localCheckpoint(true)
+    var rows = Vector.empty[(Long, String, String, String, Long, Long)]
+    var n = 1
+    var more = true
+    while (n <= k && more) step(words) match {
+      case Some((l, r, cnt, after, next)) =>
+        rows = rows :+ ((n.toLong, l, r, l + r, cnt, after))
+        words = next; n += 1
+      case None => more = false
+    }
+    (rows, words)
   }
 
   /** Learn `k` BPE merges. Returns one row per step:
@@ -124,40 +150,17 @@ object Tokenize {
   def bpeMerges(docs: DataFrame, k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // materialize the corpus aggregate ONCE — each iteration otherwise
-    // re-runs the corpus-scale wordFreq
-    var words = wordFreq(docs).withColumn("syms", initSyms)
-      .localCheckpoint(true)
-    var rows = Vector.empty[(Long, String, String, String, Long, Long)]
-    var n = 1
-    var more = true
-    while (n <= k && more) step(words) match {
-      case Some((l, r, cnt, after, next)) =>
-        rows = rows :+ ((n.toLong, l, r, l + r, cnt, after))
-        words = next; n += 1
-      case None => more = false
-    }
-    rows.toDF("step", "left", "right", "merged", "pair_count",
-      "n_syms_after")
+    train(docs, k)._1.toDF("step", "left", "right", "merged",
+      "pair_count", "n_syms_after")
   }
 
   /** The trained segmentation: every vocab word's symbol sequence after
-    * the `k` merges — what a downstream encoder ships. Re-runs the same
-    * deterministic loop (merge steps are cheap; callers wanting both
-    * artifacts in one pass would persist `words` per step).
+    * the `k` merges — what a downstream encoder ships. Shares [[train]]
+    * with [[bpeMerges]] (one loop, both artifacts).
     */
-  def bpeSegmentation(docs: DataFrame, k: Int): DataFrame = {
-    var words = wordFreq(docs).withColumn("syms", initSyms)
-      .localCheckpoint(true)
-    var n = 1
-    var more = true
-    while (n <= k && more) step(words) match {
-      case Some((_, _, _, _, next)) => words = next; n += 1
-      case None => more = false
-    }
-    words.select(col("word"), col("freq"), col("syms"),
+  def bpeSegmentation(docs: DataFrame, k: Int): DataFrame =
+    train(docs, k)._2.select(col("word"), col("freq"), col("syms"),
       size(col("syms")).cast("long").as("n_syms"))
-  }
 
   /** Corpus encoding under the trained tokenizer: per-doc BPE token
     * counts — the "how many tokens is this corpus" number every training

@@ -1011,7 +1011,7 @@ object Pipeline {
     "t29_dsir_weights" -> { (s, d) =>
       graft.operators.Selection.dsirWeights(
         Tables.documents(s, d), isTarget = col("lang") === "en",
-        bucket = graft.operators.Selection.md5Bucket(1024))
+        hash = graft.operators.Selection.md5Bucket(1024))
         .orderBy(col("doc_id"))
     },
 

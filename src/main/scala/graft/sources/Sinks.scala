@@ -416,7 +416,13 @@ object Sinks {
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col(idCol))
       .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
-    val manifest = spark.read.parquet(path)
+    // read back with the EXPLICIT schema: an all-rows-filtered input
+    // writes only _SUCCESS, and schema inference over that throws where
+    // an empty export should just produce an empty manifest
+    val written = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "shard", org.apache.spark.sql.types.LongType))
+    val manifest = spark.read.schema(written).parquet(path)
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_rows"), sum(col(tokenCol)).as("n_tokens"))
     manifest.coalesce(1).write.mode(SaveMode.Overwrite)

@@ -865,8 +865,8 @@ object Streams {
     * doc_ids (a re-delivered doc double-counts its features).
     */
   def dsirMaintenance(docs: DataFrame, isTarget: Column,
-                      bucket: Column => Column, indexDir: String,
-                      checkpoint: String)
+                      hash: graft.operators.Selection.FeatureHash,
+                      indexDir: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Selection
     val spark = docs.sparkSession
@@ -877,7 +877,7 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ensureGuarded()
-        Selection.modelSlice(Selection.features(batch, isTarget, bucket))
+        Selection.modelSlice(Selection.features(batch, isTarget, hash))
           .write.mode("overwrite")
           .parquet(s"$bucketsPath/batch=$batchId")
         ()

@@ -128,10 +128,21 @@ class EdgeSpec extends AnyFunSuite {
   test("DSIR weights on an empty corpus: empty result, schema intact") {
     val got = graft.operators.Selection.dsirWeights(noDocs,
       isTarget = lit(false),
-      bucket = graft.operators.Selection.md5Bucket(1024))
+      hash = graft.operators.Selection.md5Bucket(1024))
     assert(got.collect().isEmpty)
     assert(got.columns.toSeq ==
       Seq("doc_id", "n_feat", "score_bits", "avg_bits", "keep"))
+  }
+
+  test("training-shard export of an empty frame: empty manifest, " +
+      "no crash (all-rows-filtered gate is routine)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-shards-empty").toString + "/out"
+    val manifest = graft.sources.Sinks.writeTrainingShards(
+      Seq.empty[(Long, Long)].toDF("doc_id", "n_chars"),
+      dir, "doc_id", "n_chars", 4)
+    assert(manifest.collect().isEmpty)
+    assert(manifest.columns.toSeq == Seq("shard", "n_rows", "n_tokens"))
   }
 
   test("partition retention / keyed delete degenerate cases") {

@@ -969,7 +969,7 @@ class StreamingSpec extends AnyFunSuite {
     val ckpt = tmpDir("graft-dsir-ckpt")
     val docsSchema = "doc_id BIGINT, text STRING, lang STRING, " +
       "source STRING, n_chars BIGINT"
-    val bucket = Selection.md5Bucket(1024) _
+    val bucket = Selection.md5Bucket(1024)
     def runOnce(): Unit = {
       val stream = spark.readStream.schema(docsSchema)
         .option("recursiveFileLookup", "true").parquet(land)
