@@ -125,8 +125,18 @@ object Tokenize {
     * twice.
     */
   private def train(docs: DataFrame, k: Int)
+      : (Vector[(Long, String, String, String, Long, Long)], DataFrame) =
+    trainFromVocab(wordFreq(docs), k)
+
+  /** [[train]] from an already-aggregated (word, freq) vocabulary —
+    * the entry the streamed word-count slices fold into
+    * (Streams.bpeVocabMaintenance + [[serveMerges]]): word counts are
+    * additive under any corpus split, so training on the folded vocab
+    * is bit-identical to training on the batch corpus.
+    */
+  private def trainFromVocab(vocab: DataFrame, k: Int)
       : (Vector[(Long, String, String, String, Long, Long)], DataFrame) = {
-    var words = wordFreq(docs).withColumn("syms", initSyms)
+    var words = vocab.withColumn("syms", initSyms)
       .localCheckpoint(true)
     var rows = Vector.empty[(Long, String, String, String, Long, Long)]
     var n = 1
@@ -138,6 +148,23 @@ object Tokenize {
       case None => more = false
     }
     (rows, words)
+  }
+
+  /** Fold the word-count slices a streamed Streams.bpeVocabMaintenance
+    * run accumulated under `indexDir` and train `k` merges on the
+    * folded vocabulary — the merge table equals [[bpeMerges]] over the
+    * ingested corpus exactly (StreamingSpec pins it): the model state
+    * is just (word, freq), additive per micro-batch, so the tokenizer
+    * retrains from counts without ever re-reading the corpus.
+    */
+  def serveMerges(spark: org.apache.spark.sql.SparkSession,
+                  indexDir: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val vocab = graft.Tables.readOrEmpty(spark, s"$indexDir/vocab",
+      "word STRING, freq BIGINT")
+      .groupBy(col("word")).agg(sum(col("freq")).as("freq"))
+    trainFromVocab(vocab, k)._1.toDF("step", "left", "right", "merged",
+      "pair_count", "n_syms_after")
   }
 
   /** Learn `k` BPE merges. Returns one row per step:

@@ -885,6 +885,35 @@ object Streams {
       .start()
   }
 
+  /** Continuously maintained BPE training vocabulary — the seventh
+    * online-signal path: the tokenizer's entire training state is the
+    * (word, freq) table, additive per micro-batch, so each batch
+    * appends one word-count slice and `Tokenize.serveMerges` retrains
+    * the merge table from the folded counts bit-identically to batch
+    * training over the ingested corpus — without re-reading a single
+    * document. Same slice discipline as [[cardMaintenance]]
+    * (batch=<id> overwrite exactly-once, `_stream_id` fail-fast,
+    * append-only doc_ids — a re-delivered doc double-counts its words).
+    */
+  def bpeVocabMaintenance(docs: DataFrame, indexDir: String,
+                          checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    val vocabPath = s"$indexDir/vocab"
+    val ensureGuarded = guardOnce(spark, checkpoint, Seq(vocabPath))
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ensureGuarded()
+        graft.operators.Tokenize.wordFreq(batch)
+          .write.mode("overwrite")
+          .parquet(s"$vocabPath/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Continuously maintained dataset card — the streaming twin of the
     * batch t24 report (see [[graft.operators.CorpusCard]] for the full
     * design): each micro-batch appends three ADDITIVE slices (group

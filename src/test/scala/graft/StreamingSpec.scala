@@ -960,6 +960,37 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet == Set(1L, 5L, 9L))
   }
 
+  test("streamed BPE word-count slices retrain the merge table " +
+      "bit-identically to batch training") {
+    import graft.operators.Tokenize
+    val docs = Tables.documents(spark, sfDir)
+    val land = tmpDir("graft-bpe-land")
+    val idx = tmpDir("graft-bpe-idx") + "/bpe"
+    val ckpt = tmpDir("graft-bpe-ckpt")
+    val docsSchema = "doc_id BIGINT, text STRING, lang STRING, " +
+      "source STRING, n_chars BIGINT"
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(docsSchema)
+        .option("recursiveFileLookup", "true").parquet(land)
+      Streams.bpeVocabMaintenance(stream, idx, ckpt).awaitTermination()
+    }
+    docs.filter(col("doc_id") % 3 === 0).coalesce(1)
+      .write.parquet(s"$land/t1")
+    runOnce()
+    docs.filter(col("doc_id") % 3 =!= 0).coalesce(1)
+      .write.parquet(s"$land/t2")
+    runOnce()
+    val served = Tokenize.serveMerges(spark, idx, 4).orderBy(col("step"))
+      .collect().toSeq
+    val direct = SparkEntry.queries("t27_bpe_merges")(spark, sfDir)
+      .collect().toSeq
+    assert(served == direct)
+    // retry idempotence: no new files → no batch → unchanged merges
+    runOnce()
+    assert(Tokenize.serveMerges(spark, idx, 4).orderBy(col("step"))
+      .collect().toSeq == served)
+  }
+
   test("streamed DSIR model slices serve bit-identically to the " +
       "batch t29 weights") {
     import graft.operators.Selection
