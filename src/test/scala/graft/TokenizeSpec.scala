@@ -64,6 +64,34 @@ class TokenizeSpec extends AnyFunSuite {
     assert(Tokenize.bpeEncode(none, 2).collect().isEmpty)
   }
 
+  test("BPE: sliced vocab fold == batch merges on random corpora") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "the", "and",
+      "banana", "is", "query", "engine")
+    for (trial <- 1 to 3) {
+      val n = 30 + rnd.nextInt(40)
+      def text(): String = rnd.nextInt(10) match {
+        case 0 => null
+        case 1 => ""
+        case _ => Seq.fill(1 + rnd.nextInt(20))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val df = (0 until n).map(i => (i.toLong, text()))
+        .toDF("doc_id", "text")
+      val idx = java.nio.file.Files
+        .createTempDirectory(s"graft-bpefold-$trial").toString
+      for (b <- 0 until 3)
+        Tokenize.wordFreq(df.filter(col("doc_id") % 3 === b.toLong))
+          .write.parquet(s"$idx/vocab/batch=$b")
+      val served = Tokenize.serveMerges(spark, idx, 4)
+        .orderBy(col("step")).collect().toSeq
+      val direct = Tokenize.bpeMerges(df, 4)
+        .orderBy(col("step")).collect().toSeq
+      assert(served == direct, s"trial $trial diverged")
+      assert(direct.nonEmpty)
+    }
+  }
+
   test("bpeMerges on the fixture: symbol-count chain is exact " +
       "(n_syms_after[i] = n_syms_after[i-1] - pair_count[i])") {
     val docs = Tables.documents(spark, sfDir)
