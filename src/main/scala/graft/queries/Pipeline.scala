@@ -1160,6 +1160,45 @@ object Pipeline {
     // (the dedup/boilerplate gates are semi-joins, no materialization
     // barrier between stages) — and every stage is deterministic, so the
     // COMPOSITION hash-verifies against a single DuckDB CTE chain.
+    // PIPE2: the selection-era corpus build — DSIR importance gate
+    // (t29's keep cut) → exact dedup (d1's keep-first rule) → sequence
+    // packing (t12's budgeted cumsum). Each stage is individually
+    // oracle-green; the composition verifies they COMPOSE (the gate's
+    // survivors feed dedup feed packing — chunk offsets depend on every
+    // upstream decision). Same scale shape as the stages themselves:
+    // the selection model is a ≤1024-row broadcast, dedup is one
+    // fingerprint aggregate + semi-join, packing is a partitioned
+    // window over (source, 16-way shard).
+    "pipe2_select_pack" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val kept = docs.join(
+        graft.operators.Selection.dsirWeights(docs,
+            isTarget = col("lang") === "en",
+            hash = graft.operators.Selection.md5Bucket(1024))
+          .filter(col("keep")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val uniq = kept.join(
+        Dedup.exactDedup(kept).select(col("keep_doc_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val budget = 512L
+      val w = Window.partitionBy(col("source"), col("shard"))
+        .orderBy(col("fp"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      uniq
+        .select(col("doc_id"), col("source"),
+          md5(Text.normalize(col("text"))).as("fp"),
+          size(Text.words(col("text"))).cast("long").as("tok"))
+        .withColumn("shard",
+          expr("conv(substring(fp, 1, 1), 16, 10)").cast("long"))
+        .withColumn("cum", sum(col("tok")).over(w))
+        .select(col("doc_id"), col("source"), col("shard"), col("tok"),
+          expr(s"(cum - tok) div $budget").as("chunk_id"),
+          expr(s"(cum - tok) % $budget").as("chunk_offset"))
+        .orderBy(col("source"), col("shard"), col("chunk_id"),
+          col("chunk_offset"), col("doc_id"))
+    },
+
     "pipe1_corpus_build" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val s1 = docs.join(
@@ -1273,6 +1312,42 @@ object Pipeline {
        +16*16*(strpos('0123456789abcdef', substr(md5($e),2,1))-1)
        +16*(strpos('0123456789abcdef', substr(md5($e),3,1))-1)
        +(strpos('0123456789abcdef', substr(md5($e),4,1))-1)) % 1024"""
+
+  /** t29's CTE chain (through the per-doc sums, `dper`), shared with
+    * the pipe2 composition oracle. Occupied-bucket weights only — the
+    * Spark side's full-bucket table adds rows no feature joins, so the
+    * totals and every joined weight are identical.
+    */
+  private def dsirCtes: String =
+    s"""wl AS (SELECT doc_id, lang,
+           regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\\s\\x0B]+') AS w
+         FROM documents),
+         tkp AS (SELECT doc_id, lang, unnest(w) AS tok,
+                   generate_subscripts(w, 1) AS i FROM wl),
+         fs AS (SELECT doc_id, lang, tok AS f FROM tkp
+                UNION ALL
+                SELECT a.doc_id, a.lang, a.tok || ' ' || b.tok AS f
+                FROM tkp a JOIN tkp b
+                  ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+         feats AS (SELECT doc_id, lang, ${duckBkt("f")} AS bkt FROM fs),
+         ac AS (SELECT bkt, CAST(count(*) AS BIGINT) AS cnt_a
+                FROM feats GROUP BY 1),
+         tc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS cnt_t
+                FROM feats WHERE lang = 'en' GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS s_tot,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS t_tot
+                 FROM feats),
+         bt AS (SELECT ac.bkt,
+                  (CAST(length(bin(COALESCE(tc.cnt_t, 0) + 1)) - 1
+                     AS BIGINT)
+                   + CAST(length(bin(s_tot + 1024)) - 1 AS BIGINT))
+                - (CAST(length(bin(ac.cnt_a + 1)) - 1 AS BIGINT)
+                   + CAST(length(bin(t_tot + 1024)) - 1 AS BIGINT)) AS sb
+                FROM ac LEFT JOIN tc USING (bkt), tot),
+         dper AS (SELECT doc_id, count(*) AS n_feat,
+                   CAST(sum(sb) AS BIGINT) AS score_bits
+                 FROM feats JOIN bt USING (bkt) GROUP BY 1)"""
 
   /** DuckDB twin of Text.markerCount (space-padded split-count). */
   private def duckMarker(m: String): String =
@@ -2286,39 +2361,41 @@ object Pipeline {
     // t29: same positioned-token self-join as t26 for the bigram
     // features; bucket weights are pure integer floor-log2 arithmetic
     "t29_dsir_weights" ->
-      s"""WITH wl AS (SELECT doc_id, lang,
-           regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\\s\\x0B]+') AS w
-         FROM documents),
-         tkp AS (SELECT doc_id, lang, unnest(w) AS tok,
-                   generate_subscripts(w, 1) AS i FROM wl),
-         fs AS (SELECT doc_id, lang, tok AS f FROM tkp
-                UNION ALL
-                SELECT a.doc_id, a.lang, a.tok || ' ' || b.tok AS f
-                FROM tkp a JOIN tkp b
-                  ON a.doc_id = b.doc_id AND b.i = a.i + 1),
-         feats AS (SELECT doc_id, lang, ${duckBkt("f")} AS bkt FROM fs),
-         ac AS (SELECT bkt, CAST(count(*) AS BIGINT) AS cnt_a
-                FROM feats GROUP BY 1),
-         tc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS cnt_t
-                FROM feats WHERE lang = 'en' GROUP BY 1),
-         tot AS (SELECT CAST(count(*) AS BIGINT) AS s_tot,
-                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
-                     AS BIGINT) AS t_tot
-                 FROM feats),
-         bt AS (SELECT ac.bkt,
-                  (CAST(length(bin(COALESCE(tc.cnt_t, 0) + 1)) - 1
-                     AS BIGINT)
-                   + CAST(length(bin(s_tot + 1024)) - 1 AS BIGINT))
-                - (CAST(length(bin(ac.cnt_a + 1)) - 1 AS BIGINT)
-                   + CAST(length(bin(t_tot + 1024)) - 1 AS BIGINT)) AS sb
-                FROM ac LEFT JOIN tc USING (bkt), tot),
-         per AS (SELECT doc_id, count(*) AS n_feat,
-                   CAST(sum(sb) AS BIGINT) AS score_bits
-                 FROM feats JOIN bt USING (bkt) GROUP BY 1)
+      s"""WITH $dsirCtes
          SELECT doc_id, n_feat, score_bits,
            round(CAST(score_bits AS DOUBLE)/n_feat, 4) AS avg_bits,
            score_bits*100 > n_feat*(-8) AS keep
-         FROM per ORDER BY doc_id""",
+         FROM dper ORDER BY doc_id""",
+    // pipe2: the t29 CTE chain gates the corpus, d1's keep-first rule
+    // dedups the survivors, t12's packing CTEs (renamed p_*) pack them
+    "pipe2_select_pack" ->
+      s"""WITH $dsirCtes,
+         keep0 AS (SELECT doc_id FROM dper
+                   WHERE score_bits*100 > n_feat*(-8)),
+         kd AS (SELECT d.* FROM documents d JOIN keep0 USING (doc_id)),
+         kfp AS (SELECT doc_id,
+             md5(regexp_replace(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\\s\\x0B]+', ' ', 'g')) AS xfp
+           FROM kd),
+         kfirst AS (SELECT xfp, min(doc_id) AS doc_id
+                    FROM kfp GROUP BY 1),
+         uniq AS (SELECT kd.* FROM kd JOIN kfirst USING (doc_id)),
+         p_d AS (SELECT doc_id, source,
+           md5(regexp_replace(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\\s\\x0B]+', ' ', 'g')) AS fp,
+           len(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\\s\\x0B]+')) AS tok
+         FROM uniq),
+         p_sh AS (SELECT doc_id, source, fp, tok,
+           CAST(strpos('0123456789abcdef', substr(fp, 1, 1)) - 1 AS BIGINT)
+             AS shard
+         FROM p_d),
+         p_c AS (SELECT doc_id, source, shard, tok,
+           sum(tok) OVER (PARTITION BY source, shard ORDER BY fp, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM p_sh)
+         SELECT doc_id, source, shard, CAST(tok AS BIGINT) AS tok,
+           CAST((cum - tok) // 512 AS BIGINT) AS chunk_id,
+           CAST((cum - tok) % 512 AS BIGINT) AS chunk_offset
+         FROM p_c
+         ORDER BY source, shard, chunk_id, chunk_offset, doc_id""",
     // t28: the same four-step chain, then doc words ⋈ w4 segmentation
     "t28_bpe_encode" ->
       s"""WITH ${bpeCtes(4)},
