@@ -80,7 +80,7 @@ object Bench {
     // oracle replays four unrolled vocab rewrites — the interesting twin:
     // DuckDB pays the same chain single-node)
     "n9_ann_ivf_sampled", "t26_bigram_surprisal", "t27_bpe_merges",
-    "t28_bpe_encode", "t29_dsir_weights")
+    "t28_bpe_encode", "t29_dsir_weights", "pipe2_select_pack")
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {

@@ -40,7 +40,7 @@ object Scaling {
     // aggregate's alone)
     "n9_ann_ivf_sampled", "t26_bigram_surprisal", "t27_bpe_merges",
     "t28_bpe_encode", "t29_dsir_weights", "n9_adaptive_nlist",
-    "t29_xxhash",
+    "t29_xxhash", "pipe2_select_pack",
     // r10 continuation: the new anchor shapes + the dataset card —
     // b11's double self-join and t24's fingerprint-join+window-median
     // are the two whose slopes could hide a surprise
