@@ -1160,6 +1160,52 @@ object Pipeline {
     // (the dedup/boilerplate gates are semi-joins, no materialization
     // barrier between stages) — and every stage is deterministic, so the
     // COMPOSITION hash-verifies against a single DuckDB CTE chain.
+    // T30: deterministic EPOCH SHUFFLE — the training-order permutation
+    // a dataloader consumes each epoch: global order = (shard, ordinal)
+    // where shard is a seeded content-hash bucket and ordinal ranks
+    // within the shard by the same hash. Changing the seed permutes the
+    // corpus; the same seed reproduces it on any engine/partitioning.
+    // The window is PARTITIONED (16 shards) — a single global
+    // row_number would be one task; sharded ordinals keep the sort
+    // distributed and the (shard, ordinal) pair is still a total order.
+    "t30_epoch_shuffle" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val h = md5(concat(lit("ep1:"), col("doc_id").cast("string")))
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), h.as("h"))
+        .withColumn("shard",
+          conv(substring(col("h"), 1, 2), 16, 10).cast("long") % 16)
+        .withColumn("ordinal", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("shard"), col("ordinal"))
+        .orderBy(col("shard"), col("ordinal"))
+    },
+
+    // T31: fractional SOURCE UPSAMPLING — the Pile/LLaMA-style mixture
+    // where a high-quality source runs >1 epoch (possibly fractional,
+    // e.g. 1.5): integer part replicates every doc, the half-epoch
+    // remainder replicates a deterministic content-hash coin-flip half.
+    // Weights here derive from the source id (2..6 half-epochs → 1.0 to
+    // 3.0); a real build reads them from config through the same
+    // integer plumbing. Pure map-side explode — no shuffle at any
+    // corpus width; replica_idx keys downstream dedup-aware stages.
+    "t31_source_upsample" -> { (s, d) =>
+      val wHalf = expr("try_cast(substring(source, 4) AS BIGINT)") % 5 + 2
+      val b0 = conv(substring(md5(
+        concat(lit("up:"), col("doc_id").cast("string"))), 1, 2),
+        16, 10).cast("long")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+        .withColumn("wh", wHalf)
+        .withColumn("n_rep",
+          expr("wh div 2")
+            + when(col("wh") % 2 === 1 && b0 < 128, 1L).otherwise(0L))
+        .select(col("doc_id"), col("source"), col("n_rep"),
+          explode(sequence(lit(1L), col("n_rep"))).as("replica_idx"))
+        .orderBy(col("doc_id"), col("replica_idx"))
+    },
+
     // PIPE2: the selection-era corpus build — DSIR importance gate
     // (t29's keep cut) → exact dedup (d1's keep-first rule) → sequence
     // packing (t12's budgeted cumsum). Each stage is individually
@@ -2366,6 +2412,35 @@ object Pipeline {
            round(CAST(score_bits AS DOUBLE)/n_feat, 4) AS avg_bits,
            score_bits*100 > n_feat*(-8) AS keep
          FROM dper ORDER BY doc_id""",
+    "t30_epoch_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+           md5('ep1:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         sh AS (SELECT doc_id, h,
+           CAST((16*(strpos('0123456789abcdef', substr(h,1,1))-1)
+             + (strpos('0123456789abcdef', substr(h,2,1))-1)) % 16
+             AS BIGINT) AS shard
+         FROM h)
+         SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard
+             ORDER BY h, doc_id) AS BIGINT) AS ordinal
+         FROM sh ORDER BY shard, ordinal""",
+    "t31_source_upsample" ->
+      """WITH b AS (SELECT doc_id, source,
+           try_cast(substring(source, 4) AS BIGINT) % 5 + 2 AS wh,
+           (16*(strpos('0123456789abcdef',
+              substr(md5('up:' || CAST(doc_id AS VARCHAR)),1,1))-1)
+            + (strpos('0123456789abcdef',
+              substr(md5('up:' || CAST(doc_id AS VARCHAR)),2,1))-1))
+             AS b0
+         FROM documents),
+         r AS (SELECT doc_id, source,
+           CAST(wh // 2 + CASE WHEN wh % 2 = 1 AND b0 < 128
+             THEN 1 ELSE 0 END AS BIGINT) AS n_rep
+         FROM b)
+         SELECT doc_id, source, n_rep,
+           CAST(unnest(generate_series(1, n_rep)) AS BIGINT)
+             AS replica_idx
+         FROM r ORDER BY doc_id, replica_idx""",
     // pipe2: the t29 CTE chain gates the corpus, d1's keep-first rule
     // dedups the survivors, t12's packing CTEs (renamed p_*) pack them
     "pipe2_select_pack" ->
