@@ -64,6 +64,66 @@ class TokenizeSpec extends AnyFunSuite {
     assert(Tokenize.bpeEncode(none, 2).collect().isEmpty)
   }
 
+  test("bpeMerges == a plain-Scala reference trainer on random " +
+      "corpora (dense tie/overlap space)") {
+    // independent differential oracle: sequential greedy left-to-right
+    // application (the textbook form) must equal the per-position map
+    // the engine runs — the l ≠ r non-overlap argument, executed
+    def applyRef(s: Vector[String], l: String, r: String)
+        : Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.result()
+    }
+    def refTrain(freq: Map[String, Long], k: Int)
+        : Vector[(Long, String, String, String, Long, Long)] = {
+      var vocab: Map[Vector[String], Long] = freq.map { case (w, f) =>
+        (w.toVector.map(_.toString) :+ "</w>") -> f
+      }
+      var rows = Vector.empty[(Long, String, String, String, Long, Long)]
+      var n = 1L
+      var done = false
+      while (n <= k && !done) {
+        val counts = vocab.toSeq.flatMap { case (s, f) =>
+          s.zip(s.tail).filter(p => p._1 != p._2).map(p => p -> f)
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, r), cnt) = counts.minBy { case ((l, r), c) =>
+            (-c, l, r)
+          }
+          vocab = vocab.toSeq.map { case (s, f) =>
+            applyRef(s, l, r) -> f
+          }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+          val after = vocab.map { case (s, f) => f * s.length }.sum
+          rows = rows :+ ((n, l, r, l + r, cnt, after))
+          n += 1
+        }
+      }
+      rows
+    }
+    val rnd = new scala.util.Random(23)
+    // 3-letter alphabet: dense pair collisions, frequent ties, runs
+    for (trial <- 1 to 4) {
+      val words = Seq.fill(10 + rnd.nextInt(15))(
+        Seq.fill(1 + rnd.nextInt(6))("abc" (rnd.nextInt(3))).mkString)
+      val docs = words.grouped(4).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toSeq.toDF("doc_id", "text")
+      val got = Tokenize.bpeMerges(docs, 5).orderBy(col("step"))
+        .as[(Long, String, String, String, Long, Long)].collect().toSeq
+      val freq = words.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      val want = refTrain(freq, 5)
+      assert(got == want, s"trial $trial diverged: got $got want $want")
+    }
+  }
+
   test("BPE: sliced vocab fold == batch merges on random corpora") {
     val rnd = new scala.util.Random(11)
     val vocab = Seq("alpha", "beta", "gamma", "delta", "the", "and",
