@@ -93,9 +93,20 @@ object Bench {
       case c => c.toString
     } + "\""
 
+  /** Strip a trailing CANONICAL `ORDER BY col[, col…]` from an oracle SQL
+    * string — the DuckDB-side twin of the canonOrder flag, so both engines
+    * time the deployment shape. Only a bare trailing column list matches
+    * (no parens, no LIMIT after it): a semantic ORDER BY feeds a LIMIT and
+    * so never sits at the end of the string, and expression sorts stay.
+    */
+  private[graft] def stripCanonOrder(sql: String): String =
+    "(?is)\\s+ORDER\\s+BY\\s+[a-z0-9_,.\\s]+$".r
+      .replaceFirstIn(sql, "")
+
   private def duckTimes(sfDir: String): Map[String, Double] = try {
     val sqls = SparkEntry.oracleSql.view
       .filterKeys(duckHeadline.contains).toMap
+      .map { case (k, v) => k -> stripCanonOrder(v) }
     val tmp = java.nio.file.Files.createTempDirectory("graft-duck")
     val sqlJson = sqls.map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }
       .mkString("{", ",", "}")
@@ -342,6 +353,16 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // Bench measures the DEPLOYMENT shape: the trailing global sort on a
+    // surface query exists only to canonicalize the driver's oracle hash
+    // (Verify keeps it — graft.canon.sort defaults true there), and it is
+    // the single largest distortion on the measured surface (t8 at 100×:
+    // 42.9 s sorted vs 14.4 s unsorted — the RangePartitioning sample
+    // pass re-runs the upstream kernel, then a full global sort follows).
+    // The DuckDB twins strip the SAME trailing ORDER BY (stripCanonOrder)
+    // so the engine-vs-engine comparison stays symmetric; semantic sorts
+    // (top-k feeding a limit) are untouched on both sides.
+    System.setProperty("graft.canon.sort", "false")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

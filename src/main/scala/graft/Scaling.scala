@@ -95,12 +95,38 @@ object Scaling {
           col("lang").isin("en", "de", "es"))
         .select(col("doc_id"), col("lang"), col("quality"))
     },
+    // the sorted twin of the pair — since r11 the main surface runs
+    // canonOrder-off here, so the historical "t8 with its trailing
+    // global sort" shape needs an explicit entry to stay on the curve
+    "t8_gate_sorted" -> { (s, d, _) =>
+      import org.apache.spark.sql.functions.col
+      val q = graft.functions.Text.qualityScore(col("text"))
+      Tables.documents(s, d)
+        .withColumn("quality", q)
+        .filter(col("quality") >= 40d &&
+          col("lang").isin("en", "de", "es"))
+        .select(col("doc_id"), col("lang"), col("quality"))
+        .orderBy(col("doc_id"))
+    },
     "n8_adaptive_bits" -> { (s, d, f) =>
       import org.apache.spark.sql.functions.col
       graft.operators.Similarity
         .knnGraph(Tables.embeddings(s, d), k = 5,
           tables = 4, bits = adaptiveBits(f))
         .orderBy(col("probe_id"), col("rank"))
+    },
+    // the retired fixed-width geometries, kept as labeled counterexamples
+    // (same pattern as skew_join_naive): since r11 the MAIN n8/d16
+    // entries are adaptive, so the quadratic curve the r10 round measured
+    // needs explicit names to stay on the record
+    "n8_fixed_bits" -> { (s, d, _) =>
+      graft.operators.Similarity
+        .knnGraph(Tables.embeddings(s, d), k = 5, tables = 4, bits = 6)
+    },
+    "d16_fixed_bits" -> { (s, d, _) =>
+      graft.operators.Dedup
+        .embeddingGraphGroups(Tables.embeddings(s, d), k = 5,
+          theta = 0.3, tables = 4, bits = 6)
     },
     // t29 with the deployment kernel: the oracle-pinned md5-nibble
     // bucket exists for DuckDB bit-parity; a real corpus build hashes
@@ -187,6 +213,10 @@ object Scaling {
   private def ms(d: Double): Double = math.round(d * 1000).toDouble / 1000
 
   def main(args: Array[String]): Unit = {
+    // deployment shape, like Bench: the oracle-canonicalization sorts are
+    // OFF (see functions.Core.canonSort); the t8_gate_sorted adaptive
+    // entry below keeps the sorted/unsorted pair measurable
+    System.setProperty("graft.canon.sort", "false")
     val dirs: Seq[(String, Double)] = args.toSeq.map { a =>
       val Array(d, f) = a.split("=")
       (d, f.toDouble)

@@ -386,6 +386,18 @@ object Dedup {
     connectedComponents(mutual)
   }
 
+  /** [[embeddingGraphGroups]] at the scale-adaptive code width — one
+    * scalar count() derives bits via [[Similarity.autoBits]] so per-bucket
+    * occupancy (and with it the Σ bucket² candidate volume) stays bounded
+    * as the corpus grows. The shipped d16 geometry since r11 (the fixed
+    * width was measured quadratic one decade above its calibration SF).
+    */
+  def embeddingGraphGroupsAuto(vecs: DataFrame, k: Int, theta: Double,
+                               tables: Int = 4, targetOccupancy: Int = 32)
+      : DataFrame =
+    embeddingGraphGroups(vecs, k, theta, tables,
+      Similarity.autoBits(vecs.count(), targetOccupancy))
+
   /** Per-source boilerplate profiling (the C4/CCNet cleaning step): a
     * doc's text is cut into non-overlapping `w`-word chunks (full
     * windows at stride `w` — the <w-word tail is not a chunk), and a

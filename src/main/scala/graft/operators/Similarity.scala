@@ -226,18 +226,25 @@ object Similarity {
     * collisions are no longer the bottleneck). SCALING.json measured
     * the fixed 6-bit default quadratic at 10× while this rule's widths
     * held the slope near-linear through 30×.
+    *
+    * Integer-exact on purpose: the rule is "smallest b with
+    * target·2^b ≥ n", evaluated in Long arithmetic — a float
+    * ceil(log2(n/target)) can land one ulp above an exact power of two
+    * and widen by a full bit, and the DuckDB oracle twin (which since
+    * r11 derives the SAME width from COUNT(*) inside the query) must
+    * reproduce the width bit-for-bit on corpora of any size.
     */
   def autoBits(n: Long, targetOccupancy: Int = 32): Int =
-    math.min(24, math.max(1,
-      math.ceil(math.log(math.max(1.0, n.toDouble / targetOccupancy))
-        / math.log(2)).toInt))
+    (1 to 24).find(b => (targetOccupancy.toLong << b) >= n).getOrElse(24)
 
   /** [[knnGraph]] with the code width derived from the corpus count —
     * one scalar count() (a map-side-combined aggregate, never corpus
     * data on the driver), then the bucketed graph at the occupancy the
-    * 1× calibration was tuned for. The oracle-pinned fixture queries
-    * keep explicit widths (the DuckDB twin replays a fixed sign
-    * matrix); pipelines without a pinned oracle should use this form.
+    * 1× calibration was tuned for. Since r11 this IS the shipped
+    * n8/d16 geometry: the DuckDB twin inlines the sign matrix at the
+    * 24-bit cap and derives the same width from COUNT(*) in SQL, so
+    * the oracle tracks the adaptive width exactly (the fixed-width
+    * form survives only as the labeled SCALING counterexample).
     */
   def knnGraphAuto(vecs: DataFrame, k: Int, tables: Int = 4,
                    targetOccupancy: Int = 32): DataFrame =
@@ -453,6 +460,33 @@ object Similarity {
     val dim = vecs.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"pqTrain: dim $dim not divisible into $m subspaces")
     pqTrainSliced(pqSliced(vecs, m, dim / m), iters, sampleStride)
+  }
+
+  /** Sample-bounded PQ codebook training — the PQ analogue of
+    * [[sampledTrainCentroids]] and, since r11, the geometry behind the
+    * shipped n6/n7 entries: a fixed-stride seed (`sampleStride`) makes
+    * the codebook size ∝ n and runs Lloyd over the FULL corpus, which is
+    * O(n²) training (measured: 75/64 s at 10×, SCALING.json). Here the
+    * training set is every `mod`-th vector with `mod = max(1,
+    * n/targetSample)` — ≤ ~2·targetSample rows whatever the corpus size —
+    * and seeds are every `max(1, sn/kCodes)`-th sample member, so
+    * training is O(targetSample · kCodes · m · iters), CONSTANT in
+    * corpus size; encoding stays the one linear pass PQ always pays.
+    * Both moduli are pure vec_id arithmetic, so the DuckDB oracle
+    * derives them from COUNT(*) and replays training bit-for-bit.
+    */
+  def pqTrainSampled(vecs: DataFrame, m: Int = 8, iters: Int = 2,
+                     targetSample: Long = 400L, kCodes: Long = 40L)
+      : DataFrame = {
+    val dim = vecs.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0,
+      s"pqTrainSampled: dim $dim not divisible into $m subspaces")
+    val n = vecs.select(count(lit(1))).head().getLong(0)
+    val mod = math.max(1L, n / targetSample)
+    val sample = vecs.filter(col("vec_id") % mod === 0)
+    val sn = sample.select(count(lit(1))).head().getLong(0)
+    val seedMod = mod * math.max(1L, sn / kCodes)
+    pqTrainSliced(pqSliced(sample, m, dim / m), iters, seedMod)
   }
 
   /** [[pqTrain]] over an already-sliced corpus — lets [[pqTopK]] share one

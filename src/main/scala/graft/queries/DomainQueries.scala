@@ -30,7 +30,7 @@ object DomainQueries {
         .select(col("event_id"),
           Domain.classifyDirection(col("event_type"), lit("purchase"))
             .as("direction"))
-        .orderBy(col("event_id"))
+        .canonOrder(col("event_id"))
     },
 
     // F2: pair normalization — uzig forced to quote side (core/parse.js:71-76).
@@ -47,7 +47,7 @@ object DomainQueries {
         .filter(col("p_partkey") <= 2000L)
         .select(col("p_partkey"), pair.as("pair"),
           np.getField("base").as("base"), np.getField("quote").as("quote"))
-        .orderBy(col("p_partkey"))
+        .canonOrder(col("p_partkey"))
     },
 
     // F3: display scaling (core/parse.js:36) — exponent varies per line.
@@ -57,7 +57,7 @@ object DomainQueries {
         .select(col("l_orderkey").as("okey"), col("l_linenumber").as("line"),
           round4(Domain.toDisp(col("l_extendedprice"), col("l_linenumber")))
             .as("disp"))
-        .orderBy(col("okey"), col("line"))
+        .canonOrder(col("okey"), col("line"))
     },
 
     // F4: price from reserves (core/prices.js:69-92) — per-user "pool"
@@ -73,7 +73,7 @@ object DomainQueries {
           round4(Domain.priceFromReserves(col("rq_base"), col("rb_base"),
             lit(6))).as("price"))
         .filter(col("price").isNotNull)
-        .orderBy(col("user_id"))
+        .canonOrder(col("user_id"))
     },
 
     // JOB: the composed price-from-reserves scheduled batch
@@ -105,7 +105,7 @@ object DomainQueries {
           round4(Domain.priceFromReserves(col("rq_base"), col("rb_base"),
             col("exp"))).as("price_in_zig"))
         .filter(col("price_in_zig").isNotNull) // finite positive only
-        .orderBy(col("pool_id"))
+        .canonOrder(col("pool_id"))
     },
 
     // F5: pair-type fee schedule (api/routes/swap.js:21-32), incl. the
@@ -121,7 +121,7 @@ object DomainQueries {
         .filter(col("p_partkey") <= 2000L)
         .select(col("p_partkey"), ptype.as("pair_type"),
           Domain.pairFee(ptype).as("fee"))
-        .orderBy(col("p_partkey"))
+        .canonOrder(col("p_partkey"))
     },
 
     // F9: trade class thresholds (api/routes/trades.js:222-226).
@@ -131,7 +131,7 @@ object DomainQueries {
         .filter(col("event_id") < 2000L)
         .select(col("event_id"), round4(worth).as("worth"),
           Domain.tradeClass(worth).as("cls"))
-        .orderBy(col("event_id"))
+        .canonOrder(col("event_id"))
     },
 
     // F12: worth expression — ZIG-leg preferred, else notional × price
@@ -144,7 +144,7 @@ object DomainQueries {
         .filter(col("event_id") < 2000L)
         .select(col("event_id"), round4(w).as("worth"),
           Domain.tradeClass(w).as("cls"))
-        .orderBy(col("event_id"))
+        .canonOrder(col("event_id"))
     },
 
     // F11: security risk score (api/routes/tokens.js:1104-1143) — rule
@@ -175,7 +175,7 @@ object DomainQueries {
                 - unix_timestamp(col("first_seen").cast("timestamp")))
                 / 86400d).cast("double"),
               lit(0d))).cast("long").as("score"))
-        .orderBy(col("c_custkey"))
+        .canonOrder(col("c_custkey"))
     },
 
     // A11: token matrix — trades-price with 60m-avg-OHLCV fallback, the
@@ -184,7 +184,7 @@ object DomainQueries {
     // (latest purchase value = prices source; 1-day click average = OHLCV
     // source), customers play tokens.
     "a11_token_matrix" -> { (s, d) =>
-      tokenMatrix(s, d).orderBy(col("token_id"))
+      tokenMatrix(s, d).canonOrder(col("token_id"))
     },
 
     // §3.2 serving composite: the GET /tokens list page — matrix metrics,
@@ -255,7 +255,7 @@ object DomainQueries {
         .select(col("pool_id"), col("bucket_ts"), col("open"), col("high"),
           col("low"), col("close"), col("volume"), col("trade_count"))
         .orderBy(col("bucket_ts").desc).limit(300)
-        .orderBy(col("bucket_ts"))
+        .canonOrder(col("bucket_ts"))
     },
 
     // §3 serving composite #4: the GET /tokens/:id detail — ONE token's
@@ -308,7 +308,7 @@ object DomainQueries {
             .as("denom"),
           substring_index(kvStr, ":", 1).as("kv_denom"),
           substring_index(kvStr, ":", -1).cast("long").as("kv_amount"))
-        .orderBy(col("doc_id"))
+        .canonOrder(col("doc_id"))
     },
 
     // §2.8 JSON: extract a typed field from the JSON props payload
@@ -319,7 +319,7 @@ object DomainQueries {
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
-        .orderBy(col("event_type"))
+        .canonOrder(col("event_type"))
     },
 
     // §2.8 JSON, typed form: from_json with an explicit schema — the
@@ -331,7 +331,7 @@ object DomainQueries {
           from_json(col("props"),
             org.apache.spark.sql.types.StructType.fromDDL("k INT"))
             .getField("k").cast("long").as("k"))
-        .orderBy(col("event_id"))
+        .canonOrder(col("event_id"))
     },
 
     // §2.8 / A-family: typed pivot — per-user cross-tab of event counts
@@ -350,7 +350,7 @@ object DomainQueries {
         .pivot("event_type", types)
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("vol"))
         .na.fill(0L, types.map(t => s"${t}_n"))
-        .orderBy(col("user_id"))
+        .canonOrder(col("user_id"))
     },
 
     // §2.8 array: explode words, global top-20 by frequency.
@@ -378,7 +378,7 @@ object DomainQueries {
       val h3 = regexp_replace(h2, "[/?].*$", "")
       Tables.documents(s, d)
         .select(col("doc_id"), raw.as("raw"), h3.as("handle"))
-        .orderBy(col("doc_id"))
+        .canonOrder(col("doc_id"))
     },
 
     // J10: explicit in-memory hash join — the pool-cache Map analog
@@ -392,7 +392,7 @@ object DomainQueries {
         .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
-        .orderBy(col("p_brand"))
+        .canonOrder(col("p_brand"))
     },
 
     // T10: alert CEP pass — evaluate a small rules table against the
@@ -420,7 +420,7 @@ object DomainQueries {
           .otherwise(col("max_value") >= col("threshold")))
         .select(col("rule_id"), col("event_type"), col("kind"),
           col("fired"))
-        .orderBy(col("rule_id"))
+        .canonOrder(col("rule_id"))
     },
 
     // T10 (remaining kinds): wallet_trade + tvl_change rule evaluation
@@ -473,7 +473,7 @@ object DomainQueries {
           (col("tvl_past").isNotNull && col("tvl_past") =!= 0d &&
             abs(chg) >= col("delta_pct")).as("fired"),
           round4(chg).as("metric"))
-      wallet.unionByName(tvl).orderBy(col("rule_id"))
+      wallet.unionByName(tvl).canonOrder(col("rule_id"))
     }
   )
 

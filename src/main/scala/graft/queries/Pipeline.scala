@@ -39,14 +39,14 @@ object Pipeline {
     // D1: exact dedup — md5-of-normalized-text hash groupBy, keep-first.
     "d1_exact_dedup" -> { (s, d) =>
       Dedup.exactDedup(Tables.documents(s, d))
-        .orderBy(col("keep_doc_id"))
+        .canonOrder(col("keep_doc_id"))
     },
 
     // D2: MinHash+LSH near-dup (the 100 TB dedup path): banded signatures →
     // bucket equi-join candidates → exact-Jaccard verify. Never O(n²).
     "d2_minhash_neardup" -> { (s, d) =>
       Dedup.minhashNearDup(Tables.documents(s, d), n = 3, theta = 0.8)
-        .orderBy(col("doc_a"), col("doc_b"))
+        .canonOrder(col("doc_a"), col("doc_b"))
     },
 
     // D3: SimHash document sketch (32-bit, md5-backed so the oracle can
@@ -54,21 +54,21 @@ object Pipeline {
     "d3_simhash" -> { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), Text.simhash32(col("text")).as("simhash"))
-        .orderBy(col("doc_id"))
+        .canonOrder(col("doc_id"))
     },
 
     // D4: n-gram Jaccard brute force — the correctness baseline d2 is
     // checked against (same pair values, lower threshold).
     "d4_ngram_jaccard" -> { (s, d) =>
       Dedup.jaccardBruteForce(Tables.documents(s, d), n = 3, theta = 0.5)
-        .orderBy(col("doc_a"), col("doc_b"))
+        .canonOrder(col("doc_a"), col("doc_b"))
     },
 
     // D5: embedding-cosine near-dup, brute force over the pair space
     // (baseline; n2 is the bucketed scale path).
     "d5_embedding_neardup" -> { (s, d) =>
       Similarity.cosinePairs(Tables.embeddings(s, d), theta = 0.4)
-        .orderBy(col("vec_a"), col("vec_b"))
+        .canonOrder(col("vec_a"), col("vec_b"))
     },
 
     // D6: dedup APPLY — the pipeline step that consumes d2's pairs: drop
@@ -81,7 +81,7 @@ object Pipeline {
         .select(col("doc_b").as("doc_id")).distinct()
       docs.join(drop, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("source"))
-        .orderBy(col("doc_id"))
+        .canonOrder(col("doc_id"))
     },
 
     // D7: decontamination — the corpus-build step that drops training
@@ -102,7 +102,7 @@ object Pipeline {
       docs.filter(col("doc_id") % 20 =!= 0)
         .join(contaminated, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("source"))
-        .orderBy(col("doc_id"))
+        .canonOrder(col("doc_id"))
     },
 
     // D11: EMBEDDING-space decontamination — d7's semantic cousin: drop
@@ -128,7 +128,7 @@ object Pipeline {
         .select(col("vec_id")).distinct()
       train.join(contaminated, Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("label").cast("long").as("label"))
-        .orderBy(col("vec_id"))
+        .canonOrder(col("vec_id"))
     },
 
     // D8: duplicate GROUPS — connected components over d2's verified
@@ -144,7 +144,7 @@ object Pipeline {
       comp.join(sizes, "comp")
         .select(col("id").as("doc_id"), col("comp").as("group_id"),
           col("group_size"))
-        .orderBy(col("group_id"), col("doc_id"))
+        .canonOrder(col("group_id"), col("doc_id"))
     },
 
     // D10: group-correct dedup APPLY — keep exactly one doc (the minimum
@@ -162,7 +162,7 @@ object Pipeline {
         .select(col("id").as("doc_id"))
       docs.join(drop, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("source"))
-        .orderBy(col("doc_id"))
+        .canonOrder(col("doc_id"))
     },
 
     // D9: SemDeDup-style semantic pruning — cluster the embedding space,
@@ -178,7 +178,7 @@ object Pipeline {
       val v = Tables.embeddings(s, d)
       Similarity.semanticPrune(v, v.filter(col("vec_id") % 50 === 0),
           theta = 0.4)
-        .orderBy(col("vec_id"))
+        .canonOrder(col("vec_id"))
     },
 
     // D12: bloom-pruned exact decontamination — the 100 TB shape of a
@@ -220,7 +220,7 @@ object Pipeline {
         .select(col("doc_id"))
       train.join(confirmed, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("source"))
-        .orderBy(col("doc_id"))
+        .canonOrder(col("doc_id"))
     },
 
     // T6: repetition ratio — Gopher-style boilerplate signal: the
@@ -239,14 +239,14 @@ object Pipeline {
             round4(lit(1d) - col("n_unique").cast("double")
               / col("n_shingles").cast("double")))
             .otherwise(lit(0d)))
-        .orderBy(col("doc_id"))
+        .canonOrder(col("doc_id"))
     },
 
     // N1: brute-force cosine top-k ANN (probes = vec_id < 10, k = 5).
     "n1_ann_topk" -> { (s, d) =>
       val v = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(v.filter(col("vec_id") < 10), v, k = 5)
-        .orderBy(col("probe_id"), col("rank"))
+        .canonOrder(col("probe_id"), col("rank"))
     },
 
     // N2: LSH-bucketed ANN — same output shape as n1, candidates from
@@ -259,7 +259,7 @@ object Pipeline {
     "n2_ann_lsh" -> { (s, d) =>
       val v = Tables.embeddings(s, d)
       Similarity.lshTopK(v.filter(col("vec_id") < 10), v, k = 5)
-        .orderBy(col("probe_id"), col("rank"))
+        .canonOrder(col("probe_id"), col("rank"))
     },
 
     // N5: multi-probe LSH ANN — n2 plus Hamming-1 bucket probing on the
@@ -272,7 +272,7 @@ object Pipeline {
     "n5_ann_multiprobe" -> { (s, d) =>
       val v = Tables.embeddings(s, d)
       Similarity.lshTopKMultiProbe(v.filter(col("vec_id") < 10), v, k = 5)
-        .orderBy(col("probe_id"), col("rank"))
+        .canonOrder(col("probe_id"), col("rank"))
     },
 
     // N3: IVF-bucketed ANN — centroid assignment + nprobe-bucket search
@@ -285,7 +285,7 @@ object Pipeline {
       val v = Tables.embeddings(s, d)
       Similarity.ivfTopK(v.filter(col("vec_id") < 10), v,
         centroids = v.filter(col("vec_id") % 50 === 0), k = 5, nprobe = 8)
-        .orderBy(col("probe_id"), col("rank"))
+        .canonOrder(col("probe_id"), col("rank"))
     },
 
     // N4: IVF with TRAINED centroids — two deterministic Lloyd iterations
@@ -301,7 +301,7 @@ object Pipeline {
         v, v.filter(col("vec_id") % 50 === 0), iters = 2)
       Similarity.ivfTopK(v.filter(col("vec_id") < 10), v,
         centroids = trained, k = 5, nprobe = 8)
-        .orderBy(col("probe_id"), col("rank"))
+        .canonOrder(col("probe_id"), col("rank"))
     },
 
     // N9: IVF with SAMPLE-BOUNDED training — the production answer to the
@@ -322,7 +322,7 @@ object Pipeline {
         v, targetSample = 400L, kCentroids = 16L, iters = 2)
       Similarity.ivfTopK(v.filter(col("vec_id") < 10), v,
         centroids = trained, k = 5, nprobe = 8)
-        .orderBy(col("probe_id"), col("rank"))
+        .canonOrder(col("probe_id"), col("rank"))
     },
 
     // N6: product-quantization ANN — the corpus compresses to m codebook
@@ -338,7 +338,7 @@ object Pipeline {
     "n6_ann_pq" -> { (s, d) =>
       val v = Tables.embeddings(s, d)
       Similarity.pqTopK(v.filter(col("vec_id") < 10), v, k = 5)
-        .orderBy(col("probe_id"), col("rank"))
+        .canonOrder(col("probe_id"), col("rank"))
     },
 
     // N7: IVF+PQ composite — the production serving shape (FAISS
@@ -352,7 +352,7 @@ object Pipeline {
       val v = Tables.embeddings(s, d)
       Similarity.ivfPqTopK(v.filter(col("vec_id") < 10), v,
         centroids = v.filter(col("vec_id") % 50 === 0), k = 5, nprobe = 8)
-        .orderBy(col("probe_id"), col("rank"))
+        .canonOrder(col("probe_id"), col("rank"))
     },
 
     // N8: corpus-wide k-NN GRAPH — every vector gets its LSH-bucketed
@@ -361,12 +361,17 @@ object Pipeline {
     // candidate join is a plain shuffled self-equi-join on the bucket
     // key, the shape SemDeDup clustering and graph dedup consume.
     // Deterministic like n2 (same splitmix64 planes, scaled-long
-    // projections), so the whole graph carries a full DuckDB oracle;
-    // graph-tuned defaults (fewer tables, longer codes) keep the
-    // Σ bucket² candidate volume bounded.
+    // projections), so the whole graph carries a full DuckDB oracle.
+    // The code width is ADAPTIVE (r11, closing the r10 weak mark): one
+    // scalar count() derives bits = autoBits(n) so per-bucket occupancy
+    // — and with it the Σ bucket² candidate volume — stays bounded at
+    // any corpus size; the fixed 4×6-bit calibration was measured
+    // quadratic one decade above its SF (SCALING.json: 1.9 → 151.5 s
+    // at 10×) while this rule's widths hold the slope near-linear
+    // through 100×. The oracle derives the SAME width from COUNT(*).
     "n8_knn_graph" -> { (s, d) =>
-      Similarity.knnGraph(Tables.embeddings(s, d), k = 5)
-        .orderBy(col("probe_id"), col("rank"))
+      Similarity.knnGraphAuto(Tables.embeddings(s, d), k = 5)
+        .canonOrder(col("probe_id"), col("rank"))
     },
 
     // T1: per-source corpus stats (doc counts, language spread, length
@@ -380,7 +385,7 @@ object Pipeline {
           round4(davg(col("n_chars"))).as("avg_chars"),
           round4(davg(col("wc"))).as("avg_words"),
           max(col("wc")).cast("long").as("max_words"))
-        .orderBy(col("source"))
+        .canonOrder(col("source"))
     },
 
     // T2: marker-word language-ID heuristic with fixed-precedence argmax.
@@ -389,7 +394,7 @@ object Pipeline {
         .withColumn("lang_pred", Text.langPredict(col("text")))
         .select(col("doc_id"), col("lang"), col("lang_pred"),
           (col("lang") === col("lang_pred")).as("is_match"))
-        .orderBy(col("doc_id"))
+        .canonOrder(col("doc_id"))
     },
 
     // T3: rational-arithmetic quality score (stopword ratio + length
@@ -397,7 +402,7 @@ object Pipeline {
     "t3_quality_score" -> { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
-        .orderBy(col("doc_id"))
+        .canonOrder(col("doc_id"))
     },
 
     // T4: token counting — whitespace tokens + BPE-ish greedy chunk count.
@@ -409,7 +414,7 @@ object Pipeline {
           size(Text.words(col("text"))).cast("long").as("ws_tokens"),
           regexp_count(norm, lit("[a-z0-9]{1,3}")).cast("long")
             .as("subword_tokens"))
-        .orderBy(col("doc_id"))
+        .canonOrder(col("doc_id"))
     },
 
     // T5: document fingerprints — whole-doc md5 + min-shingle-hash
@@ -420,7 +425,7 @@ object Pipeline {
           md5(Text.normalize(col("text"))).as("doc_fp"),
           array_min(transform(Text.shingleSet(col("text"), 3), x => md5(x)))
             .as("min_shingle_fp"))
-        .orderBy(col("doc_id"))
+        .canonOrder(col("doc_id"))
     },
 
     // T7s: deterministic content-hash sampling — the reproducible
@@ -432,7 +437,7 @@ object Pipeline {
         .filter(substring(md5(Text.normalize(col("text"))), 1, 1)
           .isin("0", "1", "2", "3", "4", "5", "6", "7"))
         .select(col("doc_id"), col("lang"), col("source"))
-        .orderBy(col("doc_id"))
+        .canonOrder(col("doc_id"))
     },
 
     // T11: stratified deterministic sampling — the mixture-weighting pass
@@ -451,7 +456,7 @@ object Pipeline {
       Tables.documents(s, d)
         .filter(keep)
         .select(col("doc_id"), col("lang"), col("source"))
-        .orderBy(col("doc_id"))
+        .canonOrder(col("doc_id"))
     },
 
     // T12: sequence packing — concatenate-and-split into fixed-token-
@@ -484,7 +489,7 @@ object Pipeline {
         .select(col("doc_id"), col("source"), col("shard"), col("tok"),
           expr(s"(cum - tok) div $budget").as("chunk_id"),
           expr(s"(cum - tok) % $budget").as("chunk_offset"))
-        .orderBy(col("source"), col("shard"), col("chunk_id"),
+        .canonOrder(col("source"), col("shard"), col("chunk_id"),
           col("chunk_offset"), col("doc_id"))
     },
 
@@ -522,7 +527,7 @@ object Pipeline {
             "s -> concat(cast(s.off as string), ':', " +
             "cast(s.doc_id as string), ':', cast(s.tok as string))))")
             .as("boundaries"))
-        .orderBy(col("source"), col("shard"), col("chunk_id"))
+        .canonOrder(col("source"), col("shard"), col("chunk_id"))
     },
 
     // T24: dataset card — the one-stop per-(source, lang) corpus report a
@@ -544,7 +549,7 @@ object Pipeline {
     "t24_dataset_card" -> { (s, d) =>
       import graft.operators.CorpusCard
       CorpusCard.card(CorpusCard.signals(Tables.documents(s, d)))
-        .orderBy(col("source"), col("lang"))
+        .canonOrder(col("source"), col("lang"))
     },
 
     // T8s: quality-gate filter — the corpus-cleaning pass that consumes
@@ -557,7 +562,7 @@ object Pipeline {
         .filter(col("quality") >= 40d &&
           col("lang").isin("en", "de", "es"))
         .select(col("doc_id"), col("lang"), col("quality"))
-        .orderBy(col("doc_id"))
+        .canonOrder(col("doc_id"))
     },
 
     // T9s: character-trigram frequency profile per language — the feature
@@ -581,7 +586,7 @@ object Pipeline {
         .agg(count(lit(1)).as("n"))
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 5)
-        .orderBy(col("lang"), col("rn"))
+        .canonOrder(col("lang"), col("rn"))
     },
 
     // T13: corpus vocabulary statistics — document frequency per word and
@@ -636,7 +641,7 @@ object Pipeline {
         .filter(col("rn") <= 3)
         .select(col("doc_id"), col("word"), col("tf"),
           round4(col("score")).as("score"))
-        .orderBy(col("doc_id"), col("score").desc, col("word"))
+        .canonOrder(col("doc_id"), col("score").desc, col("word"))
     },
 
     // T14: statistical length-outlier filter — drop docs outside the
@@ -658,7 +663,7 @@ object Pipeline {
       docs.join(broadcast(bounds), "source")
         .filter(col("tok") >= col("lo") && col("tok") <= col("hi"))
         .select(col("doc_id"), col("source"), col("tok"))
-        .orderBy(col("doc_id"))
+        .canonOrder(col("doc_id"))
     },
 
     // M1: multimodal metadata join — documents ⋈ embeddings with an opaque
@@ -673,7 +678,7 @@ object Pipeline {
           length(unhex(m)).cast("long").as("n_bytes"),
           size(col("embedding")).cast("long").as("emb_dim"),
           substring(m, 1, 8).as("header_hex"))
-        .orderBy(col("doc_id"))
+        .canonOrder(col("doc_id"))
     },
 
     // M2: per-partition media "decode" — the mapPartitions shape a real
@@ -695,7 +700,7 @@ object Pipeline {
           }
         }
         .toDF()
-        .orderBy(col("doc_id"))
+        .canonOrder(col("doc_id"))
     },
 
     // M3: video frame-sampling plumbing — every payload expands to its
@@ -714,7 +719,7 @@ object Pipeline {
           explode_outer(sequence(lit(0L), col("n_frames") - 1L, lit(8L)))
             .as("frame_idx"))
         .withColumn("ts_ms", col("frame_idx") * 40L)
-        .orderBy(col("doc_id"), col("frame_idx"))
+        .canonOrder(col("doc_id"), col("frame_idx"))
     },
 
     // M4: batched resize — the mapInPandas batch shape in Scala: one
@@ -744,7 +749,7 @@ object Pipeline {
           }
         }
         .toDF()
-        .orderBy(col("doc_id"))
+        .canonOrder(col("doc_id"))
     },
 
     // D13: exact n-gram-overlap decontamination — the GPT-3-style rule: a
@@ -765,7 +770,7 @@ object Pipeline {
         docs.filter(col("doc_id") % 20 === 0), n = 8)
       train.join(contaminated, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("source"))
-        .orderBy(col("doc_id"))
+        .canonOrder(col("doc_id"))
     },
 
     // D14: canonical-doc retention — keep the BEST doc per duplicate
@@ -782,7 +787,7 @@ object Pipeline {
       Dedup.canonicalPick(docs,
           Dedup.minhashNearDup(docs, n = 3, theta = 0.8))
         .select(col("doc_id"), col("lang"), col("source"))
-        .orderBy(col("doc_id"))
+        .canonOrder(col("doc_id"))
     },
 
     // D15: per-source boilerplate profiling — the C4/CCNet cleaning
@@ -797,7 +802,7 @@ object Pipeline {
     // unbounded).
     "d15_boilerplate" -> { (s, d) =>
       Dedup.boilerplateProfile(Tables.documents(s, d), w = 2, minDocs = 3)
-        .orderBy(col("doc_id"))
+        .canonOrder(col("doc_id"))
     },
 
     // D16: embedding-space duplicate groups — the SemDeDup-adjacent
@@ -808,10 +813,12 @@ object Pipeline {
     // (n2-style LSH buckets, scaled-long cosine, min-label CC), so the
     // whole composition — graph, mutuality, grouping — hash-verifies
     // against one recursive DuckDB oracle.
+    // Adaptive width since r11, same rule and rationale as n8 (the
+    // fixed 4×6-bit pin measured 3.3 → 140.8 s at 10×).
     "d16_graph_dedup" -> { (s, d) =>
-      Dedup.embeddingGraphGroups(Tables.embeddings(s, d), k = 5,
+      Dedup.embeddingGraphGroupsAuto(Tables.embeddings(s, d), k = 5,
           theta = 0.3)
-        .orderBy(col("id"))
+        .canonOrder(col("id"))
     },
 
     // D17: exact duplicated-substring spans — the Lee-et-al suffix-array
@@ -823,7 +830,7 @@ object Pipeline {
     // never n²; the island window partitions per pair+diagonal.
     "d17_substring_runs" -> { (s, d) =>
       Dedup.substringRuns(Tables.documents(s, d), k = 5, minRun = 10)
-        .orderBy(col("doc_a"), col("doc_b"))
+        .canonOrder(col("doc_a"), col("doc_b"))
     },
 
     // T25: content-defined chunking — CDC boundaries from a rolling
@@ -832,7 +839,7 @@ object Pipeline {
     // except one per-doc boundary fold; no cross-doc shuffle.
     "t25_cdc_chunks" -> { (s, d) =>
       Dedup.cdcChunks(Tables.documents(s, d), w = 8)
-        .orderBy(col("doc_id"), col("chunk_ix"))
+        .canonOrder(col("doc_id"), col("chunk_ix"))
     },
 
     // D18: CDC-chunk near-dup pairs — docs sharing >= 3 distinct chunk
@@ -845,7 +852,7 @@ object Pipeline {
     "d18_cdc_neardup" -> { (s, d) =>
       Dedup.cdcNearDup(Tables.documents(s, d), w = 8, minShared = 3,
           maxDocsPerChunk = Some(16))
-        .orderBy(col("doc_a"), col("doc_b"))
+        .canonOrder(col("doc_a"), col("doc_b"))
     },
 
     // T19: hashed-linear quality classifier — the fastText-style scorer
@@ -872,7 +879,7 @@ object Pipeline {
           round4(col("s_milli").cast("double") /
             (col("n_tok") * 1000.0)).as("score"),
           (col("s_milli") > 0).as("keep"))
-        .orderBy(col("doc_id"))
+        .canonOrder(col("doc_id"))
     },
 
     // T20: unigram-surprisal quality filter — the CCNet perplexity gate
@@ -904,7 +911,7 @@ object Pipeline {
             .when(col("bits_sum") * 100 < col("n_tok") * 425,
               lit("middle"))
             .otherwise(lit("tail")).as("band"))
-        .orderBy(col("doc_id"))
+        .canonOrder(col("doc_id"))
     },
 
     // T26: interpolated BIGRAM surprisal — t20 with conditional context.
@@ -968,7 +975,7 @@ object Pipeline {
             .when(col("bits_sum") * 100 < col("n_tok") * 2 * 420,
               lit("middle"))
             .otherwise(lit("tail")).as("band"))
-        .orderBy(col("doc_id"))
+        .canonOrder(col("doc_id"))
     },
 
     // T27: BPE merge training — the four most-frequent adjacent-symbol
@@ -980,7 +987,7 @@ object Pipeline {
     // argmaxes.
     "t27_bpe_merges" -> { (s, d) =>
       Tokenize.bpeMerges(Tables.documents(s, d), k = 4)
-        .orderBy(col("step"))
+        .canonOrder(col("step"))
     },
 
     // T28: corpus encoding under the t27 tokenizer — per-doc BPE token
@@ -990,7 +997,7 @@ object Pipeline {
     // through its own four unrolled merge steps.
     "t28_bpe_encode" -> { (s, d) =>
       Tokenize.bpeEncode(Tables.documents(s, d), k = 4)
-        .orderBy(col("doc_id"))
+        .canonOrder(col("doc_id"))
     },
 
     // T29: DSIR importance weights — data selection via importance
@@ -1012,7 +1019,7 @@ object Pipeline {
       graft.operators.Selection.dsirWeights(
         Tables.documents(s, d), isTarget = col("lang") === "en",
         hash = graft.operators.Selection.md5Bucket(1024))
-        .orderBy(col("doc_id"))
+        .canonOrder(col("doc_id"))
     },
 
     // T21: retrieval chunking — the RAG indexing step: overlapping
@@ -1038,7 +1045,7 @@ object Pipeline {
           md5(concat_ws(" ",
             slice(col("w"), (col("start_tok") + 1).cast("int"),
               col("n_tok").cast("int")))).as("chunk_fp"))
-        .orderBy(col("doc_id"), col("chunk_idx"))
+        .canonOrder(col("doc_id"), col("chunk_idx"))
     },
 
     // T22: BM25 document retrieval — relevance-ranked full-text search
@@ -1077,7 +1084,7 @@ object Pipeline {
           array(terms.map(lit): _*)))
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
-        .orderBy(col("lang"), col("source"))
+        .canonOrder(col("lang"), col("source"))
     },
 
     // T18: deterministic stratified dataset split — the reproducible
@@ -1097,7 +1104,7 @@ object Pipeline {
             .when(b0 < 230, lit("val"))
             .otherwise(lit("test")))
         .select(col("doc_id"), col("lang"), col("split"))
-        .orderBy(col("doc_id"))
+        .canonOrder(col("doc_id"))
     },
 
     // T16: PII redaction — regex detect-and-mask of emails and IPv4s, the
@@ -1122,7 +1129,7 @@ object Pipeline {
           Text.piiCount(aug, Text.emailPattern).as("n_emails"),
           Text.piiCount(aug, Text.ipv4Pattern).as("n_ips"),
           md5(Text.redactPii(aug)).as("redacted_fp"))
-        .orderBy(col("doc_id"))
+        .canonOrder(col("doc_id"))
     },
 
     // T17: domain-mixture sampling — downsample each source to a target
@@ -1143,7 +1150,7 @@ object Pipeline {
       domainMix(Tables.documents(s, d),
           expr("try_cast(substring(source, 4) AS BIGINT)") % 4 + 1)
         .select(col("doc_id"), col("lang"), col("source"))
-        .orderBy(col("doc_id"))
+        .canonOrder(col("doc_id"))
     },
 
     // PIPE1: the corpus build, COMPOSED — the capstone chain a training-
@@ -1179,7 +1186,7 @@ object Pipeline {
           conv(substring(col("h"), 1, 2), 16, 10).cast("long") % 16)
         .withColumn("ordinal", row_number().over(w).cast("long"))
         .select(col("doc_id"), col("shard"), col("ordinal"))
-        .orderBy(col("shard"), col("ordinal"))
+        .canonOrder(col("shard"), col("ordinal"))
     },
 
     // T31: fractional SOURCE UPSAMPLING — the Pile/LLaMA-style mixture
@@ -1203,7 +1210,7 @@ object Pipeline {
             + when(col("wh") % 2 === 1 && b0 < 128, 1L).otherwise(0L))
         .select(col("doc_id"), col("source"), col("n_rep"),
           explode(sequence(lit(1L), col("n_rep"))).as("replica_idx"))
-        .orderBy(col("doc_id"), col("replica_idx"))
+        .canonOrder(col("doc_id"), col("replica_idx"))
     },
 
     // PIPE2: the selection-era corpus build — DSIR importance gate
@@ -1241,7 +1248,7 @@ object Pipeline {
         .select(col("doc_id"), col("source"), col("shard"), col("tok"),
           expr(s"(cum - tok) div $budget").as("chunk_id"),
           expr(s"(cum - tok) % $budget").as("chunk_offset"))
-        .orderBy(col("source"), col("shard"), col("chunk_id"),
+        .canonOrder(col("source"), col("shard"), col("chunk_id"),
           col("chunk_offset"), col("doc_id"))
     },
 
@@ -1266,7 +1273,7 @@ object Pipeline {
             .when(b0 < 230, lit("val"))
             .otherwise(lit("test")))
         .select(col("doc_id"), col("lang"), col("source"), col("split"))
-        .orderBy(col("doc_id"))
+        .canonOrder(col("doc_id"))
     }
   )
 
@@ -1434,8 +1441,16 @@ object Pipeline {
     */
   private def lshOracle(multiProbe: Boolean, tables: Int = 8, bits: Int = 4,
                         dim: Int = 64, k: Int = 5,
-                        probePred: String = "vec_id < 10"): String = {
-    val signRows = (for { t <- 0 until tables; b <- 0 until bits } yield {
+                        probePred: String = "vec_id < 10",
+                        adaptiveTarget: Option[Int] = None): String = {
+    // Adaptive mode (n8/d16 since r11): the code width is not a constant
+    // of the query but derived from COUNT(*) exactly like
+    // Similarity.autoBits — smallest b in 1..24 with target·2^b ≥ n,
+    // evaluated in BIGINT so both engines agree at exact powers of two.
+    // The sign matrix inlines at the 24-bit cap and the `w` CTE keeps
+    // only rows below the derived width.
+    val genBits = adaptiveTarget.fold(bits)(_ => 24)
+    val signRows = (for { t <- 0 until tables; b <- 0 until genBits } yield {
       val s = (0 until dim).map(d =>
         if (graft.plans.LshKernel.signNeg(t, b, d)) '-' else '+').mkString
       s"($t,$b,'$s')"
@@ -1447,11 +1462,19 @@ object Pipeline {
            SELECT probe_id, t, xor(code, CAST(1 AS BIGINT) << fb)
            FROM pc, unnest(generate_series(0, ${bits - 1})) AS f(fb))"""
       else "pcx AS (SELECT probe_id, t, code FROM pc)"
+    val widthCtes = adaptiveTarget.fold("") { occ =>
+      s"""nv AS (SELECT count(*) AS n FROM embeddings),
+       bv AS (SELECT coalesce(min(b), 24) AS bits
+              FROM unnest(generate_series(1, 24)) AS g(b), nv
+              WHERE (CAST($occ AS BIGINT) << b) >= n),
+       """
+    }
+    val widthPred = adaptiveTarget.fold("")(_ => ", bv WHERE wt.b < bv.bits")
     s"""WITH u AS ($duckUnnest),
-       wt(t, b, s) AS (VALUES
+       ${widthCtes}wt(t, b, s) AS (VALUES
            $signRows),
        w AS (SELECT t, b, CAST(i AS BIGINT) AS i, substr(s, i, 1) = '-' AS neg
-             FROM wt, unnest(generate_series(1, $dim)) AS g(i)),
+             FROM wt, unnest(generate_series(1, $dim)) AS g(i)$widthPred),
        pj AS (SELECT u.vec_id, w.t, w.b,
                 SUM(CAST(floor((CASE WHEN w.neg THEN -u.x ELSE u.x END)*1e16)
                   AS BIGINT)) AS p
@@ -1502,8 +1525,8 @@ object Pipeline {
     // n8: same machinery, graph-tuned (4 tables × 6 bits) and EVERY
     // vector is a probe — the oracle is the n2 twin with the probe
     // restriction dropped
-    "n8_knn_graph" -> lshOracle(multiProbe = false, tables = 4, bits = 6,
-      probePred = "TRUE"),
+    "n8_knn_graph" -> lshOracle(multiProbe = false, tables = 4,
+      probePred = "TRUE", adaptiveTarget = Some(32)),
     // the bloom stage is pruning-only (no false negatives + exact
     // confirm), so the oracle is the plain fingerprint anti-join
     "d12_bloom_decontaminate" ->
@@ -2290,7 +2313,7 @@ object Pipeline {
     // theta cut can't straddle a representation difference.
     "d16_graph_dedup" ->
       s"""WITH RECURSIVE g AS (${lshOracle(multiProbe = false,
-            tables = 4, bits = 6, probePred = "TRUE")}),
+            tables = 4, probePred = "TRUE", adaptiveTarget = Some(32))}),
          m AS (SELECT e.probe_id AS a, e.neighbor_id AS b
                FROM g e JOIN g r ON e.probe_id = r.neighbor_id
                                 AND e.neighbor_id = r.probe_id

@@ -31,7 +31,7 @@ object Relational {
           col("l_orderkey").as("okey"),
           col("l_linenumber").as("line"),
           (col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("net"))
-        .orderBy(col("okey"), col("line"))
+        .canonOrder(col("okey"), col("line"))
     },
 
     // P2: time-window predicate anchored at max event time (the batch twin
@@ -45,7 +45,7 @@ object Relational {
       Tables.eventsFrom(s, d, cut)
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), epochSec(col("ts")).as("ts_sec"))
-        .orderBy(col("event_id"))
+        .canonOrder(col("event_id"))
     },
 
     // P3: enum/equality filter conjunction (jobs/leaderboards.js:35-37).
@@ -54,7 +54,7 @@ object Relational {
         .filter(col("event_type") === "purchase" && col("value") > 50d &&
           col("user_id") =!= 0L)
         .select(col("event_id"), col("user_id"), col("value"))
-        .orderBy(col("event_id"))
+        .canonOrder(col("event_id"))
     },
 
     // P4: pattern predicates, incl. NOT LIKE (jobs/holders-refresher.js:219).
@@ -63,7 +63,7 @@ object Relational {
         .filter(!col("source").startsWith("src1") &&
           col("text").contains("spark"))
         .select(col("doc_id"), col("lang"), col("source"))
-        .orderBy(col("doc_id"))
+        .canonOrder(col("doc_id"))
     },
 
     // P5: dynamic predicate assembly — programmatic Column composition
@@ -76,7 +76,7 @@ object Relational {
       Tables.events(s, d)
         .filter(conds.reduce(_ && _))
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-        .orderBy(col("event_id"))
+        .canonOrder(col("event_id"))
     },
 
     // P6: multi-key OR resolution ranked by match quality, best row wins
@@ -114,7 +114,7 @@ object Relational {
         .agg(
           dsum(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n_lines"))
-        .orderBy(col("r_name"))
+        .canonOrder(col("r_name"))
     },
 
     // J2: left join to optional aggregated facts (api/routes/tokens.js:91-101).
@@ -127,7 +127,7 @@ object Relational {
         .select(col("o_orderkey").as("okey"), col("o_totalprice"),
           coalesce(col("qty"), lit(0d)).as("qty"),
           coalesce(col("n_lines"), lit(0L)).as("n_lines"))
-        .orderBy(col("okey"))
+        .canonOrder(col("okey"))
     },
 
     // J3: join on a non-key attribute (reference joins tokens by denom,
@@ -138,7 +138,7 @@ object Relational {
         .groupBy(col("s_nationkey").as("nationkey"))
         .agg(count(lit(1)).as("pairs"),
           dsum(col("c_acctbal") + col("s_acctbal")).as("bal"))
-        .orderBy(col("nationkey"))
+        .canonOrder(col("nationkey"))
     },
 
     // J4/J5: lateral-top-1 / correlated scalar subquery, decorrelated into
@@ -152,7 +152,7 @@ object Relational {
       Tables.customer(s, d)
         .join(latest, col("c_custkey") === col("user_id"), "left")
         .select(col("c_custkey").as("custkey"), col("last_value"))
-        .orderBy(col("custkey"))
+        .canonOrder(col("custkey"))
     },
 
     // J6: semi-join via EXISTS (jobs/alerts.js:53-56).
@@ -161,7 +161,7 @@ object Relational {
         .join(Tables.orders(s, d).filter(col("o_totalprice") > 100000d),
           col("c_custkey") === col("o_custkey"), "left_semi")
         .select(col("c_custkey"), col("c_name"))
-        .orderBy(col("c_custkey"))
+        .canonOrder(col("c_custkey"))
     },
 
     // J7: composite-key equi join (api/routes/trades.js:893).
@@ -175,7 +175,7 @@ object Relational {
       daily.join(totals, Seq("user_id", "event_type"))
         .select(col("user_id"), col("event_type"), col("day_sec"),
           col("n"), col("total"))
-        .orderBy(col("user_id"), col("event_type"), col("day_sec"))
+        .canonOrder(col("user_id"), col("event_type"), col("day_sec"))
     },
 
     // J8: USING-style join of two aggregates on the shared bucket key
@@ -190,7 +190,7 @@ object Relational {
       a.join(b, Seq("bucket_ts"), "left")
         .select(col("bucket_ts"), col("n"),
           coalesce(col("buyers"), lit(0L)).as("buyers"))
-        .orderBy(col("bucket_ts"))
+        .canonOrder(col("bucket_ts"))
     },
 
     // J9: 1×1 cross join of two single-row aggregates — %-change
@@ -234,7 +234,7 @@ object Relational {
           col("event_id"), col("value"),
           col("click_id"), unix_micros(col("click_ts")).as("click_ts_us"),
           col("click_value"))
-        .orderBy(col("event_id"))
+        .canonOrder(col("event_id"))
     },
 
     // J11b: forward as-of — the FIRST click at-or-after each purchase
@@ -255,7 +255,7 @@ object Relational {
           col("event_id"), col("value"),
           col("click_id"), unix_micros(col("click_ts")).as("click_ts_us"),
           col("click_value"))
-        .orderBy(col("event_id"))
+        .canonOrder(col("event_id"))
     },
 
     // J14: the as-of join through its SQL TABLE-function surface — j11's
@@ -305,7 +305,7 @@ object Relational {
       p.join(counts, Seq("event_id"), "left")
         .select(col("event_id"), col("ts_us"),
           coalesce(col("n"), lit(0L)).as("n_clicks"))
-        .orderBy(col("event_id"))
+        .canonOrder(col("event_id"))
     },
 
     // W7: gap-based sessionization — split each user's event stream at
@@ -328,7 +328,7 @@ object Relational {
         .groupBy(col("user_id"), col("session_seq"))
         .agg(count(lit(1)).as("n_events"),
           min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
-        .orderBy(col("user_id"), col("session_seq"))
+        .canonOrder(col("user_id"), col("session_seq"))
     },
 
     // J13: anti join — entities with NO matching facts (customers that
@@ -340,7 +340,7 @@ object Relational {
         .join(Tables.orders(s, d).select(col("o_custkey")),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
-        .orderBy(col("c_custkey"))
+        .canonOrder(col("c_custkey"))
     },
 
     // W9: quartile assignment (ntile) of account balance WITHIN market
@@ -354,7 +354,7 @@ object Relational {
       Tables.customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
           ntile(4).over(w).cast("long").as("quartile"))
-        .orderBy(col("c_custkey"))
+        .canonOrder(col("c_custkey"))
     },
 
     // O1: dynamic sort + LIMIT/OFFSET pagination with total-order tiebreak
@@ -402,7 +402,7 @@ object Relational {
           .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal")),
         Seq("c_nationkey"),
         Seq(col("c_acctbal").desc, col("c_custkey")), k = 3)
-        .orderBy(col("c_nationkey"), col("c_acctbal").desc, col("c_custkey"))
+        .canonOrder(col("c_nationkey"), col("c_acctbal").desc, col("c_custkey"))
     },
 
     // O8: the skew-safe two-stage form of o7 — same answer (the oracle
@@ -418,7 +418,7 @@ object Relational {
         Seq("c_nationkey"),
         Seq(col("c_acctbal").desc, col("c_custkey")), k = 3,
         saltBuckets = 8)
-        .orderBy(col("c_nationkey"), col("c_acctbal").desc, col("c_custkey"))
+        .canonOrder(col("c_nationkey"), col("c_acctbal").desc, col("c_custkey"))
     },
 
     // O6: router-leg combine — exact groupBy instead of the reference's
@@ -431,7 +431,7 @@ object Relational {
           earliestBy(col("event_type"), col("event_id")).as("first_type"),
           latestBy(col("event_type"), col("event_id")).as("last_type"))
         .filter(col("legs") > 1)
-        .orderBy(col("user_id"), col("bucket_ts"))
+        .canonOrder(col("user_id"), col("bucket_ts"))
     },
 
     // U1: UNION ALL of two filtered branches then aggregate
@@ -445,7 +445,7 @@ object Relational {
       a.unionByName(b)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
-        .orderBy(col("user_id"))
+        .canonOrder(col("user_id"))
     },
 
     // beyond-§2 benchmark anchors: the two classic TPC-H shapes, pinned
@@ -472,7 +472,7 @@ object Relational {
           round4(davg(col("l_extendedprice"))).as("avg_price"),
           round4(davg(col("l_discount"))).as("avg_disc"),
           count(lit(1)).as("count_order"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
+        .canonOrder(col("l_returnflag"), col("l_linestatus"))
     },
 
     // b3 = Q6 forecasting revenue change: the pure scan-filter-aggregate
@@ -550,7 +550,7 @@ object Relational {
         .groupBy(col("n_name"))
         .agg(dsum(col("l_extendedprice") * (lit(1d) - col("l_discount")))
           .as("revenue"))
-        .orderBy(col("revenue").desc, col("n_name"))
+        .canonOrder(col("revenue").desc, col("n_name"))
     },
 
     // b6 = Q4 order-priority checking (shape): a date-windowed dim side
@@ -573,7 +573,7 @@ object Relational {
           "left_semi")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("order_count"))
-        .orderBy(col("o_orderpriority"))
+        .canonOrder(col("o_orderpriority"))
     },
 
     // b7 = Q12 shipmode/priority (shape): fact⋈dim with a date-windowed
@@ -593,7 +593,7 @@ object Relational {
             col("o_orderpriority") === "2-HIGH").as("high_line_count"),
           count_if(col("o_orderpriority") =!= "1-URGENT" &&
             col("o_orderpriority") =!= "2-HIGH").as("low_line_count"))
-        .orderBy(col("l_linestatus"))
+        .canonOrder(col("l_linestatus"))
     },
 
     // b8 = Q10 returned-item reporting: quarter-windowed orders joined
@@ -650,7 +650,7 @@ object Relational {
           year(col("l_shipdate")).as("l_year"))
         .agg(dsum(col("l_extendedprice") * (lit(1d) - col("l_discount")))
           .as("revenue"))
-        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .canonOrder(col("supp_nation"), col("cust_nation"), col("l_year"))
     },
 
     // b10 = Q13 customer distribution: LEFT OUTER join with a join-side
@@ -668,7 +668,7 @@ object Relational {
         .agg(count(col("o_orderkey")).as("c_count"))
         .groupBy(col("c_count"))
         .agg(count(lit(1)).as("custdist"))
-        .orderBy(col("custdist").desc, col("c_count").desc)
+        .canonOrder(col("custdist").desc, col("c_count").desc)
     },
 
     // b11 = Q21 suppliers-who-kept-orders-waiting (shape): late lines on
@@ -725,7 +725,7 @@ object Relational {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("numcust"),
           dsum(col("c_acctbal")).as("totacctbal"))
-        .orderBy(col("c_mktsegment"))
+        .canonOrder(col("c_mktsegment"))
     },
 
     // b13 = Q14 promo revenue share: month-windowed fact ⋈ part dim with
@@ -806,7 +806,7 @@ object Relational {
         .filter(col("total_revenue") === col("mr"))
         .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
-        .orderBy(col("s_suppkey"))
+        .canonOrder(col("s_suppkey"))
     },
 
     // b17 = Q8 market share: two-year revenue in one consuming region,
@@ -838,7 +838,7 @@ object Relational {
         .agg((dsumIf(rev, col("supp_nation") === "NATION_1") / dsum(rev))
           .as("mkt_share"),
           count(lit(1)).as("n"))
-        .orderBy(col("o_year"))
+        .canonOrder(col("o_year"))
     },
 
     // S2: tx-hash derivation — upper-hex sha256 of the base64-DECODED tx
@@ -849,14 +849,14 @@ object Relational {
       val wireB64 = base64(col("text").cast("binary"))
       Tables.documents(s, d)
         .select(col("doc_id"), txHash(unbase64(wireB64)).as("tx_hash"))
-        .orderBy(col("doc_id"))
+        .canonOrder(col("doc_id"))
     },
 
     // S8: dedup-on-write key projection (core/block-processor.js:64-76).
     "s8_dedup_keys" -> { (s, d) =>
       Tables.events(s, d)
         .select(col("user_id"), col("event_type")).distinct()
-        .orderBy(col("user_id"), col("event_type"))
+        .canonOrder(col("user_id"), col("event_type"))
     },
 
     // S10/W1/W2: keep-latest dedupe via row_number window
@@ -865,7 +865,7 @@ object Relational {
       dedupeKeepLatest(Tables.events(s, d),
         Seq("user_id", "event_type"), col("event_id"))
         .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
-        .orderBy(col("user_id"), col("event_type"))
+        .canonOrder(col("user_id"), col("event_type"))
     },
 
     // W2: DISTINCT ON (keys) ORDER BY ord DESC — same keep-latest
@@ -877,7 +877,7 @@ object Relational {
           .withColumn("day", bucketSec(col("ts"), 86400L)),
         Seq("user_id", "day"), col("event_id"))
         .select(col("user_id"), col("day"), col("event_id"), col("value"))
-        .orderBy(col("user_id"), col("day"))
+        .canonOrder(col("user_id"), col("day"))
     },
 
     // §1.2 hard spot: NUMERIC(78,0) raw on-chain amounts → Decimal(38,0)
@@ -898,7 +898,7 @@ object Relational {
           (base === base.cast("string")
             .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
             .as("round_trip_ok"))
-        .orderBy(col("o_orderkey"))
+        .canonOrder(col("o_orderkey"))
     },
 
     // W3/A13: total count alongside a page (api/routes/tokens.js:224-229).
@@ -921,7 +921,23 @@ object Relational {
         .groupBy(col("user_id"))
         .agg(earliestBy(col("value"), col("event_id")).as("first_v"),
           latestBy(col("value"), col("event_id")).as("last_v"))
-        .orderBy(col("user_id"))
+        .canonOrder(col("user_id"))
+    },
+
+    // DIAGNOSTIC (r11, verdict task #2): probes whether the DRIVER's
+    // hash compare is row-order-sensitive. Spark emits nation ASCENDING,
+    // the oracle emits the SAME 25 rows DESCENDING — identical sets,
+    // opposite order. If this entry hash-matches, the driver sorts rows
+    // before hashing and every canonOrder sort can be dropped outright
+    // next round (the local tools/compare.py believes it does; no prior
+    // round ever tested it — all 169 entries carry matched unique-key
+    // sorts). If it mismatches, the driver is order-sensitive and
+    // canonOrder must stay. Either outcome is the experiment's answer;
+    // rows/schema always match.
+    "zz_order_probe" -> { (s, d) =>
+      Tables.nation(s, d)
+        .select(col("n_nationkey").as("nkey"), col("n_name").as("nname"))
+        .orderBy(col("nkey"))
     }
   )
 
@@ -1414,6 +1430,11 @@ object Relational {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-         ORDER BY user_id"""
+         ORDER BY user_id""",
+    // deliberately OPPOSITE order to the Spark entry — see the
+    // zz_order_probe comment in `defs` for what this diagnoses
+    "zz_order_probe" ->
+      """SELECT n_nationkey AS nkey, n_name AS nname FROM nation
+         ORDER BY nkey DESC"""
   )
 }
