@@ -129,6 +129,65 @@ object Tables {
     }
     normTs(raw.filter(pred), "ts")
   }
+  /** Synthesized `partsupp` — the driver fixture set has none, so Q2/Q9/
+    * Q11/Q16/Q20 (b18-b22) derive it deterministically from part ×
+    * supplier-count with pure integer arithmetic (FIXTURES.md §A). The
+    * dbgen supplier-assignment step (tpch dbgen `PS_SUPPKEY`) is adapted
+    * to the fixture's ZERO-based supplier keys (s_suppkey ∈ 0..S-1), and
+    * all operands stay nonnegative BIGINTs so `%`/`div` agree bit-for-bit
+    * across engines; every b18-b22 oracle inlines the identical derivation
+    * as a SQL CTE (same rows, no fixture file written):
+    *
+    *   for pk in p_partkey, i in 0..3:
+    *     ps_suppkey    = (pk + i*(S div 4 + pk div S)) % S
+    *     ps_availqty   = (pk*37 + i*101) % 9999 + 1
+    *     ps_supplycost = ((pk*53 + i*7) % 99901 + 100) / 100.0   -- 1.00..1000.00
+    *
+    * The one double is a single IEEE division of an exact integer —
+    * bit-identical in Spark and DuckDB. Scale: the derivation is a
+    * narrow projection over `part` with a broadcast 1-row supplier count
+    * and a 4-way explode — no shuffle, linear in |part|, and Catalyst
+    * prunes it like any scan-backed frame.
+    */
+  def partsupp(s: SparkSession, d: String): DataFrame = {
+    val sCnt = supplier(s, d)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("s_cnt"))
+    part(s, d).select(col("p_partkey"))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(sCnt))
+      .select(col("p_partkey"), col("s_cnt"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.sequence(
+            org.apache.spark.sql.functions.lit(0L),
+            org.apache.spark.sql.functions.lit(3L))).as("i"))
+      .select(
+        col("p_partkey").as("ps_partkey"),
+        ((col("p_partkey") + col("i") *
+          (expr("s_cnt div 4") + expr("p_partkey div s_cnt"))) % col("s_cnt"))
+          .as("ps_suppkey"),
+        ((col("p_partkey") * 37L + col("i") * 101L) % 9999L + 1L)
+          .as("ps_availqty"),
+        (((col("p_partkey") * 53L + col("i") * 7L) % 99901L + 100L)
+          .cast("double") / 100.0d).as("ps_supplycost"))
+  }
+
+  /** The b18-b22 oracles' partsupp CTE — the DuckDB-side twin of
+    * [[partsupp]], kept in one place so the derivation can't drift
+    * between the five anchors. `//` is DuckDB integer division; all
+    * operands are nonnegative BIGINTs (count(*) promotes the INTEGER i).
+    */
+  val partsuppCte: String =
+    """sc AS (SELECT count(*) AS s_cnt FROM supplier),
+      |partsupp AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |    (p_partkey + i * (s_cnt // 4 + p_partkey // s_cnt)) % s_cnt
+      |      AS ps_suppkey,
+      |    (p_partkey*37 + i*101) % 9999 + 1 AS ps_availqty,
+      |    CAST((p_partkey*53 + i*7) % 99901 + 100 AS DOUBLE) / 100.0
+      |      AS ps_supplycost
+      |  FROM part, sc, (VALUES (CAST(0 AS BIGINT)), (1), (2), (3)) t(i))"""
+      .stripMargin
+
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

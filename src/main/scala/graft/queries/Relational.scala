@@ -155,6 +155,23 @@ object Relational {
         .canonOrder(col("custkey"))
     },
 
+    // J5: the correlated scalar subquery ITSELF, through the SQL surface
+    // (api/routes/trades.js:295,483,858 — select-list scalar per outer
+    // row). Catalyst decorrelates the aggregate subquery into the same
+    // per-user aggregate + left-outer equi-join that j4 hand-writes —
+    // PlanLintSpec pins that the optimized plan has NO surviving
+    // subquery and exactly that join shape, because the decorrelated
+    // form is the one that scales (a per-row re-scan is O(n·m)).
+    "j5_correlated_scalar" -> { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("j5_customer")
+      Tables.events(s, d).createOrReplaceTempView("j5_events")
+      s.sql("""SELECT c_custkey AS custkey,
+            (SELECT max_by(value, event_id) FROM j5_events e
+             WHERE e.user_id = c.c_custkey) AS last_value
+          FROM j5_customer c""")
+        .canonOrder(col("custkey"))
+    },
+
     // J6: semi-join via EXISTS (jobs/alerts.js:53-56).
     "j6_semi_join" -> { (s, d) =>
       Tables.customer(s, d)
@@ -841,6 +858,139 @@ object Relational {
         .canonOrder(col("o_year"))
     },
 
+    // b18 = Q2 minimum-cost supplier: the synthesized partsupp
+    // (Tables.partsupp, FIXTURES.md §A) joined through supplier→nation→
+    // region, min-cost-per-part decorrelated into a grouped min + equi
+    // join (Catalyst's own decorrelation of the Q2 correlated scalar).
+    // min(double) is order-insensitive so no decimal detour is needed;
+    // the supplier/nation/region chain is dim-sized and broadcasts.
+    // Missing fixture columns (p_mfgr, s_address, s_phone, s_comment)
+    // are projected out, same adaptation policy as b1-b17.
+    "b18_tpch_q2" -> { (s, d) =>
+      val eu = Tables.partsupp(s, d)
+        .join(Tables.supplier(s, d), col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("ps_partkey"), col("ps_suppkey"), col("ps_supplycost"),
+          col("s_name"), col("s_acctbal"), col("n_name"))
+      val mn = eu.groupBy(col("ps_partkey").as("mn_partkey"))
+        .agg(min(col("ps_supplycost")).as("min_cost"))
+      Tables.part(s, d)
+        .filter(col("p_size") <= 15 && col("p_type") === "LARGE")
+        .join(eu, col("p_partkey") === col("ps_partkey"))
+        .join(mn, col("ps_partkey") === col("mn_partkey") &&
+          col("ps_supplycost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_type"), col("ps_supplycost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    },
+
+    // b19 = Q9 product-type profit: the widest partsupp shape — fact
+    // joined to partsupp on BOTH keys (partkey, suppkey) for the
+    // supply cost, profit = revenue − cost·qty summed exactly per
+    // (supplier-nation, order-year). The partsupp side is derived, so
+    // the two-key join carries the same pushdown/pruning behavior as a
+    // scan-backed dim; at 100 TB the fact side shuffles on its join
+    // keys once and the dims broadcast.
+    "b19_tpch_q9" -> { (s, d) =>
+      val profit = col("l_extendedprice") * (lit(1d) - col("l_discount")) -
+        col("ps_supplycost") * col("l_quantity")
+      Tables.lineitem(s, d)
+        .join(Tables.partsupp(s, d),
+          col("ps_partkey") === col("l_partkey") &&
+            col("ps_suppkey") === col("l_suppkey"))
+        .join(Tables.part(s, d).filter(col("p_name").contains("red")),
+          col("p_partkey") === col("l_partkey"))
+        .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+        .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(dsum(profit).as("sum_profit"), count(lit(1)).as("n"))
+        .canonOrder(col("nation"), col("o_year"))
+    },
+
+    // b20 = Q11 important stock: one nation's partsupp value per part,
+    // HAVING a share-of-total threshold — the scalar total decorrelated
+    // into a 1-row broadcast cross join (never a per-group re-scan).
+    // Both sides sum in exact decimal and compare as doubles, so the
+    // threshold cut is bit-deterministic under any partitioning.
+    "b20_tpch_q11" -> { (s, d) =>
+      val value = col("ps_supplycost") * col("ps_availqty")
+      val nat = Tables.partsupp(s, d)
+        .join(Tables.supplier(s, d), col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)
+            .filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("ps_partkey"), col("ps_availqty"), col("ps_supplycost"))
+      val tot = nat.agg(dsum(value).as("total"))
+      nat.groupBy(col("ps_partkey"))
+        .agg(dsum(value).as("value"))
+        .crossJoin(broadcast(tot))
+        .filter(col("value") > col("total") * 0.002d)
+        .select(col("ps_partkey"), col("value"))
+        .orderBy(col("value").desc, col("ps_partkey"))
+    },
+
+    // b21 = Q16 supplier-count by part attributes: distinct suppkeys
+    // per (brand, type, size) with a NOT-IN exclusion — the "complaints"
+    // suppliers (no s_comment in the fixture; negative balance stands
+    // in) anti-joined BEFORE the distinct-count so excluded suppliers
+    // never reach the aggregate. The exclusion list is dim-sized and
+    // broadcasts; count_distinct shuffles once on the group keys.
+    "b21_tpch_q16" -> { (s, d) =>
+      val excluded = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0d).select(col("s_suppkey"))
+      Tables.partsupp(s, d)
+        .join(broadcast(excluded), col("ps_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .join(Tables.part(s, d)
+            .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "MEDIUM" &&
+              col("p_size").isin(1, 4, 7, 10, 15, 23, 30, 45)),
+          col("p_partkey") === col("ps_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(count_distinct(col("ps_suppkey")).as("supplier_cnt"))
+        .canonOrder(col("supplier_cnt").desc, col("p_brand"),
+          col("p_type"), col("p_size"))
+    },
+
+    // b22 = Q20 potential part promotion: suppliers holding more than
+    // half a year's shipped quantity of a name-matched part. The
+    // correlated availqty > 0.5·sum(l_quantity) scalar decorrelates
+    // into a grouped lineitem aggregate inner-joined on BOTH partsupp
+    // keys (inner join reproduces the NULL-comparison drop when a
+    // (part,supplier) pair shipped nothing in the window), then a
+    // left-semi into supplier. l_quantity sums in exact decimal so the
+    // 0.5× threshold is bit-stable; the date window prunes the fact
+    // scan at the parquet level.
+    "b22_tpch_q20" -> { (s, d) =>
+      val from = to_timestamp(lit("1996-01-01 00:00:00"))
+      val until = to_timestamp(lit("1997-01-01 00:00:00"))
+      val halfq = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= from && col("l_shipdate") < until)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg((lit(0.5d) * dsum(col("l_quantity"))).as("half_qty"))
+      val holders = Tables.partsupp(s, d)
+        .join(Tables.part(s, d).filter(col("p_name").startsWith("blue")),
+          col("p_partkey") === col("ps_partkey"))
+        .join(halfq, col("l_partkey") === col("ps_partkey") &&
+          col("l_suppkey") === col("ps_suppkey"))
+        .filter(col("ps_availqty") > col("half_qty"))
+        .select(col("ps_suppkey"))
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name").isin(
+          "NATION_1", "NATION_3", "NATION_5", "NATION_7", "NATION_9"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(holders, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .canonOrder(col("s_suppkey"))
+    },
+
     // S2: tx-hash derivation — upper-hex sha256 of the base64-DECODED tx
     // bytes (core/parse.js:20): the wire form is base64, the hash input is
     // the decoded payload. Round 1 hashed the raw text and mirrored that
@@ -998,6 +1148,11 @@ object Relational {
            FROM events GROUP BY user_id) lv
          ON c_custkey = lv.user_id
          ORDER BY custkey""",
+    "j5_correlated_scalar" ->
+      """SELECT c_custkey AS custkey,
+           (SELECT max_by(value, event_id) FROM events e
+            WHERE e.user_id = c.c_custkey) AS last_value
+         FROM customer c ORDER BY custkey""",
     "j6_semi_join" ->
       """SELECT c_custkey, c_name FROM customer c
          WHERE EXISTS (SELECT 1 FROM orders o
@@ -1380,6 +1535,84 @@ object Relational {
            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
            AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
          GROUP BY 1 ORDER BY 1""",
+    "b18_tpch_q2" ->
+      s"""WITH ${Tables.partsuppCte},
+         eu AS (
+           SELECT ps_partkey, ps_suppkey, ps_supplycost, s_name, s_acctbal,
+             n_name
+           FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'EUROPE'),
+         mn AS (SELECT ps_partkey AS mn_partkey,
+             min(ps_supplycost) AS min_cost FROM eu GROUP BY 1)
+         SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+         FROM part JOIN eu ON p_partkey = ps_partkey
+         JOIN mn ON ps_partkey = mn_partkey AND ps_supplycost = min_cost
+         WHERE p_size <= 15 AND p_type = 'LARGE'
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+    "b19_tpch_q9" ->
+      s"""WITH ${Tables.partsuppCte}
+         SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice*(1-l_discount)
+             - ps_supplycost*l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+             AS sum_profit,
+           count(*) AS n
+         FROM lineitem
+         JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+         JOIN part ON p_partkey = l_partkey
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN orders ON o_orderkey = l_orderkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE p_name LIKE '%red%'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "b20_tpch_q11" ->
+      s"""WITH ${Tables.partsuppCte},
+         nat AS (
+           SELECT ps_partkey, ps_availqty, ps_supplycost
+           FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_name = 'NATION_7'),
+         tot AS (SELECT CAST(SUM(CAST(ps_supplycost*ps_availqty
+           AS DECIMAL(38,6))) AS DOUBLE) AS total FROM nat)
+         SELECT ps_partkey,
+           CAST(SUM(CAST(ps_supplycost*ps_availqty AS DECIMAL(38,6)))
+             AS DOUBLE) AS value
+         FROM nat, tot GROUP BY ps_partkey, total
+         HAVING CAST(SUM(CAST(ps_supplycost*ps_availqty AS DECIMAL(38,6)))
+           AS DOUBLE) > total * 0.002
+         ORDER BY value DESC, ps_partkey""",
+    "b21_tpch_q16" ->
+      s"""WITH ${Tables.partsuppCte}
+         SELECT p_brand, p_type, p_size,
+           count(DISTINCT ps_suppkey) AS supplier_cnt
+         FROM partsupp JOIN part ON p_partkey = ps_partkey
+         WHERE p_brand <> 'Brand#5' AND p_type <> 'MEDIUM'
+           AND p_size IN (1,4,7,10,15,23,30,45)
+           AND ps_suppkey NOT IN (
+             SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "b22_tpch_q20" ->
+      s"""WITH ${Tables.partsuppCte},
+         halfq AS (
+           SELECT l_partkey, l_suppkey,
+             0.5 * CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+               AS half_qty
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           GROUP BY 1, 2)
+         SELECT s_suppkey, s_name, s_acctbal
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name IN ('NATION_1','NATION_3','NATION_5','NATION_7',
+             'NATION_9')
+           AND s_suppkey IN (
+             SELECT ps_suppkey FROM partsupp
+             JOIN part ON p_partkey = ps_partkey
+             JOIN halfq ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+             WHERE p_name LIKE 'blue%' AND ps_availqty > half_qty)
+         ORDER BY s_suppkey""",
     "s2_txhash" ->
       """SELECT doc_id,
          upper(sha256(decode(from_base64(base64(encode(text)))))) AS tx_hash

@@ -123,7 +123,14 @@ class PlanLintSpec extends AnyFunSuite {
     // b15's brand filter prunes the part scan before the semi join;
     // b16's quarter window reaches the lineitem scan
     "b15_tpch_q17" -> "p_brand",
-    "b16_tpch_q15" -> "l_shipdate")
+    "b16_tpch_q15" -> "l_shipdate",
+    // r13 partsupp anchors: b18's size/type slice prunes the part scan
+    // before the min-cost join; b19's name pattern the part scan; b22's
+    // shipping-year window the lineitem scan feeding the correlated
+    // half-quantity aggregate
+    "b18_tpch_q2" -> "p_size",
+    "b19_tpch_q9" -> "p_name",
+    "b22_tpch_q20" -> "l_shipdate")
 
   test("time-cutoff, keyset, and lookup queries keep their scan pushdown") {
     val missing = mustPush.toSeq.sortBy(_._1).flatMap { case (name, col) =>
@@ -179,6 +186,34 @@ class PlanLintSpec extends AnyFunSuite {
     assert(scanLines == 2,
       s"d18's final plan has $scanLines file scans (expected 2 = one " +
         s"chunking chain; 4 would mean the self-join re-ran it):\n$planStr")
+  }
+
+  test("j5's correlated scalar decorrelates to j4's aggregate + " +
+      "left-outer join (no per-outer-row subquery survives)") {
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    import org.apache.spark.sql.catalyst.plans.LeftOuter
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val opt = SparkEntry.queries("j5_correlated_scalar")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    // 1. no subquery expression survives optimization — Catalyst's
+    //    decorrelation (RewriteCorrelatedScalarSubquery) must have fired;
+    //    a surviving correlated scalar would execute per outer row
+    val surviving = opt.collect {
+      case p if p.expressions.exists(_.exists {
+        case _: SubqueryExpression => true
+        case _ => false
+      }) => p.nodeName
+    }
+    assert(surviving.isEmpty,
+      s"correlated subquery survived optimization in: $surviving\n$opt")
+    // 2. the decorrelated shape IS j4's hand-written plan: a left-outer
+    //    equi-join whose right side is the per-user aggregate of events
+    val shape = opt.collectFirst {
+      case j @ Join(_, _, LeftOuter, _, _)
+          if j.right.collectFirst { case a: Aggregate => a }.isDefined => j
+    }
+    assert(shape.isDefined,
+      s"expected LeftOuter join over an Aggregate (the j4 shape):\n$opt")
   }
 
   test("no query plan carries an unjustified scale anti-pattern") {

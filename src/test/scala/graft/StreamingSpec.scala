@@ -983,7 +983,7 @@ class StreamingSpec extends AnyFunSuite {
     val served = Tokenize.serveMerges(spark, idx, 4).orderBy(col("step"))
       .collect().toSeq
     val direct = SparkEntry.queries("t27_bpe_merges")(spark, sfDir)
-      .collect().toSeq
+      .orderBy(col("step")).collect().toSeq
     assert(served == direct)
     // retry idempotence: no new files → no batch → unchanged merges
     runOnce()
@@ -1019,7 +1019,7 @@ class StreamingSpec extends AnyFunSuite {
     val served = Selection.serve(docs, bucket, idx)
       .orderBy(col("doc_id")).collect().toSeq
     val direct = SparkEntry.queries("t29_dsir_weights")(spark, sfDir)
-      .collect().toSeq
+      .orderBy(col("doc_id")).collect().toSeq
     assert(served == direct) // doubles included — integer model fold
     // exactly-once under a checkpoint retry: no new files → no batch
     runOnce()
@@ -1060,7 +1060,7 @@ class StreamingSpec extends AnyFunSuite {
     val served = CorpusCard.serve(spark, idx)
       .orderBy(col("source"), col("lang")).collect().toSeq
     val direct = SparkEntry.queries("t24_dataset_card")(spark, sfDir)
-      .collect().toSeq
+      .orderBy(col("source"), col("lang")).collect().toSeq
     // bit-identical, doubles included: integer-unit quality sums and
     // the histogram median reproduce the batch card's exact doubles
     assert(served == direct)

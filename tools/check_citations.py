@@ -41,7 +41,59 @@ def main():
         print(f"PHANTOM {path} <- {', '.join(sites[:5])}"
               f"{' ...' if len(sites) > 5 else ''}")
     print(f"{len(bad)} phantom path(s)")
-    sys.exit(1 if bad else 0)
+    claims = check_doc_claims()
+    sys.exit(1 if bad or claims else 0)
+
+
+# ---------------------------------------------------------------------------
+# Doc-claim resolution (added r13, closing the r11/r12 failure class where
+# SURVEY/FIXTURES documented queries or Tables members that did not exist):
+# every `q:NAME` token in SURVEY.md and every `Tables.NAME` mention in
+# SURVEY.md/FIXTURES.md must resolve to a real definition in src/main —
+# a "done" row naming phantom code fails the gate.
+# ---------------------------------------------------------------------------
+
+def _src_text():
+    out = []
+    for root, _, names in os.walk("src/main/scala"):
+        for n in names:
+            if n.endswith(".scala"):
+                out.append(open(os.path.join(root, n),
+                                errors="replace").read())
+    return "\n".join(out)
+
+
+def check_doc_claims():
+    src = _src_text()
+    # query keys are string-literal map keys: "name" ->
+    defined_q = set(re.findall(r'"([a-z][a-z0-9_]+)"\s*->', src))
+    tables_src = open("src/main/scala/graft/Tables.scala",
+                      errors="replace").read()
+    defined_members = set(re.findall(r"\b(?:def|val)\s+(\w+)", tables_src))
+    bad = []
+    for doc in ("SURVEY.md", "FIXTURES.md"):
+        try:
+            txt = open(doc, errors="replace").read()
+        except OSError:
+            continue
+        for ln_no, line in enumerate(txt.splitlines(), 1):
+            for name in re.findall(r"\bq:([a-z][a-z0-9_]+)", line):
+                # SURVEY shorthand: `q:p1` abbreviates `p1_project_rename`
+                # (and `q:p1..p6` a range) — a claim resolves if it IS a
+                # key or is the id-prefix of one
+                if name not in defined_q and not any(
+                        k.startswith(name + "_") for k in defined_q):
+                    bad.append(f"{doc}:{ln_no} claims q:{name} "
+                               f"(not in any queries map)")
+            for mem in re.findall(r"\bTables\.(\w+)", line):
+                if mem not in defined_members:
+                    bad.append(f"{doc}:{ln_no} claims Tables.{mem} "
+                               f"(no such def/val)")
+    for b in bad:
+        print("UNRESOLVED-CLAIM " + b)
+    print(f"{len(bad)} unresolved doc claim(s)")
+    return bad
+
 
 if __name__ == "__main__":
     main()

@@ -17,3 +17,6 @@ python3 tools/compare.py "$SF" "$OUT" | tail -2
 echo "== Bench @$BSF =="
 SPARK_GRAFT_SF_DIR=$BSF SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
   sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"'
+
+echo "== citations + doc claims =="
+python3 tools/check_citations.py
