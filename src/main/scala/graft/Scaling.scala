@@ -48,6 +48,15 @@ object Scaling {
     "b14_tpch_q19", "b15_tpch_q17", "b16_tpch_q15", "b17_tpch_q8",
     "t24_dataset_card", "t25_cdc_chunks", "d18_cdc_neardup",
     "t8_gate_unsorted",
+    // r13: the sorted twin of the t8 pair and the retired fixed-width
+    // geometries (defined in adaptiveQueries since r11 but never in this
+    // set, so they were never timed — r11 task #2 closed here)
+    "t8_gate_sorted", "n8_fixed_bits", "d16_fixed_bits",
+    // r13: production-scale BPE training — 256 merges through the
+    // in-process trainer (t27's k=4 measures the corpus pass; this
+    // measures a real vocab build: the slope should stay the wordFreq
+    // aggregate's, with the driver loop a constant ~seconds tail)
+    "t27_local_k256",
     // LAST: the skew pairs toggle session confs (broadcast off,
     // skew-join on/off) from inside their builders — keeping them at
     // the tail means nothing downstream inherits the toggles
@@ -63,14 +72,17 @@ object Scaling {
     * deployment would use.
     */
   val factorCap: Map[String, Double] = Map(
-    "d16_graph_dedup" -> 10.0, "n8_knn_graph" -> 10.0,
-    // n6/n7 train in-query with centroid count DERIVED from n
-    // (vec_id % 50 == 0 — the oracle-pinned fixture geometry), so Lloyd
-    // assignment is O(n²/50): quadratic by construction, same finding
-    // class as the fixed-width kNN graph. Real IVF scales k ~ sqrt(n);
-    // the serving entries (n6_serving/n7_serving) carry the SLA number
-    // and are linear in the probe batch, not the corpus.
-    "n6_ann_pq" -> 10.0, "n7_ann_ivfpq" -> 10.0)
+    // the retired fixed-width geometries are quadratic BY CONSTRUCTION
+    // (that's what these labeled counterexample entries exist to show);
+    // 10× is evidence enough — the adaptive/auto main entries carry the
+    // 30×/100× curve. Since r11/r12 the MAIN n8/d16 entries derive
+    // their width from COUNT(*) and the n6/n7 training stages are
+    // sample-bounded (Similarity.sampleModuli), so the main keys are
+    // measured uncapped to 30× here (100× lives in the adaptive_100x
+    // note's decade runs).
+    "n8_fixed_bits" -> 10.0, "d16_fixed_bits" -> 10.0,
+    "d16_graph_dedup" -> 30.0, "n8_knn_graph" -> 30.0,
+    "n6_ann_pq" -> 30.0, "n7_ann_ivfpq" -> 30.0)
 
   /** bits = 6 + ceil(log2(factor)): per-bucket occupancy pinned to the
     * 1× calibration as the corpus grows — the knnGraph scale contract,
@@ -127,6 +139,13 @@ object Scaling {
       graft.operators.Dedup
         .embeddingGraphGroups(Tables.embeddings(s, d), k = 5,
           theta = 0.3, tables = 4, bits = 6)
+    },
+    // the production BPE build: 256 merges, hapax-floored vocab (the
+    // minFreq ≥ 2 floor is what real tokenizer builds apply; it also
+    // bounds the collect by corpus-independent Heaps'-law mass)
+    "t27_local_k256" -> { (s, d, _) =>
+      graft.operators.Tokenize
+        .bpeMergesLocal(Tables.documents(s, d), k = 256, minFreq = 2L)
     },
     // t29 with the deployment kernel: the oracle-pinned md5-nibble
     // bucket exists for DuckDB bit-parity; a real corpus build hashes

@@ -189,6 +189,156 @@ object Tokenize {
     train(docs, k)._2.select(col("word"), col("freq"), col("syms"),
       size(col("syms")).cast("long").as("n_syms"))
 
+  // -------------------------------------------------------------------
+  // Production trainer (r12 verdict #5): the distributed loop above runs
+  // ~3 serial Spark jobs per merge step — exact and oracle-verifiable,
+  // but a 32k-vocab training run would pay ~100k driver round-trips.
+  // The production path collects the FREQUENCY-FLOORED (word, freq)
+  // table once — the bounded-collect class: a natural-language vocab at
+  // minFreq ≥ 2 is tens-of-millions of rows at 100 TB, and the cap
+  // fails loudly rather than truncating — and runs the merge loop
+  // in-process with an incremental pair index. [[bpeMerges]] stays as
+  // the distributed cross-check (TokenizeSpec pins local ≡ distributed
+  // ≡ the plain-Scala reference on dense-tie corpora and the fixture).
+  // -------------------------------------------------------------------
+
+  /** UTF-8 binary string comparison — Spark's UTF8String order, so the
+    * local trainer's (cnt desc, l, r) tie-breaks match [[bpeMerges]]'s
+    * orderBy exactly even off-ASCII (Java String order diverges from
+    * code-point order on supplementary chars).
+    */
+  private def u8cmp(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Code-point split + `</w>` terminator — the local twin of
+    * [[initSyms]] (Spark's substring counts code points, not UTF-16
+    * units, so the split must too).
+    */
+  private def initSymsLocal(w: String): Array[String] = {
+    val cps = w.codePoints().toArray
+    val out = new Array[String](cps.length + 1)
+    var i = 0
+    while (i < cps.length) {
+      out(i) = new String(Character.toChars(cps(i))); i += 1
+    }
+    out(cps.length) = "</w>"
+    out
+  }
+
+  /** Greedy left-to-right merge application — with l ≠ r this equals
+    * the engine's per-position map (the TokenizeSpec non-overlap
+    * argument, executed).
+    */
+  private def applyLocal(s: Array[String], l: String, r: String)
+      : Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += s(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** The in-process merge loop over a collected vocabulary. Maintains
+    * the global pair-count map and a pair → word-index occurrence index
+    * incrementally, so each step rewrites ONLY the words containing the
+    * winning pair (stale index entries are filtered on use). Argmax is
+    * a scan of the pair map under (cnt desc, l, r) with UTF-8 order —
+    * O(k · |distinct pairs|), seconds at a 32k vocab. Deterministic
+    * under ANY input order: counts are commutative sums and the argmax
+    * is a total order, so the executor-order-dependent collect cannot
+    * change the result.
+    */
+  private[graft] def trainLocal(vocab: Iterable[(String, Long)], k: Int)
+      : Vector[(Long, String, String, String, Long, Long)] = {
+    import scala.collection.mutable
+    val words = mutable.ArrayBuffer[Array[String]]()
+    val freqs = mutable.ArrayBuffer[Long]()
+    vocab.foreach { case (w, f) =>
+      if (w.nonEmpty) { words += initSymsLocal(w); freqs += f }
+    }
+    var totalSyms = 0L
+    var wi = 0
+    while (wi < words.length) {
+      totalSyms += freqs(wi) * words(wi).length; wi += 1
+    }
+    val counts = mutable.HashMap[(String, String), Long]()
+    val occurs = mutable.HashMap[(String, String), mutable.Set[Int]]()
+    def indexWord(idx: Int, sign: Long): Unit = {
+      val s = words(idx); val f = freqs(idx)
+      var i = 0
+      while (i + 1 < s.length) {
+        if (s(i) != s(i + 1)) { // self-pairs excluded, same as pairs()
+          val p = (s(i), s(i + 1))
+          val c = counts.getOrElse(p, 0L) + sign * f
+          if (c == 0L) counts.remove(p) else counts(p) = c
+          if (sign > 0L)
+            occurs.getOrElseUpdate(p, mutable.Set[Int]()) += idx
+        }
+        i += 1
+      }
+    }
+    wi = 0
+    while (wi < words.length) { indexWord(wi, 1L); wi += 1 }
+
+    var rows = Vector.empty[(Long, String, String, String, Long, Long)]
+    var n = 1
+    while (n <= k && counts.nonEmpty) {
+      var bl: String = null; var br: String = null; var bc = -1L
+      counts.foreach { case ((l, r), c) =>
+        val wins = c > bc || (c == bc && {
+          val dl = u8cmp(l, bl)
+          dl < 0 || (dl == 0 && u8cmp(r, br) < 0)
+        })
+        if (wins) { bl = l; br = r; bc = c }
+      }
+      val hit = occurs.remove((bl, br)).map(_.toArray)
+        .getOrElse(Array.empty[Int])
+      hit.foreach { idx =>
+        val s = words(idx)
+        var has = false
+        var i = 0
+        while (!has && i + 1 < s.length) {
+          has = s(i) == bl && s(i + 1) == br; i += 1
+        }
+        if (has) { // stale index entries skip here
+          indexWord(idx, -1L)
+          val ns = applyLocal(s, bl, br)
+          totalSyms -= freqs(idx) * (s.length - ns.length)
+          words(idx) = ns
+          indexWord(idx, 1L)
+        }
+      }
+      rows = rows :+ ((n.toLong, bl, br, bl + br, bc, totalSyms))
+      n += 1
+    }
+    rows
+  }
+
+  /** Learn `k` BPE merges on the driver from the frequency-floored
+    * vocabulary — the production trainer. Output schema and values are
+    * IDENTICAL to [[bpeMerges]] at minFreq = 1 (TokenizeSpec pins it);
+    * the t27 DuckDB oracle verifies this entry the same way. `maxVocab`
+    * fails loudly instead of silently truncating — a truncated vocab
+    * trains a different tokenizer; raise `minFreq` instead (hapax
+    * flooring is what real tokenizer builds do at corpus scale).
+    */
+  def bpeMergesLocal(docs: DataFrame, k: Int, minFreq: Long = 1L,
+                     maxVocab: Int = 1 << 23): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = wordFreq(docs).filter(col("freq") >= minFreq)
+      .select(col("word"), col("freq")).as[(String, Long)].collect()
+    require(vocab.length <= maxVocab,
+      s"vocab ${vocab.length} exceeds maxVocab $maxVocab — raise minFreq")
+    trainLocal(vocab, k).toDF("step", "left", "right", "merged",
+      "pair_count", "n_syms_after")
+  }
+
   /** Corpus encoding under the trained tokenizer: per-doc BPE token
     * counts — the "how many tokens is this corpus" number every training
     * budget starts from, and the closed loop train → apply. Encoding is

@@ -1002,6 +1002,19 @@ object Pipeline {
         .canonOrder(col("step"))
     },
 
+    // T27b: the PRODUCTION trainer — one corpus pass collects the
+    // bounded (word, freq) vocabulary, the merge loop runs in-process
+    // with an incremental pair index (no per-step Spark jobs; a 32k
+    // vocab trains in seconds where the distributed loop would pay
+    // ~100k serial driver round-trips). Bit-identical to t27 by
+    // construction (same counts, same UTF-8 tie order) — the same
+    // DuckDB oracle verifies it, and TokenizeSpec pins local ≡
+    // distributed on dense-tie corpora.
+    "t27b_bpe_local" -> { (s, d) =>
+      Tokenize.bpeMergesLocal(Tables.documents(s, d), k = 4)
+        .canonOrder(col("step"))
+    },
+
     // T28: corpus encoding under the t27 tokenizer — per-doc BPE token
     // counts via a vocab lookup (doc words ⋈ the trained segmentation),
     // the number a training-budget plan starts from. Verifies the train
@@ -2489,6 +2502,9 @@ object Pipeline {
                 ELSE 'tail' END AS band
          FROM per ORDER BY doc_id""",
     "t27_bpe_merges" -> bpeOracle(4),
+    // t27b runs the in-process trainer against the SAME unrolled-merge
+    // oracle — identical output contract, different execution path
+    "t27b_bpe_local" -> bpeOracle(4),
     // t29: same positioned-token self-join as t26 for the bigram
     // features; bucket weights are pure integer floor-log2 arithmetic
     "t29_dsir_weights" ->

@@ -124,6 +124,37 @@ class TokenizeSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeMergesLocal == bpeMerges on random dense-tie corpora and " +
+      "the fixture (production trainer ≡ distributed cross-check)") {
+    val rnd = new scala.util.Random(37)
+    for (trial <- 1 to 4) {
+      val words = Seq.fill(10 + rnd.nextInt(15))(
+        Seq.fill(1 + rnd.nextInt(6))("abc" (rnd.nextInt(3))).mkString)
+      val docs = words.grouped(4).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toSeq.toDF("doc_id", "text")
+      val dist = Tokenize.bpeMerges(docs, 5).orderBy(col("step"))
+        .as[(Long, String, String, String, Long, Long)].collect().toSeq
+      val local = Tokenize.bpeMergesLocal(docs, 5).orderBy(col("step"))
+        .as[(Long, String, String, String, Long, Long)].collect().toSeq
+      assert(local == dist, s"trial $trial diverged")
+    }
+    // the fixture, deeper than the oracle's k=4: every merge row equal
+    val docs = Tables.documents(spark, sfDir)
+    val dist = Tokenize.bpeMerges(docs, 6).orderBy(col("step"))
+      .as[(Long, String, String, String, Long, Long)].collect().toSeq
+    val local = Tokenize.bpeMergesLocal(docs, 6).orderBy(col("step"))
+      .as[(Long, String, String, String, Long, Long)].collect().toSeq
+    assert(local == dist)
+    assert(local.size == 6)
+    // minFreq floors the collected vocab, maxVocab fails loudly
+    assert(Tokenize.bpeMergesLocal(docs, 2, minFreq = 2L)
+      .collect().length == 2)
+    intercept[IllegalArgumentException] {
+      Tokenize.bpeMergesLocal(docs, 1, maxVocab = 1).collect()
+    }
+  }
+
   test("BPE: sliced vocab fold == batch merges on random corpora") {
     val rnd = new scala.util.Random(11)
     val vocab = Seq("alpha", "beta", "gamma", "delta", "the", "and",
