@@ -25,14 +25,22 @@ import graft.operators.{Dedup, Retrieval, Similarity, Tokenize}
 object Pipeline {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Deterministic fake "media decode" output — the real thing would be a
-    * Pandas-UDF/mapInPandas image decode; the container has no media libs,
-    * so the decode is a stub while the Spark-side plumbing (binary payload,
-    * per-partition batch iteration, typed output schema) is real.
+  /** Typed outputs of the multimodal stages. Since r13 the decode is
+    * REAL: m2 synthesizes a deterministic image per doc, encodes it to
+    * actual PNG/BMP container bytes and decodes them back through
+    * `javax.imageio` (the JDK's standard imaging API — no external
+    * libs), emitting the DECODED dims + pixel checksum; m4 runs a real
+    * bilinear `Graphics2D` resize. The oracle predicts dims/checksums
+    * from the same md5-derived parameters and pins `decode_ok` /
+    * `resize_ok` — booleans the query computes by comparing the decoded
+    * result against the synthesized ground truth, so a codec regression
+    * flips a hash-checked column.
     */
-  final case class MediaFeat(doc_id: Long, frame_count: Long, feat0: Double)
-  final case class MediaDims(doc_id: Long, w0: Long, h0: Long,
-                             w1: Long, h1: Long)
+  final case class MediaDecoded(doc_id: Long, codec: String, width: Long,
+                                height: Long, pix_sum: Long,
+                                decode_ok: Boolean)
+  final case class MediaResized(doc_id: Long, w0: Long, h0: Long,
+                                w1: Long, h1: Long, resize_ok: Boolean)
 
   val defs: Map[String, Q] = Map(
 
@@ -693,10 +701,18 @@ object Pipeline {
         .canonOrder(col("doc_id"))
     },
 
-    // M2: per-partition media "decode" — the mapPartitions shape a real
-    // image/audio decode runs in (batch iteration, one codec instance per
-    // partition, typed output). Decode itself is a deterministic stub
-    // (first md5 byte) because the container ships no media libs.
+    // M2: REAL media decode in the mapPartitions codec shape (batch
+    // iteration, one digest/codec instance per partition, typed output).
+    // Per doc: synthesize a deterministic image (dims + gradient pattern
+    // from the doc's md5 bytes), encode to actual PNG or BMP container
+    // bytes, then DECODE those bytes back via javax.imageio.ImageIO and
+    // extract features from the DECODED raster — width/height, the
+    // pixel-value sum, and decode_ok = pixel-exact equality with the
+    // synthesized ground truth. The oracle recomputes dims + pix_sum
+    // from the same md5 arithmetic and expects decode_ok = true, so the
+    // whole encode→bytes→decode round-trip is hash-verified. At 100 TB
+    // the payload column would arrive from storage instead of being
+    // synthesized; the decode stage (this one) is unchanged.
     "m2_media_extract" -> { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
@@ -704,11 +720,43 @@ object Pipeline {
         .mapPartitions { it =>
           val digest = java.security.MessageDigest.getInstance("MD5")
           it.map { case (id, text) =>
-            val payload = digest.digest(text.getBytes("UTF-8"))
-            val b0 = payload(0) & 0xff
-            MediaFeat(id, (b0 % 5) + 1L,
-              BigDecimal(b0 / 255.0)
-                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            val p = digest.digest(text.getBytes("UTF-8"))
+            val b0 = p(0) & 0xff; val b1 = p(1) & 0xff; val b2 = p(2) & 0xff
+            val w = 8 + b1 % 24; val h = 8 + b2 % 24
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = (b0 + 7 * x + 13 * y) % 256
+                img.setRGB(x, y, (v << 16) | (v << 8) | v)
+                x += 1
+              }
+              y += 1
+            }
+            val codec = if (b0 % 2 == 0) "png" else "bmp"
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, codec, baos)
+            val bytes = baos.toByteArray // the REAL container payload
+            val dec = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            val raster = dec.getRaster
+            var pixSum = 0L
+            var ok = dec.getWidth == w && dec.getHeight == h
+            y = 0
+            while (y < dec.getHeight) {
+              var x = 0
+              while (x < dec.getWidth) {
+                val v = raster.getSample(x, y, 0)
+                pixSum += v
+                ok &&= v == (b0 + 7 * x + 13 * y) % 256
+                x += 1
+              }
+              y += 1
+            }
+            MediaDecoded(id, codec, dec.getWidth.toLong,
+              dec.getHeight.toLong, pixSum, ok)
           }
         }
         .toDF()
@@ -734,12 +782,16 @@ object Pipeline {
         .canonOrder(col("doc_id"), col("frame_idx"))
     },
 
-    // M4: batched resize — the mapInPandas batch shape in Scala: one
-    // "codec" per partition, frames processed in `grouped(batch)` slices
-    // (a real resize kernel amortizes model/buffer setup per batch, not
-    // per row). Fit-to-224 preserving aspect ratio; source dims are a
-    // deterministic stub off payload bytes, the batching/partitioning/
-    // schema plumbing is real.
+    // M4: REAL batched resize — the mapInPandas batch shape in Scala:
+    // one codec per partition, frames processed in `grouped(batch)`
+    // slices (a real kernel amortizes buffer setup per batch, not per
+    // row). Per doc: synthesize the source image at md5-derived dims
+    // filled with a constant gray, run an actual bilinear Graphics2D
+    // resize fit-to-224 preserving aspect ratio, and read the output
+    // dims + a center-pixel probe back from the RESIZED raster
+    // (bilinear of a constant is that constant, so the probe verifies
+    // the kernel really resampled the source). The oracle recomputes
+    // the fit-to-224 arithmetic and pins resize_ok = true.
     "m4_media_resize" -> { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
@@ -749,14 +801,30 @@ object Pipeline {
           it.grouped(64).flatMap { chunk =>
             chunk.map { case (id, text) =>
               val p = digest.digest(text.getBytes("UTF-8"))
-              val w0 = 64L + (p(1) & 0xff) % 192 * 4L
-              val h0 = 64L + (p(2) & 0xff) % 192 * 4L
-              if (w0 >= h0)
-                MediaDims(id, w0, h0, 224L,
-                  math.floor(h0 * 224.0 / w0).toLong)
-              else
-                MediaDims(id, w0, h0,
-                  math.floor(w0 * 224.0 / h0).toLong, 224L)
+              val fill = p(1) & 0xff
+              val w0 = 64 + (p(1) & 0xff) % 192 * 4
+              val h0 = 64 + (p(2) & 0xff) % 192 * 4
+              val (w1, h1) =
+                if (w0 >= h0) (224, math.floor(h0 * 224.0 / w0).toInt)
+                else (math.floor(w0 * 224.0 / h0).toInt, 224)
+              val src = new java.awt.image.BufferedImage(
+                w0, h0, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val buf = src.getRaster.getDataBuffer
+                .asInstanceOf[java.awt.image.DataBufferInt].getData
+              java.util.Arrays.fill(buf,
+                (fill << 16) | (fill << 8) | fill)
+              val dst = new java.awt.image.BufferedImage(
+                w1, h1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = dst.createGraphics()
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(src, 0, 0, w1, h1, null)
+              g.dispose()
+              val ok = dst.getWidth == w1 && dst.getHeight == h1 &&
+                dst.getRaster.getSample(w1 / 2, h1 / 2, 0) == fill
+              MediaResized(id, w0.toLong, h0.toLong, dst.getWidth.toLong,
+                dst.getHeight.toLong, ok)
             }
           }
         }
@@ -2244,15 +2312,32 @@ object Pipeline {
            substr(md5(d.text), 1, 8) AS header_hex
          FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
          ORDER BY d.doc_id""",
+    // m2: the oracle recomputes the synthesized image's dims + gradient
+    // pixel sum from the md5 bytes (x = i % w, y = i // w over one
+    // unnest) and pins decode_ok — the Spark side earns `true` only by
+    // round-tripping real PNG/BMP bytes through ImageIO pixel-exactly
     "m2_media_extract" ->
       """WITH h AS (SELECT doc_id, md5(text) AS m FROM documents),
          b AS (SELECT doc_id,
            16*(strpos('0123456789abcdef', substr(m, 1, 1))-1)
-             + (strpos('0123456789abcdef', substr(m, 2, 1))-1) AS b0
-         FROM h)
-         SELECT doc_id, CAST((b0 % 5) + 1 AS BIGINT) AS frame_count,
-           round(b0 / 255.0, 4) AS feat0
-         FROM b ORDER BY doc_id""",
+             + (strpos('0123456789abcdef', substr(m, 2, 1))-1) AS b0,
+           16*(strpos('0123456789abcdef', substr(m, 3, 1))-1)
+             + (strpos('0123456789abcdef', substr(m, 4, 1))-1) AS b1,
+           16*(strpos('0123456789abcdef', substr(m, 5, 1))-1)
+             + (strpos('0123456789abcdef', substr(m, 6, 1))-1) AS b2
+         FROM h),
+         dims AS (SELECT doc_id, b0,
+           8 + (b1 % 24) AS w, 8 + (b2 % 24) AS h FROM b),
+         px AS (SELECT doc_id, b0, w, h,
+           unnest(generate_series(0, w*h - 1)) AS i FROM dims)
+         SELECT doc_id,
+           CASE WHEN b0 % 2 = 0 THEN 'png' ELSE 'bmp' END AS codec,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(SUM((b0 + 7*(i % w) + 13*(i // w)) % 256) AS BIGINT)
+             AS pix_sum,
+           TRUE AS decode_ok
+         FROM px GROUP BY doc_id, b0, w, h
+         ORDER BY doc_id""",
     "m3_frame_sample" ->
       """WITH h AS (SELECT doc_id, md5(text) AS m FROM documents),
          b AS (SELECT doc_id,
@@ -2281,7 +2366,8 @@ object Pipeline {
            CAST(CASE WHEN w0 >= h0 THEN 224
                 ELSE floor(w0*224.0/h0) END AS BIGINT) AS w1,
            CAST(CASE WHEN w0 >= h0 THEN floor(h0*224.0/w0)
-                ELSE 224 END AS BIGINT) AS h1
+                ELSE 224 END AS BIGINT) AS h1,
+           TRUE AS resize_ok
          FROM dims ORDER BY doc_id""",
     "d13_ngram_decontaminate" ->
       """WITH t AS (SELECT doc_id,
