@@ -1,0 +1,142 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.streaming.Streams
+
+/** Streaming-maintenance growth measurement (r10 verdict task #9): for
+  * each of the three INDEX-maintenance paths — near-dup ingest (reads
+  * the accumulated index every batch), ANN cells/codes and BM25
+  * postings (write-only slices) — stream a corpus in B equal ticks and
+  * record per-tick wall latency against the index size accumulated
+  * BEFORE the tick. The question the curve answers: does batch N+1 pay
+  * for the N batches before it? Expected from the plan shapes: neardup
+  * grows (its probe joins the full accepted band/shingle index —
+  * reading it is O(index)), ANN/postings stay flat (their foreachBatch
+  * derives only from the batch). The measurement replaces that argument
+  * with numbers.
+  *
+  * Usage: runMain graft.tools.StreamScaling dir=factor [dir=factor ...]
+  *   [-- ticks]   (default 5 ticks)
+  * Prints `[streamscale] name @Fx tick i -> T s (index_rows=N)` lines;
+  * tools/merge_stream_scaling.py folds them into SCALING.json's
+  * `streaming` block.
+  */
+object StreamScaling {
+
+  private def ms(d: Double): Double = math.round(d * 100).toDouble / 100
+
+  def main(args: Array[String]): Unit = {
+    val (dirArgs, tail) = args.span(_ != "--")
+    val ticks = tail.drop(1).headOption.map(_.toInt).getOrElse(5)
+    val dirs: Seq[(String, Double)] = dirArgs.toSeq.map { a =>
+      val Array(d, f) = a.split("=")
+      (d, f.toDouble)
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      // RocksDB state store: the deployment shape (StreamingSpec's
+      // parity suite runs both providers; growth curves use the one a
+      // cluster would)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def tmp(prefix: String): String =
+      java.nio.file.Files.createTempDirectory(prefix).toString
+
+    def rowsIn(path: String, schema: String): Long =
+      Tables.readOrEmpty(spark, path, schema).count()
+
+    def report(name: String, factor: Double, tick: Int, sec: Double,
+               indexRows: Long): Unit =
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[streamscale] %s @%.1fx tick %d -> %.2f s (index_rows=%d)",
+        name, Double.box(factor), Int.box(tick), Double.box(ms(sec)),
+        Long.box(indexRows)))
+
+    dirs.foreach { case (dir, factor) =>
+      val docs = Tables.documents(spark, dir)
+      val vecs = Tables.embeddings(spark, dir)
+      val docsSchema = "doc_id BIGINT, text STRING, lang STRING, " +
+        "source STRING, n_chars BIGINT"
+      val vecsSchema = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+
+      // ---- near-dup ingest: probe reads the accumulated index --------
+      locally {
+        val land = tmp("graft-ss-ndi-land")
+        val idx = tmp("graft-ss-ndi-idx") + "/idx"
+        val out = tmp("graft-ss-ndi-out") + "/accepted"
+        val ckpt = tmp("graft-ss-ndi-ckpt")
+        for (t <- 0 until ticks) {
+          docs.filter(col("doc_id") % ticks === t)
+            .write.parquet(s"$land/t$t")
+          val before = rowsIn(s"$idx/bands", "doc_id BIGINT")
+          val t0 = System.nanoTime()
+          Streams.neardupIngest(
+            spark.readStream.schema(docsSchema)
+              .option("recursiveFileLookup", "true").parquet(land),
+            idx, out, ckpt).awaitTermination()
+          report("neardup_ingest", factor, t,
+            (System.nanoTime() - t0) / 1e9, before)
+        }
+      }
+
+      // ---- ANN maintenance: write-only cells/codes slices ------------
+      locally {
+        import graft.operators.Similarity
+        val art = tmp("graft-ss-ann-art")
+        val land = tmp("graft-ss-ann-land")
+        val ckpt = tmp("graft-ss-ann-ckpt")
+        // one-time training on the first slice (the deployment shape:
+        // centroids/codebook are refreshed rarely, not per batch)
+        val initial = vecs.filter(col("vec_id") % ticks === 0)
+        Similarity.sampledTrainCentroids(initial)
+          .write.parquet(s"$art/centroids")
+        Similarity.pqTrainSampled(initial).write.parquet(s"$art/codebook")
+        for (t <- 0 until ticks) {
+          vecs.filter(col("vec_id") % ticks === t)
+            .write.parquet(s"$land/t$t")
+          val before = rowsIn(s"$art/cells", "vec_id BIGINT")
+          val t0 = System.nanoTime()
+          Streams.annIndexMaintenance(
+            spark.readStream.schema(vecsSchema)
+              .option("recursiveFileLookup", "true").parquet(land),
+            s"$art/centroids", s"$art/codebook",
+            s"$art/cells", s"$art/codes", ckpt).awaitTermination()
+          report("ann_maintenance", factor, t,
+            (System.nanoTime() - t0) / 1e9, before)
+        }
+      }
+
+      // ---- postings maintenance: write-only index slices -------------
+      locally {
+        val land = tmp("graft-ss-post-land")
+        val idx = tmp("graft-ss-post-idx") + "/bm25"
+        val ckpt = tmp("graft-ss-post-ckpt")
+        for (t <- 0 until ticks) {
+          docs.filter(col("doc_id") % ticks === t)
+            .write.parquet(s"$land/t$t")
+          val before = rowsIn(s"$idx/postings", "doc_id BIGINT")
+          val t0 = System.nanoTime()
+          Streams.postingsMaintenance(
+            spark.readStream.schema(docsSchema)
+              .option("recursiveFileLookup", "true").parquet(land),
+            idx, ckpt).awaitTermination()
+          report("postings_maintenance", factor, t,
+            (System.nanoTime() - t0) / 1e9, before)
+        }
+      }
+    }
+    spark.stop()
+  }
+}
