@@ -106,7 +106,12 @@ object Bench {
     * and BenchSpec pins that every headline twin keeps its LIMIT.
     */
   private[graft] def stripCanonOrder(sql: String): String = {
-    val term = "([a-z_][a-z0-9_.]*|[0-9]+)(\\s+(asc|desc))?"
+    // NULLS FIRST/LAST and double-quoted identifiers are part of the
+    // term grammar (r12 advice): a canonical sort spelled either way
+    // must strip like the bare form, or the DuckDB twin would pay a
+    // sort Spark doesn't — an asymmetric timing comparison
+    val term = "([a-z_][a-z0-9_.]*|\"[a-z0-9_. ]+\"|[0-9]+)" +
+      "(\\s+(asc|desc))?(\\s+nulls\\s+(first|last))?"
     s"(?is)\\s+ORDER\\s+BY\\s+$term(\\s*,\\s*$term)*\\s*$$".r
       .replaceFirstIn(sql, "")
   }

@@ -20,6 +20,30 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.stripCanonOrder(
       "SELECT * FROM t\n         ORDER BY a.b ASC, c DESC") ==
       "SELECT * FROM t")
+    // r12 advice: NULLS FIRST/LAST and quoted identifiers are canonical
+    // spellings too — leaving them behind would make the DuckDB twin
+    // pay a sort Spark doesn't
+    assert(Bench.stripCanonOrder(
+      "SELECT * FROM t ORDER BY a DESC NULLS LAST, b NULLS FIRST") ==
+      "SELECT * FROM t")
+    assert(Bench.stripCanonOrder(
+      "SELECT * FROM t ORDER BY \"odd col\" ASC, b") ==
+      "SELECT * FROM t")
+  }
+
+  test("no non-headline oracle retains a trailing bare ORDER BY after " +
+      "stripping (the strip covers every canonical spelling in use)") {
+    val tail = "(?is)\\s+ORDER\\s+BY\\s+[^()]*$".r
+    for ((name, sql) <- SparkEntry.oracleSql) {
+      val stripped = Bench.stripCanonOrder(sql)
+      // a trailing ORDER BY surviving the strip must be load-bearing:
+      // followed by LIMIT/OFFSET (top-k) — otherwise the grammar missed
+      // a canonical sort spelling and the twin times an extra sort
+      tail.findFirstIn(stripped).foreach { t =>
+        assert("(?i)\\b(limit|offset)\\b".r.findFirstIn(t).isDefined,
+          s"$name: non-top-k trailing ORDER BY survived the strip: $t")
+      }
+    }
   }
 
   test("stripCanonOrder never crosses a LIMIT/OFFSET (the r11 bug: four " +
