@@ -41,7 +41,11 @@ object Bench {
     "t22_serving",
     "b10_tpch_q13", "b11_tpch_q21", "b12_tpch_q22", "b13_tpch_q14",
     "b14_tpch_q19", "b15_tpch_q17", "b16_tpch_q15", "b17_tpch_q8",
-    "t24_dataset_card", "t25_cdc_chunks", "d18_cdc_neardup")
+    "t24_dataset_card", "t25_cdc_chunks", "d18_cdc_neardup",
+    // r13: the partsupp anchors (derived-dimension joins), the
+    // SQL-surface correlated scalar, and the in-process BPE trainer
+    "b18_tpch_q2", "b19_tpch_q9", "b20_tpch_q11", "b21_tpch_q16",
+    "b22_tpch_q20", "j5_correlated_scalar", "t27b_bpe_local")
 
   /** The 2×-criterion twin (r7 verdict #8): time the SAME SQL the oracle
     * runs, in DuckDB, over the SAME parquet — a measurable single-node
@@ -80,7 +84,12 @@ object Bench {
     // oracle replays four unrolled vocab rewrites — the interesting twin:
     // DuckDB pays the same chain single-node)
     "n9_ann_ivf_sampled", "t26_bigram_surprisal", "t27_bpe_merges",
-    "t28_bpe_encode", "t29_dsir_weights", "pipe2_select_pack")
+    "t28_bpe_encode", "t29_dsir_weights", "pipe2_select_pack",
+    // r13: b19 is the widest new anchor (fact ⋈ derived partsupp on two
+    // keys — the twin shows what the in-plan synthesis costs each
+    // engine); j5 times DuckDB's native correlated-scalar rewrite
+    // against Catalyst's decorrelation on identical SQL semantics
+    "b19_tpch_q9", "j5_correlated_scalar")
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
