@@ -141,8 +141,10 @@ object Relational {
         .canonOrder(col("nationkey"))
     },
 
-    // J4/J5: lateral-top-1 / correlated scalar subquery, decorrelated into
-    // latestSnapshot + equi-join (api/routes/trades.js:410-416).
+    // J4: lateral-top-1, hand-decorrelated into latestSnapshot +
+    // equi-join (api/routes/trades.js:410-416); j5 below is the same
+    // semantics written AS the correlated scalar through the SQL
+    // surface, pinned to decorrelate to this plan.
     // No broadcast hint: `latest` is a per-user aggregate whose cardinality
     // grows with the data — forcing it into a broadcast is an OOM at 100×.
     // AQE broadcasts it anyway when it is actually small.
