@@ -716,6 +716,9 @@ object Pipeline {
     "m2_media_extract" -> { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
+        // a null payload would NPE the codec kernel executor-side; the
+        // contract (both engines) is decode-only-present, row-for-row
+        .filter(col("text").isNotNull)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions { it =>
           val digest = java.security.MessageDigest.getInstance("MD5")
@@ -795,6 +798,7 @@ object Pipeline {
     "m4_media_resize" -> { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
+        .filter(col("text").isNotNull) // same null contract as m2
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions { it =>
           val digest = java.security.MessageDigest.getInstance("MD5")
@@ -2317,7 +2321,8 @@ object Pipeline {
     // unnest) and pins decode_ok — the Spark side earns `true` only by
     // round-tripping real PNG/BMP bytes through ImageIO pixel-exactly
     "m2_media_extract" ->
-      """WITH h AS (SELECT doc_id, md5(text) AS m FROM documents),
+      """WITH h AS (SELECT doc_id, md5(text) AS m FROM documents
+           WHERE text IS NOT NULL),
          b AS (SELECT doc_id,
            16*(strpos('0123456789abcdef', substr(m, 1, 1))-1)
              + (strpos('0123456789abcdef', substr(m, 2, 1))-1) AS b0,
@@ -2353,7 +2358,8 @@ object Pipeline {
              AS ts_ms
          FROM f ORDER BY doc_id, frame_idx""",
     "m4_media_resize" ->
-      """WITH h AS (SELECT doc_id, md5(text) AS m FROM documents),
+      """WITH h AS (SELECT doc_id, md5(text) AS m FROM documents
+           WHERE text IS NOT NULL),
          b AS (SELECT doc_id,
            16*(strpos('0123456789abcdef', substr(m, 3, 1))-1)
              + (strpos('0123456789abcdef', substr(m, 4, 1))-1) AS b1,

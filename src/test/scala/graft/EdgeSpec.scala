@@ -301,4 +301,28 @@ class EdgeSpec extends AnyFunSuite {
     assert(vec.select(Expressions.lshCodes(col("emb"), 2, 16))
       .head.getSeq[Long](0).length == 2)
   }
+
+  test("m2/m4 media decode: null text rows are filtered (not an " +
+      "executor NPE), empty text still decodes") {
+    // drive the REAL query entries against a synthetic fixture dir —
+    // the decode-only-present contract both oracles spell as
+    // WHERE text IS NOT NULL
+    val dir = java.nio.file.Files.createTempDirectory("graft-media-edge")
+      .toString
+    Seq((1L, "hello world", "en", "src1", 11L),
+        (2L, null.asInstanceOf[String], "en", "src1", 0L),
+        (3L, "", "de", "src2", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val m2 = SparkEntry.queries("m2_media_extract")(spark, dir)
+      .orderBy(col("doc_id")).collect()
+    assert(m2.map(_.getLong(0)).toSeq == Seq(1L, 3L)) // null doc dropped
+    assert(m2.forall(_.getBoolean(5))) // decode_ok incl. empty text
+    val m4 = SparkEntry.queries("m4_media_resize")(spark, dir)
+      .orderBy(col("doc_id")).collect()
+    assert(m4.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(m4.forall(_.getBoolean(5)))
+    // fit-to-224: the long side is exactly 224 on every row
+    assert(m4.forall(r => math.max(r.getLong(3), r.getLong(4)) == 224L))
+  }
 }
