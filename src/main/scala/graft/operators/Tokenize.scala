@@ -319,6 +319,25 @@ object Tokenize {
     rows
   }
 
+  /** [[serveMerges]] through the PRODUCTION trainer: fold the streamed
+    * word-count slices, collect the frequency-floored vocab, train
+    * in-process. Same folded counts → same merges as the distributed
+    * serve path (TokenizeSpec pins it); this is what a deployment's
+    * retrain tick runs at a real vocab size.
+    */
+  def serveMergesLocal(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String, k: Int,
+                       minFreq: Long = 1L): DataFrame = {
+    import spark.implicits._
+    val vocab = graft.Tables.readOrEmpty(spark, s"$indexDir/vocab",
+      "word STRING, freq BIGINT")
+      .groupBy(col("word")).agg(sum(col("freq")).as("freq"))
+      .filter(col("freq") >= minFreq)
+      .as[(String, Long)].collect()
+    trainLocal(vocab, k).toDF("step", "left", "right", "merged",
+      "pair_count", "n_syms_after")
+  }
+
   /** Learn `k` BPE merges on the driver from the frequency-floored
     * vocabulary — the production trainer. Output schema and values are
     * IDENTICAL to [[bpeMerges]] at minFreq = 1 (TokenizeSpec pins it);

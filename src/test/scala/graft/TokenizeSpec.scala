@@ -180,6 +180,10 @@ class TokenizeSpec extends AnyFunSuite {
         .orderBy(col("step")).collect().toSeq
       assert(served == direct, s"trial $trial diverged")
       assert(direct.nonEmpty)
+      // the production serve path folds the same slices into the
+      // in-process trainer — same counts, same merges
+      assert(Tokenize.serveMergesLocal(spark, idx, 4)
+        .orderBy(col("step")).collect().toSeq == served)
     }
   }
 
