@@ -57,6 +57,11 @@ object Scaling {
     // measures a real vocab build: the slope should stay the wordFreq
     // aggregate's, with the driver loop a constant ~seconds tail)
     "t27_local_k256",
+    // r13: the widest partsupp anchor (two-key fact join against the
+    // derived dimension), the correlated-scalar SQL surface, and the
+    // Q20 nested-decorrelation anchor — their sf0.1 twins only measure
+    // the dispatch floor, so the scale points carry the real slopes
+    "b19_tpch_q9", "j5_correlated_scalar", "b22_tpch_q20",
     // LAST: the skew pairs toggle session confs (broadcast off,
     // skew-join on/off) from inside their builders — keeping them at
     // the tail means nothing downstream inherits the toggles
