@@ -36,6 +36,15 @@ object Pipeline {
     * result against the synthesized ground truth, so a codec regression
     * flips a hash-checked column.
     */
+  /** The opaque-binary media column between the encode and decode
+    * stages — image/audio/video as `binary` with typed metadata, the
+    * brief's literal column shape. `expect_b0` carries the synthesis
+    * parameter forward so the decode stage can verify the round-trip
+    * without re-hashing the source text.
+    */
+  final case class MediaPayload(doc_id: Long, codec: String,
+                                payload: Array[Byte], expect_b0: Int,
+                                expect_w: Int, expect_h: Int)
   final case class MediaDecoded(doc_id: Long, codec: String, width: Long,
                                 height: Long, pix_sum: Long,
                                 decode_ok: Boolean)
@@ -715,7 +724,13 @@ object Pipeline {
     // synthesized; the decode stage (this one) is unchanged.
     "m2_media_extract" -> { (s, d) =>
       import s.implicits._
-      Tables.documents(s, d)
+      // Stage 1 — ENCODE: synthesize a deterministic md5-parameterized
+      // image per doc and emit it as an opaque `payload BINARY` column
+      // (real PNG/BMP container bytes) with typed metadata — the
+      // brief's literal media-column shape. At 100 TB this stage is a
+      // storage read instead of a synthesis; the column shape and the
+      // decode stage below are unchanged.
+      val encoded = Tables.documents(s, d)
         // a null payload would NPE the codec kernel executor-side; the
         // contract (both engines) is decode-only-present, row-for-row
         .filter(col("text").isNotNull)
@@ -741,24 +756,33 @@ object Pipeline {
             val codec = if (b0 % 2 == 0) "png" else "bmp"
             val baos = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(img, codec, baos)
-            val bytes = baos.toByteArray // the REAL container payload
+            MediaPayload(id, codec, baos.toByteArray, b0, w, h)
+          }
+        }
+      // Stage 2 — DECODE: consume the binary column through ImageIO and
+      // extract features from the DECODED raster. A narrow map over
+      // stage 1 (no shuffle between them); decode_ok is pixel-exact
+      // equality with the synthesis parameters carried in the metadata.
+      encoded.mapPartitions { it =>
+          it.map { mp =>
             val dec = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(bytes))
+              new java.io.ByteArrayInputStream(mp.payload))
             val raster = dec.getRaster
             var pixSum = 0L
-            var ok = dec.getWidth == w && dec.getHeight == h
-            y = 0
+            var ok = dec.getWidth == mp.expect_w &&
+              dec.getHeight == mp.expect_h
+            var y = 0
             while (y < dec.getHeight) {
               var x = 0
               while (x < dec.getWidth) {
                 val v = raster.getSample(x, y, 0)
                 pixSum += v
-                ok &&= v == (b0 + 7 * x + 13 * y) % 256
+                ok &&= v == (mp.expect_b0 + 7 * x + 13 * y) % 256
                 x += 1
               }
               y += 1
             }
-            MediaDecoded(id, codec, dec.getWidth.toLong,
+            MediaDecoded(mp.doc_id, mp.codec, dec.getWidth.toLong,
               dec.getHeight.toLong, pixSum, ok)
           }
         }
