@@ -395,9 +395,14 @@ object Similarity {
       .withColumnRenamed("embedding", "ce")
     val probeBuckets = ivfAssign(probes, cent, "probe_id", nprobe)
       .withColumnRenamed("embedding", "pe")
-    val cands = vecBuckets.join(probeBuckets, Seq("cid"))
+    // probe buckets are |probes|×nprobe rows — BROADCAST them: `cid` has
+    // only nlist distinct values, so a shuffle join here would hash the
+    // whole corpus into ≤nlist tasks (the measured n9 100× cliff). And no
+    // dedup: the corpus side is one row per cand_id (keep=1 argmax) and a
+    // probe's nprobe cids are distinct (row_number ranks one row per
+    // (probe, cid)), so the join emits ≤1 row per (probe_id, cand_id).
+    val cands = vecBuckets.join(broadcast(probeBuckets), Seq("cid"))
       .filter(col("probe_id") =!= col("cand_id"))
-      .dropDuplicates("probe_id", "cand_id")
     val scored = cands.withColumn("cos", cosineFromScaled(
       dotScaled(col("pe"), col("ce")),
       normScaled(col("pe")), normScaled(col("ce"))))
@@ -683,8 +688,9 @@ object Similarity {
       .join(broadcast(ivfAssign(probes, cent, "probe_id", nprobe)
         .select(col("probe_id"), col("cid"))), Seq("cid"))
       .filter(col("probe_id") =!= col("cand_id"))
+      // (probe_id, cand_id) pairs are unique by construction — one cell
+      // per candidate (keep=1), distinct cells per probe — so no dedup
       .select(col("probe_id"), col("cand_id"))
-      .dropDuplicates("probe_id", "cand_id")
     val corpus = pqSliced(vecs, m, dim / m)
     // sample-bounded codebook training, like pqTopK (r12): fixed ~kCodes
     // codewords from ≤ ~2·targetSample vectors, constant in corpus size
@@ -743,8 +749,8 @@ object Similarity {
         ivfAssign(probes, centFrame(centroids), "probe_id", nprobe)
           .select(col("probe_id"), col("cid"))), Seq("cid"))
       .filter(col("probe_id") =!= col("cand_id"))
+      // unique by construction, as in ivfPqTopK — no dedup shuffle
       .select(col("probe_id"), col("cand_id"))
-      .dropDuplicates("probe_id", "cand_id")
     val book = codebook.withColumn("cn", normScaled(col("cw")))
     val lut = pqSliced(probes, m, dim / m)
       .join(broadcast(book), Seq("sub"))
