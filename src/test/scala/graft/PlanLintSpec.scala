@@ -216,6 +216,38 @@ class PlanLintSpec extends AnyFunSuite {
       s"expected LeftOuter join over an Aggregate (the j4 shape):\n$opt")
   }
 
+  test("ivfTopK's cell join broadcasts the probe buckets (a shuffle " +
+      "join on the ~nlist-valued cid key crushes the corpus into " +
+      "<=nlist tasks)") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    // force the threshold down so only the explicit broadcast() hint can
+    // produce the BHJ — at fixture size the planner would broadcast
+    // anyway and the pin would be vacuous
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thresholdKey)
+    val plan =
+      try {
+        spark.conf.set(thresholdKey, "-1")
+        SparkEntry.queries("n9_ann_ivf_sampled")(spark, sfDir)
+          .queryExecution.sparkPlan
+      } finally spark.conf.set(thresholdKey, saved)
+    def onCid(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+      keys.exists(_.exists {
+        case a: org.apache.spark.sql.catalyst.expressions.Attribute =>
+          a.name == "cid"
+        case _ => false
+      })
+    val shuffledOnCid = plan.collect {
+      case j: SortMergeJoinExec if onCid(j.leftKeys) => j.nodeName
+      case j: ShuffledHashJoinExec if onCid(j.leftKeys) => j.nodeName
+    }
+    assert(shuffledOnCid.isEmpty,
+      s"cell join shuffled on cid: $shuffledOnCid\n$plan")
+    assert(plan.collectFirst {
+      case j: BroadcastHashJoinExec if onCid(j.leftKeys) => j
+    }.isDefined, s"no broadcast hash join on cid in n9's plan:\n$plan")
+  }
+
   test("no query plan carries an unjustified scale anti-pattern") {
     val found = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
