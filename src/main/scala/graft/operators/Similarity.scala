@@ -267,21 +267,26 @@ object Similarity {
     var cent = init.select(col("vec_id").as("cid"),
       col("embedding").as("cemb"))
     for (_ <- 1 to iters) {
-      // hash-aggregate argmax over the (csim desc, cid) total order
-      // (expressed as min_by of (-csim, cid)) — same pick as the sort
-      // window it replaces, but partial-aggregated map-side: the corpus
-      // never sort-shuffles, one survivor per vec_id leaves each partition
-      val assigned = vecs.select(col("vec_id"), col("embedding"))
+      // argmax over the (csim desc, cid) total order (min_by of
+      // (-csim, cid)) — same pick as the sort window it replaces, kept
+      // NARROW: only (vec_id, cid, csim) enter the aggregate and the
+      // member vectors join back by id (min_by's struct buffer is a
+      // SortAggregate, and sorting the embedding per scored row was the
+      // measured n9/n4 100× term — see ivfAssign)
+      val picked = spreadPartitions(
+          vecs.select(col("vec_id"), col("embedding")))
         .join(broadcast(cent.select(col("cid"), col("cemb"),
           normScaled(col("cemb")).as("cn"))))
         .withColumn("csim", cosineFromScaled(
           dotScaled(col("embedding"), col("cemb")),
           normScaled(col("embedding")), col("cn")))
+        .select(col("vec_id"), col("cid"), col("csim"))
         .groupBy(col("vec_id"))
-        .agg(min_by(struct(col("cid"), col("embedding")),
-          struct(negate(col("csim")), col("cid"))).as("pick"))
-        .select(col("pick.cid").as("cid"),
-          col("pick.embedding").as("embedding"))
+        .agg(min_by(col("cid"),
+          struct(negate(col("csim")), col("cid"))).as("cid"))
+      val assigned = picked
+        .join(vecs.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .select(col("cid"), col("embedding"))
       cent = assigned
         .select(col("cid"), posexplode(col("embedding")))
         .groupBy(col("cid"), col("pos"))
@@ -355,26 +360,41 @@ object Similarity {
     * are caller-provided (e.g. a deterministic sample); a production
     * build would k-means them — the engine-side plumbing is identical.
     */
-  /** Nearest-centroid bucketing shared by the IVF paths: keep=1 is the
-    * corpus side (hash-aggregate argmax — min_by over the (-csim, cid)
-    * total order: identical pick to a sort window, but map-side partial
-    * aggregation, no corpus sort-shuffle); keep=nprobe is the probe side
-    * (top-n needs a ranking — probes are few).
+  /** Nearest-centroid bucketing shared by the IVF paths. keep=1 is the
+    * corpus side and returns NARROW (idName, cid) rows: the argmax is a
+    * min_by over the (-csim, cid) total order with a LONG value, so only
+    * (id, cid, csim) rows enter the aggregate — a min_by whose value
+    * struct carried the embedding was measured 2.5× slower at 100×
+    * (min_by's struct buffer falls back to SortAggregate, and the
+    * partial sort then moves the 64-float array per scored row; at 100×
+    * that sort spilled while the narrow rows never do). Callers that
+    * need the vectors join them back by id — an equi-join of two
+    * corpus-sized NARROW frames, linear. The corpus side is also
+    * spread to defaultParallelism first: the centroid join is a
+    * broadcast product whose parallelism is the stream side's partition
+    * count, and a compact parquet corpus can read as a handful of
+    * splits (the other measured term of the n9 100× cliff).
+    * keep=nprobe is the probe side (few rows — ranking window, keeps
+    * the embedding).
     */
   private def ivfAssign(df: DataFrame, cent: DataFrame, idName: String,
                         keep: Int): DataFrame = {
-    val scored = df.select(col("vec_id").as(idName), col("embedding"))
-      .join(broadcast(cent))
-      .withColumn("csim", cosineFromScaled(
-        dotScaled(col("embedding"), col("cemb")),
-        normScaled(col("embedding")), col("cn")))
-    if (keep == 1)
-      scored.groupBy(col(idName))
-        .agg(min_by(struct(col("cid"), col("embedding")),
-          struct(negate(col("csim")), col("cid"))).as("pick"))
-        .select(col(idName), col("pick.cid").as("cid"),
-          col("pick.embedding").as("embedding"))
-    else {
+    if (keep == 1) {
+      spreadPartitions(df.select(col("vec_id").as(idName), col("embedding")))
+        .join(broadcast(cent))
+        .withColumn("csim", cosineFromScaled(
+          dotScaled(col("embedding"), col("cemb")),
+          normScaled(col("embedding")), col("cn")))
+        .select(col(idName), col("cid"), col("csim"))
+        .groupBy(col(idName))
+        .agg(min_by(col("cid"),
+          struct(negate(col("csim")), col("cid"))).as("cid"))
+    } else {
+      val scored = df.select(col("vec_id").as(idName), col("embedding"))
+        .join(broadcast(cent))
+        .withColumn("csim", cosineFromScaled(
+          dotScaled(col("embedding"), col("cemb")),
+          normScaled(col("embedding")), col("cn")))
       val w = Window.partitionBy(col(idName))
         .orderBy(col("csim").desc, col("cid"))
       scored
@@ -391,8 +411,11 @@ object Similarity {
   def ivfTopK(probes: DataFrame, vecs: DataFrame, centroids: DataFrame,
               k: Int, nprobe: Int): DataFrame = {
     val cent = centFrame(centroids)
+    // assignment is narrow (cand_id, cid); the candidate vectors join
+    // back by id for exact scoring — narrow⋈narrow equi-join, linear
     val vecBuckets = ivfAssign(vecs, cent, "cand_id", 1)
-      .withColumnRenamed("embedding", "ce")
+      .join(vecs.select(col("vec_id").as("cand_id"),
+        col("embedding").as("ce")), Seq("cand_id"))
     val probeBuckets = ivfAssign(probes, cent, "probe_id", nprobe)
       .withColumnRenamed("embedding", "pe")
     // probe buckets are |probes|×nprobe rows — BROADCAST them: `cid` has
@@ -456,15 +479,19 @@ object Similarity {
     // lexicographic (d2, code) struct picks the identical codeword but
     // partial-aggregates map-side — |slices| rows never sort-shuffle,
     // only one candidate per (id, sub) group survives each partition
-    slices
+    // NARROW output (id, sub, code): the sub-vector is projected away
+    // before the aggregate — with sv inside the min_by value struct the
+    // per-(codebook-candidate) rows carried the array through the
+    // SortAggregate's sorts (the same measured 100× term as ivfAssign's
+    // wide argmax); training, the one consumer that needs sv back, joins
+    // it from its (sample-bounded) corpus
+    spreadPartitions(slices)
       .join(broadcast(book.withColumn("cn", normScaled(col("cw")))),
         Seq("sub"))
       .withColumn("d2", col("cn") - lit(2L) * dotScaled(col("sv"), col("cw")))
+      .select(col("id"), col("sub"), col("code"), col("d2"))
       .groupBy(col("id"), col("sub"))
-      .agg(min_by(struct(col("code"), col("sv")),
-        struct(col("d2"), col("code"))).as("pick"))
-      .select(col("id"), col("sub"),
-        col("pick.code").as("code"), col("pick.sv").as("sv"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
   }
 
   /** Train the m per-subspace codebooks — deterministic Lloyd, all m
@@ -516,7 +543,10 @@ object Similarity {
     var cb = corpus.filter(col("id") % sampleStride === 0)
       .select(col("sub"), col("id").as("code"), col("sv").as("cw"))
     for (_ <- 1 to iters) {
+      // sv joins back from the (sample-bounded) training corpus — the
+      // narrow pqAssign no longer carries it through the argmin
       cb = pqAssign(corpus, cb)
+        .join(corpus, Seq("id", "sub"))
         .select(col("sub"), col("code"), posexplode(col("sv")))
         .groupBy(col("sub"), col("code"), col("pos"))
         .agg(graft.functions.Core.dsum(col("col")).as("s"),
@@ -684,7 +714,6 @@ object Similarity {
       s"ivfPqTopK: dim $dim not divisible into $m subspaces")
     val cent = centFrame(centroids)
     val cands = ivfAssign(vecs, cent, "cand_id", 1)
-      .select(col("cand_id"), col("cid"))
       .join(broadcast(ivfAssign(probes, cent, "probe_id", nprobe)
         .select(col("probe_id"), col("cid"))), Seq("cid"))
       .filter(col("probe_id") =!= col("cand_id"))
@@ -724,7 +753,6 @@ object Similarity {
     */
   def ivfCells(vecs: DataFrame, centroids: DataFrame): DataFrame =
     ivfAssign(vecs, centFrame(centroids), "vec_id", 1)
-      .select(col("vec_id"), col("cid"))
 
   /** IVF+PQ search against PERSISTED build artifacts — the serving twin
     * of [[ivfPqTopK]], like [[pqTopKFromCodes]] is of [[pqTopK]]: cells
@@ -786,20 +814,25 @@ object Similarity {
       : DataFrame = {
     val cent = centroids.select(col("vec_id").as("cid"),
       col("embedding").as("cemb"), normScaled(col("embedding")).as("cn"))
-    // nearest-centroid as a hash-aggregate argmax (min_by over the
-    // (-csim, cid) total order) — the identical winner the sort window
-    // picked, but with map-side partial aggregation: the n×k scored rows
-    // never sort-shuffle (same shape as kmeansCentroids / ivfTopK)
-    val assigned = vecs.select(col("vec_id"), col("embedding"))
+    // nearest-centroid argmax (min_by over the (-csim, cid) total order)
+    // — the identical winner the sort window picked. NARROW: only
+    // (vec_id, cid, csim) rows enter the aggregate, the embedding joins
+    // back by id afterwards (same restructure as ivfAssign — a min_by
+    // value struct carrying the embedding is a SortAggregate moving the
+    // array per scored row, measured 2.5× slower at 100×). The corpus is
+    // spread first so the broadcast centroid join parallelizes past the
+    // parquet split count.
+    val picked = spreadPartitions(vecs.select(col("vec_id"), col("embedding")))
       .join(broadcast(cent))
       .withColumn("csim", cosineFromScaled(
         dotScaled(col("embedding"), col("cemb")),
         normScaled(col("embedding")), col("cn")))
+      .select(col("vec_id"), col("cid"), col("csim"))
       .groupBy(col("vec_id"))
-      .agg(min_by(struct(col("cid"), col("embedding")),
-        struct(negate(col("csim")), col("cid"))).as("pick"))
-      .select(col("vec_id"), col("pick.cid").as("cid"),
-        col("pick.embedding").as("embedding"))
+      .agg(min_by(col("cid"),
+        struct(negate(col("csim")), col("cid"))).as("cid"))
+    val assigned = picked
+      .join(vecs.select(col("vec_id"), col("embedding")), Seq("vec_id"))
     val v = assigned.withColumn("nn", normScaled(col("embedding")))
     val drop = v.as("a")
       .join(v.as("b"),
@@ -809,7 +842,7 @@ object Similarity {
         col("a.nn"), col("b.nn")))
       .filter(col("cos") >= theta)
       .select(col("b.vec_id").as("vec_id")).distinct()
-    assigned.join(drop, Seq("vec_id"), "left_anti")
+    picked.join(drop, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cid").as("cluster_id"))
   }
 
