@@ -103,25 +103,43 @@ object Similarity {
               tables: Int = 8, bits: Int = 4): DataFrame = {
     def coded(df: DataFrame, idName: String) = df
       .select(col("vec_id").as(idName), col("embedding"),
+        normScaled(col("embedding")).as("nn"),
         posexplode(lshCodes(col("embedding"), tables, bits)))
-      .select(col(idName), col("embedding"),
+      .select(col(idName), col("embedding"), col("nn"),
         col("pos").as("table"), col("col").as("code"))
     val p = coded(probes, "probe_id")
-      .withColumnRenamed("embedding", "pe")
+      .withColumnRenamed("embedding", "pe").withColumnRenamed("nn", "pn")
     val v = coded(vecs, "cand_id")
-      .withColumnRenamed("embedding", "ce")
-    val cands = v.join(broadcast(p), Seq("table", "code"))
+      .withColumnRenamed("embedding", "ce").withColumnRenamed("nn", "cn")
+    rankBucketCands(
+      v.join(broadcast(p), Seq("table", "code")), k)
+  }
+
+  /** Shared tail of the LSH bucket searches: score each bucket-join row
+    * in place (norms are precomputed per VECTOR before the bucket
+    * explode, not per pair), project the pairs NARROW, rank with
+    * dense_rank, and dedupe only the filtered head. A pair sharing
+    * several buckets appears once per bucket with an IDENTICAL
+    * (cos desc, cand_id) sort key, so dense_rank gives every duplicate
+    * the same rank and equals row_number over the distinct pairs —
+    * which lets the pre-rank `dropDuplicates` go. That dedup was the
+    * scale bottleneck of this family: it shuffled the full candidate
+    * set WIDE (both embeddings per row), while the window here shuffles
+    * (probe_id, cand_id, cos) rows that WindowGroupLimit has already
+    * pruned to ~k per probe per map partition.
+    */
+  private def rankBucketCands(bucketJoin: DataFrame, k: Int): DataFrame = {
+    val scored = bucketJoin
       .filter(col("probe_id") =!= col("cand_id"))
-      .select(col("probe_id"), col("pe"), col("cand_id"), col("ce"))
-      .dropDuplicates("probe_id", "cand_id")
-    val scored = cands.withColumn("cos", cosineFromScaled(
-      dotScaled(col("pe"), col("ce")),
-      normScaled(col("pe")), normScaled(col("ce"))))
+      .withColumn("cos", cosineFromScaled(
+        dotScaled(col("pe"), col("ce")), col("pn"), col("cn")))
+      .select(col("probe_id"), col("cand_id"), col("cos"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("cand_id"))
     scored
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", dense_rank().over(w))
       .filter(col("rank") <= k)
+      .dropDuplicates("probe_id", "cand_id")
       .select(col("probe_id"), col("rank").cast("long").as("rank"),
         col("cand_id").as("neighbor_id"), round4(col("cos")).as("cosine"))
   }
@@ -141,30 +159,19 @@ object Similarity {
                         tables: Int = 8, bits: Int = 4): DataFrame = {
     def coded(df: DataFrame, idName: String) = df
       .select(col("vec_id").as(idName), col("embedding"),
+        normScaled(col("embedding")).as("nn"),
         posexplode(lshCodes(col("embedding"), tables, bits)))
-      .select(col(idName), col("embedding"),
+      .select(col(idName), col("embedding"), col("nn"),
         col("pos").as("table"), col("col").as("code"))
     val flips = (0 until bits).map(b =>
       col("code").bitwiseXOR(lit(1L << b)))
     val p = coded(probes, "probe_id")
       .withColumn("code", explode(array(col("code") +: flips: _*)))
-      .withColumnRenamed("embedding", "pe")
+      .withColumnRenamed("embedding", "pe").withColumnRenamed("nn", "pn")
     val v = coded(vecs, "cand_id")
-      .withColumnRenamed("embedding", "ce")
-    val cands = v.join(broadcast(p), Seq("table", "code"))
-      .filter(col("probe_id") =!= col("cand_id"))
-      .select(col("probe_id"), col("pe"), col("cand_id"), col("ce"))
-      .dropDuplicates("probe_id", "cand_id")
-    val scored = cands.withColumn("cos", cosineFromScaled(
-      dotScaled(col("pe"), col("ce")),
-      normScaled(col("pe")), normScaled(col("ce"))))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("cand_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank").cast("long").as("rank"),
-        col("cand_id").as("neighbor_id"), round4(col("cos")).as("cosine"))
+      .withColumnRenamed("embedding", "ce").withColumnRenamed("nn", "cn")
+    rankBucketCands(
+      v.join(broadcast(p), Seq("table", "code")), k)
   }
 
   /** Corpus-wide k-NN GRAPH via LSH buckets: every vector is both probe
@@ -196,27 +203,20 @@ object Similarity {
                tables: Int = 4, bits: Int = 6): DataFrame = {
     val coded = vecs
       .select(col("vec_id"), col("embedding"),
+        normScaled(col("embedding")).as("nn"),
         posexplode(lshCodes(col("embedding"), tables, bits)))
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"), col("embedding"), col("nn"),
         col("pos").as("table"), col("col").as("code"))
     val p = coded.select(col("vec_id").as("probe_id"),
-      col("embedding").as("pe"), col("table"), col("code"))
+      col("embedding").as("pe"), col("nn").as("pn"),
+      col("table"), col("code"))
     val v = coded.select(col("vec_id").as("cand_id"),
-      col("embedding").as("ce"), col("table"), col("code"))
-    val cands = v.join(p, Seq("table", "code")) // shuffled — see Scaladoc
-      .filter(col("probe_id") =!= col("cand_id"))
-      .select(col("probe_id"), col("pe"), col("cand_id"), col("ce"))
-      .dropDuplicates("probe_id", "cand_id")
-    val scored = cands.withColumn("cos", cosineFromScaled(
-      dotScaled(col("pe"), col("ce")),
-      normScaled(col("pe")), normScaled(col("ce"))))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("cand_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank").cast("long").as("rank"),
-        col("cand_id").as("neighbor_id"), round4(col("cos")).as("cosine"))
+      col("embedding").as("ce"), col("nn").as("cn"),
+      col("table"), col("code"))
+    // shuffled bucket self-join (see Scaladoc) — the only stage where
+    // embeddings cross the wire is this n×tables-row exchange; the pair
+    // set is scored in place and ranked narrow by rankBucketCands
+    rankBucketCands(v.join(p, Seq("table", "code")), k)
   }
 
   /** The knnGraph scale contract, executable: bits sized so per-bucket
@@ -415,27 +415,22 @@ object Similarity {
     // back by id for exact scoring — narrow⋈narrow equi-join, linear
     val vecBuckets = ivfAssign(vecs, cent, "cand_id", 1)
       .join(vecs.select(col("vec_id").as("cand_id"),
-        col("embedding").as("ce")), Seq("cand_id"))
+        col("embedding").as("ce"),
+        normScaled(col("embedding")).as("cn")), Seq("cand_id"))
     val probeBuckets = ivfAssign(probes, cent, "probe_id", nprobe)
       .withColumnRenamed("embedding", "pe")
+      .withColumn("pn", normScaled(col("pe")))
     // probe buckets are |probes|×nprobe rows — BROADCAST them: `cid` has
     // only nlist distinct values, so a shuffle join here would hash the
     // whole corpus into ≤nlist tasks (the measured n9 100× cliff). And no
     // dedup: the corpus side is one row per cand_id (keep=1 argmax) and a
     // probe's nprobe cids are distinct (row_number ranks one row per
     // (probe, cid)), so the join emits ≤1 row per (probe_id, cand_id).
-    val cands = vecBuckets.join(broadcast(probeBuckets), Seq("cid"))
-      .filter(col("probe_id") =!= col("cand_id"))
-    val scored = cands.withColumn("cos", cosineFromScaled(
-      dotScaled(col("pe"), col("ce")),
-      normScaled(col("pe")), normScaled(col("ce"))))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("cand_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank").cast("long").as("rank"),
-        col("cand_id").as("neighbor_id"), round4(col("cos")).as("cosine"))
+    // norms are precomputed per VECTOR above (cn in the join-back, pn on
+    // the probe buckets), not per candidate pair; pairs are unique so
+    // rankBucketCands' tail dedup is a no-op over the ~k·|probes| head
+    rankBucketCands(
+      vecBuckets.join(broadcast(probeBuckets), Seq("cid")), k)
   }
 
   /** Product-quantization ANN (asymmetric-distance, inner-product form).
