@@ -256,8 +256,12 @@ object Scaling {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JIT warm-up on the smallest driver fixture (same rationale as Bench)
-    querySet.foreach { name =>
+    val only = sys.env.get("SPARK_GRAFT_SCALING_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+
+    // JIT warm-up on the smallest driver fixture (same rationale as
+    // Bench) — only for the queries this run will actually time
+    querySet.filter(q => only.forall(_.contains(q))).foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try fn(spark, "/root/testdata/sf0.001").write.format("noop")
           .mode("overwrite").save()
@@ -292,8 +296,6 @@ object Scaling {
       }
     }
 
-    val only = sys.env.get("SPARK_GRAFT_SCALING_QUERIES")
-      .map(_.split(",").map(_.trim).toSet)
     val times: Map[String, Seq[(Double, Option[Double])]] =
       querySet.filter(q => only.forall(_.contains(q))).map { name =>
         name -> dirs.flatMap { case (dir, f) =>

@@ -469,24 +469,38 @@ object Similarity {
     * (normScaled(cw) − 2·dotScaled(sv, cw)) — no division, (d2, code)
     * total order, so assignments are bit-identical across partitionings.
     */
-  private def pqAssign(slices: DataFrame, book: DataFrame): DataFrame = {
-    // hash-aggregate argmin, not a sort window: min_by over the
-    // lexicographic (d2, code) struct picks the identical codeword but
-    // partial-aggregates map-side — |slices| rows never sort-shuffle,
-    // only one candidate per (id, sub) group survives each partition
-    // NARROW output (id, sub, code): the sub-vector is projected away
-    // before the aggregate — with sv inside the min_by value struct the
-    // per-(codebook-candidate) rows carried the array through the
-    // SortAggregate's sorts (the same measured 100× term as ivfAssign's
-    // wide argmax); training, the one consumer that needs sv back, joins
-    // it from its (sample-bounded) corpus
-    spreadPartitions(slices)
+  private def pqAssign(slices: DataFrame, book: DataFrame,
+                       keepSv: Boolean = false): DataFrame = {
+    // aggregate argmin, not a sort window: min_by over the lexicographic
+    // (d2, code) struct picks the identical codeword but partial-
+    // aggregates map-side — one survivor per (id, sub) group leaves each
+    // partition, the candidate rows themselves never cross the wire.
+    // Default output is NARROW (id, sub, code): the sub-vector is
+    // projected away before the aggregate — with sv inside the min_by
+    // value struct the per-(codebook-candidate) rows carried the array
+    // through the SortAggregate's sorts (the same measured 100× term as
+    // ivfAssign's wide argmax), and the corpus-scale callers (encode,
+    // search) never read sv. keepSv=true keeps the r8 wide form for the
+    // ONE consumer that needs sv back — the Lloyd mean recompute — whose
+    // input is sample-bounded by contract, where the wide struct is
+    // cheaper than two extra join stages per training iteration.
+    val base =
+      if (keepSv) slices
+      else spreadPartitions(slices)
+    val scored = base
       .join(broadcast(book.withColumn("cn", normScaled(col("cw")))),
         Seq("sub"))
       .withColumn("d2", col("cn") - lit(2L) * dotScaled(col("sv"), col("cw")))
-      .select(col("id"), col("sub"), col("code"), col("d2"))
-      .groupBy(col("id"), col("sub"))
-      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+    if (keepSv)
+      scored.groupBy(col("id"), col("sub"))
+        .agg(min_by(struct(col("code"), col("sv")),
+          struct(col("d2"), col("code"))).as("pick"))
+        .select(col("id"), col("sub"),
+          col("pick.code").as("code"), col("pick.sv").as("sv"))
+    else
+      scored.select(col("id"), col("sub"), col("code"), col("d2"))
+        .groupBy(col("id"), col("sub"))
+        .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
   }
 
   /** Train the m per-subspace codebooks — deterministic Lloyd, all m
@@ -538,10 +552,10 @@ object Similarity {
     var cb = corpus.filter(col("id") % sampleStride === 0)
       .select(col("sub"), col("id").as("code"), col("sv").as("cw"))
     for (_ <- 1 to iters) {
-      // sv joins back from the (sample-bounded) training corpus — the
-      // narrow pqAssign no longer carries it through the argmin
-      cb = pqAssign(corpus, cb)
-        .join(corpus, Seq("id", "sub"))
+      // keepSv: the training corpus is sample-bounded by contract, so
+      // the wide argmin is cheaper here than two join stages per
+      // iteration (the corpus-scale encode path stays narrow)
+      cb = pqAssign(corpus, cb, keepSv = true)
         .select(col("sub"), col("code"), posexplode(col("sv")))
         .groupBy(col("sub"), col("code"), col("pos"))
         .agg(graft.functions.Core.dsum(col("col")).as("s"),
