@@ -109,7 +109,9 @@ object Similarity {
         col("pos").as("table"), col("col").as("code"))
     val p = coded(probes, "probe_id")
       .withColumnRenamed("embedding", "pe").withColumnRenamed("nn", "pn")
-    val v = coded(vecs, "cand_id")
+    // spread the corpus side: with the probe side broadcast, candidate
+    // scoring parallelism is the corpus scan's split count (see knnGraph)
+    val v = coded(spreadPartitions(vecs), "cand_id")
       .withColumnRenamed("embedding", "ce").withColumnRenamed("nn", "cn")
     rankBucketCands(
       v.join(broadcast(p), Seq("table", "code")), k)
@@ -168,7 +170,8 @@ object Similarity {
     val p = coded(probes, "probe_id")
       .withColumn("code", explode(array(col("code") +: flips: _*)))
       .withColumnRenamed("embedding", "pe").withColumnRenamed("nn", "pn")
-    val v = coded(vecs, "cand_id")
+    // spread the corpus side — same starvation as lshTopK
+    val v = coded(spreadPartitions(vecs), "cand_id")
       .withColumnRenamed("embedding", "ce").withColumnRenamed("nn", "cn")
     rankBucketCands(
       v.join(broadcast(p), Seq("table", "code")), k)
@@ -177,9 +180,12 @@ object Similarity {
   /** Corpus-wide k-NN GRAPH via LSH buckets: every vector is both probe
     * and candidate, so — unlike the serving paths above, where the probe
     * batch is small and broadcast — NEITHER side of the candidate join
-    * fits in a broadcast. Candidates come from a plain shuffled
-    * self-equi-join on the (table, code) bucket key: both sides hash-
-    * partition on the bucket, cost tracks Σ bucket² occupancy, and no
+    * fits in a broadcast. Candidates come from a self-equi-join on the
+    * (table, code) bucket key with NO broadcast hint: at corpus scale
+    * both sides hash-partition on the bucket (AQE may still broadcast
+    * one side while it fits the threshold — fine, since the corpus side
+    * is spread first so scoring stays parallel either way), cost tracks
+    * Σ bucket² occupancy, and no
     * stage materializes anything corpus-sized on the driver. This is the
     * knn-graph shape SemDeDup-style clustering and graph-based dedup
     * consume; defaults trade recall down (fewer tables, longer codes)
@@ -201,7 +207,14 @@ object Similarity {
     */
   def knnGraph(vecs: DataFrame, k: Int,
                tables: Int = 4, bits: Int = 6): DataFrame = {
-    val coded = vecs
+    // spread BEFORE coding: when AQE turns the bucket self-join into a
+    // broadcast join (it does whenever one coded side fits the
+    // threshold), the pair scoring runs at the STREAM side's partition
+    // count — a compact parquet corpus reads as a handful of splits,
+    // and the 30× hump in SCALING.json was exactly this join scoring
+    // 10M pairs on 3 scan partitions (41 s broadcast-starved vs 17 s
+    // shuffled at 100× with 3× the pairs)
+    val coded = spreadPartitions(vecs)
       .select(col("vec_id"), col("embedding"),
         normScaled(col("embedding")).as("nn"),
         posexplode(lshCodes(col("embedding"), tables, bits)))
