@@ -79,15 +79,11 @@ object Scaling {
   val factorCap: Map[String, Double] = Map(
     // the retired fixed-width geometries are quadratic BY CONSTRUCTION
     // (that's what these labeled counterexample entries exist to show);
-    // 10× is evidence enough — the adaptive/auto main entries carry the
-    // 30×/100× curve. Since r11/r12 the MAIN n8/d16 entries derive
-    // their width from COUNT(*) and the n6/n7 training stages are
-    // sample-bounded (Similarity.sampleModuli), so the main keys are
-    // measured uncapped to 30× here (100× lives in the adaptive_100x
-    // note's decade runs).
-    "n8_fixed_bits" -> 10.0, "d16_fixed_bits" -> 10.0,
-    "d16_graph_dedup" -> 30.0, "n8_knn_graph" -> 30.0,
-    "n6_ann_pq" -> 30.0, "n7_ann_ivfpq" -> 30.0)
+    // 10× is evidence enough. The MAIN n8/d16/n6/n7 keys lost their 30×
+    // caps in r13: width is COUNT(*)-adaptive, training sample-bounded,
+    // the argmax narrow, and the bucket-join scoring spread — nothing
+    // left that the caps were protecting the wall-clock from.
+    "n8_fixed_bits" -> 10.0, "d16_fixed_bits" -> 10.0)
 
   /** bits = 6 + ceil(log2(factor)): per-bucket occupancy pinned to the
     * 1× calibration as the corpus grows — the knnGraph scale contract,
