@@ -639,7 +639,9 @@ object Similarity {
     * every query then pays ONLY the ADC scan + shortlist re-rank, never
     * retraining. `codes` is the (vec_id, sub, code) frame pqEncode
     * produces; `vecs` supplies raw embeddings for the exact re-rank of
-    * shortlist rows alone.
+    * shortlist rows alone. Replica code rows in the artifact (re-ingested
+    * vectors, retried writes) are collapsed by the dup-safe ADC
+    * ([[adcCollapse]]) instead of double-counting.
     */
   def pqTopKFromCodes(probes: DataFrame, vecs: DataFrame,
                       codebook: DataFrame, codes: DataFrame, k: Int,
@@ -655,15 +657,55 @@ object Similarity {
     require(width > 0, "pqTopKFromCodes: empty codewords in codebook")
     pqSearch(probes, vecs, codebook,
       codes.select(col("vec_id").as("cand_id"), col("sub"), col("code")),
-      k, m, width, shortlist)
+      k, m, width, shortlist, dupSafe = true)
+  }
+
+  /** Collapse a candidate's m joined code rows into the ADC partials
+    * (probe_id, cand_id, adot, rnorm). In-query paths use the plain sums
+    * — their codes frames are unique per (cand_id, sub) by construction
+    * (one pqAssign row each). The artifact-serving `*FromCodes` paths
+    * set `dupSafe`: caller-provided cells/codes parquet can legitimately
+    * carry replica rows (a vector re-ingested across index slices, a
+    * retried artifact write), and sum() over a duplicated (cand_id, sub)
+    * row inflates adot/rnorm ~2× and corrupts the shortlist. The
+    * dup-safe form picks ONE row per subspace — max over the
+    * (code, pdot, cn) struct — so bit-identical replicas collapse at the
+    * same single shuffle (no pre-dedup exchange over the corpus-scale
+    * codes frame). Conflicting duplicates (same vec re-encoded to a
+    * DIFFERENT code without compaction) deterministically pick the max
+    * code; a served index with conflicts needs last-wins compaction, not
+    * search-side repair.
+    */
+  private def adcCollapse(joined: DataFrame, m: Int, dupSafe: Boolean)
+      : DataFrame = {
+    if (!dupSafe)
+      joined.groupBy(col("probe_id"), col("cand_id"))
+        .agg(sum(col("pdot")).as("adot"), sum(col("cn")).as("rnorm"))
+    else {
+      val picks = (0 until m).map { s =>
+        max(when(col("sub") === lit(s),
+          struct(col("code"), col("pdot"), col("cn")))).as(s"w$s")
+      }
+      val fold = (f: String) =>
+        (0 until m).map(s => col(s"w$s").getField(f)).reduce(_ + _)
+      joined.groupBy(col("probe_id"), col("cand_id"))
+        .agg(picks.head, picks.tail: _*)
+        // a candidate missing a subspace row folds to NULL adot/rnorm →
+        // NULL acos, which desc-sorts last and never reaches the
+        // shortlist (a truncated artifact can't fake a high score)
+        .select(col("probe_id"), col("cand_id"),
+          fold("pdot").as("adot"), fold("cn").as("rnorm"))
+    }
   }
 
   /** Shared PQ query path: ADC scoring of the encoded corpus + exact
-    * re-rank of the shortlist. `codes` carries (cand_id, sub, code).
+    * re-rank of the shortlist. `codes` carries (cand_id, sub, code);
+    * `dupSafe` per [[adcCollapse]] for artifact-provided codes.
     */
   private def pqSearch(probes: DataFrame, vecs: DataFrame, cb: DataFrame,
                        codes: DataFrame, k: Int, m: Int, sub: Int,
-                       shortlist: Int): DataFrame = {
+                       shortlist: Int, dupSafe: Boolean = false)
+      : DataFrame = {
     val book = cb.withColumn("cn", normScaled(col("cw")))
     // ADC lookup table: per-(probe, sub, code) scaled-long partial dot +
     // codeword norm — nprobes × m × |codebook| rows, tiny, broadcast
@@ -676,9 +718,8 @@ object Similarity {
     // scaled-long floors are additive over the subspace concatenation, so
     // these integer sums are EXACTLY dotScaled/normScaled of probe ×
     // reconstructed candidate — order-independent across partitionings
-    val adc = codes.join(broadcast(lut), Seq("sub", "code"))
-      .groupBy(col("probe_id"), col("cand_id"))
-      .agg(sum(col("pdot")).as("adot"), sum(col("cn")).as("rnorm"))
+    val adc = adcCollapse(codes.join(broadcast(lut), Seq("sub", "code")),
+        m, dupSafe)
       .filter(col("probe_id") =!= col("cand_id"))
       .join(broadcast(pn), Seq("probe_id"))
       .withColumn("acos",
@@ -799,7 +840,9 @@ object Similarity {
         ivfAssign(probes, centFrame(centroids), "probe_id", nprobe)
           .select(col("probe_id"), col("cid"))), Seq("cid"))
       .filter(col("probe_id") =!= col("cand_id"))
-      // unique by construction, as in ivfPqTopK — no dedup shuffle
+      // replica cells rows (re-ingested vectors across index slices)
+      // duplicate (probe, cand) pairs here; they collapse in the
+      // dup-safe [[adcCollapse]] below at no extra shuffle
       .select(col("probe_id"), col("cand_id"))
     val book = codebook.withColumn("cn", normScaled(col("cw")))
     val lut = pqSliced(probes, m, dim / m)
@@ -808,12 +851,11 @@ object Similarity {
         dotScaled(col("sv"), col("cw")).as("pdot"), col("cn"))
     val pn = probes.select(col("vec_id").as("probe_id"),
       normScaled(col("embedding")).as("pn"))
-    val adc = cands
-      .join(codes.select(col("vec_id").as("cand_id"), col("sub"),
-        col("code")), Seq("cand_id"))
-      .join(broadcast(lut), Seq("probe_id", "sub", "code"))
-      .groupBy(col("probe_id"), col("cand_id"))
-      .agg(sum(col("pdot")).as("adot"), sum(col("cn")).as("rnorm"))
+    val adc = adcCollapse(cands
+        .join(codes.select(col("vec_id").as("cand_id"), col("sub"),
+          col("code")), Seq("cand_id"))
+        .join(broadcast(lut), Seq("probe_id", "sub", "code")),
+        m, dupSafe = true)
       .join(broadcast(pn), Seq("probe_id"))
       .withColumn("acos",
         cosineFromScaled(col("adot"), col("pn"), col("rnorm")))

@@ -326,16 +326,33 @@ object Tokenize {
     * retrain tick runs at a real vocab size.
     */
   def serveMergesLocal(spark: org.apache.spark.sql.SparkSession,
-                       indexDir: String, k: Int,
-                       minFreq: Long = 1L): DataFrame = {
+                       indexDir: String, k: Int, minFreq: Long = 1L,
+                       maxVocab: Int = 1 << 23): DataFrame = {
     import spark.implicits._
-    val vocab = graft.Tables.readOrEmpty(spark, s"$indexDir/vocab",
-      "word STRING, freq BIGINT")
-      .groupBy(col("word")).agg(sum(col("freq")).as("freq"))
-      .filter(col("freq") >= minFreq)
-      .as[(String, Long)].collect()
+    val vocab = boundedCollect(
+      graft.Tables.readOrEmpty(spark, s"$indexDir/vocab",
+        "word STRING, freq BIGINT")
+        .groupBy(col("word")).agg(sum(col("freq")).as("freq"))
+        .filter(col("freq") >= minFreq)
+        .as[(String, Long)], maxVocab)
     trainLocal(vocab, k).toDF("step", "left", "right", "merged",
       "pair_count", "n_syms_after")
+  }
+
+  /** Driver-side vocab materialization with the loud-failure guard
+    * BEFORE the collect can OOM: `limit(maxVocab + 1)` bounds what ever
+    * reaches the driver, and one overflow row proves the floored vocab
+    * exceeds the cap — fail with the remedy instead of truncating (a
+    * truncated vocab trains a different tokenizer; raise `minFreq`,
+    * which is what real tokenizer builds do at corpus scale).
+    */
+  private def boundedCollect(
+      vocab: org.apache.spark.sql.Dataset[(String, Long)],
+      maxVocab: Int): Array[(String, Long)] = {
+    val got = vocab.limit(maxVocab + 1).collect()
+    require(got.length <= maxVocab,
+      s"floored vocab exceeds maxVocab $maxVocab — raise minFreq")
+    got
   }
 
   /** Learn `k` BPE merges on the driver from the frequency-floored
@@ -350,10 +367,9 @@ object Tokenize {
                      maxVocab: Int = 1 << 23): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val vocab = wordFreq(docs).filter(col("freq") >= minFreq)
-      .select(col("word"), col("freq")).as[(String, Long)].collect()
-    require(vocab.length <= maxVocab,
-      s"vocab ${vocab.length} exceeds maxVocab $maxVocab — raise minFreq")
+    val vocab = boundedCollect(
+      wordFreq(docs).filter(col("freq") >= minFreq)
+        .select(col("word"), col("freq")).as[(String, Long)], maxVocab)
     trainLocal(vocab, k).toDF("step", "left", "right", "merged",
       "pair_count", "n_syms_after")
   }

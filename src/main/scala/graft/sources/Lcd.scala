@@ -84,8 +84,13 @@ object Lcd {
       catch {
         case e: Exception =>
           last = e
-          sleep(math.min((1000d * math.pow(1.5, attempt)).toLong, 10000L))
           attempt += 1
+          // backoff only precedes a RETRY — after the final attempt the
+          // terminal failure throws immediately instead of stalling the
+          // job one more capped backoff for nothing
+          if (attempt < maxAttempts)
+            sleep(math.min(
+              (1000d * math.pow(1.5, attempt - 1)).toLong, 10000L))
       }
     }
     throw new RuntimeException(

@@ -763,8 +763,10 @@ object Streams {
     * writes read only train-time artifacts, so batches cannot interfere
     * with their own writes (unlike the dedup ingest, no staging needed),
     * and each batch overwrites its own `batch=<id>` partition so a
-    * checkpoint retry is idempotent — duplicate (vec_id, sub) code rows
-    * would otherwise double-count in the served ADC sums. Same
+    * checkpoint retry is idempotent — replica (vec_id, sub) code rows
+    * would otherwise bloat the artifacts (the serve path's dup-safe ADC
+    * collapses replicas rather than double-counting them, but idempotent
+    * writes keep the index from growing with every retry). Same
     * checkpoint precondition as [[neardupIngest]]: batch ids come from
     * the checkpoint, so the `_stream_id` marker fails fast if a fresh
     * checkpoint is pointed at populated cells/codes dirs (batch ids

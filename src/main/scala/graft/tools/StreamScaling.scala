@@ -64,6 +64,41 @@ object StreamScaling {
         name, Double.box(factor), Int.box(tick), Double.box(ms(sec)),
         Long.box(indexRows)))
 
+    // Warm-up: run each maintenance path once on a tiny throwaway slice
+    // BEFORE any measured tick. Tick 0 would otherwise pay one-time
+    // whole-stage-codegen compilation, RocksDB state-store init, and
+    // classloading — inflating the denominator of growth_last_over_first
+    // and masking exactly the O(index)-read growth this tool exists to
+    // expose (Bench/Scaling warm up for the same reason).
+    locally {
+      val wdir = dirs.head._1
+      val wdocs = Tables.documents(spark, wdir).limit(200)
+      val wvecs = Tables.embeddings(spark, wdir).limit(100)
+      val docsSchema = "doc_id BIGINT, text STRING, lang STRING, " +
+        "source STRING, n_chars BIGINT"
+      val vecsSchema = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+      val land = tmp("graft-ss-warm-land")
+      wdocs.write.parquet(s"$land/docs")
+      wvecs.write.parquet(s"$land/vecs")
+      val dstream = spark.readStream.schema(docsSchema)
+        .option("recursiveFileLookup", "true").parquet(s"$land/docs")
+      val vstream = spark.readStream.schema(vecsSchema)
+        .option("recursiveFileLookup", "true").parquet(s"$land/vecs")
+      val art = tmp("graft-ss-warm-art")
+      import graft.operators.Similarity
+      Similarity.sampledTrainCentroids(wvecs)
+        .write.parquet(s"$art/centroids")
+      Similarity.pqTrainSampled(wvecs).write.parquet(s"$art/codebook")
+      Streams.neardupIngest(dstream, s"$art/ndidx", s"$art/accepted",
+        tmp("graft-ss-warm-ck1")).awaitTermination()
+      Streams.annIndexMaintenance(vstream, s"$art/centroids",
+        s"$art/codebook", s"$art/cells", s"$art/codes",
+        tmp("graft-ss-warm-ck2")).awaitTermination()
+      Streams.postingsMaintenance(dstream, s"$art/bm25",
+        tmp("graft-ss-warm-ck3")).awaitTermination()
+      System.err.println("[streamscale] warm-up done")
+    }
+
     dirs.foreach { case (dir, factor) =>
       val docs = Tables.documents(spark, dir)
       val vecs = Tables.embeddings(spark, dir)

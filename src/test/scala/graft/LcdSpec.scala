@@ -39,8 +39,10 @@ class LcdSpec extends AnyFunSuite {
       }
     }
     assert(ex.getMessage.contains("after 4 attempts"))
-    // capped exponential: 1000·1.5^a, ceiling 10000
-    assert(sleeps.toSeq.drop(1) == Seq(1000L, 1500L, 2250L, 3375L))
+    // capped exponential between retries: 1000·1.5^a, ceiling 10000 —
+    // and NO trailing backoff after the final attempt (the terminal
+    // failure throws immediately, it doesn't stall a dead wait first)
+    assert(sleeps.toSeq.drop(1) == Seq(1000L, 1500L, 2250L))
   }
 
   test("CachedReserves: TTL hit serves the cache, expiry reloads " +

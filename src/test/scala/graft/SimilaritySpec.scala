@@ -149,6 +149,21 @@ class SimilaritySpec extends AnyFunSuite {
     val inQuery = rows(Similarity.ivfPqTopK(probes, vecs, centroids,
       k = 5, nprobe = 8))
     assert(served == inQuery)
+
+    // replica artifact rows are the streaming-maintenance reality (a
+    // vector re-ingested lands in two batch=<id> slices; a retried
+    // write duplicates a slice). The dup-safe ADC must collapse them —
+    // a plain sum would double adot/rnorm (√2× inflated acos) and let
+    // the duplicated candidate jump the shortlist.
+    val cellsDup = spark.read.parquet(s"$dir/cells")
+    val codesDup = spark.read.parquet(s"$dir/codes")
+    val withDups = rows(Similarity.ivfPqTopKFromCodes(probes, vecs,
+      centroids,
+      cellsDup.union(cellsDup.filter(col("vec_id") % 7 === 0)),
+      spark.read.parquet(s"$dir/codebook"),
+      codesDup.union(codesDup.filter(col("vec_id") % 7 === 0)),
+      k = 5, nprobe = 8))
+    assert(withDups == served)
   }
 
   test("pq artifacts survive a parquet round-trip; served search matches " +
@@ -178,6 +193,12 @@ class SimilaritySpec extends AnyFunSuite {
     val inQuery = rows(Similarity.pqTopK(
       probes, vecs, k = 5, m = 4, iters = 2))
     assert(served == inQuery)
+    // replica code rows collapse instead of double-counting (dup-safe
+    // ADC) — same contract as the ivf+pq artifact path
+    val withDups = rows(Similarity.pqTopKFromCodes(
+      probes, vecs, cb2,
+      codes2.union(codes2.filter(col("vec_id") % 5 === 0)), k = 5))
+    assert(withDups == served)
   }
 
   test("pqEncode rejects a codebook trained on different-dimension vectors") {

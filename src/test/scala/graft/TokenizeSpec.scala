@@ -184,6 +184,12 @@ class TokenizeSpec extends AnyFunSuite {
       // in-process trainer — same counts, same merges
       assert(Tokenize.serveMergesLocal(spark, idx, 4)
         .orderBy(col("step")).collect().toSeq == served)
+      // the serve twin carries the same pre-collect maxVocab guard as
+      // bpeMergesLocal: a retrain tick over an oversized streamed vocab
+      // fails loudly BEFORE materializing it on the driver
+      intercept[IllegalArgumentException] {
+        Tokenize.serveMergesLocal(spark, idx, 4, maxVocab = 2).collect()
+      }
     }
   }
 

@@ -60,6 +60,12 @@ def main(out, logs):
             ms = [margins[str(f)] for f, _ in pts[1:]]
             if len(ms) >= 2 and ms[0] > 0:
                 entry["superlinearity"] = round(ms[-1] / ms[0], 3)
+            else:
+                # the ratio is not computable from the fresh points —
+                # drop any stale value rather than leave a headline
+                # ratio that contradicts its own sec_by_factor (the
+                # r12 n6/n7 stale-entry failure class)
+                entry.pop("superlinearity", None)
     if stream:
         sblock = doc.setdefault("streaming", {})
         for name, byf in stream.items():
