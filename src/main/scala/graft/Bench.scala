@@ -45,7 +45,9 @@ object Bench {
     // r13: the partsupp anchors (derived-dimension joins), the
     // SQL-surface correlated scalar, and the in-process BPE trainer
     "b18_tpch_q2", "b19_tpch_q9", "b20_tpch_q11", "b21_tpch_q16",
-    "b22_tpch_q20", "j5_correlated_scalar", "t27b_bpe_local")
+    "b22_tpch_q20", "j5_correlated_scalar", "t27b_bpe_local",
+    // r13 second session: hybrid lexical+semantic retrieval (RRF)
+    "t32_hybrid_rrf", "hybrid_serving")
 
   /** The 2×-criterion twin (r7 verdict #8): time the SAME SQL the oracle
     * runs, in DuckDB, over the SAME parquet — a measurable single-node
@@ -89,7 +91,10 @@ object Bench {
     // keys — the twin shows what the in-plan synthesis costs each
     // engine); j5 times DuckDB's native correlated-scalar rewrite
     // against Catalyst's decorrelation on identical SQL semantics
-    "b19_tpch_q9", "j5_correlated_scalar")
+    "b19_tpch_q9", "j5_correlated_scalar",
+    // r13 second session: the fused-retrieval twin (both legs + the
+    // full-outer RRF fusion in one statement on each engine)
+    "t32_hybrid_rrf")
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
@@ -270,7 +275,25 @@ object Bench {
           Seq("dup", "vector", "merge", "scan"), 20)
         .write.format("noop").mode("overwrite").save()
       q22() // warm
-      Map("t22_serving" -> math.min(t(() => q22()), t(() => q22())))
+      // hybrid serving: BOTH legs from persisted artifacts (postings +
+      // IVF/PQ index) through the same rrfFuse the t32 headline entry
+      // uses — the query-time cost of the production RAG-serving shape
+      def qh(): Unit = {
+        val lex = Retrieval.lexRank(
+          Retrieval.bm25FromPostings(spark, s"$tmp/bm25",
+            Seq("dup", "vector", "merge", "scan"), 50), probeId = 0L)
+        val sem = Similarity.ivfPqTopKFromCodes(
+            v.filter(col("vec_id") === 0), v, centroids, cellsR, cbR,
+            codesR, k = 50, nprobe = 8)
+          .select(col("neighbor_id").as("doc_id"),
+            col("rank").as("sem_rank"))
+        Retrieval.rrfFuse(lex, sem, k = 20)
+          .write.format("noop").mode("overwrite").save()
+      }
+      qh() // warm
+      Map(
+        "t22_serving" -> math.min(t(() => q22()), t(() => q22())),
+        "hybrid_serving" -> math.min(t(() => qh()), t(() => qh())))
     } catch { case e: Throwable =>
       // absent-key with a visible cause, not a silent hole: a consumer
       // diffing bench runs must be able to tell "build broke" from

@@ -252,4 +252,71 @@ object Retrieval {
       .withColumn("score", scoreCol(terms))
     rank(scored, k)
   }
+
+  /** A ranked BM25 leg for [[rrfFuse]]: number the (doc_id, dl, score)
+    * top-k frame by the SAME (score desc, doc_id) order that produced
+    * it. The window partitions by the query id; with ONE probe Catalyst
+    * constant-folds the literal key away and the window runs
+    * single-partition — fine, the frame is ≤ legK rows by construction
+    * (PlanLintSpec allowlists exactly this bounded shape). A batched
+    * serving path carries real probe_id values and ranks every query's
+    * leg in parallel.
+    */
+  def lexRank(bm25TopK: DataFrame, probeId: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    bm25TopK.withColumn("probe_id", lit(probeId))
+      .withColumn("lex_rank", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al.) of a lexical and a semantic
+    * leg — the standard hybrid-retrieval combiner: each leg contributes
+    * 1/(rrfK + rank) for the docs it ranked (0 for the docs it didn't),
+    * and the fused top-k orders by the summed score. Rank-based, so the
+    * incomparable scales of a BM25 score and a cosine never meet — and
+    * both addends are one IEEE division of small integers, so the fused
+    * double is bit-identical across engines (the t22/n1 exactness
+    * contract composes). Inputs are the two top-`legK` ranked legs
+    * (doc_id, lex_rank) / (doc_id, sem_rank); both are query-sized
+    * frames, so the full-outer fusion join and the TakeOrdered(k) cost
+    * nothing at any corpus size — the corpus-scale work happened inside
+    * the legs, which is the entire point of fusing RANKS.
+    */
+  def rrfFuse(lex: DataFrame, sem: DataFrame, k: Int,
+              rrfK: Long = 60L): DataFrame = {
+    val one = lit(1).cast("double")
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round4(
+        coalesce(one / (lit(rrfK) + col("lex_rank")).cast("double"),
+          lit(0d))
+        + coalesce(one / (lit(rrfK) + col("sem_rank")).cast("double"),
+          lit(0d))))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"), col("rrf"))
+  }
+
+  /** Hybrid retrieval, the production RAG-serving shape: the query is a
+    * document (its embedding = the encoded query, `terms` = its salient
+    * keywords), the lexical leg is BM25 over the corpus MINUS the probe
+    * doc, the semantic leg is cosine top-`legK` over the embedding
+    * table, and [[rrfFuse]] combines the two rank lists. Each leg is one
+    * corpus-scale pass ending in a top-`legK`; at serving scale both
+    * legs come from persisted artifacts instead ([[bm25FromPostings]] +
+    * [[graft.operators.Similarity.ivfPqTopKFromCodes]]) through the same
+    * fuse — Bench's hybrid_serving times that composition.
+    */
+  def hybridRrfTopK(docs: DataFrame, terms: Seq[String], vecs: DataFrame,
+                    probeId: Long, k: Int, legK: Int = 50,
+                    rrfK: Long = 60L): DataFrame = {
+    val lex = lexRank(
+      bm25TopK(docs.filter(col("doc_id") =!= probeId), terms, legK),
+      probeId)
+    val sem = graft.operators.Similarity.bruteForceTopK(
+        vecs.filter(col("vec_id") === probeId), vecs, legK)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("sem_rank"))
+    rrfFuse(lex, sem, k, rrfK)
+  }
 }

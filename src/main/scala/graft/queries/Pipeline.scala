@@ -1188,6 +1188,25 @@ object Pipeline {
         Seq("dup", "vector", "merge", "scan"), 20)
     },
 
+    // T32: hybrid retrieval — t22's BM25 leg + n1's cosine leg fused by
+    // reciprocal rank (RRF), the standard production RAG-serving
+    // combiner: the query is doc 0 (its embedding = the encoded query,
+    // the t22 term list = its keywords), each leg ranks its top-50, and
+    // the fused score is 1/(60+rank) summed across legs (0 where a leg
+    // missed the doc — the full-outer fusion). Rank-based fusion keeps
+    // the incomparable BM25/cosine scales apart AND keeps the oracle
+    // exact: both addends are one IEEE division of small integers, so
+    // the t22 + n1 bit-exactness contracts compose. Scale shape: the
+    // corpus-scale work is inside the two legs (each one pass ending in
+    // top-50); the fusion join and final top-20 touch ≤100 rows at any
+    // corpus size.
+    "t32_hybrid_rrf" -> { (s, d) =>
+      Retrieval.hybridRrfTopK(Tables.documents(s, d),
+        Seq("dup", "vector", "merge", "scan"), Tables.embeddings(s, d),
+        probeId = 0L, k = 20)
+        .canonOrder(col("doc_id"))
+    },
+
     // API5: search-result facets — the serving composite every search
     // UI pairs with t22's ranked hits (the reference's token list route
     // returns grouped/ranked sections over joined aggregates,
@@ -2751,6 +2770,62 @@ object Pipeline {
            FROM tf JOIN d USING (doc_id), c, f)
          SELECT doc_id, dl, round(raw, 4) AS score
          FROM s ORDER BY score DESC, doc_id LIMIT 20""",
+    // t32: the t22 BM25 CTEs (corpus minus the probe doc) + the n1
+    // cosine CTEs (probe = vec 0) + rank windows + the RRF fusion —
+    // every addend one IEEE division of small integers, so the fused
+    // doubles reproduce bit-for-bit
+    "t32_hybrid_rrf" ->
+      s"""WITH d AS (SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\\s\\x0B]+')) AS BIGINT) AS dl
+         FROM documents WHERE doc_id <> 0),
+         w AS (SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\\s\\x0B]+')) AS word
+         FROM documents WHERE doc_id <> 0),
+         tf AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN word = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS tf_dup,
+             CAST(SUM(CASE WHEN word = 'vector' THEN 1 ELSE 0 END) AS BIGINT) AS tf_vector,
+             CAST(SUM(CASE WHEN word = 'merge' THEN 1 ELSE 0 END) AS BIGINT) AS tf_merge,
+             CAST(SUM(CASE WHEN word = 'scan' THEN 1 ELSE 0 END) AS BIGINT) AS tf_scan
+           FROM w WHERE word IN ('dup', 'vector', 'merge', 'scan')
+           GROUP BY doc_id),
+         c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS l_tot FROM d),
+         f AS (SELECT
+             CAST(SUM(CASE WHEN tf_dup > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_dup,
+             CAST(SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_vector,
+             CAST(SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_merge,
+             CAST(SUM(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_scan
+           FROM tf),
+         s AS (SELECT tf.doc_id, round(
+             (CAST(2*n_docs - 2*df_dup + 1 AS DOUBLE) / CAST(2*df_dup + 1 AS DOUBLE))
+               * (CAST(44*tf_dup AS DOUBLE) / (CAST(20*tf_dup + 6 AS DOUBLE) + CAST(18*d.dl*n_docs AS DOUBLE) / CAST(l_tot AS DOUBLE)))
+             + (CAST(2*n_docs - 2*df_vector + 1 AS DOUBLE) / CAST(2*df_vector + 1 AS DOUBLE))
+               * (CAST(44*tf_vector AS DOUBLE) / (CAST(20*tf_vector + 6 AS DOUBLE) + CAST(18*d.dl*n_docs AS DOUBLE) / CAST(l_tot AS DOUBLE)))
+             + (CAST(2*n_docs - 2*df_merge + 1 AS DOUBLE) / CAST(2*df_merge + 1 AS DOUBLE))
+               * (CAST(44*tf_merge AS DOUBLE) / (CAST(20*tf_merge + 6 AS DOUBLE) + CAST(18*d.dl*n_docs AS DOUBLE) / CAST(l_tot AS DOUBLE)))
+             + (CAST(2*n_docs - 2*df_scan + 1 AS DOUBLE) / CAST(2*df_scan + 1 AS DOUBLE))
+               * (CAST(44*tf_scan AS DOUBLE) / (CAST(20*tf_scan + 6 AS DOUBLE) + CAST(18*d.dl*n_docs AS DOUBLE) / CAST(l_tot AS DOUBLE)))
+             , 4) AS score
+           FROM tf JOIN d USING (doc_id), c, f),
+         lex AS (SELECT doc_id, CAST(row_number() OVER (
+                 ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+               FROM s),
+         u AS ($duckUnnest),
+         sc AS (SELECT b.vec_id AS doc_id, ${duckCos("a.x", "b.x")} AS cos
+                FROM u a JOIN u b
+                  ON a.i = b.i AND a.vec_id = 0 AND b.vec_id <> 0
+                GROUP BY b.vec_id),
+         sem AS (SELECT doc_id, CAST(row_number() OVER (
+                 ORDER BY cos DESC, doc_id) AS BIGINT) AS sem_rank
+               FROM sc),
+         fuse AS (SELECT doc_id, lex_rank, sem_rank,
+             round(COALESCE(CAST(1 AS DOUBLE)/(60 + lex_rank), CAST(0 AS DOUBLE))
+                 + COALESCE(CAST(1 AS DOUBLE)/(60 + sem_rank), CAST(0 AS DOUBLE)), 4) AS rrf
+           FROM (SELECT * FROM lex WHERE lex_rank <= 50) l
+           FULL OUTER JOIN (SELECT * FROM sem WHERE sem_rank <= 50) m
+             USING (doc_id))
+         SELECT doc_id, lex_rank, sem_rank, rrf FROM fuse
+         ORDER BY rrf DESC, doc_id LIMIT 20""",
     "t21_chunk_windows" ->
       """WITH d AS (SELECT doc_id,
            regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[\s\x0B]+') AS w

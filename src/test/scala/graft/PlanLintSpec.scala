@@ -33,10 +33,14 @@ class PlanLintSpec extends AnyFunSuite {
   private val cartesianOk: Set[String] = Set()
 
   /** Bounded post-aggregation spines where a global window is the point.
-    * Currently empty: every window on the surface partitions (api3's
-    * gap-fill carry was the last one, keyed in round 9).
+    *   - t32: the lexical-leg rank numbers a top-`legK` frame (≤50 rows
+    *     by construction — bm25TopK's TakeOrdered already ran); the
+    *     partition key is the probe id, which Catalyst constant-folds
+    *     away for the single-probe entry, leaving an empty spec over a
+    *     bounded frame (a batched serving path carries real probe_id
+    *     values and keys the window).
     */
-  private val unpartitionedWindowOk: Set[String] = Set()
+  private val unpartitionedWindowOk: Set[String] = Set("t32_hybrid_rrf")
 
   /** Non-scalar broadcast NLJ allowlist — keyless joins whose broadcast
     * side is bounded BY CONSTRUCTION, not by data volume:
@@ -51,11 +55,13 @@ class PlanLintSpec extends AnyFunSuite {
     *     strongest bound in this family)
     *   - n1: the probe batch of the brute-force baseline (per-request
     *     sized; the corpus side streams)
+    *   - t32: the hybrid entry's semantic leg IS n1's shape (one probe
+    *     broadcast against the streaming corpus side)
     */
   private val nljOk: Set[String] = Set("d5_embedding_neardup",
     "d11_semantic_decontaminate", "d9_semantic_prune", "n1_ann_topk",
     "n3_ann_ivf", "n4_ann_ivf_trained", "n7_ann_ivfpq",
-    "n9_ann_ivf_sampled")
+    "n9_ann_ivf_sampled", "t32_hybrid_rrf")
 
   private def isScalarAgg(p: SparkPlan): Boolean = p.collectFirst {
     case a: HashAggregateExec if a.groupingExpressions.isEmpty => true

@@ -156,4 +156,72 @@ class RetrievalSpec extends AnyFunSuite {
         .delete(p, true)
     }
   }
+
+  test("hybrid RRF: fused rows recompute from the two legs, full-outer " +
+      "keeps single-leg docs, ordering is (rrf desc, doc_id)") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val docs = Tables.documents(spark, sfDir)
+    val vecs = Tables.embeddings(spark, sfDir)
+    val fused = Retrieval.hybridRrfTopK(docs, terms, vecs,
+      probeId = 0L, k = 20).collect().toSeq
+    assert(fused.length == 20)
+    // the reference legs, recomputed independently
+    val lex = Retrieval.lexRank(
+        Retrieval.bm25TopK(docs.filter(col("doc_id") =!= 0L), terms, 50),
+        probeId = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sem = Similarity.bruteForceTopK(
+        vecs.filter(col("vec_id") === 0L), vecs, 50)
+      .collect().map(r => r.getLong(2) -> r.getLong(1)).toMap
+    fused.foreach { r =>
+      val id = r.getLong(0)
+      val lr = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val sr = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      // ranks match the legs exactly (absent leg → null, never 0)
+      assert(lex.get(id) == lr, s"doc $id lex rank")
+      assert(sem.get(id) == sr, s"doc $id sem rank")
+      val want = lr.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        sr.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(3) - want) <= 5e-5,
+        s"doc $id rrf ${r.getDouble(3)} vs $want")
+    }
+    // ordering contract
+    val key = fused.map(r => (-r.getDouble(3), r.getLong(0)))
+    assert(key == key.sorted)
+    // the fixture's legs disagree enough that single-leg docs exist in
+    // the fused top-20 — the full-outer join is load-bearing, not
+    // decorative (an inner join would silently drop these)
+    assert(fused.exists(r => r.isNullAt(1) || r.isNullAt(2)))
+  }
+
+  test("hybrid with the lexical leg served from postings == headline " +
+      "hybrid (the artifact leg is exact, so the fusion is too)") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val docs = Tables.documents(spark, sfDir)
+    val vecs = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-hybrid-postings").toString
+    try {
+      // index the SAME corpus the headline lexical leg scores (minus
+      // the probe doc — the probe is the query)
+      Retrieval.buildPostings(docs.filter(col("doc_id") =!= 0L), dir)
+      val lexServed = Retrieval.lexRank(
+        Retrieval.bm25FromPostings(spark, dir, terms, 50), probeId = 0L)
+      val semBrute = Similarity.bruteForceTopK(
+          vecs.filter(col("vec_id") === 0L), vecs, 50)
+        .select(col("neighbor_id").as("doc_id"),
+          col("rank").as("sem_rank"))
+      val served = Retrieval.rrfFuse(lexServed, semBrute, k = 20)
+        .collect().toSeq
+      val direct = Retrieval.hybridRrfTopK(docs, terms, vecs,
+        probeId = 0L, k = 20).collect().toSeq
+      assert(served == direct)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+  }
 }
