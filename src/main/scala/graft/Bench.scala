@@ -46,8 +46,9 @@ object Bench {
     // SQL-surface correlated scalar, and the in-process BPE trainer
     "b18_tpch_q2", "b19_tpch_q9", "b20_tpch_q11", "b21_tpch_q16",
     "b22_tpch_q20", "j5_correlated_scalar", "t27b_bpe_local",
-    // r13 second session: hybrid lexical+semantic retrieval (RRF)
-    "t32_hybrid_rrf", "hybrid_serving")
+    // r13 second session: hybrid lexical+semantic retrieval (RRF) and
+    // SQ8 scalar-quantized ANN
+    "t32_hybrid_rrf", "hybrid_serving", "n10_ann_sq8")
 
   /** The 2×-criterion twin (r7 verdict #8): time the SAME SQL the oracle
     * runs, in DuckDB, over the SAME parquet — a measurable single-node

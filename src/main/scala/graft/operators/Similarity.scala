@@ -79,6 +79,77 @@ object Similarity {
         col("cand_id").as("neighbor_id"), round4(col("cos")).as("cosine"))
   }
 
+  /** Per-dimension SQ8 quantization bounds over the corpus: ONE row
+    * (mns, mxs) of dim-length double arrays, packed in position order.
+    * One aggregate pass (posexplode → per-dim min/max → array pack);
+    * the row broadcasts to every encode/search consumer. A corpus build
+    * persists it beside the codes — the SQ8 twin of a PQ codebook, 2·dim
+    * doubles instead of 256·dim.
+    */
+  def sq8Stats(vecs: DataFrame): DataFrame =
+    vecs.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+          e => e.getField("mn")).as("mns"),
+        transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+          e => e.getField("mx")).as("mxs"))
+
+  /** Dequantized embedding under SQ8 bounds: each dimension is encoded
+    * to the byte code floor((x−mn)·255/(mx−mn)) clamped to [0,255], then
+    * decoded back to mn + code·(mx−mn)/255 — the value an SQ8 index
+    * actually scores with. The round-trip composes two fixed-order IEEE
+    * chains, and the result rounds through FLOAT so the scaled-long
+    * cosine kernel (array<float> input) and the DuckDB twin (CAST REAL)
+    * see the identical bits. Degenerate dimensions (mx = mn) decode to
+    * mn exactly.
+    */
+  def sq8Dequant(emb: Column, mns: Column, mxs: Column): Column =
+    transform(emb, (x, i) => {
+      val mn = element_at(mns, i + lit(1))
+      val mx = element_at(mxs, i + lit(1))
+      val span = mx - mn
+      val code = when(mx === mn, lit(0L)).otherwise(
+        least(lit(255L), greatest(lit(0L),
+          floor((x.cast("double") - mn) * lit(255.0d) / span))))
+      (mn + code.cast("double") * span / lit(255.0d)).cast("float")
+    })
+
+  /** SQ8 scalar-quantization ANN — the compression point between raw
+    * floats and PQ (FAISS's ScalarQuantizer QT_8bit): the index stores
+    * ONE BYTE per dimension (4× smaller than float32; PQ's m codes are
+    * 32× smaller but need codebook training), candidates score by the
+    * asymmetric form — full-precision probe × dequantized candidate —
+    * and, unlike PQ's ADC, quantization needs NO training pass beyond
+    * one per-dimension min/max aggregate. Scale shape: stats are one
+    * tiny broadcast row; encode+decode+score is one map-side pass over
+    * the corpus (the same single pass brute force pays, on a 4×-smaller
+    * artifact when served from persisted codes); ranking is the n1
+    * per-probe window. Fully deterministic integer/IEEE arithmetic →
+    * complete DuckDB oracle; SimilaritySpec bounds recall vs n1 (SQ8
+    * recall ≫ PQ's at the same fixture — 8 bits/dim vs 8 bits/subspace).
+    */
+  def sq8TopK(probes: DataFrame, vecs: DataFrame, k: Int): DataFrame = {
+    val stats = sq8Stats(vecs)
+    val cand = spreadPartitions(vecs).crossJoin(broadcast(stats))
+      .select(col("vec_id").as("cand_id"),
+        sq8Dequant(col("embedding"), col("mns"), col("mxs")).as("ce"))
+    val p = probes.select(col("vec_id").as("probe_id"),
+      col("embedding").as("pe"), normScaled(col("embedding")).as("pn"))
+    val scored = cand.join(broadcast(p), col("probe_id") =!= col("cand_id"))
+      .withColumn("cos", cosineFromScaled(
+        dotScaled(col("pe"), col("ce")), col("pn"), normScaled(col("ce"))))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("cand_id").as("neighbor_id"), round4(col("cos")).as("cosine"))
+  }
+
   /** LSH bucket codes: `tables` independent codes of `bits` sign-bits
     * each, as array<long> indexed by table — computed map-side per row by
     * the codegen'd [[graft.plans.LshCodesExpr]] kernel (the Column form —

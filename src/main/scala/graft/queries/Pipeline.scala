@@ -266,6 +266,18 @@ object Pipeline {
         .canonOrder(col("probe_id"), col("rank"))
     },
 
+    // N10: SQ8 scalar-quantized ANN — n1's search over a byte-per-
+    // dimension index (4× smaller than float32, zero training beyond a
+    // per-dim min/max pass); probes stay full-precision, candidates
+    // score dequantized (the asymmetric SQ form). Every stage is
+    // deterministic integer/IEEE arithmetic → full DuckDB oracle;
+    // SimilaritySpec bounds recall vs n1.
+    "n10_ann_sq8" -> { (s, d) =>
+      val v = Tables.embeddings(s, d)
+      Similarity.sq8TopK(v.filter(col("vec_id") < 10), v, k = 5)
+        .canonOrder(col("probe_id"), col("rank"))
+    },
+
     // N2: LSH-bucketed ANN — same output shape as n1, candidates from
     // random-hyperplane buckets only. Recall < 1 by design, but the hash
     // itself is deterministic: plane weights are splitmix64 constants and
@@ -2258,6 +2270,29 @@ object Pipeline {
          sc AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
                   ${duckCos("a.x", "b.x")} AS cos
                 FROM u a JOIN u b
+                  ON a.i = b.i AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+                GROUP BY 1, 2),
+         r AS (SELECT probe_id, neighbor_id, cos, row_number() OVER (
+                 PARTITION BY probe_id ORDER BY cos DESC, neighbor_id)
+                 AS rank FROM sc)
+         SELECT probe_id, rank, neighbor_id, round(cos, 4) AS cosine
+         FROM r WHERE rank <= 5 ORDER BY probe_id, rank""",
+    // n10: the SQ8 round-trip (encode floor((x−mn)·255/span) clamped,
+    // decode mn + code·span/255, rounded through REAL like the Spark
+    // side's float cast) feeding the same scaled-long cosine as n1
+    "n10_ann_sq8" ->
+      s"""WITH u AS ($duckUnnest),
+         st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM u GROUP BY i),
+         dq AS (SELECT vec_id, u.i, CAST(CAST(
+             CASE WHEN mx = mn THEN mn
+                  ELSE mn + least(255, greatest(0,
+                    CAST(floor((x - mn) * 255 / (mx - mn)) AS BIGINT)))
+                    * (mx - mn) / 255
+             END AS REAL) AS DOUBLE) AS xq
+           FROM u JOIN st ON u.i = st.i),
+         sc AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+                  ${duckCos("a.x", "b.xq")} AS cos
+                FROM u a JOIN dq b
                   ON a.i = b.i AND a.vec_id < 10 AND a.vec_id <> b.vec_id
                 GROUP BY 1, 2),
          r AS (SELECT probe_id, neighbor_id, cos, row_number() OVER (

@@ -57,11 +57,13 @@ class PlanLintSpec extends AnyFunSuite {
     *     sized; the corpus side streams)
     *   - t32: the hybrid entry's semantic leg IS n1's shape (one probe
     *     broadcast against the streaming corpus side)
+    *   - n10: n1's probe-batch broadcast over the dequantized corpus
+    *     side (the SQ8 search is brute force on a byte-per-dim index)
     */
   private val nljOk: Set[String] = Set("d5_embedding_neardup",
     "d11_semantic_decontaminate", "d9_semantic_prune", "n1_ann_topk",
     "n3_ann_ivf", "n4_ann_ivf_trained", "n7_ann_ivfpq",
-    "n9_ann_ivf_sampled", "t32_hybrid_rrf")
+    "n9_ann_ivf_sampled", "t32_hybrid_rrf", "n10_ann_sq8")
 
   private def isScalarAgg(p: SparkPlan): Boolean = p.collectFirst {
     case a: HashAggregateExec if a.groupingExpressions.isEmpty => true

@@ -201,6 +201,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(withDups == served)
   }
 
+  test("sq8TopK recall@5 vs brute force clears a high floor (8 bits/dim " +
+      "≫ PQ's 8 bits/subspace); dequantization error is bounded by the " +
+      "per-dimension step") {
+    val probes = vecs.filter(col("vec_id") < 50)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val truth = pairs(Similarity.bruteForceTopK(probes, vecs, 5))
+    val got = pairs(Similarity.sq8TopK(probes, vecs, 5))
+    val recall = (truth & got).size.toDouble / truth.size
+    info(f"sq8 recall@5 = $recall%.3f")
+    assert(recall >= 0.8, f"recall $recall%.3f below bound")
+    // dequantization: every decoded value within one quantization step
+    // of the original, and the bounds row really is per-dimension
+    val st = Similarity.sq8Stats(vecs).head()
+    val mns = st.getSeq[Double](0); val mxs = st.getSeq[Double](1)
+    assert(mns.length == mxs.length && mns.length > 0)
+    val joined = vecs.crossJoin(
+        org.apache.spark.sql.functions.broadcast(Similarity.sq8Stats(vecs)))
+      .select(col("embedding"),
+        Similarity.sq8Dequant(col("embedding"), col("mns"), col("mxs"))
+          .as("dq"))
+      .collect()
+    joined.foreach { r =>
+      val e = r.getSeq[Float](0); val dq = r.getSeq[Float](1)
+      assert(e.length == dq.length)
+      e.indices.foreach { i =>
+        val step = (mxs(i) - mns(i)) / 255.0
+        assert(math.abs(e(i) - dq(i)) <= step + 1e-6,
+          s"dim $i: ${e(i)} vs ${dq(i)} step $step")
+      }
+    }
+  }
+
   test("pqEncode rejects a codebook trained on different-dimension vectors") {
     val cb = Similarity.pqTrain(vecs, m = 4, iters = 1)
     // 60-dim corpus against a 64-dim-trained m=4 codebook: subspace widths
