@@ -48,7 +48,7 @@ object Bench {
     "b22_tpch_q20", "j5_correlated_scalar", "t27b_bpe_local",
     // r13 second session: hybrid lexical+semantic retrieval (RRF) and
     // SQ8 scalar-quantized ANN
-    "t32_hybrid_rrf", "hybrid_serving", "n10_ann_sq8")
+    "t32_hybrid_rrf", "hybrid_serving", "n10_ann_sq8", "sq8_serving")
 
   /** The 2×-criterion twin (r7 verdict #8): time the SAME SQL the oracle
     * runs, in DuckDB, over the SAME parquet — a measurable single-node
@@ -259,10 +259,22 @@ object Bench {
     def t(fn: () => Unit): Double = {
       val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e9
     }
-    q6(); q7() // warm
+    // SQ8 artifacts: one-row bounds + byte-per-dim codes (no training)
+    val sqStats = Similarity.sq8Stats(v)
+    sqStats.write.mode("overwrite").parquet(s"$tmp/sq8stats")
+    Similarity.sq8Encode(v, sqStats).write.mode("overwrite")
+      .parquet(s"$tmp/sq8codes")
+    val sqStatsR = spark.read.parquet(s"$tmp/sq8stats")
+    val sqCodesR = spark.read.parquet(s"$tmp/sq8codes")
+    def q10(): Unit = Similarity
+      .sq8TopKFromCodes(probes, sqStatsR, sqCodesR, k = 5)
+      .orderBy(col("probe_id"), col("rank"))
+      .write.format("noop").mode("overwrite").save()
+    q6(); q7(); q10() // warm
     val ann = Map(
       "n6_serving" -> math.min(t(() => q6()), t(() => q6())),
-      "n7_serving" -> math.min(t(() => q7()), t(() => q7())))
+      "n7_serving" -> math.min(t(() => q7()), t(() => q7())),
+      "sq8_serving" -> math.min(t(() => q10()), t(() => q10())))
     // t22's serving twin: inverted-index artifact built once (untimed),
     // then BM25 from postings only — the pushdown-pruned index read a
     // search SLA pays, vs the whole-corpus tokenize+aggregate in the

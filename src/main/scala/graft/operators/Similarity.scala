@@ -133,9 +133,52 @@ object Similarity {
     */
   def sq8TopK(probes: DataFrame, vecs: DataFrame, k: Int): DataFrame = {
     val stats = sq8Stats(vecs)
+    // encode∘decode through the codegen'd kernel — bit-identical to the
+    // Column-form [[sq8Dequant]] round-trip (CodegenParitySpec pins it);
+    // the lambda form is interpreted, the same tax dot_scaled eliminated
     val cand = spreadPartitions(vecs).crossJoin(broadcast(stats))
       .select(col("vec_id").as("cand_id"),
-        sq8Dequant(col("embedding"), col("mns"), col("mxs")).as("ce"))
+        graft.plans.Expressions.sq8Dequant(
+          graft.plans.Expressions.sq8Encode(
+            col("embedding"), col("mns"), col("mxs")),
+          col("mns"), col("mxs")).as("ce"))
+    sq8Search(probes, cand, k)
+  }
+
+  /** Persistable SQ8 artifact: (vec_id, codes binary) — one byte per
+    * dimension, the 4×-under-float32 index a corpus build writes next to
+    * the one-row [[sq8Stats]] bounds. Codes must stay unique per vec_id
+    * (the idempotent batch=<id> maintenance writes guarantee it);
+    * replica rows would surface as visibly duplicated neighbors in the
+    * served ranking, not silent score corruption.
+    */
+  def sq8Encode(vecs: DataFrame, stats: DataFrame): DataFrame =
+    spreadPartitions(vecs).crossJoin(broadcast(stats))
+      .select(col("vec_id"),
+        graft.plans.Expressions.sq8Encode(
+          col("embedding"), col("mns"), col("mxs")).as("codes"))
+
+  /** SQ8 search against PERSISTED artifacts — the serving twin of
+    * [[sq8TopK]]: stats + codes are parquet built once; a query pays one
+    * decode+score pass over the byte codes and never touches the raw
+    * float embeddings at all (unlike PQ's shortlist re-rank — SQ8's
+    * quantized cosine is accurate enough to serve directly, recall
+    * 0.988 on the fixture vs PQ's shortlist-gated path).
+    */
+  def sq8TopKFromCodes(probes: DataFrame, stats: DataFrame,
+                       codes: DataFrame, k: Int): DataFrame = {
+    val cand = spreadPartitions(codes).crossJoin(broadcast(stats))
+      .select(col("vec_id").as("cand_id"),
+        graft.plans.Expressions.sq8Dequant(
+          col("codes"), col("mns"), col("mxs")).as("ce"))
+    sq8Search(probes, cand, k)
+  }
+
+  /** Shared SQ8 scoring: full-precision probes (broadcast) × dequantized
+    * candidates, ranked per probe.
+    */
+  private def sq8Search(probes: DataFrame, cand: DataFrame, k: Int)
+      : DataFrame = {
     val p = probes.select(col("vec_id").as("probe_id"),
       col("embedding").as("pe"), normScaled(col("embedding")).as("pn"))
     val scored = cand.join(broadcast(p), col("probe_id") =!= col("cand_id"))

@@ -572,6 +572,101 @@ case class LshCodesExpr(child: Expression, tables: Int, bits: Int)
   override def prettyName: String = "lsh_codes"
 }
 
+/** Kernel + expressions for SQ8 scalar quantization: encode an
+  * array<float> embedding to ONE BYTE per dimension under broadcast
+  * per-dimension (mn, mx) bounds — the true 4×-under-float32 artifact —
+  * and decode the byte codes back to the float values an SQ8 index
+  * scores with. The arithmetic is EXACTLY the Column-form
+  * operators/Similarity.sq8Dequant round-trip (CodegenParitySpec pins
+  * the equality): code = mx==mn ? 0 : clamp₀₂₅₅(floor((x−mn)·255/span)),
+  * dequant = (float)(mn + code·span/255) — fixed-order IEEE, so the
+  * kernel, the interpreted Column form, and the n10 DuckDB oracle agree
+  * bit-for-bit. Codes 0..255 live in the raw byte (read back & 0xff).
+  */
+object Sq8Kernel {
+  def encode(emb: ArrayData, mns: ArrayData, mxs: ArrayData): Array[Byte] = {
+    val dim = emb.numElements()
+    val out = new Array[Byte](dim)
+    var i = 0
+    while (i < dim) {
+      val x = emb.getFloat(i).toDouble
+      val mn = mns.getDouble(i)
+      val mx = mxs.getDouble(i)
+      val code =
+        if (mx == mn) 0L
+        else math.min(255L, math.max(0L,
+          math.floor((x - mn) * 255.0d / (mx - mn)).toLong))
+      out(i) = code.toByte
+      i += 1
+    }
+    out
+  }
+
+  def dequant(codes: Array[Byte], mns: ArrayData, mxs: ArrayData)
+      : ArrayData = {
+    val dim = codes.length
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      val mn = mns.getDouble(i)
+      val mx = mxs.getDouble(i)
+      val code = (codes(i) & 0xff).toDouble
+      out(i) = (mn + code * (mx - mn) / 255.0d).toFloat
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** SQ8 encode: (array<float> emb, array<double> mns, array<double> mxs)
+  * → binary codes, backed by [[Sq8Kernel]].
+  */
+case class Sq8EncodeExpr(first: Expression, second: Expression,
+                         third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    Sq8Kernel.encode(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"${ev.value} = graft.plans.Sq8Kernel.encode($a, $b, $c);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Sq8EncodeExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def prettyName: String = "sq8_encode"
+}
+
+/** SQ8 decode: (binary codes, array<double> mns, array<double> mxs) →
+  * array<float> dequantized values, backed by [[Sq8Kernel]].
+  */
+case class Sq8DequantExpr(first: Expression, second: Expression,
+                          third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.FloatType, containsNull = false)
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    Sq8Kernel.dequant(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"${ev.value} = graft.plans.Sq8Kernel.dequant($a, $b, $c);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Sq8DequantExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def prettyName: String = "sq8_dequant"
+}
+
 /** Session wiring for the custom expressions: an injectable
   * [[org.apache.spark.sql.SparkSessionExtensions]] hook for sessions built
   * with `.withExtensions(new GraftExtensions)` (or the
@@ -679,6 +774,20 @@ object Expressions {
   /** Column wrapper for [[LshCodesExpr]] (input: array<float>). */
   def lshCodes(emb: Column, tables: Int, bits: Int): Column =
     Bridge.column(LshCodesExpr(Bridge.expression(emb), tables, bits))
+
+  /** Column wrapper for [[Sq8EncodeExpr]] (array<float>, array<double>,
+    * array<double> → binary — one byte per dimension).
+    */
+  def sq8Encode(emb: Column, mns: Column, mxs: Column): Column =
+    Bridge.column(Sq8EncodeExpr(Bridge.expression(emb),
+      Bridge.expression(mns), Bridge.expression(mxs)))
+
+  /** Column wrapper for [[Sq8DequantExpr]] (binary, array<double>,
+    * array<double> → array<float>).
+    */
+  def sq8Dequant(codes: Column, mns: Column, mxs: Column): Column =
+    Bridge.column(Sq8DequantExpr(Bridge.expression(codes),
+      Bridge.expression(mns), Bridge.expression(mxs)))
 
   /** Bloom-filter aggregate over LONG hashes (Spark's own
     * BloomFilterAggregate, the engine's runtime-filter sketch — not in

@@ -88,4 +88,25 @@ class CodegenParitySpec extends AnyFunSuite {
         Similarity.lshCodes(col("embedding"), 4, 8).as("codes"))
     }
   }
+
+  test("sq8 encode/dequant kernel: codegen == interpreted == the " +
+      "Column-form round-trip") {
+    import graft.plans.Expressions
+    val stats = Similarity.sq8Stats(embs)
+    def kernel = embs.crossJoin(broadcast(stats))
+      .select(col("vec_id"),
+        Expressions.sq8Dequant(
+          Expressions.sq8Encode(col("embedding"), col("mns"), col("mxs")),
+          col("mns"), col("mxs")).as("dq"))
+    assertParity("sq8Encode∘sq8Dequant")(kernel)
+    // and the kernel round-trip is bit-identical to the interpreted
+    // Column-form transform the n10 oracle was pinned against — the
+    // kernel can replace it in the hot path without moving a result
+    val viaColumns = embs.crossJoin(broadcast(stats))
+      .select(col("vec_id"),
+        Similarity.sq8Dequant(col("embedding"), col("mns"), col("mxs"))
+          .as("dq"))
+      .collect().map(_.toString).toSeq
+    assert(kernel.collect().map(_.toString).toSeq == viaColumns)
+  }
 }

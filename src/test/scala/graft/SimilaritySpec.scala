@@ -234,6 +234,29 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("sq8 artifacts (stats row + binary codes) survive a parquet " +
+      "round-trip; served search == the in-query path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq8").toString
+    val stats = Similarity.sq8Stats(vecs)
+    stats.write.parquet(s"$dir/stats")
+    Similarity.sq8Encode(vecs, stats).write.parquet(s"$dir/codes")
+    val statsR = spark.read.parquet(s"$dir/stats")
+    val codesR = spark.read.parquet(s"$dir/codes")
+    // the artifact really is one byte per dimension
+    val dim = vecs.select(size(col("embedding"))).head().getInt(0)
+    assert(codesR.select(length(col("codes"))).as[Int].collect()
+      .forall(_ == dim))
+    val probes = vecs.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "rank", "neighbor_id", "cosine")
+        .as[(Long, Long, Long, Double)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+    val served = rows(Similarity.sq8TopKFromCodes(probes, statsR,
+      codesR, k = 5))
+    val inQuery = rows(Similarity.sq8TopK(probes, vecs, k = 5))
+    assert(served == inQuery)
+  }
+
   test("pqEncode rejects a codebook trained on different-dimension vectors") {
     val cb = Similarity.pqTrain(vecs, m = 4, iters = 1)
     // 60-dim corpus against a 64-dim-trained m=4 codebook: subspace widths
