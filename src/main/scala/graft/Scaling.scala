@@ -62,6 +62,10 @@ object Scaling {
     // Q20 nested-decorrelation anchor — their sf0.1 twins only measure
     // the dispatch floor, so the scale points carry the real slopes
     "b19_tpch_q9", "j5_correlated_scalar", "b22_tpch_q20",
+    // r13 second session: hybrid RRF (two corpus passes + bounded
+    // fusion — the slope should be t22's + n1's, nothing extra) and
+    // SQ8 ANN (one decode+score pass — n1's slope on a byte index)
+    "t32_hybrid_rrf", "n10_ann_sq8",
     // LAST: the skew pairs toggle session confs (broadcast off,
     // skew-join on/off) from inside their builders — keeping them at
     // the tail means nothing downstream inherits the toggles
