@@ -796,6 +796,39 @@ object Streams {
       .start()
   }
 
+  /** Streaming SQ8 index maintenance — [[annIndexMaintenance]]'s twin
+    * for the scalar-quantized index: arriving vectors are byte-encoded
+    * against the TRAINED per-dimension bounds
+    * ([[graft.operators.Similarity.sq8Stats]], persisted once) per
+    * micro-batch, appending binary code slices that
+    * [[graft.operators.Similarity.sq8TopKFromCodes]] serves from. Bounds
+    * are train-time constants like the IVF centroids/PQ codebook (a
+    * vector outside the trained range clamps to the boundary byte — the
+    * standard SQ drift trade; retrain bounds when drift matters). Each
+    * batch costs one broadcast of the 1-row stats frame plus a map-side
+    * codegen'd encode pass; batch=<id> overwrite keeps retries
+    * idempotent, and the same `_stream_id` guard refuses a fresh
+    * checkpoint over populated dirs.
+    */
+  def sq8IndexMaintenance(vecs: DataFrame, statsPath: String,
+                          codesPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Similarity
+    val spark = vecs.sparkSession
+    val ensureGuarded = guardOnce(spark, checkpoint, Seq(codesPath))
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ensureGuarded()
+        val stats = spark.read.parquet(statsPath)
+        Similarity.sq8Encode(batch, stats)
+          .write.mode("overwrite").parquet(s"$codesPath/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Streaming text-index maintenance — the third of the index-
     * maintenance triple beside [[neardupIngest]] (dedup index) and
     * [[annIndexMaintenance]] (ANN artifacts): arriving documents extend

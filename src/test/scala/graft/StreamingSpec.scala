@@ -655,6 +655,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(served == rebuilt)
   }
 
+  test("streaming SQ8 index maintenance: incrementally grown byte codes " +
+      "serve identically to a from-scratch encode under the same bounds") {
+    // train the per-dim bounds on the initial corpus, stream the rest in
+    // two ticks through sq8IndexMaintenance, serve from the grown codes
+    // — must match the batch encode of the full corpus under the SAME
+    // frozen bounds (train rarely, encode continuously)
+    import graft.operators.Similarity
+    val all = Tables.embeddings(spark, sfDir)
+    val initial = all.filter(col("vec_id") < 300)
+    val arriving = all.filter(col("vec_id") >= 300)
+    val dir = tmpDir("graft-sq8m")
+    val stats = Similarity.sq8Stats(initial)
+    stats.write.parquet(s"$dir/stats")
+    Similarity.sq8Encode(initial, stats)
+      .write.parquet(s"$dir/codes/batch=-1")
+
+    val land = tmpDir("graft-sq8m-land")
+    val ckpt = tmpDir("graft-sq8m-ckpt")
+    def tick(name: String, rows: org.apache.spark.sql.DataFrame): Unit = {
+      rows.coalesce(1).write.parquet(s"$land/$name")
+      Streams.sq8IndexMaintenance(
+        spark.readStream
+          .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+          .option("recursiveFileLookup", "true").parquet(land),
+        s"$dir/stats", s"$dir/codes", ckpt).awaitTermination()
+    }
+    tick("t1", arriving.filter(col("vec_id") < 400))
+    tick("t2", arriving.filter(col("vec_id") >= 400))
+
+    val statsR = spark.read.parquet(s"$dir/stats")
+    // grown codes == batch encode of the full corpus under frozen bounds
+    // (vectors outside the trained range clamp — same bytes both paths)
+    def codeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), hex(col("codes")))
+        .as[(Long, String)].collect().toSet
+    assert(codeSet(spark.read.parquet(s"$dir/codes")) ==
+      codeSet(Similarity.sq8Encode(all, statsR)))
+    // served search over the grown artifact == from-scratch build
+    val probes = all.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "rank", "neighbor_id", "cosine")
+        .as[(Long, Long, Long, Double)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+    assert(rows(Similarity.sq8TopKFromCodes(probes, statsR,
+        spark.read.parquet(s"$dir/codes"), k = 5)) ==
+      rows(Similarity.sq8TopKFromCodes(probes, statsR,
+        Similarity.sq8Encode(all, statsR), k = 5)))
+    // an empty tick (a landing file with zero rows) writes an empty
+    // slice and leaves the served artifact unchanged
+    tick("t3", arriving.filter(col("vec_id") >= 400).limit(0))
+    assert(spark.read.parquet(s"$dir/codes").count() == all.count())
+  }
+
   test("T5: stateful continuity carries close across micro-batches") {
     // two landing dirs processed as two micro-batches of one stream:
     // batch 2's first candle must open at batch 1's last close (the
