@@ -259,28 +259,40 @@ object Bench {
     def t(fn: () => Unit): Double = {
       val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e9
     }
-    // SQ8 artifacts: one-row bounds + byte-per-dim codes (no training)
-    val sqStats = Similarity.sq8Stats(v)
-    sqStats.write.mode("overwrite").parquet(s"$tmp/sq8stats")
-    Similarity.sq8Encode(v, sqStats).write.mode("overwrite")
-      .parquet(s"$tmp/sq8codes")
-    val sqStatsR = spark.read.parquet(s"$tmp/sq8stats")
-    val sqCodesR = spark.read.parquet(s"$tmp/sq8codes")
-    def q10(): Unit = Similarity
-      .sq8TopKFromCodes(probes, sqStatsR, sqCodesR, k = 5)
-      .orderBy(col("probe_id"), col("rank"))
-      .write.format("noop").mode("overwrite").save()
-    q6(); q7(); q10() // warm
+    q6(); q7() // warm
     val ann = Map(
       "n6_serving" -> math.min(t(() => q6()), t(() => q6())),
-      "n7_serving" -> math.min(t(() => q7()), t(() => q7())),
-      "sq8_serving" -> math.min(t(() => q10()), t(() => q10())))
+      "n7_serving" -> math.min(t(() => q7()), t(() => q7())))
+    // each serving family in its OWN try: a build/plan failure in one
+    // must not discard the already-measured entries of another (absent
+    // key + visible cause, not a silent hole — a consumer diffing bench
+    // runs must be able to tell "build broke" from "not implemented")
+    def family(name: String)(build: => Map[String, Double])
+        : Map[String, Double] =
+      try build catch { case e: Throwable =>
+        System.err.println(s"[graft] $name bench failed: $e")
+        Map.empty[String, Double]
+      }
+    // SQ8 artifacts: one-row bounds + byte-per-dim codes (no training)
+    val sq8 = family("sq8_serving") {
+      val sqStats = Similarity.sq8Stats(v)
+      sqStats.write.mode("overwrite").parquet(s"$tmp/sq8stats")
+      Similarity.sq8Encode(v, sqStats).write.mode("overwrite")
+        .parquet(s"$tmp/sq8codes")
+      val sqStatsR = spark.read.parquet(s"$tmp/sq8stats")
+      val sqCodesR = spark.read.parquet(s"$tmp/sq8codes")
+      def q10(): Unit = Similarity
+        .sq8TopKFromCodes(probes, sqStatsR, sqCodesR, k = 5)
+        .orderBy(col("probe_id"), col("rank"))
+        .write.format("noop").mode("overwrite").save()
+      q10() // warm
+      Map("sq8_serving" -> math.min(t(() => q10()), t(() => q10())))
+    }
     // t22's serving twin: inverted-index artifact built once (untimed),
     // then BM25 from postings only — the pushdown-pruned index read a
     // search SLA pays, vs the whole-corpus tokenize+aggregate in the
-    // t22_bm25_topk headline entry. Its OWN try: a text-index failure
-    // must not discard the already-measured ANN serving entries.
-    val text = try {
+    // t22_bm25_topk headline entry.
+    val text = family("t22_serving") {
       import graft.operators.Retrieval
       Retrieval.buildPostings(Tables.documents(spark, sfDir), s"$tmp/bm25")
       def q22(): Unit = Retrieval
@@ -288,12 +300,22 @@ object Bench {
           Seq("dup", "vector", "merge", "scan"), 20)
         .write.format("noop").mode("overwrite").save()
       q22() // warm
-      // hybrid serving: BOTH legs from persisted artifacts (postings +
-      // IVF/PQ index) through the same rrfFuse the t32 headline entry
-      // uses — the query-time cost of the production RAG-serving shape
+      Map("t22_serving" -> math.min(t(() => q22()), t(() => q22())))
+    }
+    // hybrid serving: BOTH legs from persisted artifacts through the
+    // same rrfFuse the t32 headline entry uses — including t32's
+    // probe-doc exclusion, so its postings index the corpus MINUS doc 0
+    // (a separate artifact from t22's full-corpus index; reusing that
+    // one would rank the probe against itself and time a different
+    // query shape than the headline)
+    val hybrid = family("hybrid_serving") {
+      import graft.operators.Retrieval
+      Retrieval.buildPostings(
+        Tables.documents(spark, sfDir).filter(col("doc_id") =!= 0L),
+        s"$tmp/bm25probe")
       def qh(): Unit = {
         val lex = Retrieval.lexRank(
-          Retrieval.bm25FromPostings(spark, s"$tmp/bm25",
+          Retrieval.bm25FromPostings(spark, s"$tmp/bm25probe",
             Seq("dup", "vector", "merge", "scan"), 50), probeId = 0L)
         val sem = Similarity.ivfPqTopKFromCodes(
             v.filter(col("vec_id") === 0), v, centroids, cellsR, cbR,
@@ -304,17 +326,9 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
       }
       qh() // warm
-      Map(
-        "t22_serving" -> math.min(t(() => q22()), t(() => q22())),
-        "hybrid_serving" -> math.min(t(() => qh()), t(() => qh())))
-    } catch { case e: Throwable =>
-      // absent-key with a visible cause, not a silent hole: a consumer
-      // diffing bench runs must be able to tell "build broke" from
-      // "entry not implemented"
-      System.err.println(s"[graft] t22_serving bench failed: $e")
-      Map.empty[String, Double]
+      Map("hybrid_serving" -> math.min(t(() => qh()), t(() => qh())))
     }
-    ann ++ text
+    ann ++ sq8 ++ text ++ hybrid
     } catch { case _: Throwable => Map.empty }
     finally {
       // artifact dirs are embedding-scale parquet — delete on BOTH paths

@@ -62,12 +62,24 @@ object Similarity {
     * small (broadcast); the candidate side streams — one shuffle for the
     * per-probe ranking window.
     */
-  def bruteForceTopK(probes: DataFrame, vecs: DataFrame, k: Int): DataFrame = {
+  def bruteForceTopK(probes: DataFrame, vecs: DataFrame, k: Int): DataFrame =
+    cosTopK(probes,
+      vecs.select(col("vec_id").as("cand_id"),
+        col("embedding").as("ce"), normScaled(col("embedding")).as("cn")),
+      k)
+
+  /** The shared exact-cosine ranking block behind [[bruteForceTopK]] and
+    * [[sq8TopK]]/[[sq8TopKFromCodes]]: full-precision probes broadcast
+    * against a prepared candidate frame (cand_id, ce, cn), scored by the
+    * scaled-long cosine, ranked (cos desc, cand_id) per probe. One place
+    * owns the tie-break/rounding contract the n1/n10 oracles pin — the
+    * two families cannot silently diverge.
+    */
+  private def cosTopK(probes: DataFrame, cand: DataFrame, k: Int)
+      : DataFrame = {
     val p = probes.select(col("vec_id").as("probe_id"),
       col("embedding").as("pe"), normScaled(col("embedding")).as("pn"))
-    val v = vecs.select(col("vec_id").as("cand_id"),
-      col("embedding").as("ce"), normScaled(col("embedding")).as("cn"))
-    val scored = v.join(broadcast(p), col("probe_id") =!= col("cand_id"))
+    val scored = cand.join(broadcast(p), col("probe_id") =!= col("cand_id"))
       .withColumn("cos", cosineFromScaled(
         dotScaled(col("pe"), col("ce")), col("pn"), col("cn")))
     val w = Window.partitionBy(col("probe_id"))
@@ -174,24 +186,12 @@ object Similarity {
     sq8Search(probes, cand, k)
   }
 
-  /** Shared SQ8 scoring: full-precision probes (broadcast) × dequantized
-    * candidates, ranked per probe.
+  /** Shared SQ8 scoring: full-precision probes × dequantized candidates
+    * through the [[cosTopK]] ranking block n1 uses.
     */
   private def sq8Search(probes: DataFrame, cand: DataFrame, k: Int)
-      : DataFrame = {
-    val p = probes.select(col("vec_id").as("probe_id"),
-      col("embedding").as("pe"), normScaled(col("embedding")).as("pn"))
-    val scored = cand.join(broadcast(p), col("probe_id") =!= col("cand_id"))
-      .withColumn("cos", cosineFromScaled(
-        dotScaled(col("pe"), col("ce")), col("pn"), normScaled(col("ce"))))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("cand_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank").cast("long").as("rank"),
-        col("cand_id").as("neighbor_id"), round4(col("cos")).as("cosine"))
-  }
+      : DataFrame =
+    cosTopK(probes, cand.withColumn("cn", normScaled(col("ce"))), k)
 
   /** LSH bucket codes: `tables` independent codes of `bits` sign-bits
     * each, as array<long> indexed by table — computed map-side per row by

@@ -584,8 +584,21 @@ case class LshCodesExpr(child: Expression, tables: Int, bits: Int)
   * bit-for-bit. Codes 0..255 live in the raw byte (read back & 0xff).
   */
 object Sq8Kernel {
+  /** Bounds arrays must cover the vector exactly — a stats row trained
+    * on a different dimension would otherwise read past the end of an
+    * UnsafeArrayData (no bounds check → adjacent-row garbage, silently
+    * wrong codes). Same fail-fast contract as pqEncode's width guard.
+    */
+  private def requireDim(dim: Int, mns: ArrayData, mxs: ArrayData): Unit =
+    if (mns.numElements() != dim || mxs.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"sq8: bounds length ${mns.numElements()}/${mxs.numElements()} " +
+          s"!= vector dimension $dim — stats trained on a different " +
+          "embedding dimension")
+
   def encode(emb: ArrayData, mns: ArrayData, mxs: ArrayData): Array[Byte] = {
     val dim = emb.numElements()
+    requireDim(dim, mns, mxs)
     val out = new Array[Byte](dim)
     var i = 0
     while (i < dim) {
@@ -605,6 +618,7 @@ object Sq8Kernel {
   def dequant(codes: Array[Byte], mns: ArrayData, mxs: ArrayData)
       : ArrayData = {
     val dim = codes.length
+    requireDim(dim, mns, mxs)
     val out = new Array[Float](dim)
     var i = 0
     while (i < dim) {

@@ -255,6 +255,15 @@ class SimilaritySpec extends AnyFunSuite {
       codesR, k = 5))
     val inQuery = rows(Similarity.sq8TopK(probes, vecs, k = 5))
     assert(served == inQuery)
+    // a stats row trained on a different dimension fails loudly — the
+    // kernel's bounds guard, not an out-of-range UnsafeArrayData read
+    // (pqEncode's drift contract, mirrored)
+    val truncated = vecs.select(col("vec_id"),
+      slice(col("embedding"), 1, 60).as("embedding"))
+    val e = intercept[Exception] {
+      Similarity.sq8Encode(truncated, statsR).collect()
+    }
+    assert(e.getMessage.contains("dimension"))
   }
 
   test("pqEncode rejects a codebook trained on different-dimension vectors") {
