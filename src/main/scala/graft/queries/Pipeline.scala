@@ -317,6 +317,25 @@ object Pipeline {
         .canonOrder(col("probe_id"), col("rank"))
     },
 
+    // N12: FILTERED ANN — vector search under a metadata predicate, the
+    // production "top-k among candidates WHERE label < 3" shape every
+    // vector store serves: the predicate prunes candidates BEFORE the
+    // bucket search (pre-filter — each probe still gets k results from
+    // the filtered universe; post-filtering an unfiltered top-k would
+    // return < k whenever the predicate is selective, the classic
+    // filtered-search recall bug, demonstrated in SimilaritySpec). The
+    // coarse quantizer stays corpus-wide (the index is built once;
+    // predicates vary per query), and the label predicate reaches the
+    // embeddings parquet scan (PushedFilters, lint-pinned) — at 100 TB
+    // the filter prunes row groups before any distance math runs.
+    "n12_ann_filtered" -> { (s, d) =>
+      val v = Tables.embeddings(s, d)
+      Similarity.ivfTopK(v.filter(col("vec_id") < 10),
+        v.filter(col("label") < 3),
+        centroids = v.filter(col("vec_id") % 50 === 0), k = 5, nprobe = 8)
+        .canonOrder(col("probe_id"), col("rank"))
+    },
+
     // N4: IVF with TRAINED centroids — two deterministic Lloyd iterations
     // over the deterministic sample n3 uses raw, then the same
     // nprobe-bucket search. Training is exact arithmetic (integer-domain
@@ -2248,6 +2267,37 @@ object Pipeline {
                   PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
                 FROM vc),
          vb AS (SELECT vec_id AS cand_id, cid FROM vr WHERE rn = 1),
+         pb AS (SELECT vec_id AS probe_id, cid FROM vr
+                WHERE rn <= 8 AND vec_id < 10),
+         cands AS (SELECT DISTINCT probe_id, cand_id
+                   FROM pb JOIN vb USING (cid)
+                   WHERE probe_id <> cand_id),
+         sc AS (SELECT c.probe_id, c.cand_id,
+                  ${duckCos("a.x", "b.x")} AS cos
+                FROM cands c
+                JOIN u a ON a.vec_id = c.probe_id
+                JOIN u b ON b.vec_id = c.cand_id AND a.i = b.i
+                GROUP BY 1, 2),
+         r AS (SELECT probe_id, cand_id, cos, row_number() OVER (
+                 PARTITION BY probe_id ORDER BY cos DESC, cand_id)
+                 AS rank FROM sc)
+         SELECT probe_id, rank, cand_id AS neighbor_id,
+           round(cos, 4) AS cosine
+         FROM r WHERE rank <= 5 ORDER BY probe_id, rank""",
+    // n12: n3's IVF oracle with the label predicate pruning the
+    // candidate assignments (pre-filter); probe assignments unfiltered
+    "n12_ann_filtered" ->
+      s"""WITH u AS ($duckUnnest),
+         cu AS (SELECT vec_id AS cid, x AS cx, i FROM u
+                WHERE vec_id % 50 = 0),
+         vc AS (SELECT a.vec_id, b.cid, ${duckCos("a.x", "b.cx")} AS csim
+                FROM u a JOIN cu b ON a.i = b.i GROUP BY 1, 2),
+         vr AS (SELECT vec_id, cid, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+                FROM vc),
+         vb AS (SELECT vr.vec_id AS cand_id, cid FROM vr
+                JOIN embeddings e ON vr.vec_id = e.vec_id
+                WHERE rn = 1 AND e.label < 3),
          pb AS (SELECT vec_id AS probe_id, cid FROM vr
                 WHERE rn <= 8 AND vec_id < 10),
          cands AS (SELECT DISTINCT probe_id, cand_id

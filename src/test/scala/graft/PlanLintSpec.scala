@@ -63,7 +63,8 @@ class PlanLintSpec extends AnyFunSuite {
   private val nljOk: Set[String] = Set("d5_embedding_neardup",
     "d11_semantic_decontaminate", "d9_semantic_prune", "n1_ann_topk",
     "n3_ann_ivf", "n4_ann_ivf_trained", "n7_ann_ivfpq",
-    "n9_ann_ivf_sampled", "t32_hybrid_rrf", "n10_ann_sq8")
+    "n9_ann_ivf_sampled", "t32_hybrid_rrf", "n10_ann_sq8",
+    "n12_ann_filtered")
 
   private def isScalarAgg(p: SparkPlan): Boolean = p.collectFirst {
     case a: HashAggregateExec if a.groupingExpressions.isEmpty => true
@@ -100,6 +101,10 @@ class PlanLintSpec extends AnyFunSuite {
     * column that must appear in some scan's PushedFilters.
     */
   private val mustPush: Map[String, String] = Map(
+    // n12: the metadata predicate of the filtered ANN search must prune
+    // the embeddings scan BEFORE any distance math (the 100 TB story:
+    // row groups skip on the label filter, not post-hoc)
+    "n12_ann_filtered" -> "label",
     "p2_time_window" -> "ts",
     "a14_multi_bucket" -> "ts",
     "api3_ohlcv_route" -> "ts",

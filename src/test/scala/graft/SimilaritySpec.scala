@@ -266,6 +266,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("dimension"))
   }
 
+  test("filtered ANN: pre-filtering keeps k results from the predicate " +
+      "universe where post-filtering an unfiltered top-k starves") {
+    val probes = vecs.filter(col("vec_id") < 10)
+    val cents = vecs.filter(col("vec_id") % 50 === 0)
+    val filtered = Similarity.ivfTopK(probes,
+      vecs.filter(col("label") < 3), cents, k = 5, nprobe = 8)
+      .select("probe_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect()
+    // every hit satisfies the predicate, and every probe still gets k
+    val labels = vecs.select("vec_id", "label")
+      .as[(Long, Int)].collect().toMap
+    assert(filtered.forall(r => labels(r._3) < 3))
+    assert(filtered.groupBy(_._1).forall(_._2.length == 5))
+    // the classic filtered-search bug this entry exists to avoid:
+    // post-filtering the UNFILTERED top-5 leaves < 5 hits for most
+    // probes (the predicate keeps ~30% of the corpus)
+    val post = Similarity.ivfTopK(probes, vecs, cents, k = 5, nprobe = 8)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect()
+      .filter(r => labels(r._2) < 3)
+    assert(post.groupBy(_._1).values.forall(_.length < 5))
+    // and pre-filtering ranks correctly within the predicate universe:
+    // hits agree with brute force over the filtered corpus restricted
+    // to the probed cells' candidate universe
+    val bruteFiltered = Similarity.bruteForceTopK(probes,
+      vecs.filter(col("label") < 3), 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = filtered.map(r => (r._1, r._3)).toSet
+      .intersect(bruteFiltered).size.toDouble / bruteFiltered.size
+    info(f"filtered-ivf recall@5 vs filtered brute = $recall%.3f")
+    assert(recall >= 0.3)
+  }
+
   test("pqEncode rejects a codebook trained on different-dimension vectors") {
     val cb = Similarity.pqTrain(vecs, m = 4, iters = 1)
     // 60-dim corpus against a 64-dim-trained m=4 codebook: subspace widths
