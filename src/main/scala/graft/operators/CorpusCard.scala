@@ -141,39 +141,14 @@ object CorpusCard {
     * stop at a trigger boundary (AvailableNow drains) before calling.
     */
   def compactSlices(spark: SparkSession, indexDir: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
+    // swap mechanics live in graft.streaming.Compaction (shared with the
+    // ANN/SQ8/postings compactors); only the additive folds are ours
     def fold(sub: String, schema: String, keys: Seq[String],
-             sums: Seq[String]): Unit = {
-      val live = s"$indexDir/$sub"
-      val livePath = new org.apache.hadoop.fs.Path(live)
-      val fs = livePath.getFileSystem(conf)
-      if (!fs.exists(livePath)) return
-      val df = spark.read.schema(StructType.fromDDL(
-        schema + ", batch BIGINT")).parquet(live)
-      val maxBatch = df.agg(max(col("batch"))).head.get(0)
-      if (maxBatch == null) return
-      val folded = df.groupBy(keys.map(col): _*)
-        .agg(sum(col(sums.head)).as(sums.head),
-          sums.tail.map(c => sum(col(c)).as(c)): _*)
-      val next = s"$live._compacting"
-      val aside = s"$live._precompact"
-      folded.write.mode("overwrite")
-        .parquet(s"$next/batch=$maxBatch")
-      // preserve the stream-identity marker through the swap
-      val marker = new org.apache.hadoop.fs.Path(s"$live/_stream_id")
-      if (fs.exists(marker))
-        org.apache.hadoop.fs.FileUtil.copy(fs, marker, fs,
-          new org.apache.hadoop.fs.Path(s"$next/_stream_id"),
-          false, conf)
-      val nextPath = new org.apache.hadoop.fs.Path(next)
-      val asidePath = new org.apache.hadoop.fs.Path(aside)
-      fs.delete(asidePath, true)
-      require(fs.rename(livePath, asidePath),
-        s"compactSlices: cannot move $live aside")
-      require(fs.rename(nextPath, livePath),
-        s"compactSlices: cannot activate $next (old data at $aside)")
-      fs.delete(asidePath, true)
-    }
+             sums: Seq[String]): Unit =
+      graft.streaming.Compaction.swapFolded(spark, s"$indexDir/$sub",
+        schema, df => df.groupBy(keys.map(col): _*)
+          .agg(sum(col(sums.head)).as(sums.head),
+            sums.tail.map(c => sum(col(c)).as(c)): _*))
     fold("counters",
       "source STRING, lang STRING, n_docs BIGINT, sum_q4 BIGINT, " +
         "gate_pass BIGINT",

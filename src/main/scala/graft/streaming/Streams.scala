@@ -810,6 +810,46 @@ object Streams {
     * idempotent, and the same `_stream_id` guard refuses a fresh
     * checkpoint over populated dirs.
     */
+  /** Compact the ANN maintenance artifacts' accumulated batch=<id>
+    * slices (row-disjoint rows — plain rewrite) into one partition
+    * each. Stream stopped, trigger drained — [[Compaction]]'s contract.
+    */
+  def compactAnnArtifacts(spark: org.apache.spark.sql.SparkSession,
+                          cellsPath: String, codesPath: String): Unit = {
+    Compaction.rewrite(spark, cellsPath, "vec_id BIGINT, cid BIGINT")
+    Compaction.rewrite(spark, codesPath,
+      "vec_id BIGINT, sub INT, code BIGINT")
+  }
+
+  /** Compact the SQ8 maintenance codes slices. */
+  def compactSq8Codes(spark: org.apache.spark.sql.SparkSession,
+                      codesPath: String): Unit =
+    Compaction.rewrite(spark, codesPath, "vec_id BIGINT, codes BINARY")
+
+  /** Compact the BM25 maintenance index: postings rows are disjoint
+    * per slice (rewrite); dict and meta are ADDITIVE partials the serve
+    * path sums, so compaction pre-folds them — serve output unchanged
+    * (summing is associative), fewer rows to sum per query.
+    */
+  def compactPostingsIndex(spark: org.apache.spark.sql.SparkSession,
+                           indexDir: String): Unit = {
+    // NOT a plain rewrite: the serve-time term pushdown prunes row
+    // groups via parquet min/max over word-run-sorted files
+    // (Retrieval.writeIndexSlice's layout) — re-sort during the fold so
+    // compaction keeps the index an index
+    Compaction.swapFolded(spark, s"$indexDir/postings",
+      "word STRING, doc_id BIGINT, tf BIGINT, dl BIGINT",
+      _.repartition(col("word")).sortWithinPartitions("word", "doc_id"))
+    Compaction.swapFolded(spark, s"$indexDir/dict",
+      "word STRING, df BIGINT",
+      _.groupBy(col("word")).agg(sum(col("df")).as("df")))
+    Compaction.swapFolded(spark, s"$indexDir/meta",
+      "n_docs BIGINT, l_tot BIGINT, max_dl BIGINT",
+      _.agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("l_tot")).as("l_tot"),
+        max(col("max_dl")).as("max_dl")))
+  }
+
   def sq8IndexMaintenance(vecs: DataFrame, statsPath: String,
                           codesPath: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {

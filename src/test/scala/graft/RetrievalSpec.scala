@@ -111,6 +111,12 @@ class RetrievalSpec extends AnyFunSuite {
       // ways — clean index is violation-free...
       assert(Retrieval.postingsDisjointnessViolations(spark, idx)
         .collect().isEmpty)
+      // compaction invariance (stream drained): folding the two slices
+      // into one partition must not move the served top-k by a bit, and
+      // the postings must still carry the word-sorted pruning layout
+      streaming.Streams.compactPostingsIndex(spark, idx)
+      assert(Retrieval.bm25FromPostings(spark, idx, terms, 20)
+        .collect().toSeq == direct)
       // ...and a RE-DELIVERED doc (same doc_id, later batch — an update,
       // not a checkpoint retry) is flagged by exactly its doc_id
       docs.filter(col("doc_id") === 0).coalesce(1)

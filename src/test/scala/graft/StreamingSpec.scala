@@ -653,6 +653,13 @@ class StreamingSpec extends AnyFunSuite {
       Similarity.ivfCells(all, centroids), cb,
       Similarity.pqEncode(all, cb), k = 5, nprobe = 8))
     assert(served == rebuilt)
+    // compaction invariance (stream drained): cells + codes slices fold
+    // into one batch partition each without moving a served bit
+    Streams.compactAnnArtifacts(spark, s"$dir/cells", s"$dir/codes")
+    assert(rows(Similarity.ivfPqTopKFromCodes(probes, all, centroids,
+      spark.read.parquet(s"$dir/cells"),
+      spark.read.parquet(s"$dir/codebook"),
+      spark.read.parquet(s"$dir/codes"), k = 5, nprobe = 8)) == served)
   }
 
   test("streaming SQ8 index maintenance: incrementally grown byte codes " +
@@ -705,6 +712,14 @@ class StreamingSpec extends AnyFunSuite {
     // an empty tick (a landing file with zero rows) writes an empty
     // slice and leaves the served artifact unchanged
     tick("t3", arriving.filter(col("vec_id") >= 400).limit(0))
+    assert(spark.read.parquet(s"$dir/codes").count() == all.count())
+    // compaction invariance (stream drained): the slices fold into one
+    // batch partition without moving a served bit
+    val before = rows(Similarity.sq8TopKFromCodes(probes, statsR,
+      spark.read.parquet(s"$dir/codes"), k = 5))
+    Streams.compactSq8Codes(spark, s"$dir/codes")
+    assert(rows(Similarity.sq8TopKFromCodes(probes, statsR,
+      spark.read.parquet(s"$dir/codes"), k = 5)) == before)
     assert(spark.read.parquet(s"$dir/codes").count() == all.count())
   }
 
