@@ -114,6 +114,39 @@ class EdgeSpec extends AnyFunSuite {
       cb, codes, k = 5, nprobe = 8).count() == 0)
   }
 
+  test("SQ8 search with empty probes serves empty; filtered ANN under " +
+      "an impossible predicate serves empty — not errors") {
+    val vecs = Tables.embeddings(spark, SparkTestSession.sfDir)
+    val emptyProbes = vecs.filter(col("vec_id") < 0)
+    assert(Similarity.sq8TopK(emptyProbes, vecs, 5).count() == 0)
+    val stats = Similarity.sq8Stats(vecs)
+    assert(Similarity.sq8TopKFromCodes(emptyProbes, stats,
+      Similarity.sq8Encode(vecs, stats), 5).count() == 0)
+    // a predicate matching nothing: k-starved is empty, never a throw
+    assert(Similarity.ivfTopK(vecs.filter(col("vec_id") < 10),
+      vecs.filter(col("label") < 0),
+      centroids = vecs.filter(col("vec_id") % 50 === 0),
+      k = 5, nprobe = 8).count() == 0)
+  }
+
+  test("hybrid RRF with terms absent from the corpus degrades to the " +
+      "semantic leg alone (full-outer fusion, lexical ranks all null)") {
+    import graft.operators.Retrieval
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val vecs = Tables.embeddings(spark, SparkTestSession.sfDir)
+    val got = Retrieval.hybridRrfTopK(docs,
+      Seq("zzznosuchtoken", "qqqneverappears"), vecs,
+      probeId = 0L, k = 10).collect()
+    assert(got.length == 10)
+    assert(got.forall(_.isNullAt(1)))   // no lexical rank anywhere
+    assert(got.forall(r => !r.isNullAt(2)))
+    // scores are pure sem-leg reciprocals: 1/(60+sem_rank)
+    got.foreach { r =>
+      val want = 1.0 / (60 + r.getLong(2))
+      assert(math.abs(r.getDouble(3) - want) <= 5e-5)
+    }
+  }
+
   test("saltedAggregate on an empty frame: empty result, schema intact") {
     val empty = Seq.empty[(String, Double)].toDF("k", "v")
     val out = graft.operators.Relational.saltedAggregate(
