@@ -239,31 +239,9 @@ object Bench {
     val v = Tables.embeddings(spark, sfDir)
     val probes = v.filter(col("vec_id") < 10)
     val centroids = v.filter(col("vec_id") % 50 === 0)
-    // artifact build, untimed — n6/n7 geometry (m=8, stride-50 seeds)
-    val cb = Similarity.pqTrain(v, m = 8, iters = 2)
-    cb.write.mode("overwrite").parquet(s"$tmp/codebook")
-    Similarity.pqEncode(v, cb).write.mode("overwrite").parquet(s"$tmp/codes")
-    Similarity.ivfCells(v, centroids).write.mode("overwrite")
-      .parquet(s"$tmp/cells")
-    val cbR = spark.read.parquet(s"$tmp/codebook")
-    val codesR = spark.read.parquet(s"$tmp/codes")
-    val cellsR = spark.read.parquet(s"$tmp/cells")
-    def q6(): Unit = Similarity
-      .pqTopKFromCodes(probes, v, cbR, codesR, k = 5)
-      .orderBy(col("probe_id"), col("rank"))
-      .write.format("noop").mode("overwrite").save()
-    def q7(): Unit = Similarity
-      .ivfPqTopKFromCodes(probes, v, centroids, cellsR, cbR, codesR,
-        k = 5, nprobe = 8)
-      .orderBy(col("probe_id"), col("rank"))
-      .write.format("noop").mode("overwrite").save()
     def t(fn: () => Unit): Double = {
       val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e9
     }
-    q6(); q7() // warm
-    val ann = Map(
-      "n6_serving" -> math.min(t(() => q6()), t(() => q6())),
-      "n7_serving" -> math.min(t(() => q7()), t(() => q7())))
     // each serving family in its OWN try: a build/plan failure in one
     // must not discard the already-measured entries of another (absent
     // key + visible cause, not a silent hole — a consumer diffing bench
@@ -274,6 +252,34 @@ object Bench {
         System.err.println(s"[graft] $name bench failed: $e")
         Map.empty[String, Double]
       }
+    // PQ/IVF artifact build + n6/n7 (hybrid re-reads the same artifact
+    // paths inside its own family, so an ann failure loses hybrid too —
+    // a real dependency, not coupling)
+    val ann = family("ann_serving") {
+      // artifact build, untimed — n6/n7 geometry (m=8, stride-50 seeds)
+      val cb = Similarity.pqTrain(v, m = 8, iters = 2)
+      cb.write.mode("overwrite").parquet(s"$tmp/codebook")
+      Similarity.pqEncode(v, cb).write.mode("overwrite")
+        .parquet(s"$tmp/codes")
+      Similarity.ivfCells(v, centroids).write.mode("overwrite")
+        .parquet(s"$tmp/cells")
+      val cbR = spark.read.parquet(s"$tmp/codebook")
+      val codesR = spark.read.parquet(s"$tmp/codes")
+      val cellsR = spark.read.parquet(s"$tmp/cells")
+      def q6(): Unit = Similarity
+        .pqTopKFromCodes(probes, v, cbR, codesR, k = 5)
+        .orderBy(col("probe_id"), col("rank"))
+        .write.format("noop").mode("overwrite").save()
+      def q7(): Unit = Similarity
+        .ivfPqTopKFromCodes(probes, v, centroids, cellsR, cbR, codesR,
+          k = 5, nprobe = 8)
+        .orderBy(col("probe_id"), col("rank"))
+        .write.format("noop").mode("overwrite").save()
+      q6(); q7() // warm
+      Map(
+        "n6_serving" -> math.min(t(() => q6()), t(() => q6())),
+        "n7_serving" -> math.min(t(() => q7()), t(() => q7())))
+    }
     // SQ8 artifacts: one-row bounds + byte-per-dim codes (no training)
     val sq8 = family("sq8_serving") {
       val sqStats = Similarity.sq8Stats(v)
@@ -314,6 +320,12 @@ object Bench {
       Retrieval.buildPostings(
         Tables.documents(spark, sfDir).filter(col("doc_id") =!= 0L),
         s"$tmp/bm25probe")
+      // the semantic leg serves from the ann family's artifacts — read
+      // by path (absent if that family failed → this one fails too,
+      // with its own visible cause)
+      val cbR = spark.read.parquet(s"$tmp/codebook")
+      val codesR = spark.read.parquet(s"$tmp/codes")
+      val cellsR = spark.read.parquet(s"$tmp/cells")
       def qh(): Unit = {
         val lex = Retrieval.lexRank(
           Retrieval.bm25FromPostings(spark, s"$tmp/bm25probe",

@@ -38,22 +38,34 @@ object Compaction {
     val conf = spark.sparkContext.hadoopConfiguration
     val livePath = new org.apache.hadoop.fs.Path(live)
     val fs = livePath.getFileSystem(conf)
+    val next = s"$live._compacting"
+    val aside = s"$live._precompact"
+    val nextPath = new org.apache.hadoop.fs.Path(next)
+    val asidePath = new org.apache.hadoop.fs.Path(aside)
+    // crash recovery: a failure between the two renames strands the data
+    // at the aside name with NO live dir — restore it before anything
+    // else, so a compaction re-run (or any caller) never reads the
+    // artifact as silently empty
+    if (!fs.exists(livePath) && fs.exists(asidePath))
+      require(fs.rename(asidePath, livePath),
+        s"compaction: cannot restore $aside to $live")
     if (!fs.exists(livePath)) return
+    // a crashed earlier attempt may have left a stale fold here; the
+    // per-partition overwrite below would NOT clear other batch=<id>
+    // dirs, and activating them alongside the fresh fold would serve
+    // every pre-crash row twice
+    fs.delete(nextPath, true)
     val df = spark.read.schema(StructType.fromDDL(
       schema + ", batch BIGINT")).parquet(live)
     val maxBatch = df.agg(max(col("batch"))).head.get(0)
     if (maxBatch == null) return
     val folded = fold(df.drop("batch"))
-    val next = s"$live._compacting"
-    val aside = s"$live._precompact"
     folded.write.mode("overwrite").parquet(s"$next/batch=$maxBatch")
     // preserve the stream-identity marker through the swap
     val marker = new org.apache.hadoop.fs.Path(s"$live/_stream_id")
     if (fs.exists(marker))
       org.apache.hadoop.fs.FileUtil.copy(fs, marker, fs,
         new org.apache.hadoop.fs.Path(s"$next/_stream_id"), false, conf)
-    val nextPath = new org.apache.hadoop.fs.Path(next)
-    val asidePath = new org.apache.hadoop.fs.Path(aside)
     fs.delete(asidePath, true)
     require(fs.rename(livePath, asidePath),
       s"compaction: cannot move $live aside")

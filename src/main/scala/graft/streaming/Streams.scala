@@ -796,20 +796,6 @@ object Streams {
       .start()
   }
 
-  /** Streaming SQ8 index maintenance — [[annIndexMaintenance]]'s twin
-    * for the scalar-quantized index: arriving vectors are byte-encoded
-    * against the TRAINED per-dimension bounds
-    * ([[graft.operators.Similarity.sq8Stats]], persisted once) per
-    * micro-batch, appending binary code slices that
-    * [[graft.operators.Similarity.sq8TopKFromCodes]] serves from. Bounds
-    * are train-time constants like the IVF centroids/PQ codebook (a
-    * vector outside the trained range clamps to the boundary byte — the
-    * standard SQ drift trade; retrain bounds when drift matters). Each
-    * batch costs one broadcast of the 1-row stats frame plus a map-side
-    * codegen'd encode pass; batch=<id> overwrite keeps retries
-    * idempotent, and the same `_stream_id` guard refuses a fresh
-    * checkpoint over populated dirs.
-    */
   /** Compact the ANN maintenance artifacts' accumulated batch=<id>
     * slices (row-disjoint rows — plain rewrite) into one partition
     * each. Stream stopped, trigger drained — [[Compaction]]'s contract.
@@ -830,9 +816,22 @@ object Streams {
     * per slice (rewrite); dict and meta are ADDITIVE partials the serve
     * path sums, so compaction pre-folds them — serve output unchanged
     * (summing is associative), fewer rows to sum per query.
+    *
+    * Refuses a corrupted index: compaction collapses the batch ids, so
+    * [[graft.operators.Retrieval.postingsDisjointnessViolations]] (which
+    * counts distinct batches per doc_id) could never again SEE a
+    * re-delivered doc — compacting one would mask the double-count
+    * forever, not fix it. Detect first, fail loudly.
     */
   def compactPostingsIndex(spark: org.apache.spark.sql.SparkSession,
                            indexDir: String): Unit = {
+    import graft.operators.Retrieval
+    val bad = Retrieval.postingsDisjointnessViolations(spark, indexDir)
+      .limit(5).collect()
+    require(bad.isEmpty,
+      s"compactPostingsIndex: re-delivered doc_ids ${bad.mkString(",")} — " +
+        "compacting would permanently mask the double-count; repair the " +
+        "index (last-wins dedup by doc_id) before compacting")
     // NOT a plain rewrite: the serve-time term pushdown prunes row
     // groups via parquet min/max over word-run-sorted files
     // (Retrieval.writeIndexSlice's layout) — re-sort during the fold so
@@ -843,13 +842,28 @@ object Streams {
     Compaction.swapFolded(spark, s"$indexDir/dict",
       "word STRING, df BIGINT",
       _.groupBy(col("word")).agg(sum(col("df")).as("df")))
+    // meta slices carry exactly (n_docs, l_tot) — writeIndexSlice drops
+    // its transient max_dl after the build-time bound check
     Compaction.swapFolded(spark, s"$indexDir/meta",
-      "n_docs BIGINT, l_tot BIGINT, max_dl BIGINT",
+      "n_docs BIGINT, l_tot BIGINT",
       _.agg(sum(col("n_docs")).as("n_docs"),
-        sum(col("l_tot")).as("l_tot"),
-        max(col("max_dl")).as("max_dl")))
+        sum(col("l_tot")).as("l_tot")))
   }
 
+  /** Streaming SQ8 index maintenance — [[annIndexMaintenance]]'s twin
+    * for the scalar-quantized index: arriving vectors are byte-encoded
+    * against the TRAINED per-dimension bounds
+    * ([[graft.operators.Similarity.sq8Stats]], persisted once) per
+    * micro-batch, appending binary code slices that
+    * [[graft.operators.Similarity.sq8TopKFromCodes]] serves from. Bounds
+    * are train-time constants like the IVF centroids/PQ codebook (a
+    * vector outside the trained range clamps to the boundary byte — the
+    * standard SQ drift trade; retrain bounds when drift matters). Each
+    * batch costs one broadcast of the 1-row stats frame plus a map-side
+    * codegen'd encode pass; batch=<id> overwrite keeps retries
+    * idempotent, and the same `_stream_id` guard refuses a fresh
+    * checkpoint over populated dirs.
+    */
   def sq8IndexMaintenance(vecs: DataFrame, statsPath: String,
                           codesPath: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {

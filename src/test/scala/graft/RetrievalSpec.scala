@@ -125,6 +125,12 @@ class RetrievalSpec extends AnyFunSuite {
       val bad = Retrieval.postingsDisjointnessViolations(spark, idx)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(bad == Seq((0L, 2L)), s"expected doc 0 in 2 batches: $bad")
+      // compaction would collapse the batch ids and permanently mask
+      // this violation without fixing the double-count — it must refuse
+      val e = intercept[IllegalArgumentException] {
+        streaming.Streams.compactPostingsIndex(spark, idx)
+      }
+      assert(e.getMessage.contains("re-delivered"))
     } finally {
       Seq(land, idx, ckpt).foreach { d =>
         val p = new org.apache.hadoop.fs.Path(d)
