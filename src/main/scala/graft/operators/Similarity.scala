@@ -560,6 +560,39 @@ object Similarity {
       vecBuckets.join(broadcast(probeBuckets), Seq("cid")), k)
   }
 
+  /** IVF + SQ8 composite — FAISS's "IVF,SQ8" index type, completing the
+    * quantization matrix beside IVF-flat ([[ivfTopK]]) and IVF+PQ
+    * ([[ivfPqTopK]]): the coarse quantizer buckets on FULL-precision
+    * vectors (the standard choice — cell assignment is rare and
+    * recall-critical), candidate scoring runs on the SQ8-dequantized
+    * values (the byte-per-dim index, 4× under float32 — the right
+    * middle ground when PQ's 32× compression costs too much recall and
+    * raw floats don't fit serving RAM). Same plan scale shape as
+    * ivfTopK: narrow assignment, broadcast probe buckets, candidates
+    * tracked per cell; the dequant round-trip is the codegen'd
+    * [[graft.plans.Sq8Kernel]] pair. Deterministic end to end → full
+    * DuckDB oracle; recall bounded in SimilaritySpec.
+    */
+  def ivfSq8TopK(probes: DataFrame, vecs: DataFrame, centroids: DataFrame,
+                 k: Int, nprobe: Int): DataFrame = {
+    val cent = centFrame(centroids)
+    val stats = sq8Stats(vecs)
+    val dq = spreadPartitions(vecs).crossJoin(broadcast(stats))
+      .select(col("vec_id").as("cand_id"),
+        graft.plans.Expressions.sq8Dequant(
+          graft.plans.Expressions.sq8Encode(
+            col("embedding"), col("mns"), col("mxs")),
+          col("mns"), col("mxs")).as("ce"))
+      .withColumn("cn", normScaled(col("ce")))
+    val vecBuckets = ivfAssign(vecs, cent, "cand_id", 1)
+      .join(dq, Seq("cand_id"))
+    val probeBuckets = ivfAssign(probes, cent, "probe_id", nprobe)
+      .withColumnRenamed("embedding", "pe")
+      .withColumn("pn", normScaled(col("pe")))
+    rankBucketCands(
+      vecBuckets.join(broadcast(probeBuckets), Seq("cid")), k)
+  }
+
   /** Product-quantization ANN (asymmetric-distance, inner-product form).
     * The embedding splits into `m` contiguous subspaces; each subspace
     * gets its own codebook (deterministic Lloyd over the sub-vectors —

@@ -336,6 +336,18 @@ object Pipeline {
         .canonOrder(col("probe_id"), col("rank"))
     },
 
+    // N13: IVF + SQ8 composite — FAISS's "IVF,SQ8": coarse cells prune
+    // candidates (full-precision assignment), byte-per-dim SQ8 values
+    // score them — the middle ground of the quantization matrix beside
+    // IVF-flat (n3) and IVF+PQ (n7). Deterministic end to end → full
+    // DuckDB oracle (n3's cell CTEs + n10's dequant CTE composed).
+    "n13_ann_ivfsq8" -> { (s, d) =>
+      val v = Tables.embeddings(s, d)
+      Similarity.ivfSq8TopK(v.filter(col("vec_id") < 10), v,
+        centroids = v.filter(col("vec_id") % 50 === 0), k = 5, nprobe = 8)
+        .canonOrder(col("probe_id"), col("rank"))
+    },
+
     // N4: IVF with TRAINED centroids — two deterministic Lloyd iterations
     // over the deterministic sample n3 uses raw, then the same
     // nprobe-bucket search. Training is exact arithmetic (integer-domain
@@ -2277,6 +2289,43 @@ object Pipeline {
                 FROM cands c
                 JOIN u a ON a.vec_id = c.probe_id
                 JOIN u b ON b.vec_id = c.cand_id AND a.i = b.i
+                GROUP BY 1, 2),
+         r AS (SELECT probe_id, cand_id, cos, row_number() OVER (
+                 PARTITION BY probe_id ORDER BY cos DESC, cand_id)
+                 AS rank FROM sc)
+         SELECT probe_id, rank, cand_id AS neighbor_id,
+           round(cos, 4) AS cosine
+         FROM r WHERE rank <= 5 ORDER BY probe_id, rank""",
+    // n13: n3's IVF cell CTEs + n10's SQ8 dequant CTE — cells prune,
+    // dequantized bytes score
+    "n13_ann_ivfsq8" ->
+      s"""WITH u AS ($duckUnnest),
+         cu AS (SELECT vec_id AS cid, x AS cx, i FROM u
+                WHERE vec_id % 50 = 0),
+         vc AS (SELECT a.vec_id, b.cid, ${duckCos("a.x", "b.cx")} AS csim
+                FROM u a JOIN cu b ON a.i = b.i GROUP BY 1, 2),
+         vr AS (SELECT vec_id, cid, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+                FROM vc),
+         vb AS (SELECT vec_id AS cand_id, cid FROM vr WHERE rn = 1),
+         pb AS (SELECT vec_id AS probe_id, cid FROM vr
+                WHERE rn <= 8 AND vec_id < 10),
+         cands AS (SELECT DISTINCT probe_id, cand_id
+                   FROM pb JOIN vb USING (cid)
+                   WHERE probe_id <> cand_id),
+         st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM u GROUP BY i),
+         dq AS (SELECT vec_id, u.i, CAST(CAST(
+             CASE WHEN mx = mn THEN mn
+                  ELSE mn + least(255, greatest(0,
+                    CAST(floor((x - mn) * 255 / (mx - mn)) AS BIGINT)))
+                    * (mx - mn) / 255
+             END AS REAL) AS DOUBLE) AS xq
+           FROM u JOIN st ON u.i = st.i),
+         sc AS (SELECT c.probe_id, c.cand_id,
+                  ${duckCos("a.x", "b.xq")} AS cos
+                FROM cands c
+                JOIN u a ON a.vec_id = c.probe_id
+                JOIN dq b ON b.vec_id = c.cand_id AND a.i = b.i
                 GROUP BY 1, 2),
          r AS (SELECT probe_id, cand_id, cos, row_number() OVER (
                  PARTITION BY probe_id ORDER BY cos DESC, cand_id)

@@ -266,6 +266,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("dimension"))
   }
 
+  test("ivfSq8TopK: recall floor vs brute force; hits stay inside the " +
+      "probed-cell universe (the IVF prune is real under SQ8 scoring)") {
+    val probes = vecs.filter(col("vec_id") < 50)
+    val cents = vecs.filter(col("vec_id") % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val truth = pairs(Similarity.bruteForceTopK(probes, vecs, 5))
+    val got = pairs(Similarity.ivfSq8TopK(probes, vecs, cents,
+      k = 5, nprobe = 8))
+    val recall = (truth & got).size.toDouble / truth.size
+    info(f"ivf+sq8 recall@5 = $recall%.3f (nprobe=8)")
+    assert(recall >= 0.3, f"recall $recall%.3f below bound")
+    // the composite's hits are a subset of plain IVF's candidate
+    // universe — SQ8 only perturbs scores, never widens the cells
+    val ivfHits = pairs(Similarity.ivfTopK(probes, vecs, cents,
+      500, nprobe = 8))
+    assert(got.subsetOf(ivfHits))
+  }
+
   test("filtered ANN: pre-filtering keeps k results from the predicate " +
       "universe where post-filtering an unfiltered top-k starves") {
     val probes = vecs.filter(col("vec_id") < 10)
