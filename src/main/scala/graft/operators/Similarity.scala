@@ -143,19 +143,23 @@ object Similarity {
     * complete DuckDB oracle; SimilaritySpec bounds recall vs n1 (SQ8
     * recall ≫ PQ's at the same fixture — 8 bits/dim vs 8 bits/subspace).
     */
-  def sq8TopK(probes: DataFrame, vecs: DataFrame, k: Int): DataFrame = {
-    val stats = sq8Stats(vecs)
-    // encode∘decode through the codegen'd kernel — bit-identical to the
-    // Column-form [[sq8Dequant]] round-trip (CodegenParitySpec pins it);
-    // the lambda form is interpreted, the same tax dot_scaled eliminated
-    val cand = spreadPartitions(vecs).crossJoin(broadcast(stats))
+  def sq8TopK(probes: DataFrame, vecs: DataFrame, k: Int): DataFrame =
+    sq8Search(probes, sq8Cand(vecs, sq8Stats(vecs)), k)
+
+  /** The dequantized candidate frame (cand_id, ce) shared by [[sq8TopK]]
+    * and [[ivfSq8TopK]]: encode∘decode through the codegen'd kernel —
+    * bit-identical to the Column-form [[sq8Dequant]] round-trip
+    * (CodegenParitySpec pins it); the lambda form is interpreted, the
+    * same tax dot_scaled eliminated. ONE owner of the round-trip
+    * composition, so the n10/n13 entries can't drift apart.
+    */
+  private def sq8Cand(vecs: DataFrame, stats: DataFrame): DataFrame =
+    spreadPartitions(vecs).crossJoin(broadcast(stats))
       .select(col("vec_id").as("cand_id"),
         graft.plans.Expressions.sq8Dequant(
           graft.plans.Expressions.sq8Encode(
             col("embedding"), col("mns"), col("mxs")),
           col("mns"), col("mxs")).as("ce"))
-    sq8Search(probes, cand, k)
-  }
 
   /** Persistable SQ8 artifact: (vec_id, codes binary) — one byte per
     * dimension, the 4×-under-float32 index a corpus build writes next to
@@ -576,13 +580,7 @@ object Similarity {
   def ivfSq8TopK(probes: DataFrame, vecs: DataFrame, centroids: DataFrame,
                  k: Int, nprobe: Int): DataFrame = {
     val cent = centFrame(centroids)
-    val stats = sq8Stats(vecs)
-    val dq = spreadPartitions(vecs).crossJoin(broadcast(stats))
-      .select(col("vec_id").as("cand_id"),
-        graft.plans.Expressions.sq8Dequant(
-          graft.plans.Expressions.sq8Encode(
-            col("embedding"), col("mns"), col("mxs")),
-          col("mns"), col("mxs")).as("ce"))
+    val dq = sq8Cand(vecs, sq8Stats(vecs))
       .withColumn("cn", normScaled(col("ce")))
     val vecBuckets = ivfAssign(vecs, cent, "cand_id", 1)
       .join(dq, Seq("cand_id"))

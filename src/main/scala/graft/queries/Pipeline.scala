@@ -1613,6 +1613,33 @@ object Pipeline {
          generate_subscripts(embedding, 1) AS i
        FROM embeddings"""
 
+  /** Shared IVF cell-assignment CTEs (cu/vc/vr) — one owner for the
+    * n3/n12/n13 oracles so a tie-break or stride fix can't drift between
+    * the twins (the lshOracle precedent for hash-family SQL).
+    */
+  private val duckIvfAssign =
+    s"""cu AS (SELECT vec_id AS cid, x AS cx, i FROM u
+                WHERE vec_id % 50 = 0),
+         vc AS (SELECT a.vec_id, b.cid, ${duckCos("a.x", "b.cx")} AS csim
+                FROM u a JOIN cu b ON a.i = b.i GROUP BY 1, 2),
+         vr AS (SELECT vec_id, cid, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+                FROM vc)"""
+
+  /** Shared SQ8 dequantization CTEs (st/dq) — one owner for the n10/n13
+    * oracles; mirrors Sq8Kernel's encode floor/clamp + decode, rounded
+    * through REAL like the Spark side's float cast.
+    */
+  private val duckSq8Dequant =
+    """st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM u GROUP BY i),
+         dq AS (SELECT vec_id, u.i, CAST(CAST(
+             CASE WHEN mx = mn THEN mn
+                  ELSE mn + least(255, greatest(0,
+                    CAST(floor((x - mn) * 255 / (mx - mn)) AS BIGINT)))
+                    * (mx - mn) / 255
+             END AS REAL) AS DOUBLE) AS xq
+           FROM u JOIN st ON u.i = st.i)"""
+
   /** Full DuckDB twin of lshTopK / lshTopKMultiProbe (n2/n5). The ±1
     * hyperplane weights are data-independent splitmix64 constants
     * (LshKernel.signNeg), so the oracle inlines the IDENTICAL sign matrix
@@ -2271,13 +2298,7 @@ object Pipeline {
          FROM r WHERE rank <= 5 ORDER BY probe_id, rank""",
     "n3_ann_ivf" ->
       s"""WITH u AS ($duckUnnest),
-         cu AS (SELECT vec_id AS cid, x AS cx, i FROM u
-                WHERE vec_id % 50 = 0),
-         vc AS (SELECT a.vec_id, b.cid, ${duckCos("a.x", "b.cx")} AS csim
-                FROM u a JOIN cu b ON a.i = b.i GROUP BY 1, 2),
-         vr AS (SELECT vec_id, cid, row_number() OVER (
-                  PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
-                FROM vc),
+         $duckIvfAssign,
          vb AS (SELECT vec_id AS cand_id, cid FROM vr WHERE rn = 1),
          pb AS (SELECT vec_id AS probe_id, cid FROM vr
                 WHERE rn <= 8 AND vec_id < 10),
@@ -2300,27 +2321,14 @@ object Pipeline {
     // dequantized bytes score
     "n13_ann_ivfsq8" ->
       s"""WITH u AS ($duckUnnest),
-         cu AS (SELECT vec_id AS cid, x AS cx, i FROM u
-                WHERE vec_id % 50 = 0),
-         vc AS (SELECT a.vec_id, b.cid, ${duckCos("a.x", "b.cx")} AS csim
-                FROM u a JOIN cu b ON a.i = b.i GROUP BY 1, 2),
-         vr AS (SELECT vec_id, cid, row_number() OVER (
-                  PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
-                FROM vc),
+         $duckIvfAssign,
          vb AS (SELECT vec_id AS cand_id, cid FROM vr WHERE rn = 1),
          pb AS (SELECT vec_id AS probe_id, cid FROM vr
                 WHERE rn <= 8 AND vec_id < 10),
          cands AS (SELECT DISTINCT probe_id, cand_id
                    FROM pb JOIN vb USING (cid)
                    WHERE probe_id <> cand_id),
-         st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM u GROUP BY i),
-         dq AS (SELECT vec_id, u.i, CAST(CAST(
-             CASE WHEN mx = mn THEN mn
-                  ELSE mn + least(255, greatest(0,
-                    CAST(floor((x - mn) * 255 / (mx - mn)) AS BIGINT)))
-                    * (mx - mn) / 255
-             END AS REAL) AS DOUBLE) AS xq
-           FROM u JOIN st ON u.i = st.i),
+         $duckSq8Dequant,
          sc AS (SELECT c.probe_id, c.cand_id,
                   ${duckCos("a.x", "b.xq")} AS cos
                 FROM cands c
@@ -2337,13 +2345,7 @@ object Pipeline {
     // candidate assignments (pre-filter); probe assignments unfiltered
     "n12_ann_filtered" ->
       s"""WITH u AS ($duckUnnest),
-         cu AS (SELECT vec_id AS cid, x AS cx, i FROM u
-                WHERE vec_id % 50 = 0),
-         vc AS (SELECT a.vec_id, b.cid, ${duckCos("a.x", "b.cx")} AS csim
-                FROM u a JOIN cu b ON a.i = b.i GROUP BY 1, 2),
-         vr AS (SELECT vec_id, cid, row_number() OVER (
-                  PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
-                FROM vc),
+         $duckIvfAssign,
          vb AS (SELECT vr.vec_id AS cand_id, cid FROM vr
                 JOIN embeddings e ON vr.vec_id = e.vec_id
                 WHERE rn = 1 AND e.label < 3),
@@ -2381,14 +2383,7 @@ object Pipeline {
     // side's float cast) feeding the same scaled-long cosine as n1
     "n10_ann_sq8" ->
       s"""WITH u AS ($duckUnnest),
-         st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM u GROUP BY i),
-         dq AS (SELECT vec_id, u.i, CAST(CAST(
-             CASE WHEN mx = mn THEN mn
-                  ELSE mn + least(255, greatest(0,
-                    CAST(floor((x - mn) * 255 / (mx - mn)) AS BIGINT)))
-                    * (mx - mn) / 255
-             END AS REAL) AS DOUBLE) AS xq
-           FROM u JOIN st ON u.i = st.i),
+         $duckSq8Dequant,
          sc AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
                   ${duckCos("a.x", "b.xq")} AS cos
                 FROM u a JOIN dq b
