@@ -49,7 +49,7 @@ object Bench {
     // r13 second session: hybrid lexical+semantic retrieval (RRF) and
     // SQ8 scalar-quantized ANN
     "t32_hybrid_rrf", "hybrid_serving", "n10_ann_sq8", "sq8_serving",
-    "n12_ann_filtered", "n13_ann_ivfsq8")
+    "n12_ann_filtered", "n13_ann_ivfsq8", "n14_ann_sq8_sampled")
 
   /** The 2×-criterion twin (r7 verdict #8): time the SAME SQL the oracle
     * runs, in DuckDB, over the SAME parquet — a measurable single-node

@@ -385,6 +385,23 @@ object Pipeline {
         .canonOrder(col("probe_id"), col("rank"))
     },
 
+    // N14: the PRODUCTION quantized composite — n9's sample-bounded
+    // trained centroids (fixed ~16 cells whatever the corpus size; the
+    // constant-cost training geometry) pruning candidates for n10's SQ8
+    // byte scoring. This is the deployment shape the n12/n13 SCALING
+    // notes point at: every training input is corpus-size-independent,
+    // assignment is O(n·16) not O(n²/50), and the scored bytes are 4×
+    // under float32. Fully deterministic → the oracle composes n9's
+    // sampled-Lloyd CTE chain with n10's dequant CTE.
+    "n14_ann_sq8_sampled" -> { (s, d) =>
+      val v = Tables.embeddings(s, d)
+      val trained = Similarity.sampledTrainCentroids(
+        v, targetSample = 400L, kCentroids = 16L, iters = 2)
+      Similarity.ivfSq8TopK(v.filter(col("vec_id") < 10), v,
+        centroids = trained, k = 5, nprobe = 8)
+        .canonOrder(col("probe_id"), col("rank"))
+    },
+
     // N6: product-quantization ANN — the corpus compresses to m codebook
     // ids per vector (64 floats → 8 codes, the RAM-residency lever at
     // 100 TB; IVF prunes candidates, PQ shrinks them); queries score the
@@ -1626,6 +1643,47 @@ object Pipeline {
                   PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
                 FROM vc)"""
 
+  /** Shared sampled-Lloyd cell CTEs (prm → vr) — one owner for the
+    * n9/n14 oracles: COUNT(*)-derived moduli bound the training sample
+    * (~400 vectors) and seed count (~16), two decimal-exact Lloyd
+    * iterations over the sample, then the whole corpus assigns to the
+    * trained centroids (vr ranks every vector's cells).
+    */
+  private val duckSampledCells =
+    s"""prm AS (SELECT greatest(1, count(*) // 400) AS md
+                 FROM embeddings),
+         su AS (SELECT u.* FROM u, prm WHERE u.vec_id % prm.md = 0),
+         prm2 AS (SELECT prm.md * greatest(1, count(DISTINCT su.vec_id) // 16)
+                    AS sd
+                  FROM su, prm GROUP BY prm.md),
+         c0 AS (SELECT vec_id AS cid, x AS cx, i FROM u, prm2
+                WHERE vec_id % prm2.sd = 0),
+         s1 AS (SELECT a.vec_id, b.cid, ${duckCos("a.x", "b.cx")} AS csim
+                FROM su a JOIN c0 b ON a.i = b.i GROUP BY 1, 2),
+         a1 AS (SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+                  FROM s1) WHERE rn = 1),
+         c1 AS (SELECT a1.cid, su.i,
+                  CAST(CAST(SUM(CAST(su.x AS DECIMAL(38,6))) AS DOUBLE)
+                    / COUNT(*) AS REAL) AS cx
+                FROM su JOIN a1 USING (vec_id) GROUP BY 1, 2),
+         s2 AS (SELECT a.vec_id, b.cid, ${duckCos("a.x", "b.cx")} AS csim
+                FROM su a JOIN c1 b ON a.i = b.i GROUP BY 1, 2),
+         a2 AS (SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+                  FROM s2) WHERE rn = 1),
+         c2 AS (SELECT a2.cid, su.i,
+                  CAST(CAST(SUM(CAST(su.x AS DECIMAL(38,6))) AS DOUBLE)
+                    / COUNT(*) AS REAL) AS cx
+                FROM su JOIN a2 USING (vec_id) GROUP BY 1, 2),
+         s3 AS (SELECT a.vec_id, b.cid, ${duckCos("a.x", "b.cx")} AS csim
+                FROM u a JOIN c2 b ON a.i = b.i GROUP BY 1, 2),
+         vr AS (SELECT vec_id, cid, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+                FROM s3)"""
+
   /** Shared SQ8 dequantization CTEs (st/dq) — one owner for the n10/n13
     * oracles; mirrors Sq8Kernel's encode floor/clamp + decode, rounded
     * through REAL like the Spark side's float cast.
@@ -2245,39 +2303,7 @@ object Pipeline {
     // CTEs. Only s3 (final assignment) sees the full corpus.
     "n9_ann_ivf_sampled" ->
       s"""WITH u AS ($duckUnnest),
-         prm AS (SELECT greatest(1, count(*) // 400) AS md
-                 FROM embeddings),
-         su AS (SELECT u.* FROM u, prm WHERE u.vec_id % prm.md = 0),
-         prm2 AS (SELECT prm.md * greatest(1, count(DISTINCT su.vec_id) // 16)
-                    AS sd
-                  FROM su, prm GROUP BY prm.md),
-         c0 AS (SELECT vec_id AS cid, x AS cx, i FROM u, prm2
-                WHERE vec_id % prm2.sd = 0),
-         s1 AS (SELECT a.vec_id, b.cid, ${duckCos("a.x", "b.cx")} AS csim
-                FROM su a JOIN c0 b ON a.i = b.i GROUP BY 1, 2),
-         a1 AS (SELECT vec_id, cid FROM (
-                  SELECT vec_id, cid, row_number() OVER (
-                    PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
-                  FROM s1) WHERE rn = 1),
-         c1 AS (SELECT a1.cid, su.i,
-                  CAST(CAST(SUM(CAST(su.x AS DECIMAL(38,6))) AS DOUBLE)
-                    / COUNT(*) AS REAL) AS cx
-                FROM su JOIN a1 USING (vec_id) GROUP BY 1, 2),
-         s2 AS (SELECT a.vec_id, b.cid, ${duckCos("a.x", "b.cx")} AS csim
-                FROM su a JOIN c1 b ON a.i = b.i GROUP BY 1, 2),
-         a2 AS (SELECT vec_id, cid FROM (
-                  SELECT vec_id, cid, row_number() OVER (
-                    PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
-                  FROM s2) WHERE rn = 1),
-         c2 AS (SELECT a2.cid, su.i,
-                  CAST(CAST(SUM(CAST(su.x AS DECIMAL(38,6))) AS DOUBLE)
-                    / COUNT(*) AS REAL) AS cx
-                FROM su JOIN a2 USING (vec_id) GROUP BY 1, 2),
-         s3 AS (SELECT a.vec_id, b.cid, ${duckCos("a.x", "b.cx")} AS csim
-                FROM u a JOIN c2 b ON a.i = b.i GROUP BY 1, 2),
-         vr AS (SELECT vec_id, cid, row_number() OVER (
-                  PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
-                FROM s3),
+         $duckSampledCells,
          vb AS (SELECT vec_id AS cand_id, cid FROM vr WHERE rn = 1),
          pb AS (SELECT vec_id AS probe_id, cid FROM vr
                 WHERE rn <= 8 AND vec_id < 10),
@@ -2310,6 +2336,30 @@ object Pipeline {
                 FROM cands c
                 JOIN u a ON a.vec_id = c.probe_id
                 JOIN u b ON b.vec_id = c.cand_id AND a.i = b.i
+                GROUP BY 1, 2),
+         r AS (SELECT probe_id, cand_id, cos, row_number() OVER (
+                 PARTITION BY probe_id ORDER BY cos DESC, cand_id)
+                 AS rank FROM sc)
+         SELECT probe_id, rank, cand_id AS neighbor_id,
+           round(cos, 4) AS cosine
+         FROM r WHERE rank <= 5 ORDER BY probe_id, rank""",
+    // n14: n9's sampled-Lloyd cell chain + n10's dequant CTE — the
+    // production quantized composite (fixed cells, byte scoring)
+    "n14_ann_sq8_sampled" ->
+      s"""WITH u AS ($duckUnnest),
+         $duckSampledCells,
+         vb AS (SELECT vec_id AS cand_id, cid FROM vr WHERE rn = 1),
+         pb AS (SELECT vec_id AS probe_id, cid FROM vr
+                WHERE rn <= 8 AND vec_id < 10),
+         cands AS (SELECT DISTINCT probe_id, cand_id
+                   FROM pb JOIN vb USING (cid)
+                   WHERE probe_id <> cand_id),
+         $duckSq8Dequant,
+         sc AS (SELECT c.probe_id, c.cand_id,
+                  ${duckCos("a.x", "b.xq")} AS cos
+                FROM cands c
+                JOIN u a ON a.vec_id = c.probe_id
+                JOIN dq b ON b.vec_id = c.cand_id AND a.i = b.i
                 GROUP BY 1, 2),
          r AS (SELECT probe_id, cand_id, cos, row_number() OVER (
                  PARTITION BY probe_id ORDER BY cos DESC, cand_id)

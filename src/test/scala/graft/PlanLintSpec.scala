@@ -64,7 +64,7 @@ class PlanLintSpec extends AnyFunSuite {
     "d11_semantic_decontaminate", "d9_semantic_prune", "n1_ann_topk",
     "n3_ann_ivf", "n4_ann_ivf_trained", "n7_ann_ivfpq",
     "n9_ann_ivf_sampled", "t32_hybrid_rrf", "n10_ann_sq8",
-    "n12_ann_filtered", "n13_ann_ivfsq8")
+    "n12_ann_filtered", "n13_ann_ivfsq8", "n14_ann_sq8_sampled")
 
   private def isScalarAgg(p: SparkPlan): Boolean = p.collectFirst {
     case a: HashAggregateExec if a.groupingExpressions.isEmpty => true

@@ -285,6 +285,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.subsetOf(ivfHits))
   }
 
+  test("sampled-centroid IVF+SQ8 (the production quantized composite): " +
+      "recall floor vs brute force holds with every training input " +
+      "corpus-size-independent") {
+    val probes = vecs.filter(col("vec_id") < 50)
+    val trained = Similarity.sampledTrainCentroids(vecs,
+      targetSample = 400L, kCentroids = 16L, iters = 2)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val truth = pairs(Similarity.bruteForceTopK(probes, vecs, 5))
+    val got = pairs(Similarity.ivfSq8TopK(probes, vecs, trained,
+      k = 5, nprobe = 8))
+    val recall = (truth & got).size.toDouble / truth.size
+    info(f"sampled ivf+sq8 recall@5 = $recall%.3f (nprobe=8 of ~16)")
+    assert(recall >= 0.3, f"recall $recall%.3f below bound")
+  }
+
   test("filtered ANN: pre-filtering keeps k results from the predicate " +
       "universe where post-filtering an unfiltered top-k starves") {
     val probes = vecs.filter(col("vec_id") < 10)
