@@ -66,7 +66,7 @@ object Scaling {
     // fusion — the slope should be t22's + n1's, nothing extra) and
     // SQ8 ANN (one decode+score pass — n1's slope on a byte index)
     "t32_hybrid_rrf", "n10_ann_sq8", "n12_ann_filtered",
-    "n13_ann_ivfsq8",
+    "n13_ann_ivfsq8", "n14_ann_sq8_sampled",
     // LAST: the skew pairs toggle session confs (broadcast off,
     // skew-join on/off) from inside their builders — keeping them at
     // the tail means nothing downstream inherits the toggles
