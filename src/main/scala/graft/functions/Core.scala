@@ -75,6 +75,14 @@ object Core {
     */
   def round4(c: Column): Column = round(c * 10000d, 0) / 10000d
 
+  /** [[round4]] at 1e-6 resolution — for scores whose adjacent ordering
+    * increments are FINER than 1e-4 (RRF tail ranks: 1/(60+49)−1/(60+50)
+    * ≈ 8.3e-5 would tie under round4 and let doc_id decide the served
+    * order). Same single fixed-order IEEE construction, so results stay
+    * bit-identical across engines; twins use `round(x, 6)`.
+    */
+  def round6(c: Column): Column = round(c * 1000000d, 0) / 1000000d
+
   /** Deterministic 64-bit id from a string key — the Spark analogue of the
     * reference's `cityHash64(denom)` surrogate ids (core/tokens.js:29-34,
     * core/pools.js:13-19). Only determinism matters, not CityHash compat.

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Core.{round4, spreadPartitions}
+import graft.functions.Core.{round4, round6, spreadPartitions}
 import graft.functions.Text
 
 /** Full-text retrieval over the corpus — the RAG-serving counterpart of
@@ -278,7 +278,14 @@ object Retrieval {
     * incomparable scales of a BM25 score and a cosine never meet — and
     * both addends are one IEEE division of small integers, so the fused
     * double is bit-identical across engines (the t22/n1 exactness
-    * contract composes). Inputs are the two top-`legK` ranked legs
+    * contract composes). The output rounds at 1e-6, NOT the corpus-score
+    * round4: adjacent RRF increments at the tail of a 50-deep leg
+    * (1/(60+49)−1/(60+50) ≈ 8.3e-5) are finer than 1e-4, so round4 tied
+    * tail ranks and let doc_id decide the served order — a
+    * ranking-fidelity loss round6 is still coarse enough to avoid (the
+    * smallest fused increment at legK=50 is ≫ 1e-6) while staying one
+    * fixed-order IEEE op both engines reproduce bit-identically.
+    * Inputs are the two top-`legK` ranked legs
     * (doc_id, lex_rank) / (doc_id, sem_rank); both are query-sized
     * frames, so the full-outer fusion join and the TakeOrdered(k) cost
     * nothing at any corpus size — the corpus-scale work happened inside
@@ -288,7 +295,7 @@ object Retrieval {
               rrfK: Long = 60L): DataFrame = {
     val one = lit(1).cast("double")
     lex.join(sem, Seq("doc_id"), "full_outer")
-      .withColumn("rrf", round4(
+      .withColumn("rrf", round6(
         coalesce(one / (lit(rrfK) + col("lex_rank")).cast("double"),
           lit(0d))
         + coalesce(one / (lit(rrfK) + col("sem_rank")).cast("double"),

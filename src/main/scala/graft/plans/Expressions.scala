@@ -603,6 +603,16 @@ object Sq8Kernel {
     var i = 0
     while (i < dim) {
       val x = emb.getFloat(i).toDouble
+      // math.floor(NaN).toLong is 0, so a NaN/Inf dimension would
+      // SILENTLY encode as code 0 (decoding to mn) while the interpreted
+      // Column form and the DuckDB twin propagate NULL/NaN — a corrupt
+      // vector would diverge between kernel, Column, and oracle instead
+      // of failing. Same loud-failure contract as requireDim.
+      if (!java.lang.Double.isFinite(x))
+        throw new IllegalArgumentException(
+          s"sq8: non-finite embedding value $x at dimension $i — " +
+            "SQ8 codes are defined only over finite inputs; clean the " +
+            "vector (or drop the row) before encoding")
       val mn = mns.getDouble(i)
       val mx = mxs.getDouble(i)
       val code =

@@ -2999,7 +2999,7 @@ object Pipeline {
                FROM sc),
          fuse AS (SELECT doc_id, lex_rank, sem_rank,
              round(COALESCE(CAST(1 AS DOUBLE)/(60 + lex_rank), CAST(0 AS DOUBLE))
-                 + COALESCE(CAST(1 AS DOUBLE)/(60 + sem_rank), CAST(0 AS DOUBLE)), 4) AS rrf
+                 + COALESCE(CAST(1 AS DOUBLE)/(60 + sem_rank), CAST(0 AS DOUBLE)), 6) AS rrf
            FROM (SELECT * FROM lex WHERE lex_rank <= 50) l
            FULL OUTER JOIN (SELECT * FROM sem WHERE sem_rank <= 50) m
              USING (doc_id))

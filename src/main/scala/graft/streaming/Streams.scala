@@ -835,10 +835,25 @@ object Streams {
     // NOT a plain rewrite: the serve-time term pushdown prunes row
     // groups via parquet min/max over word-run-sorted files
     // (Retrieval.writeIndexSlice's layout) — re-sort during the fold so
-    // compaction keeps the index an index
+    // compaction keeps the index an index. The shuffle width derives
+    // from the ACCUMULATED slice bytes (ceil(bytes/target), the
+    // compactSmallFiles rule), not the session default — a bare
+    // repartition(col) would emit up to spark.sql.shuffle.partitions
+    // files for a tiny index, partially defeating the file-count
+    // reduction the compactor exists for.
+    val (pfs, ppath) = {
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/postings")
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    val postingsFiles =
+      if (pfs.exists(ppath))
+        math.max(1L, (pfs.getContentSummary(ppath).getLength
+          + (128L << 20) - 1) / (128L << 20)).toInt
+      else 1
     Compaction.swapFolded(spark, s"$indexDir/postings",
       "word STRING, doc_id BIGINT, tf BIGINT, dl BIGINT",
-      _.repartition(col("word")).sortWithinPartitions("word", "doc_id"))
+      _.repartition(postingsFiles, col("word"))
+        .sortWithinPartitions("word", "doc_id"))
     Compaction.swapFolded(spark, s"$indexDir/dict",
       "word STRING, df BIGINT",
       _.groupBy(col("word")).agg(sum(col("df")).as("df")))

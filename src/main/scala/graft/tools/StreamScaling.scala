@@ -77,26 +77,40 @@ object StreamScaling {
       val docsSchema = "doc_id BIGINT, text STRING, lang STRING, " +
         "source STRING, n_chars BIGINT"
       val vecsSchema = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+      // every warm-up dir is captured and deleted in the finally —
+      // unlike the measured ticks' per-block cleanup this block runs
+      // once per tool invocation, but five leaked parquet dirs per run
+      // still accumulate in the host tmp (r13 ADVICE)
       val land = tmp("graft-ss-warm-land")
-      wdocs.write.parquet(s"$land/docs")
-      wvecs.write.parquet(s"$land/vecs")
-      val dstream = spark.readStream.schema(docsSchema)
-        .option("recursiveFileLookup", "true").parquet(s"$land/docs")
-      val vstream = spark.readStream.schema(vecsSchema)
-        .option("recursiveFileLookup", "true").parquet(s"$land/vecs")
       val art = tmp("graft-ss-warm-art")
-      import graft.operators.Similarity
-      Similarity.sampledTrainCentroids(wvecs)
-        .write.parquet(s"$art/centroids")
-      Similarity.pqTrainSampled(wvecs).write.parquet(s"$art/codebook")
-      Streams.neardupIngest(dstream, s"$art/ndidx", s"$art/accepted",
-        tmp("graft-ss-warm-ck1")).awaitTermination()
-      Streams.annIndexMaintenance(vstream, s"$art/centroids",
-        s"$art/codebook", s"$art/cells", s"$art/codes",
-        tmp("graft-ss-warm-ck2")).awaitTermination()
-      Streams.postingsMaintenance(dstream, s"$art/bm25",
-        tmp("graft-ss-warm-ck3")).awaitTermination()
-      System.err.println("[streamscale] warm-up done")
+      val cks = Seq(tmp("graft-ss-warm-ck1"), tmp("graft-ss-warm-ck2"),
+        tmp("graft-ss-warm-ck3"))
+      try {
+        wdocs.write.parquet(s"$land/docs")
+        wvecs.write.parquet(s"$land/vecs")
+        val dstream = spark.readStream.schema(docsSchema)
+          .option("recursiveFileLookup", "true").parquet(s"$land/docs")
+        val vstream = spark.readStream.schema(vecsSchema)
+          .option("recursiveFileLookup", "true").parquet(s"$land/vecs")
+        import graft.operators.Similarity
+        Similarity.sampledTrainCentroids(wvecs)
+          .write.parquet(s"$art/centroids")
+        Similarity.pqTrainSampled(wvecs).write.parquet(s"$art/codebook")
+        Streams.neardupIngest(dstream, s"$art/ndidx", s"$art/accepted",
+          cks(0)).awaitTermination()
+        Streams.annIndexMaintenance(vstream, s"$art/centroids",
+          s"$art/codebook", s"$art/cells", s"$art/codes",
+          cks(1)).awaitTermination()
+        Streams.postingsMaintenance(dstream, s"$art/bm25",
+          cks(2)).awaitTermination()
+        System.err.println("[streamscale] warm-up done")
+      } finally {
+        val conf = spark.sparkContext.hadoopConfiguration
+        (Seq(land, art) ++ cks).foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          p.getFileSystem(conf).delete(p, true)
+        }
+      }
     }
 
     dirs.foreach { case (dir, factor) =>
