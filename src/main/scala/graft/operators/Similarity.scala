@@ -464,6 +464,46 @@ object Similarity {
       vecs.filter(col("vec_id") % seedMod === 0), iters)
   }
 
+  /** The adaptive cell-count rule: nlist = max(16, ⌈√n⌉), from ONE
+    * scalar corpus count — the IVF analogue of [[autoBits]] (which
+    * derives the LSH code width from COUNT(*) at a target occupancy).
+    * √n is the occupancy balance point: per-probe candidate volume
+    * (nprobe·n/nlist) and the broadcast centroid table (nlist rows)
+    * BOTH grow as √n, instead of one of them growing linearly —
+    *   - fixed nlist (n9/n14's ~16): training constant, assignment
+    *     linear, but candidates-per-probe grow ∝ n — at 100 TB every
+    *     query rescans 1/16th of the corpus;
+    *   - nlist ∝ n (the stride-50 demo geometry): occupancy constant,
+    *     but training and assignment go quadratic (measured, SCALING
+    *     r13_n13_ivfsq8);
+    *   - nlist = √n: candidates/probe ∝ √n, assignment O(n·√n) on the
+    *     ONE build-time pass (amortized over every query), training
+    *     O(32·nlist²) = O(32n) — the FAISS sizing rule (nlist ≈ √n to
+    *     16√n, training ≈ 30-50 points per centroid).
+    * ⌈√n⌉ of an exact BIGINT count through IEEE double is deterministic
+    * and identical across engines, so the rule unrolls into the SQL
+    * oracle like autoBits does.
+    */
+  def autoNlist(n: Long): Long =
+    math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)
+
+  /** [[sampledTrainCentroids]] with the cell count DERIVED from the
+    * corpus size by [[autoNlist]] instead of fixed — the production
+    * geometry for the IVF-family entries (n12/n13): the training
+    * sample tracks 32 points per centroid (bounded ≤ ~2·32·√n rows —
+    * the modulus rounds down, so the sample can reach twice the
+    * target), training cost stays linear in n, and per-probe candidate
+    * volume grows as √n instead of linearly. All three derivations
+    * (count → nlist → sample/seed moduli) are scalar-count arithmetic
+    * the DuckDB oracle replays from COUNT(*).
+    */
+  def adaptiveTrainCentroids(vecs: DataFrame, iters: Int = 2): DataFrame = {
+    val n = vecs.select(count(lit(1))).head().getLong(0)
+    val nl = autoNlist(n)
+    sampledTrainCentroids(vecs, targetSample = 32L * nl,
+      kCentroids = nl, iters)
+  }
+
   /** The (sample, seed) moduli of the bounded-training contract, shared
     * by [[sampledTrainCentroids]] and the sampled PQ paths: sample every
     * `mod`-th vector with `mod = max(1, n/targetSample)` (≤ ~2·targetSample

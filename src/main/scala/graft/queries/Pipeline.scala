@@ -304,12 +304,17 @@ object Pipeline {
         .canonOrder(col("probe_id"), col("rank"))
     },
 
-    // N3: IVF-bucketed ANN — centroid assignment + nprobe-bucket search
-    // (the inverted-file scale path; centroids = deterministic sample).
-    // Unlike the hash-based n2/n5 and the trained n4, every stage here is
-    // deterministic SQL-expressible arithmetic — so n3 carries a FULL
-    // DuckDB oracle (assignment, probe buckets, candidate join, exact
-    // re-rank); SimilaritySpec additionally bounds recall vs n1.
+    // N3: IVF-bucketed ANN — centroid assignment + nprobe-bucket search,
+    // the TEACHING form of the inverted file (the n8_fixed_bits
+    // convention: kept as a labeled counterexample, NOT the geometry
+    // you'd deploy): its stride-50 centroids make nlist ∝ n/50, which
+    // is measured superlinear one decade up (SCALING r13_n13_ivfsq8 —
+    // the production entries are n9/n13/n14, sampled/adaptive
+    // training). It stays because every stage is deterministic
+    // SQL-expressible arithmetic — unlike the hash-based n2/n5 — so n3
+    // carries the family's simplest FULL DuckDB oracle (assignment,
+    // probe buckets, candidate join, exact re-rank); SimilaritySpec
+    // additionally bounds recall vs n1.
     "n3_ann_ivf" -> { (s, d) =>
       val v = Tables.embeddings(s, d)
       Similarity.ivfTopK(v.filter(col("vec_id") < 10), v,
@@ -325,26 +330,39 @@ object Pipeline {
     // return < k whenever the predicate is selective, the classic
     // filtered-search recall bug, demonstrated in SimilaritySpec). The
     // coarse quantizer stays corpus-wide (the index is built once;
-    // predicates vary per query), and the label predicate reaches the
-    // embeddings parquet scan (PushedFilters, lint-pinned) — at 100 TB
-    // the filter prunes row groups before any distance math runs.
+    // predicates vary per query) and is the PRODUCTION geometry since
+    // r14: adaptive-nlist sampled-trained centroids (nlist = ⌈√n⌉ from
+    // one scalar count — the stride-50 demo form was measured
+    // superlinear, SCALING r13_n12_filtered). The label predicate
+    // reaches the embeddings parquet scan (PushedFilters, lint-pinned)
+    // — at 100 TB the filter prunes row groups before any distance
+    // math runs.
     "n12_ann_filtered" -> { (s, d) =>
       val v = Tables.embeddings(s, d)
       Similarity.ivfTopK(v.filter(col("vec_id") < 10),
         v.filter(col("label") < 3),
-        centroids = v.filter(col("vec_id") % 50 === 0), k = 5, nprobe = 8)
+        centroids = Similarity.adaptiveTrainCentroids(v), k = 5,
+        nprobe = 8)
         .canonOrder(col("probe_id"), col("rank"))
     },
 
     // N13: IVF + SQ8 composite — FAISS's "IVF,SQ8": coarse cells prune
     // candidates (full-precision assignment), byte-per-dim SQ8 values
     // score them — the middle ground of the quantization matrix beside
-    // IVF-flat (n3) and IVF+PQ (n7). Deterministic end to end → full
-    // DuckDB oracle (n3's cell CTEs + n10's dequant CTE composed).
+    // IVF-flat and IVF+PQ (n7). Since r14 the coarse quantizer is the
+    // production geometry: sample-trained centroids with nlist = ⌈√n⌉
+    // derived from COUNT(*) (Similarity.autoNlist — candidates/probe
+    // and the broadcast table both grow as √n; the retired stride-50
+    // form was measured superlinear, SCALING r13_n13_ivfsq8). Beside
+    // it, n14 pins the fixed-nlist variant of the same composite.
+    // Deterministic end to end → full DuckDB oracle (the adaptive-cell
+    // CTEs derive the same nlist/moduli from COUNT(*), + n10's dequant
+    // CTE).
     "n13_ann_ivfsq8" -> { (s, d) =>
       val v = Tables.embeddings(s, d)
       Similarity.ivfSq8TopK(v.filter(col("vec_id") < 10), v,
-        centroids = v.filter(col("vec_id") % 50 === 0), k = 5, nprobe = 8)
+        centroids = Similarity.adaptiveTrainCentroids(v), k = 5,
+        nprobe = 8)
         .canonOrder(col("probe_id"), col("rank"))
     },
 
@@ -1630,9 +1648,10 @@ object Pipeline {
          generate_subscripts(embedding, 1) AS i
        FROM embeddings"""
 
-  /** Shared IVF cell-assignment CTEs (cu/vc/vr) — one owner for the
-    * n3/n12/n13 oracles so a tie-break or stride fix can't drift between
-    * the twins (the lshOracle precedent for hash-family SQL).
+  /** IVF cell-assignment CTEs (cu/vc/vr) of the stride-50 TEACHING form
+    * — n3's oracle only since r14 (n12/n13 moved to the adaptive cells;
+    * the shared-owner convention follows lshOracle's for hash-family
+    * SQL).
     */
   private val duckIvfAssign =
     s"""cu AS (SELECT vec_id AS cid, x AS cx, i FROM u
@@ -1649,13 +1668,41 @@ object Pipeline {
     * iterations over the sample, then the whole corpus assigns to the
     * trained centroids (vr ranks every vector's cells).
     */
-  private val duckSampledCells =
+  private val duckSampledCells: String = duckLloydCells(
     s"""prm AS (SELECT greatest(1, count(*) // 400) AS md
                  FROM embeddings),
          su AS (SELECT u.* FROM u, prm WHERE u.vec_id % prm.md = 0),
          prm2 AS (SELECT prm.md * greatest(1, count(DISTINCT su.vec_id) // 16)
                     AS sd
-                  FROM su, prm GROUP BY prm.md),
+                  FROM su, prm GROUP BY prm.md)""")
+
+  /** The ADAPTIVE-nlist prelude (n12/n13 since r14): same sampled-Lloyd
+    * chain, but the seed count derives from COUNT(*) via the
+    * [[graft.operators.Similarity.autoNlist]] rule — nlist =
+    * max(16, ⌈√n⌉), training sample targets 32 points per centroid.
+    * ⌈√n⌉ of an exact integer count is the same IEEE double in both
+    * engines, so the whole derivation chain (count → nlist → moduli)
+    * replays bit-for-bit.
+    */
+  private val duckAdaptiveCells: String = duckLloydCells(
+    s"""nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+         kl AS (SELECT greatest(16, CAST(ceil(sqrt(CAST(n AS DOUBLE)))
+                    AS BIGINT)) AS nl FROM nv),
+         prm AS (SELECT greatest(1, nv.n // (32 * kl.nl)) AS md
+                 FROM nv, kl),
+         su AS (SELECT u.* FROM u, prm WHERE u.vec_id % prm.md = 0),
+         prm2 AS (SELECT prm.md
+                    * greatest(1, count(DISTINCT su.vec_id) // kl.nl) AS sd
+                  FROM su, prm, kl GROUP BY prm.md, kl.nl)""")
+
+  /** The Lloyd chain shared by the sampled/adaptive cell preludes: the
+    * prelude must define `su` (the training sample) and `prm2.sd` (the
+    * seed modulus); the chain runs two decimal-exact iterations over
+    * `su`, then assigns the WHOLE corpus to the trained centroids (vr
+    * ranks every vector's cells).
+    */
+  private def duckLloydCells(prelude: String): String =
+    s"""$prelude,
          c0 AS (SELECT vec_id AS cid, x AS cx, i FROM u, prm2
                 WHERE vec_id % prm2.sd = 0),
          s1 AS (SELECT a.vec_id, b.cid, ${duckCos("a.x", "b.cx")} AS csim
@@ -2367,11 +2414,12 @@ object Pipeline {
          SELECT probe_id, rank, cand_id AS neighbor_id,
            round(cos, 4) AS cosine
          FROM r WHERE rank <= 5 ORDER BY probe_id, rank""",
-    // n13: n3's IVF cell CTEs + n10's SQ8 dequant CTE — cells prune,
+    // n13: the ADAPTIVE-nlist sampled-Lloyd cell CTEs (nlist = ⌈√n⌉
+    // derived from COUNT(*)) + n10's SQ8 dequant CTE — cells prune,
     // dequantized bytes score
     "n13_ann_ivfsq8" ->
       s"""WITH u AS ($duckUnnest),
-         $duckIvfAssign,
+         $duckAdaptiveCells,
          vb AS (SELECT vec_id AS cand_id, cid FROM vr WHERE rn = 1),
          pb AS (SELECT vec_id AS probe_id, cid FROM vr
                 WHERE rn <= 8 AND vec_id < 10),
@@ -2391,11 +2439,12 @@ object Pipeline {
          SELECT probe_id, rank, cand_id AS neighbor_id,
            round(cos, 4) AS cosine
          FROM r WHERE rank <= 5 ORDER BY probe_id, rank""",
-    // n12: n3's IVF oracle with the label predicate pruning the
-    // candidate assignments (pre-filter); probe assignments unfiltered
+    // n12: the adaptive-cell oracle with the label predicate pruning
+    // the candidate assignments (pre-filter); probe assignments and the
+    // coarse quantizer stay corpus-wide (the index is built once)
     "n12_ann_filtered" ->
       s"""WITH u AS ($duckUnnest),
-         $duckIvfAssign,
+         $duckAdaptiveCells,
          vb AS (SELECT vr.vec_id AS cand_id, cid FROM vr
                 JOIN embeddings e ON vr.vec_id = e.vec_id
                 WHERE rn = 1 AND e.label < 3),
