@@ -280,20 +280,37 @@ object Bench {
         "n6_serving" -> math.min(t(() => q6()), t(() => q6())),
         "n7_serving" -> math.min(t(() => q7()), t(() => q7())))
     }
-    // SQ8 artifacts: one-row bounds + byte-per-dim codes (no training)
+    // SQ8 artifacts: one-row bounds + byte-per-dim codes (no training).
+    // The second entry is the FILTERED serve: metadata co-located in
+    // the codes artifact (sq8EncodeWithMeta, label-sorted so row-group
+    // min/max prunes), predicate applied to the CODES scan — the
+    // production "metadata filter + byte index" shape end-to-end
+    // (PlanLintSpec pins the label pushdown on the codes scan).
     val sq8 = family("sq8_serving") {
       val sqStats = Similarity.sq8Stats(v)
       sqStats.write.mode("overwrite").parquet(s"$tmp/sq8stats")
       Similarity.sq8Encode(v, sqStats).write.mode("overwrite")
         .parquet(s"$tmp/sq8codes")
+      Similarity.sq8EncodeWithMeta(v, sqStats, Seq("label"))
+        .sortWithinPartitions("label")
+        .write.mode("overwrite").parquet(s"$tmp/sq8codesmeta")
       val sqStatsR = spark.read.parquet(s"$tmp/sq8stats")
       val sqCodesR = spark.read.parquet(s"$tmp/sq8codes")
+      val sqMetaR = spark.read.parquet(s"$tmp/sq8codesmeta")
       def q10(): Unit = Similarity
         .sq8TopKFromCodes(probes, sqStatsR, sqCodesR, k = 5)
         .orderBy(col("probe_id"), col("rank"))
         .write.format("noop").mode("overwrite").save()
-      q10() // warm
-      Map("sq8_serving" -> math.min(t(() => q10()), t(() => q10())))
+      def q10f(): Unit = Similarity
+        .sq8TopKFromCodes(probes, sqStatsR,
+          sqMetaR.filter(col("label") < 3), k = 5)
+        .orderBy(col("probe_id"), col("rank"))
+        .write.format("noop").mode("overwrite").save()
+      q10(); q10f() // warm
+      Map(
+        "sq8_serving" -> math.min(t(() => q10()), t(() => q10())),
+        "sq8_filtered_serving" ->
+          math.min(t(() => q10f()), t(() => q10f())))
     }
     // t22's serving twin: inverted-index artifact built once (untimed),
     // then BM25 from postings only — the pushdown-pruned index read a

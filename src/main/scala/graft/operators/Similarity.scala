@@ -174,6 +174,25 @@ object Similarity {
         graft.plans.Expressions.sq8Encode(
           col("embedding"), col("mns"), col("mxs")).as("codes"))
 
+  /** [[sq8Encode]] with metadata columns CO-LOCATED in the codes
+    * artifact — the production filtered-serving shape: a serve-time
+    * metadata predicate (`label < 3`) then prunes the CODES scan itself
+    * (parquet row-group min/max → PushedFilters), so a filtered query
+    * never reads — let alone dequantizes — the excluded bytes. Without
+    * co-location the filter lives on the embeddings table and the serve
+    * path pays a join back to raw metadata, dragging the full codes
+    * artifact through it first. Sort by the filter columns at write
+    * (`.sortWithinPartitions(metaCols:_*)`) so min/max pruning bites;
+    * the writer here leaves ordering to the caller — a build pipeline
+    * typically has its own layout pass.
+    */
+  def sq8EncodeWithMeta(vecs: DataFrame, stats: DataFrame,
+                        metaCols: Seq[String]): DataFrame =
+    spreadPartitions(vecs).crossJoin(broadcast(stats))
+      .select(col("vec_id") +: metaCols.map(col) :+
+        graft.plans.Expressions.sq8Encode(
+          col("embedding"), col("mns"), col("mxs")).as("codes"): _*)
+
   /** SQ8 search against PERSISTED artifacts — the serving twin of
     * [[sq8TopK]]: stats + codes are parquet built once; a query pays one
     * decode+score pass over the byte codes and never touches the raw

@@ -261,6 +261,51 @@ class PlanLintSpec extends AnyFunSuite {
     }.isDefined, s"no broadcast hash join on cid in n9's plan:\n$plan")
   }
 
+  test("filtered SQ8 serving pushes the metadata predicate into the " +
+      "CODES scan (the persisted-artifact filtered-ANN serve shape)") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    // the production shape: metadata CO-LOCATED in the codes artifact,
+    // so the serve-time predicate prunes the byte index's row groups —
+    // not the raw embeddings table (n12's in-query pin) and not a
+    // post-hoc join back to metadata
+    val v = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sq8meta").toString
+    try {
+      val stats = Similarity.sq8Stats(v)
+      stats.write.mode("overwrite").parquet(s"$dir/stats")
+      Similarity.sq8EncodeWithMeta(v, stats, Seq("label"))
+        .sortWithinPartitions("label")
+        .write.mode("overwrite").parquet(s"$dir/codes")
+      val served = Similarity.sq8TopKFromCodes(
+        v.filter(col("vec_id") < 10),
+        spark.read.parquet(s"$dir/stats"),
+        spark.read.parquet(s"$dir/codes").filter(col("label") < 3),
+        k = 5)
+      val codesScans = served.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.metadata.getOrElse("Location", "").contains("codes") =>
+          f.metadata.getOrElse("PushedFilters", "")
+      }
+      assert(codesScans.nonEmpty, "no codes scan in the served plan")
+      assert(codesScans.exists(_.contains("label")),
+        s"codes scan lost the label pushdown: $codesScans")
+      // and the filter is semantically the pre-filter: every hit
+      // satisfies the predicate and each probe still gets k
+      val labels = v.select("vec_id", "label")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val rows = served.select("probe_id", "neighbor_id").collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(r => labels(r.getLong(1)) < 3))
+      assert(rows.groupBy(_.getLong(0)).values.forall(_.length == 5))
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+  }
+
   test("no query plan carries an unjustified scale anti-pattern") {
     val found = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
