@@ -50,6 +50,17 @@ object Pipeline {
                                 decode_ok: Boolean)
   final case class MediaResized(doc_id: Long, w0: Long, h0: Long,
                                 w1: Long, h1: Long, resize_ok: Boolean)
+  /** m3's multi-frame container stage pair: an actual animated-GIF
+    * payload (one gray frame per synthetic "video" frame) and the
+    * per-sampled-frame descriptor decoded back out of it.
+    */
+  final case class VideoPayload(doc_id: Long, payload: Array[Byte],
+                                expect_b0: Int, expect_w: Int,
+                                expect_h: Int, expect_frames: Int)
+  final case class FrameSampled(doc_id: Long, n_frames: Long,
+                                frame_idx: Long, ts_ms: Long,
+                                width: Long, height: Long, pix: Long,
+                                decode_ok: Boolean)
 
   val defs: Map[String, Q] = Map(
 
@@ -868,22 +879,92 @@ object Pipeline {
         .canonOrder(col("doc_id"))
     },
 
-    // M3: video frame-sampling plumbing — every payload expands to its
-    // sampled frame descriptors (every 8th frame of an n_frames clip at
-    // 25 fps), the explode shape a frame-extraction stage runs in. The
-    // frame count is a deterministic stub off the payload header (no
-    // media libs in this container); the row expansion, typed descriptor
-    // schema, and per-frame timestamps are the real pipeline surface.
+    // M3: REAL multi-frame container decode + frame sampling (the m2
+    // precedent, extended to video shape): every doc synthesizes an
+    // ACTUAL animated-GIF payload — (b0 % 48)+2 full frames of
+    // md5-derived dims, each a constant gray (b0 + 11·f) % 256 — then
+    // the sampling stage opens the container through javax.imageio,
+    // reads the REAL frame count back (ImageReader.getNumImages), and
+    // decodes ONLY every 8th frame (reader.read(i) — the point of frame
+    // sampling: untouched frames stay undecoded), emitting per-frame
+    // dims + the decoded pixel value + decode_ok (frame count, dims,
+    // and every pixel equal to the synthesis arithmetic). The oracle
+    // recomputes the same md5 arithmetic and pins decode_ok = true, so
+    // the encode→container→sampled-decode round-trip is hash-verified.
+    // At 100 TB the payload column arrives from storage; this decode
+    // stage is unchanged (one codec instance per partition, frames
+    // sampled not enumerated).
     "m3_frame_sample" -> { (s, d) =>
-      val b0 = conv(substring(md5(col("text")), 1, 2), 16, 10).cast("long")
-      Tables.documents(s, d)
-        .select(col("doc_id"), ((b0 % 48L) + 2L).as("n_frames"))
-        // sequence is never empty (n_frames >= 2): explode_outer skips the
-        // inferred size()>0 filter that would re-run the chain per row
-        .select(col("doc_id"), col("n_frames"),
-          explode_outer(sequence(lit(0L), col("n_frames") - 1L, lit(8L)))
-            .as("frame_idx"))
-        .withColumn("ts_ms", col("frame_idx") * 40L)
+      import s.implicits._
+      val encoded = Tables.documents(s, d)
+        .filter(col("text").isNotNull) // null payload contract, as m2
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          val digest = java.security.MessageDigest.getInstance("MD5")
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("gif").next()
+          it.map { case (id, text) =>
+            val p = digest.digest(text.getBytes("UTF-8"))
+            val b0 = p(0) & 0xff; val b1 = p(1) & 0xff; val b2 = p(2) & 0xff
+            val nFrames = (b0 % 48) + 2
+            val w = 8 + b1 % 8; val h = 8 + b2 % 8
+            val baos = new java.io.ByteArrayOutputStream()
+            val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+            writer.setOutput(ios)
+            writer.prepareWriteSequence(null)
+            var f = 0
+            while (f < nFrames) {
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              val v = (b0 + 11 * f) % 256
+              val raster = img.getRaster
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { raster.setSample(x, y, 0, v); x += 1 }
+                y += 1
+              }
+              writer.writeToSequence(
+                new javax.imageio.IIOImage(img, null, null), null)
+              f += 1
+            }
+            writer.endWriteSequence(); ios.close()
+            VideoPayload(id, baos.toByteArray, b0, w, h, nFrames)
+          }
+        }
+      encoded.mapPartitions { it =>
+          val reader = javax.imageio.ImageIO
+            .getImageReadersByFormatName("gif").next()
+          it.flatMap { vp =>
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(vp.payload))
+            reader.setInput(iis, false, true)
+            val n = reader.getNumImages(true) // the DECODED count
+            val out = (0 until n by 8).map { f =>
+              val dec = reader.read(f)
+              val expect = (vp.expect_b0 + 11 * f) % 256
+              var ok = n == vp.expect_frames &&
+                dec.getWidth == vp.expect_w && dec.getHeight == vp.expect_h
+              var pix = -1L
+              var y = 0
+              while (y < dec.getHeight) {
+                var x = 0
+                while (x < dec.getWidth) {
+                  val v = dec.getRGB(x, y) & 0xff
+                  if (pix < 0) pix = v
+                  ok &&= v == expect
+                  x += 1
+                }
+                y += 1
+              }
+              FrameSampled(vp.doc_id, n.toLong, f.toLong, f * 40L,
+                dec.getWidth.toLong, dec.getHeight.toLong, pix, ok)
+            }
+            iis.close()
+            out
+          }
+        }
+        .toDF()
         .canonOrder(col("doc_id"), col("frame_idx"))
     },
 
@@ -2614,20 +2695,37 @@ object Pipeline {
            TRUE AS decode_ok
          FROM px GROUP BY doc_id, b0, w, h
          ORDER BY doc_id""",
+    // m3: the twin recomputes n_frames/dims/pixel from the same md5
+    // arithmetic the Spark side SYNTHESIZES with — but the Spark values
+    // come back out of an actual GIF decode (and decode_ok pins the
+    // round-trip), so a codec that dropped a frame, mis-sized a raster,
+    // or perturbed a pixel hash-mismatches here
     "m3_frame_sample" ->
-      """WITH h AS (SELECT doc_id, md5(text) AS m FROM documents),
+      """WITH h AS (SELECT doc_id, md5(text) AS m FROM documents
+           WHERE text IS NOT NULL),
          b AS (SELECT doc_id,
            16*(strpos('0123456789abcdef', substr(m, 1, 1))-1)
-             + (strpos('0123456789abcdef', substr(m, 2, 1))-1) AS b0
+             + (strpos('0123456789abcdef', substr(m, 2, 1))-1) AS b0,
+           16*(strpos('0123456789abcdef', substr(m, 3, 1))-1)
+             + (strpos('0123456789abcdef', substr(m, 4, 1))-1) AS b1,
+           16*(strpos('0123456789abcdef', substr(m, 5, 1))-1)
+             + (strpos('0123456789abcdef', substr(m, 6, 1))-1) AS b2
          FROM h),
-         f AS (SELECT doc_id, CAST((b0 % 48) + 2 AS BIGINT) AS n_frames
-               FROM b)
-         SELECT doc_id, n_frames,
-           CAST(unnest(generate_series(0, n_frames - 1, 8)) AS BIGINT)
-             AS frame_idx,
-           CAST(unnest(generate_series(0, n_frames - 1, 8)) * 40 AS BIGINT)
-             AS ts_ms
-         FROM f ORDER BY doc_id, frame_idx""",
+         f AS (SELECT doc_id, b0,
+               CAST((b0 % 48) + 2 AS BIGINT) AS n_frames,
+               CAST(8 + (b1 % 8) AS BIGINT) AS width,
+               CAST(8 + (b2 % 8) AS BIGINT) AS height
+               FROM b),
+         fr AS (SELECT doc_id, b0, n_frames, width, height,
+                  CAST(unnest(generate_series(0, n_frames - 1, 8))
+                    AS BIGINT) AS frame_idx
+                FROM f)
+         SELECT doc_id, n_frames, frame_idx,
+           CAST(frame_idx * 40 AS BIGINT) AS ts_ms,
+           width, height,
+           CAST((b0 + 11 * frame_idx) % 256 AS BIGINT) AS pix,
+           TRUE AS decode_ok
+         FROM fr ORDER BY doc_id, frame_idx""",
     "m4_media_resize" ->
       """WITH h AS (SELECT doc_id, md5(text) AS m FROM documents
            WHERE text IS NOT NULL),
