@@ -25,6 +25,30 @@ object Core {
   def dsum(c: Column): Column =
     sum(c.cast(DecimalType(38, 6))).cast("double")
 
+  /** Exact order-independent sum for FIXED-POINT-valued double columns
+    * — the hot-path twin of [[dsum]]: `round(x·10^dp)` recovers the
+    * exact integer units (the inputs sit on a 10^-dp grid by schema —
+    * TPC-H money columns are 2dp, so a price×(1−discount) product is
+    * exactly 4dp), the units accumulate in a codegen'd two-long 128-bit
+    * adder ([[graft.plans.Int128Sum]] — no per-row decimal boxing, the
+    * measured whole of j1's marginal vs its twin, tools/J1Audit), and
+    * ONE double division descales at the end. Bit-identical across
+    * engines and partitionings; the DuckDB twin is
+    * `CAST(SUM(CAST(round(x*1e4) AS BIGINT)) AS DOUBLE)/1e4` (HUGEINT
+    * sum — exact on that side too). Use [[dsum]] when inputs are NOT
+    * grid-valued (derived ratios, arbitrary doubles).
+    */
+  def xsum(c: Column, dp: Int = 4): Column = {
+    val scale = math.pow(10d, dp)
+    // floor(x+0.5), not round(x, 0): Spark's Round on DoubleType boxes a
+    // BigDecimal PER ROW (the very tax this function exists to avoid);
+    // floor is a bare Math.floor in codegen. Equal to nearest-integer on
+    // every input within ±0.5 of the grid point — which grid-valued
+    // inputs are by construction — and the same IEEE ops on both engines
+    graft.plans.Int128Sum.int128Sum(
+      floor(c * lit(scale) + lit(0.5d)).cast("long")) / lit(scale)
+  }
+
   /** dsum over a conditional — ClickHouse `sumIf` (SURVEY §2.4 A1). */
   def dsumIf(c: Column, cond: Column): Column =
     dsum(when(cond, c).otherwise(lit(0d)))

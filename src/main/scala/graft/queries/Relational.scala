@@ -112,7 +112,11 @@ object Relational {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"))
         .agg(
-          dsum(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("revenue"),
+          // xsum, not dsum: prices are 2dp by schema so the revenue
+          // product is exactly 4dp — the 128-bit long accumulator keeps
+          // the sum exact at a fraction of the decimal path's per-row
+          // cost (the measured whole of j1's marginal, tools/J1Audit)
+          xsum(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n_lines"))
         .canonOrder(col("r_name"))
     },
@@ -1127,7 +1131,7 @@ object Relational {
          LIMIT 1""",
     "j1_fact_dims" ->
       """SELECT r_name,
-         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+         CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS revenue,
          count(*) AS n_lines
          FROM lineitem
          JOIN orders   ON l_orderkey = o_orderkey

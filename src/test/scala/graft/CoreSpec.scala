@@ -30,6 +30,50 @@ class CoreSpec extends AnyFunSuite {
     assert(results.head == exact)
   }
 
+  test("xsum: exact on the fixed-point grid, partition-order-independent, " +
+      "and the 128-bit accumulator survives long-limb overflow") {
+    // grid-valued inputs (2dp money), the xsum contract
+    val r = new scala.util.Random(11)
+    val xs = Seq.fill(20000)((r.nextInt(20000000) - 10000000) / 100d)
+    val results = Seq(1, 7, 32).map { p =>
+      xs.toDF("x").repartition(p).agg(xsum(col("x"), dp = 2))
+        .head.getDouble(0)
+    }
+    assert(results.distinct.size == 1,
+      s"xsum drifted across partitionings: $results")
+    // ground truth in exact integer cents
+    val exact = xs.map(x => math.floor(x * 100d + 0.5d).toLong).sum / 100d
+    assert(results.head == exact)
+    // the 4dp product default matches dsum's decimal path on j1-shaped
+    // inputs (price × (1−discount) — a 4dp grid where BOTH are exact)
+    val prices = Seq.fill(5000)((r.nextInt(10000000) + 100) / 100d)
+    val discs = Seq.fill(5000)(r.nextInt(11) / 100d)
+    val df = prices.zip(discs).toDF("p", "d")
+    val viaX = df.agg(xsum(col("p") * (lit(1d) - col("d"))))
+      .head.getDouble(0)
+    val truth = prices.zip(discs).map { case (p, d) =>
+      (BigDecimal(p) * (1 - BigDecimal(d))).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    assert(math.abs(viaX - truth) < 1e-6, s"$viaX vs $truth")
+    // limb overflow: values big enough that the scaled-long PARTIAL sums
+    // exceed 2^63 — the carry into the hi limb must keep the total exact
+    // (a plain sum(long) wraps negative here)
+    val big = 9e14 // 9e18 units at dp=4; two of them overflow a long
+    val bigs = Seq.fill(64)(big)
+    val got = bigs.toDF("x").repartition(2).agg(xsum(col("x")))
+      .head.getDouble(0)
+    assert(got == big * 64, s"hi-limb carry lost: $got vs ${big * 64}")
+    // the naive built-in long sum on the same input either throws (ANSI
+    // default) or wraps negative (legacy) — both prove the overflow the
+    // 128-bit accumulator just absorbed is real, not a vacuous case
+    val naive = scala.util.Try(bigs.toDF("x")
+      .agg((sum(floor(col("x") * 1e4 + 0.5d).cast("long")) / lit(1e4)))
+      .head.getDouble(0))
+    assert(naive.isFailure || naive.get < 0,
+      s"expected the naive long sum to overflow, got $naive")
+  }
+
   test("davg matches decimal-sum/count to the bit across partitionings") {
     val r = new scala.util.Random(7)
     val xs = Seq.fill(5000)(r.nextDouble() * 1000)
