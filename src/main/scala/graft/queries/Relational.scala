@@ -484,16 +484,25 @@ object Relational {
         .filter(col("l_shipdate") <=
           to_timestamp(lit("2001-08-06 00:00:00")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
+        // xsum, not dsum (r14): every input sits on the 2dp money grid
+        // by schema, so qty/price are exact at dp=2, the discount
+        // product at dp=4, the tax-compounded charge at dp=6 — seven
+        // decimal aggregates become seven two-long codegen accumulators
+        // (the measured j1 finding, tools/J1Audit; Q1 is the heaviest
+        // anchor and was paying it seven times per row)
         .agg(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum(col("l_extendedprice") * (lit(1d) - col("l_discount")))
-            .as("sum_disc_price"),
-          dsum(col("l_extendedprice") * (lit(1d) - col("l_discount"))
-            * (lit(1d) + col("l_tax"))).as("sum_charge"),
-          round4(davg(col("l_quantity"))).as("avg_qty"),
-          round4(davg(col("l_extendedprice"))).as("avg_price"),
-          round4(davg(col("l_discount"))).as("avg_disc"),
+          xsum(col("l_quantity"), dp = 2).as("sum_qty"),
+          xsum(col("l_extendedprice"), dp = 2).as("sum_base_price"),
+          xsum(col("l_extendedprice") * (lit(1d) - col("l_discount")),
+            dp = 4).as("sum_disc_price"),
+          xsum(col("l_extendedprice") * (lit(1d) - col("l_discount"))
+            * (lit(1d) + col("l_tax")), dp = 6).as("sum_charge"),
+          round4(xsum(col("l_quantity"), dp = 2)
+            / count(col("l_quantity"))).as("avg_qty"),
+          round4(xsum(col("l_extendedprice"), dp = 2)
+            / count(col("l_extendedprice"))).as("avg_price"),
+          round4(xsum(col("l_discount"), dp = 2)
+            / count(col("l_discount"))).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .canonOrder(col("l_returnflag"), col("l_linestatus"))
     },
@@ -1333,18 +1342,18 @@ object Relational {
          GROUP BY user_id ORDER BY user_id""",
     "b1_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+         CAST(SUM(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS sum_qty,
+         CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS DOUBLE)/100
            AS sum_base_price,
-         CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6)))
-           AS DOUBLE) AS sum_disc_price,
-         CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax)
-           AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
-         round(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+         CAST(SUM(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT)) AS DOUBLE)/10000
+           AS sum_disc_price,
+         CAST(SUM(CAST(floor(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000
+           AS sum_charge,
+         round((CAST(SUM(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS DOUBLE)/100)
            / count(l_quantity), 4) AS avg_qty,
-         round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+         round((CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS DOUBLE)/100)
            / count(l_extendedprice), 4) AS avg_price,
-         round(CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE)
+         round((CAST(SUM(CAST(floor(l_discount*100 + 0.5) AS BIGINT)) AS DOUBLE)/100)
            / count(l_discount), 4) AS avg_disc,
          count(*) AS count_order
          FROM lineitem
