@@ -503,6 +503,23 @@ object Bench {
     // attributes whichever queries the spike landed on. Min-of-2 measures
     // the code's steady state, not the neighbors' (GC-unlucky or
     // contended samples drop out; a real regression slows BOTH passes).
+    // Dispatch-floor sentinel (r13 verdict #5): a fixed trivial query —
+    // 5-row parquet scan + scalar count through the same noop sink —
+    // timed min-of-2 AFTER warm-up, every round. Two rounds of uniform
+    // same-direction drift (r12 +8%, r13 +18%) could not be separated
+    // from host noise without a code-independent anchor; now a drifted
+    // sentinel says "host", a stable sentinel under drifted queries
+    // says "regression".
+    def sentinelOnce(): Double = {
+      val t0 = System.nanoTime()
+      Tables.region(spark, sfDir)
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentinelOnce() // warm
+    val sentinel = math.min(sentinelOnce(), sentinelOnce())
     val pass1 = timeAll()
     val pass2 = timeAll()
     val results = pass1.map { case (k, v) => k -> math.min(v, pass2(k)) } ++
@@ -565,6 +582,7 @@ object Bench {
       }.mkString("{", ",", "}")
     val full = (results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"""  "$k": ${ms(v)}""" } :+
+      s"""  "dispatch_floor_sec": ${ms(sentinel)}""" :+
       s"""  "duckdb_headline": $duckJson""" :+
       s"""  "twin_slopes": $slopesJson""" :+
       s"""  "sf_small": "$smallSf"""")
@@ -577,7 +595,7 @@ object Bench {
     // a failed query's time is meaningless — surface it instead of letting
     // a fast failure read as a fast query
     def line(qs: String) =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"duckdb":$duckJson,"nq":${results.size},"full":"BENCH_FULL.json","errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","sentinel":${ms(sentinel)},"queries":$qs,"duckdb":$duckJson,"nq":${results.size},"full":"BENCH_FULL.json","errors":$errs,"sf":"$sfDir"}"""
     // The collector keeps only the LAST ~2000 chars of the run's output and
     // sbt appends a ~70-char "[success] ..." line after ours, so the whole
     // stdout line (plus sbt's "[info] " prefix) must fit a hard budget or
