@@ -126,7 +126,7 @@ object Relational {
       val o = Tables.orders(s, d)
       val li = Tables.lineitem(s, d)
         .groupBy(col("l_orderkey"))
-        .agg(dsum(col("l_quantity")).as("qty"), count(lit(1)).as("n_lines"))
+        .agg(xsum(col("l_quantity"), dp = 2).as("qty"), count(lit(1)).as("n_lines"))
       o.join(li, col("o_orderkey") === col("l_orderkey"), "left")
         .select(col("o_orderkey").as("okey"), col("o_totalprice"),
           coalesce(col("qty"), lit(0d)).as("qty"),
@@ -141,7 +141,7 @@ object Relational {
         .join(Tables.customer(s, d), col("s_nationkey") === col("c_nationkey"))
         .groupBy(col("s_nationkey").as("nationkey"))
         .agg(count(lit(1)).as("pairs"),
-          dsum(col("c_acctbal") + col("s_acctbal")).as("bal"))
+          xsum(col("c_acctbal") + col("s_acctbal"), dp = 2).as("bal"))
         .canonOrder(col("nationkey"))
     },
 
@@ -221,7 +221,7 @@ object Relational {
     "j9_cross_1x1" -> { (s, d) =>
       val e = Tables.events(s, d)
       val daily = e.groupBy(bucketSec(col("ts"), 86400L).as("day"))
-        .agg(dsum(col("value")).as("v"))
+        .agg(xsum(col("value"), dp = 2).as("v"))
       val maxDay = daily.agg(max(col("day")).as("md"))
       val lastD = daily.join(maxDay, col("day") === col("md"))
         .select(col("v").as("last_v"))
@@ -450,7 +450,7 @@ object Relational {
       Tables.events(s, d)
         .groupBy(col("user_id"), bucketSec(col("ts"), 60L).as("bucket_ts"))
         .agg(count(lit(1)).as("legs"),
-          dsum(col("value")).as("total_value"),
+          xsum(col("value"), dp = 2).as("total_value"),
           earliestBy(col("event_type"), col("event_id")).as("first_type"),
           latestBy(col("event_type"), col("event_id")).as("last_type"))
         .filter(col("legs") > 1)
@@ -467,7 +467,7 @@ object Relational {
         .select(col("user_id"), col("value"))
       a.unionByName(b)
         .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+        .agg(count(lit(1)).as("n"), xsum(col("value"), dp = 2).as("v"))
         .canonOrder(col("user_id"))
     },
 
@@ -516,7 +516,7 @@ object Relational {
           && col("l_shipdate") < to_timestamp(lit("1999-01-01 00:00:00"))
           && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
           && col("l_quantity") < 24d)
-        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        .agg(xsum(col("l_extendedprice") * col("l_discount"), dp = 4).as("revenue"),
           count(lit(1)).as("n"))
     },
 
@@ -529,7 +529,7 @@ object Relational {
           col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"),
           col("o_orderpriority"))
-        .agg(dsum(col("l_extendedprice") * (lit(1d) - col("l_discount")))
+        .agg(xsum(col("l_extendedprice") * (lit(1d) - col("l_discount")), dp = 4)
           .as("revenue"))
         .select(col("l_orderkey"), col("revenue"),
           epochSec(col("o_orderdate")).as("odate_sec"),
@@ -547,7 +547,7 @@ object Relational {
     "b4_tpch_q18" -> { (s, d) =>
       val heavy = Tables.lineitem(s, d)
         .groupBy(col("l_orderkey"))
-        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .agg(xsum(col("l_quantity"), dp = 2).as("total_qty"))
         .filter(col("total_qty") > 250d)
       Tables.customer(s, d)
         .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
@@ -580,7 +580,7 @@ object Relational {
           col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))
-        .agg(dsum(col("l_extendedprice") * (lit(1d) - col("l_discount")))
+        .agg(xsum(col("l_extendedprice") * (lit(1d) - col("l_discount")), dp = 4)
           .as("revenue"))
         .canonOrder(col("revenue").desc, col("n_name"))
     },
@@ -647,7 +647,7 @@ object Relational {
           col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
           col("n_name"))
-        .agg(dsum(col("l_extendedprice") * (lit(1d) - col("l_discount")))
+        .agg(xsum(col("l_extendedprice") * (lit(1d) - col("l_discount")), dp = 4)
           .as("revenue"))
         .select(col("c_custkey"), col("c_name"), col("revenue"),
           col("c_acctbal"), col("n_name"))
@@ -680,7 +680,7 @@ object Relational {
           (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("l_year"))
-        .agg(dsum(col("l_extendedprice") * (lit(1d) - col("l_discount")))
+        .agg(xsum(col("l_extendedprice") * (lit(1d) - col("l_discount")), dp = 4)
           .as("revenue"))
         .canonOrder(col("supp_nation"), col("cust_nation"), col("l_year"))
     },
@@ -747,7 +747,7 @@ object Relational {
     "b12_tpch_q22" -> { (s, d) =>
       val c = Tables.customer(s, d)
       val bal = c.filter(col("c_acctbal") > 0d)
-        .agg(davg(col("c_acctbal")).as("avg_bal"))
+        .agg((xsum(col("c_acctbal"), dp = 2) / count(col("c_acctbal"))).as("avg_bal"))
       c.join(broadcast(bal))
         .filter(col("c_acctbal") > col("avg_bal"))
         .join(Tables.orders(s, d)
@@ -756,7 +756,7 @@ object Relational {
           col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("numcust"),
-          dsum(col("c_acctbal")).as("totacctbal"))
+          xsum(col("c_acctbal"), dp = 2).as("totacctbal"))
         .canonOrder(col("c_mktsegment"))
     },
 
@@ -771,8 +771,9 @@ object Relational {
         .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00"))
           && col("l_shipdate") < to_timestamp(lit("1997-03-01 00:00:00")))
         .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
-        .agg((lit(100d) * dsumIf(rev, col("p_type") === "PROMO") /
-          dsum(rev)).as("promo_revenue"),
+        .agg((lit(100d) * xsum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0d)), dp = 4) /
+          xsum(rev, dp = 4)).as("promo_revenue"),
           count(lit(1)).as("n"))
     },
 
@@ -794,7 +795,7 @@ object Relational {
       Tables.lineitem(s, d)
         .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .filter(bracket)
-        .agg(dsum(col("l_extendedprice") * (lit(1d) - col("l_discount")))
+        .agg(xsum(col("l_extendedprice") * (lit(1d) - col("l_discount")), dp = 4)
           .as("revenue"),
           count(lit(1)).as("n"))
     },
@@ -813,10 +814,10 @@ object Relational {
       val li = Tables.lineitem(s, d)
         .join(pk, col("l_partkey") === col("p_partkey"), "left_semi")
       val thr = li.groupBy(col("l_partkey").as("t_pk"))
-        .agg((davg(col("l_quantity")) * 0.2d).as("thr"))
+        .agg(((xsum(col("l_quantity"), dp = 2) / count(col("l_quantity"))) * 0.2d).as("thr"))
       li.join(thr, col("l_partkey") === col("t_pk"))
         .filter(col("l_quantity") < col("thr"))
-        .agg((dsum(col("l_extendedprice")) / 7.0d).as("avg_yearly"),
+        .agg((xsum(col("l_extendedprice"), dp = 2) / 7.0d).as("avg_yearly"),
           count(lit(1)).as("n"))
     },
 
@@ -831,7 +832,7 @@ object Relational {
       val rev = Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= from && col("l_shipdate") < until)
         .groupBy(col("l_suppkey"))
-        .agg(dsum(col("l_extendedprice") * (lit(1d) - col("l_discount")))
+        .agg(xsum(col("l_extendedprice") * (lit(1d) - col("l_discount")), dp = 4)
           .as("total_revenue"))
       val mx = rev.agg(max(col("total_revenue")).as("mr"))
       rev.join(broadcast(mx))
@@ -867,7 +868,8 @@ object Relational {
           col("l_suppkey") === col("s_suppkey"))
         .join(suppNation, col("s_nationkey") === col("sn_key"))
         .groupBy(year(col("o_orderdate")).as("o_year"))
-        .agg((dsumIf(rev, col("supp_nation") === "NATION_1") / dsum(rev))
+        .agg((xsum(when(col("supp_nation") === "NATION_1", rev)
+            .otherwise(lit(0d)), dp = 4) / xsum(rev, dp = 4))
           .as("mkt_share"),
           count(lit(1)).as("n"))
         .canonOrder(col("o_year"))
@@ -933,7 +935,7 @@ object Relational {
           col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name").as("nation"),
           year(col("o_orderdate")).as("o_year"))
-        .agg(dsum(profit).as("sum_profit"), count(lit(1)).as("n"))
+        .agg(xsum(profit, dp = 4).as("sum_profit"), count(lit(1)).as("n"))
         .canonOrder(col("nation"), col("o_year"))
     },
 
@@ -950,9 +952,9 @@ object Relational {
             .filter(col("n_name") === "NATION_7")),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("ps_partkey"), col("ps_availqty"), col("ps_supplycost"))
-      val tot = nat.agg(dsum(value).as("total"))
+      val tot = nat.agg(xsum(value, dp = 2).as("total"))
       nat.groupBy(col("ps_partkey"))
-        .agg(dsum(value).as("value"))
+        .agg(xsum(value, dp = 2).as("value"))
         .crossJoin(broadcast(tot))
         .filter(col("value") > col("total") * 0.002d)
         .select(col("ps_partkey"), col("value"))
@@ -996,7 +998,7 @@ object Relational {
       val halfq = Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= from && col("l_shipdate") < until)
         .groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg((lit(0.5d) * dsum(col("l_quantity"))).as("half_qty"))
+        .agg((lit(0.5d) * xsum(col("l_quantity"), dp = 2)).as("half_qty"))
       val holders = Tables.partsupp(s, d)
         .join(Tables.part(s, d).filter(col("p_name").startsWith("blue")),
           col("p_partkey") === col("ps_partkey"))
@@ -1153,14 +1155,14 @@ object Relational {
          coalesce(l.qty, 0) AS qty, coalesce(l.n_lines, 0) AS n_lines
          FROM orders LEFT JOIN (
            SELECT l_orderkey,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty,
+             CAST(SUM(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS qty,
              count(*) AS n_lines
            FROM lineitem GROUP BY l_orderkey) l
          ON o_orderkey = l.l_orderkey
          ORDER BY okey""",
     "j3_nonkey_join" ->
       """SELECT s_nationkey AS nationkey, count(*) AS pairs,
-         CAST(SUM(CAST(c_acctbal + s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
+         CAST(SUM(CAST(floor((c_acctbal + s_acctbal)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS bal
          FROM supplier JOIN customer ON s_nationkey = c_nationkey
          GROUP BY s_nationkey ORDER BY nationkey""",
     "j4_lateral_top1" ->
@@ -1208,7 +1210,7 @@ object Relational {
     "j9_cross_1x1" ->
       """WITH daily AS (
            SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS day,
-             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+             CAST(SUM(CAST(floor((value)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS v
            FROM events GROUP BY 1),
          lastd AS (SELECT v AS last_v FROM daily
            WHERE day = (SELECT max(day) FROM daily)),
@@ -1327,14 +1329,14 @@ object Relational {
       """SELECT user_id,
            CAST(floor(epoch(ts)/60)*60 AS BIGINT) AS bucket_ts,
            count(*) AS legs,
-           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+           CAST(SUM(CAST(floor((value)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS total_value,
            min_by(event_type, event_id) AS first_type,
            max_by(event_type, event_id) AS last_type
          FROM events GROUP BY 1,2 HAVING count(*) > 1
          ORDER BY user_id, bucket_ts""",
     "u1_union" ->
       """SELECT user_id, count(*) AS n,
-         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+         CAST(SUM(CAST(floor((value)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS v
          FROM (
            SELECT user_id, value FROM events WHERE event_type = 'signup'
            UNION ALL
@@ -1360,8 +1362,8 @@ object Relational {
          WHERE l_shipdate <= TIMESTAMP '2001-08-06 00:00:00'
          GROUP BY 1, 2 ORDER BY 1, 2""",
     "b3_tpch_q6" ->
-      """SELECT CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(38,6)))
-           AS DOUBLE) AS revenue, count(*) AS n
+      """SELECT CAST(SUM(CAST(floor(l_extendedprice*l_discount*10000 + 0.5) AS BIGINT)) AS DOUBLE)/10000
+           AS revenue, count(*) AS n
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
            AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
@@ -1369,8 +1371,7 @@ object Relational {
            AND l_quantity < 24""",
     "b2_tpch_q3" ->
       """SELECT l_orderkey,
-         CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6)))
-           AS DOUBLE) AS revenue,
+         CAST(SUM(CAST(floor((l_extendedprice*(1-l_discount))*10000 + 0.5) AS BIGINT)) AS DOUBLE)/10000 AS revenue,
          CAST(epoch(o_orderdate) AS BIGINT) AS odate_sec,
          o_orderpriority
          FROM customer
@@ -1384,10 +1385,10 @@ object Relational {
     "b4_tpch_q18" ->
       """WITH heavy AS (
            SELECT l_orderkey,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+             CAST(SUM(CAST(floor((l_quantity)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100
                AS total_qty
            FROM lineitem GROUP BY 1
-           HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+           HAVING CAST(SUM(CAST(floor((l_quantity)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100
              > 250)
          SELECT c_name, c_custkey, o_orderkey,
            CAST(epoch(o_orderdate) AS BIGINT) AS odate_sec,
@@ -1398,8 +1399,7 @@ object Relational {
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
     "b5_tpch_q5" ->
       """SELECT n_name,
-         CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6)))
-           AS DOUBLE) AS revenue
+         CAST(SUM(CAST(floor((l_extendedprice*(1-l_discount))*10000 + 0.5) AS BIGINT)) AS DOUBLE)/10000 AS revenue
          FROM region
          JOIN nation ON r_regionkey = n_regionkey
          JOIN customer ON n_nationkey = c_nationkey
@@ -1432,8 +1432,7 @@ object Relational {
          GROUP BY 1 ORDER BY 1""",
     "b8_tpch_q10" ->
       """SELECT c_custkey, c_name,
-           CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6)))
-             AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(floor((l_extendedprice*(1-l_discount))*10000 + 0.5) AS BIGINT)) AS DOUBLE)/10000 AS revenue,
            c_acctbal, n_name
          FROM customer
          JOIN orders ON c_custkey = o_custkey
@@ -1446,8 +1445,7 @@ object Relational {
     "b9_tpch_q7" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(year(l_shipdate) AS INT) AS l_year,
-           CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6)))
-             AS DOUBLE) AS revenue
+           CAST(SUM(CAST(floor((l_extendedprice*(1-l_discount))*10000 + 0.5) AS BIGINT)) AS DOUBLE)/10000 AS revenue
          FROM lineitem
          JOIN orders   ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -1483,11 +1481,11 @@ object Relational {
          GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""",
     "b12_tpch_q22" ->
       """SELECT c_mktsegment, count(*) AS numcust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+           CAST(SUM(CAST(floor((c_acctbal)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100
              AS totacctbal
          FROM customer
          WHERE c_acctbal > (
-             SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+             SELECT CAST(SUM(CAST(floor((c_acctbal)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100
                / count(c_acctbal)
              FROM customer WHERE c_acctbal > 0)
            AND NOT EXISTS (SELECT 1 FROM orders
@@ -1495,18 +1493,14 @@ object Relational {
                AND o_orderpriority = '1-URGENT')
          GROUP BY 1 ORDER BY 1""",
     "b13_tpch_q14" ->
-      """SELECT 100 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
-             THEN l_extendedprice*(1-l_discount) ELSE 0 END
-             AS DECIMAL(38,6))) AS DOUBLE)
-           / CAST(SUM(CAST(l_extendedprice*(1-l_discount)
-             AS DECIMAL(38,6))) AS DOUBLE) AS promo_revenue,
+      """SELECT 100 * (CAST(SUM(CAST(floor((CASE WHEN p_type = 'PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0 END)*10000 + 0.5) AS BIGINT)) AS DOUBLE)/10000)
+           / (CAST(SUM(CAST(floor((l_extendedprice*(1-l_discount))*10000 + 0.5) AS BIGINT)) AS DOUBLE)/10000) AS promo_revenue,
            count(*) AS n
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
            AND l_shipdate < TIMESTAMP '1997-03-01 00:00:00'""",
     "b14_tpch_q19" ->
-      """SELECT CAST(SUM(CAST(l_extendedprice*(1-l_discount)
-             AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      """SELECT CAST(SUM(CAST(floor((l_extendedprice*(1-l_discount))*10000 + 0.5) AS BIGINT)) AS DOUBLE)/10000 AS revenue,
            count(*) AS n
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
@@ -1516,20 +1510,17 @@ object Relational {
            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
              AND l_quantity BETWEEN 20 AND 30)""",
     "b15_tpch_q17" ->
-      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
-             AS DOUBLE) / 7.0 AS avg_yearly,
+      """SELECT CAST(SUM(CAST(floor((l_extendedprice)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 / 7.0 AS avg_yearly,
            count(*) AS n
          FROM lineitem l JOIN part p ON p_partkey = l_partkey
          WHERE p_brand = 'Brand#23'
            AND l_quantity < (
-             SELECT (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(38,6)))
-               AS DOUBLE) / count(l2.l_quantity)) * 0.2
+             SELECT (CAST(SUM(CAST(floor((l2.l_quantity)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 / count(l2.l_quantity)) * 0.2
              FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""",
     "b16_tpch_q15" ->
       """WITH rev AS (
            SELECT l_suppkey,
-             CAST(SUM(CAST(l_extendedprice*(1-l_discount)
-               AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue
+             CAST(SUM(CAST(floor((l_extendedprice*(1-l_discount))*10000 + 0.5) AS BIGINT)) AS DOUBLE)/10000 AS total_revenue
            FROM lineitem
            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
              AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -1540,11 +1531,8 @@ object Relational {
          ORDER BY s_suppkey""",
     "b17_tpch_q8" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-           CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_1'
-             THEN l_extendedprice*(1-l_discount) ELSE 0 END
-             AS DECIMAL(38,6))) AS DOUBLE)
-           / CAST(SUM(CAST(l_extendedprice*(1-l_discount)
-             AS DECIMAL(38,6))) AS DOUBLE) AS mkt_share,
+           (CAST(SUM(CAST(floor((CASE WHEN n2.n_name = 'NATION_1' THEN l_extendedprice*(1-l_discount) ELSE 0 END)*10000 + 0.5) AS BIGINT)) AS DOUBLE)/10000)
+           / (CAST(SUM(CAST(floor((l_extendedprice*(1-l_discount))*10000 + 0.5) AS BIGINT)) AS DOUBLE)/10000) AS mkt_share,
            count(*) AS n
          FROM region
          JOIN nation n1 ON r_regionkey = n1.n_regionkey
@@ -1576,8 +1564,7 @@ object Relational {
     "b19_tpch_q9" ->
       s"""WITH ${Tables.partsuppCte}
          SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-           CAST(SUM(CAST(l_extendedprice*(1-l_discount)
-             - ps_supplycost*l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+           CAST(SUM(CAST(floor((l_extendedprice*(1-l_discount) - ps_supplycost*l_quantity)*10000 + 0.5) AS BIGINT)) AS DOUBLE)/10000
              AS sum_profit,
            count(*) AS n
          FROM lineitem
@@ -1595,14 +1582,11 @@ object Relational {
            FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
            JOIN nation ON s_nationkey = n_nationkey
            WHERE n_name = 'NATION_7'),
-         tot AS (SELECT CAST(SUM(CAST(ps_supplycost*ps_availqty
-           AS DECIMAL(38,6))) AS DOUBLE) AS total FROM nat)
+         tot AS (SELECT CAST(SUM(CAST(floor((ps_supplycost*ps_availqty)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS total FROM nat)
          SELECT ps_partkey,
-           CAST(SUM(CAST(ps_supplycost*ps_availqty AS DECIMAL(38,6)))
-             AS DOUBLE) AS value
+           CAST(SUM(CAST(floor((ps_supplycost*ps_availqty)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS value
          FROM nat, tot GROUP BY ps_partkey, total
-         HAVING CAST(SUM(CAST(ps_supplycost*ps_availqty AS DECIMAL(38,6)))
-           AS DOUBLE) > total * 0.002
+         HAVING CAST(SUM(CAST(floor((ps_supplycost*ps_availqty)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 > total * 0.002
          ORDER BY value DESC, ps_partkey""",
     "b21_tpch_q16" ->
       s"""WITH ${Tables.partsuppCte}
@@ -1619,7 +1603,7 @@ object Relational {
       s"""WITH ${Tables.partsuppCte},
          halfq AS (
            SELECT l_partkey, l_suppkey,
-             0.5 * CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+             0.5 * CAST(SUM(CAST(floor((l_quantity)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100
                AS half_qty
            FROM lineitem
            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
