@@ -26,12 +26,14 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.defs ++
+    graft.queries.Anchors.defs ++
     graft.queries.TimeSeries.defs ++
     graft.queries.Pipeline.defs ++
     graft.queries.DomainQueries.defs
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
+    graft.queries.Anchors.oracles ++
     graft.queries.TimeSeries.oracles ++
     graft.queries.Pipeline.oracles ++
     graft.queries.DomainQueries.oracles
