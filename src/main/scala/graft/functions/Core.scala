@@ -53,6 +53,11 @@ object Core {
   def dsumIf(c: Column, cond: Column): Column =
     dsum(when(cond, c).otherwise(lit(0d)))
 
+  /** [[xsum]] over a conditional — the grid-sum twin of [[dsumIf]]
+    * (non-matching rows contribute the exact 0). */
+  def xsumIf(c: Column, cond: Column, dp: Int = 2): Column =
+    xsum(when(cond, c).otherwise(lit(0d)), dp)
+
   /** ClickHouse `countIf` (SURVEY §2.4 A1). */
   def countIf(cond: Column): Column =
     count_if(cond)

@@ -41,15 +41,21 @@ case class Int128Sum(child: Expression) extends DeclarativeAggregate
     with UnaryLike[Expression] {
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = false
+  // SUM semantics: null inputs are skipped and an all-null/empty group
+  // yields NULL (load-bearing under pivot, where a missing bucket
+  // aggregates only nulls — x6's DuckDB FILTER twin returns NULL there)
+  override def nullable: Boolean = true
   override def prettyName: String = "int128_sum"
 
   private lazy val lo = AttributeReference("lo", LongType, nullable = false)()
   private lazy val hi = AttributeReference("hi", LongType, nullable = false)()
+  private lazy val cnt =
+    AttributeReference("cnt", LongType, nullable = false)()
 
-  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(lo, hi)
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(lo, hi, cnt)
   override lazy val initialValues: Seq[Expression] =
-    Seq(Literal(0L), Literal(0L))
+    Seq(Literal(0L), Literal(0L), Literal(0L))
 
   private def addL(a: Expression, b: Expression): Expression =
     Add(a, b, EvalMode.LEGACY)
@@ -74,31 +80,37 @@ case class Int128Sum(child: Expression) extends DeclarativeAggregate
   }
 
   override lazy val updateExpressions: Seq[Expression] = {
-    // NULL contributes 0, matching SUM's skip (the buffer is non-null)
+    // NULL inputs are SKIPPED (SUM semantics): the accumulating add
+    // still runs on a coalesced 0 (cheaper than branching the carry
+    // chain), but cnt only advances on non-null rows, so an all-null
+    // group keeps cnt = 0 and evaluates NULL below
     val v = Coalesce(Seq(child, Literal(0L)))
     // sign-extend the 64-bit input to 128 bits: vHi = v >> 63 (0 or -1)
     val (nLo, nHi) = add128(lo, hi, v, ShiftRight(v, Literal(63)))
-    Seq(nLo, nHi)
+    Seq(nLo, nHi,
+      addL(cnt, If(IsNull(child), Literal(0L), Literal(1L))))
   }
 
   override lazy val mergeExpressions: Seq[Expression] = {
     val (nLo, nHi) = add128(lo.left, hi.left, lo.right, hi.right)
-    Seq(nLo, nHi)
+    Seq(nLo, nHi, addL(cnt.left, cnt.right))
   }
 
-  /** Double of the 128-bit total. Exact (single rounding) when the
-    * value fits a signed long — i.e. hi is just lo's sign extension;
-    * the wide branch composes hi·2^64 + unsigned(lo).
+  /** Double of the 128-bit total; NULL when no non-null input reached
+    * the group. Exact (single rounding) when the value fits a signed
+    * long — i.e. hi is just lo's sign extension; the wide branch
+    * composes hi·2^64 + unsigned(lo).
     */
   override lazy val evaluateExpression: Expression = {
     val two64 = Literal(1.8446744073709552e19) // 2^64
     val loD = Cast(lo, DoubleType)
     val unsignedLoD = If(LessThan(lo, Literal(0L)),
       Add(loD, two64, EvalMode.LEGACY), loD)
-    If(EqualTo(hi, ShiftRight(lo, Literal(63))),
+    val total = If(EqualTo(hi, ShiftRight(lo, Literal(63))),
       loD,
       Add(Multiply(Cast(hi, DoubleType), two64, EvalMode.LEGACY),
         unsignedLoD, EvalMode.LEGACY))
+    If(EqualTo(cnt, Literal(0L)), Literal(null, DoubleType), total)
   }
 
   override protected def withNewChildInternal(newChild: Expression)

@@ -65,9 +65,9 @@ object DomainQueries {
     "f4_price_reserves" -> { (s, d) =>
       Tables.events(s, d)
         .groupBy(col("user_id"))
-        .agg((dsumIf(col("value"), col("event_type") === "purchase") * 1e6)
+        .agg((xsumIf(col("value"), col("event_type") === "purchase") * 1e6)
             .as("rq_base"),
-          (dsumIf(col("value"), col("event_type") === "click") * 1e6)
+          (xsumIf(col("value"), col("event_type") === "click") * 1e6)
             .as("rb_base"))
         .select(col("user_id"),
           round4(Domain.priceFromReserves(col("rq_base"), col("rb_base"),
@@ -348,7 +348,7 @@ object DomainQueries {
       Tables.events(s, d)
         .groupBy(col("user_id"))
         .pivot("event_type", types)
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("vol"))
+        .agg(count(lit(1)).as("n"), xsum(col("value"), dp = 2).as("vol"))
         .na.fill(0L, types.map(t => s"${t}_n"))
         .canonOrder(col("user_id"))
     },
@@ -391,7 +391,7 @@ object DomainQueries {
       Tables.lineitem(s, d)
         .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
-        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .agg(count(lit(1)).as("n"), xsum(col("l_quantity"), dp = 2).as("qty"))
         .canonOrder(col("p_brand"))
     },
 
@@ -491,7 +491,7 @@ object DomainQueries {
       .groupBy(col("user_id")).agg(
       latestBy(col("value"),
         when(col("event_type") === "purchase", col("event_id"))).as("p1"),
-      dsumIf(col("value"),
+      xsumIf(col("value"),
         col("event_type") === "click" && col("ts") >= cut).as("o_sum"),
       countIf(col("event_type") === "click" && col("ts") >= cut)
         .as("o_cnt"))
@@ -551,7 +551,7 @@ object DomainQueries {
     """WITH cut AS (SELECT max(ts) - INTERVAL 1 DAY AS c FROM events),
        pr AS (SELECT user_id,
          max_by(value, CASE WHEN event_type = 'purchase' THEN event_id END) AS p1,
-         CAST(SUM(CAST(CASE WHEN event_type = 'click' AND ts >= c THEN value ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE) AS o_sum,
+         CAST(SUM(CAST(floor((CASE WHEN event_type = 'click' AND ts >= c THEN value ELSE 0 END)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS o_sum,
          count(*) FILTER (WHERE event_type = 'click' AND ts >= c) AS o_cnt
        FROM events CROSS JOIN cut GROUP BY user_id),
        px AS (SELECT user_id, p1,
@@ -608,8 +608,8 @@ object DomainQueries {
          FROM lineitem WHERE l_orderkey < 300 ORDER BY okey, line""",
     "f4_price_reserves" ->
       """WITH r AS (SELECT user_id,
-           CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE) * 1e6 AS rq_base,
-           CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE) * 1e6 AS rb_base
+           CAST(SUM(CAST(floor((CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 * 1e6 AS rq_base,
+           CAST(SUM(CAST(floor((CASE WHEN event_type = 'click' THEN value ELSE 0 END)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 * 1e6 AS rb_base
          FROM events GROUP BY user_id)
          SELECT user_id,
            round((rq_base / 1000000.0) / (rb_base / pow(10, 6)), 4) AS price
@@ -695,7 +695,7 @@ object DomainQueries {
                min_by(value, event_id) AS open,
                max(value) AS high, min(value) AS low,
                max_by(value, event_id) AS close,
-               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume,
+               CAST(SUM(CAST(floor((value)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS volume,
                count(*) AS trade_count
              FROM t GROUP BY 1, 2),
          spine AS (SELECT pool_id, unnest(generate_series(
@@ -748,15 +748,15 @@ object DomainQueries {
     "x6_pivot" ->
       """SELECT user_id,
          count(*) FILTER (WHERE event_type = 'click') AS click_n,
-         CAST(SUM(CAST(value AS DECIMAL(38,6))) FILTER (WHERE event_type = 'click') AS DOUBLE) AS click_vol,
+         CAST(SUM(CAST(floor(value*100 + 0.5) AS BIGINT)) FILTER (WHERE event_type = 'click') AS DOUBLE)/100 AS click_vol,
          count(*) FILTER (WHERE event_type = 'error') AS error_n,
-         CAST(SUM(CAST(value AS DECIMAL(38,6))) FILTER (WHERE event_type = 'error') AS DOUBLE) AS error_vol,
+         CAST(SUM(CAST(floor(value*100 + 0.5) AS BIGINT)) FILTER (WHERE event_type = 'error') AS DOUBLE)/100 AS error_vol,
          count(*) FILTER (WHERE event_type = 'purchase') AS purchase_n,
-         CAST(SUM(CAST(value AS DECIMAL(38,6))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_vol,
+         CAST(SUM(CAST(floor(value*100 + 0.5) AS BIGINT)) FILTER (WHERE event_type = 'purchase') AS DOUBLE)/100 AS purchase_vol,
          count(*) FILTER (WHERE event_type = 'signup') AS signup_n,
-         CAST(SUM(CAST(value AS DECIMAL(38,6))) FILTER (WHERE event_type = 'signup') AS DOUBLE) AS signup_vol,
+         CAST(SUM(CAST(floor(value*100 + 0.5) AS BIGINT)) FILTER (WHERE event_type = 'signup') AS DOUBLE)/100 AS signup_vol,
          count(*) FILTER (WHERE event_type = 'view') AS view_n,
-         CAST(SUM(CAST(value AS DECIMAL(38,6))) FILTER (WHERE event_type = 'view') AS DOUBLE) AS view_vol
+         CAST(SUM(CAST(floor(value*100 + 0.5) AS BIGINT)) FILTER (WHERE event_type = 'view') AS DOUBLE)/100 AS view_vol
          FROM events GROUP BY user_id ORDER BY user_id""",
     "x2_array_topwords" ->
       """SELECT word, count(*) AS n FROM (
@@ -779,7 +779,7 @@ object DomainQueries {
          FROM r ORDER BY doc_id""",
     "j10_broadcast_hash_join" ->
       """SELECT p_brand, count(*) AS n,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+         CAST(SUM(CAST(floor((l_quantity)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS qty
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE p_size <= 10
          GROUP BY p_brand ORDER BY p_brand""",

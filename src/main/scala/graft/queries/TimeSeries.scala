@@ -27,7 +27,7 @@ object TimeSeries {
          min_by(value, event_id) AS open,
          max(value) AS high, min(value) AS low,
          max_by(value, event_id) AS close,
-         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume,
+         CAST(SUM(CAST(floor((value)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS volume,
          count(*) AS trade_count
        FROM events GROUP BY 1, 2"""
 
@@ -40,8 +40,8 @@ object TimeSeries {
       Tables.events(s, d)
         .groupBy(col("event_type"))
         .agg(
-          dsumIf(col("value"), buy).as("vol_buy"),
-          dsumIf(col("value"), !buy).as("vol_sell"),
+          xsumIf(col("value"), buy).as("vol_buy"),
+          xsumIf(col("value"), !buy).as("vol_sell"),
           countIf(buy).as("tx_buy"),
           countIf(!buy).as("tx_sell"),
           count_distinct(col("user_id")).as("unique_traders"))
@@ -136,9 +136,9 @@ object TimeSeries {
         .filter(col("event_type").isin("purchase", "click"))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("trades_count"),
-          dsum(col("value")).as("volume"),
-          dsum(when(col("event_type") === "purchase", col("value"))
-            .otherwise(-col("value"))).as("gross_pnl"))
+          xsum(col("value"), dp = 2).as("volume"),
+          xsum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(-col("value")), dp = 2).as("gross_pnl"))
         .canonOrder(col("user_id"))
     },
 
@@ -171,7 +171,7 @@ object TimeSeries {
         .groupBy(col("user_id"))
         .agg(latestIf("purchase").as("p1"),
           latestIf("click").as("p2"),
-          davg(col("value")).as("p3"))
+          (xsum(col("value"), dp = 2) / count(col("value"))).as("p3"))
         .select(col("user_id"),
           round4(coalesce(col("p1"), col("p2"), col("p3"))).as("price"))
         .canonOrder(col("user_id"))
@@ -187,8 +187,8 @@ object TimeSeries {
         .withColumn("rn", row_number().over(w))
         .groupBy(col("c_nationkey").as("nationkey"))
         .agg(
-          dsumIf(col("c_acctbal"), col("rn") <= 10).as("top10_bal"),
-          dsum(col("c_acctbal")).as("total_bal"))
+          xsumIf(col("c_acctbal"), col("rn") <= 10).as("top10_bal"),
+          xsum(col("c_acctbal"), dp = 2).as("total_bal"))
         .withColumn("top10_pct",
           round4(col("top10_bal") / col("total_bal") * 100d))
         .canonOrder(col("nationkey"))
@@ -208,9 +208,9 @@ object TimeSeries {
       Tables.eventsFrom(s, d, anchorInstantMinusSec(e, col("ts"), 30L * 86400L))
         .groupBy(col("event_type"))
         .agg(
-          dsumIf(col("value"), win(1)).as("vol_1d"),
-          dsumIf(col("value"), win(7)).as("vol_7d"),
-          dsumIf(col("value"), win(30)).as("vol_30d"),
+          xsumIf(col("value"), win(1)).as("vol_1d"),
+          xsumIf(col("value"), win(7)).as("vol_7d"),
+          xsumIf(col("value"), win(30)).as("vol_30d"),
           countIf(win(1)).as("tx_1d"),
           countIf(win(7)).as("tx_7d"),
           countIf(win(30)).as("tx_30d"))
@@ -328,7 +328,7 @@ object TimeSeries {
       val e = Tables.events(s, d)
       Tables.eventsFrom(s, d, anchorInstantMinusSec(e, col("ts"), 86400L))
         .groupBy(col("event_type"))
-        .agg(round4(davg(col("value"))).as("avg_value"))
+        .agg(round4(xsum(col("value"), dp = 2) / count(col("value"))).as("avg_value"))
         .canonOrder(col("event_type"))
     },
 
@@ -357,7 +357,7 @@ object TimeSeries {
       import org.apache.spark.sql.types.DecimalType
       val h = Tables.events(s, d)
         .groupBy(col("event_type"), bucketSec(col("ts"), 3600L).as("b"))
-        .agg(dsum(col("value")).as("v"))
+        .agg(xsum(col("value"), dp = 2).as("v"))
       val w = Window.partitionBy(col("event_type")).orderBy(col("b"))
         .rangeBetween(-21600L, 0L)
       h.select(col("event_type"), col("b"),
@@ -468,8 +468,8 @@ object TimeSeries {
   val oracles: Map[String, String] = Map(
     "a1_conditional_agg" ->
       """SELECT event_type,
-         CAST(SUM(CAST(CASE WHEN value >= 50 THEN value ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE) AS vol_buy,
-         CAST(SUM(CAST(CASE WHEN NOT (value >= 50) THEN value ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE) AS vol_sell,
+         CAST(SUM(CAST(floor((CASE WHEN value >= 50 THEN value ELSE 0 END)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS vol_buy,
+         CAST(SUM(CAST(floor((CASE WHEN NOT (value >= 50) THEN value ELSE 0 END)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS vol_sell,
          count(*) FILTER (WHERE value >= 50) AS tx_buy,
          count(*) FILTER (WHERE NOT (value >= 50)) AS tx_sell,
          count(DISTINCT user_id) AS unique_traders
@@ -490,7 +490,7 @@ object TimeSeries {
     // salted two-stage must be value-identical to the direct aggregate
     "a22_salted_agg" ->
       """SELECT event_type,
-         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS vol,
+         CAST(SUM(CAST(floor((value)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS vol,
          count(*) AS n, max(value) AS hi
          FROM events GROUP BY 1 ORDER BY event_type""",
     "a20_rolling_uniques_hll" ->
@@ -519,7 +519,7 @@ object TimeSeries {
          min_by(value, event_id) AS open,
          max(value) AS high, min(value) AS low,
          max_by(value, event_id) AS close,
-         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume,
+         CAST(SUM(CAST(floor((value)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS volume,
          count(*) AS trade_count
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "a6b_resample_chain" ->
@@ -528,7 +528,7 @@ object TimeSeries {
          min_by(value, event_id) AS open,
          max(value) AS high, min(value) AS low,
          max_by(value, event_id) AS close,
-         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume,
+         CAST(SUM(CAST(floor((value)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS volume,
          count(*) AS trade_count
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "a7_union_series" ->
@@ -536,14 +536,14 @@ object TimeSeries {
          min_by(value, event_id) AS open,
          max(value) AS high, min(value) AS low,
          max_by(value, event_id) AS close,
-         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume,
+         CAST(SUM(CAST(floor((value)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS volume,
          count(*) AS trade_count
          FROM events WHERE event_type IN ('purchase','click')
          GROUP BY 1 ORDER BY 1""",
     "a8_leaderboard" ->
       """SELECT user_id, count(*) AS trades_count,
-         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume,
-         CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE -value END AS DECIMAL(38,6))) AS DOUBLE) AS gross_pnl
+         CAST(SUM(CAST(floor((value)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS volume,
+         CAST(SUM(CAST(floor((CASE WHEN event_type = 'purchase' THEN value ELSE -value END)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS gross_pnl
          FROM events WHERE event_type IN ('purchase','click')
          GROUP BY user_id ORDER BY user_id""",
     "a9_large_trades" ->
@@ -561,7 +561,7 @@ object TimeSeries {
          p2 AS (SELECT user_id, max_by(value, event_id) AS p2 FROM events
                 WHERE event_type = 'click' GROUP BY user_id),
          p3 AS (SELECT user_id,
-                CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)/count(value) AS p3
+                CAST(SUM(CAST(floor((value)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100/count(value) AS p3
                 FROM events GROUP BY user_id)
          SELECT u.user_id, round(coalesce(p1.p1, p2.p2, p3.p3), 4) AS price
          FROM u LEFT JOIN p1 USING (user_id) LEFT JOIN p2 USING (user_id)
@@ -575,8 +575,8 @@ object TimeSeries {
            FROM customer),
          agg AS (
            SELECT c_nationkey AS nationkey,
-             CAST(SUM(CAST(CASE WHEN rn <= 10 THEN c_acctbal ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE) AS top10_bal,
-             CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+             CAST(SUM(CAST(floor((CASE WHEN rn <= 10 THEN c_acctbal ELSE 0 END)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS top10_bal,
+             CAST(SUM(CAST(floor((c_acctbal)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS total_bal
            FROM r GROUP BY 1)
          SELECT nationkey, top10_bal, total_bal,
            round(top10_bal / total_bal * 100, 4) AS top10_pct
@@ -585,9 +585,9 @@ object TimeSeries {
       """WITH a AS (SELECT max(ts) AS anchor FROM events)
          SELECT event_type,
          -- widest-window prefilter mirrored from the Spark plan (WHERE below)
-         CAST(SUM(CAST(CASE WHEN ts >= anchor - INTERVAL 1 DAY THEN value ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE) AS vol_1d,
-         CAST(SUM(CAST(CASE WHEN ts >= anchor - INTERVAL 7 DAY THEN value ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE) AS vol_7d,
-         CAST(SUM(CAST(CASE WHEN ts >= anchor - INTERVAL 30 DAY THEN value ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE) AS vol_30d,
+         CAST(SUM(CAST(floor((CASE WHEN ts >= anchor - INTERVAL 1 DAY THEN value ELSE 0 END)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS vol_1d,
+         CAST(SUM(CAST(floor((CASE WHEN ts >= anchor - INTERVAL 7 DAY THEN value ELSE 0 END)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS vol_7d,
+         CAST(SUM(CAST(floor((CASE WHEN ts >= anchor - INTERVAL 30 DAY THEN value ELSE 0 END)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS vol_30d,
          count(*) FILTER (WHERE ts >= anchor - INTERVAL 1 DAY) AS tx_1d,
          count(*) FILTER (WHERE ts >= anchor - INTERVAL 7 DAY) AS tx_7d,
          count(*) FILTER (WHERE ts >= anchor - INTERVAL 30 DAY) AS tx_30d
@@ -600,7 +600,7 @@ object TimeSeries {
          FROM events GROUP BY user_id ORDER BY user_id""",
     "a16_avg_window" ->
       """SELECT event_type,
-         round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)/count(value), 4) AS avg_value
+         round(CAST(SUM(CAST(floor((value)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100/count(value), 4) AS avg_value
          FROM events
          WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 1 DAY
          GROUP BY event_type ORDER BY event_type""",
@@ -613,7 +613,7 @@ object TimeSeries {
     "w8_moving_avg" ->
       """WITH h AS (SELECT event_type,
            CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS b,
-           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+           CAST(SUM(CAST(floor((value)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS v
          FROM events GROUP BY 1, 2)
          SELECT event_type, b,
            round(CAST(SUM(CAST(v AS DECIMAL(38,6))) OVER (
@@ -682,7 +682,7 @@ object TimeSeries {
            min_by(open, bucket_ts) AS open,
            max(high) AS high, min(low) AS low,
            max_by(close, bucket_ts) AS close,
-           CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) AS volume,
+           CAST(SUM(CAST(floor((volume)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS volume,
            CAST(SUM(trade_count) AS BIGINT) AS trade_count,
            false AS forming
          FROM c, fs WHERE bucket_ts < fs GROUP BY 1, 2
@@ -692,7 +692,7 @@ object TimeSeries {
            greatest(max(high), min_by(open, bucket_ts)) AS high,
            least(min(low), min_by(open, bucket_ts)) AS low,
            max_by(close, bucket_ts) AS close,
-           CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) AS volume,
+           CAST(SUM(CAST(floor((volume)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS volume,
            CAST(SUM(trade_count) AS BIGINT) AS trade_count,
            true AS forming
          FROM c, fs WHERE bucket_ts >= fs GROUP BY 1, 2
