@@ -49,7 +49,9 @@ object Bench {
     // r13 second session: hybrid lexical+semantic retrieval (RRF) and
     // SQ8 scalar-quantized ANN
     "t32_hybrid_rrf", "hybrid_serving", "n10_ann_sq8", "sq8_serving",
-    "n12_ann_filtered", "n13_ann_ivfsq8", "n14_ann_sq8_sampled")
+    "n12_ann_filtered", "n13_ann_ivfsq8", "n14_ann_sq8_sampled",
+    // r14: the filtered byte-index serve and the adaptive IVF+SQ8 serve
+    "sq8_filtered_serving", "n13_serving")
 
   /** The 2×-criterion twin (r7 verdict #8): time the SAME SQL the oracle
     * runs, in DuckDB, over the SAME parquet — a measurable single-node
@@ -312,6 +314,31 @@ object Bench {
         "sq8_filtered_serving" ->
           math.min(t(() => q10f()), t(() => q10f())))
     }
+    // n13's serving twin: the adaptive-nlist IVF cells + SQ8 byte codes
+    // as persisted artifacts; a query pays probe bucketing + a
+    // decode+score pass over ONLY the probed cells' codes
+    val ivfsq8 = family("n13_serving") {
+      val cents = Similarity.adaptiveTrainCentroids(v)
+      cents.write.mode("overwrite").parquet(s"$tmp/n13cents")
+      val centsR = spark.read.parquet(s"$tmp/n13cents")
+      Similarity.ivfCells(v, centsR).write.mode("overwrite")
+        .parquet(s"$tmp/n13cells")
+      val st = Similarity.sq8Stats(v)
+      st.write.mode("overwrite").parquet(s"$tmp/n13stats")
+      Similarity.sq8Encode(v, st).write.mode("overwrite")
+        .parquet(s"$tmp/n13codes")
+      val cellsR = spark.read.parquet(s"$tmp/n13cells")
+      val stR = spark.read.parquet(s"$tmp/n13stats")
+      val codesR = spark.read.parquet(s"$tmp/n13codes")
+      def q13(): Unit = Similarity
+        .ivfSq8TopKFromCodes(probes, centsR, cellsR, stR, codesR,
+          k = 5, nprobe = 8)
+        .orderBy(col("probe_id"), col("rank"))
+        .write.format("noop").mode("overwrite").save()
+      q13() // warm
+      Map("n13_serving" -> math.min(t(() => q13()), t(() => q13())))
+    }
+
     // t22's serving twin: inverted-index artifact built once (untimed),
     // then BM25 from postings only — the pushdown-pruned index read a
     // search SLA pays, vs the whole-corpus tokenize+aggregate in the
@@ -358,7 +385,7 @@ object Bench {
       qh() // warm
       Map("hybrid_serving" -> math.min(t(() => qh()), t(() => qh())))
     }
-    ann ++ sq8 ++ text ++ hybrid
+    ann ++ sq8 ++ ivfsq8 ++ text ++ hybrid
     } catch { case _: Throwable => Map.empty }
     finally {
       // artifact dirs are embedding-scale parquet — delete on BOTH paths

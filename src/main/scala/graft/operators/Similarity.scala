@@ -650,6 +650,37 @@ object Similarity {
       vecBuckets.join(broadcast(probeBuckets), Seq("cid")), k)
   }
 
+  /** IVF+SQ8 search against PERSISTED build artifacts — the serving
+    * twin of [[ivfSq8TopK]], completing the serving matrix beside
+    * [[pqTopKFromCodes]] / [[ivfPqTopKFromCodes]] / [[sq8TopKFromCodes]]:
+    * cells ([[ivfCells]]), the one-row bounds ([[sq8Stats]]) and the
+    * byte codes ([[sq8Encode]]) are parquet artifacts built once; a
+    * query pays probe bucketing (centroids are tiny and still needed)
+    * + one decode+score pass over ONLY the probed cells' codes. Same
+    * candidate set and scores as the in-query composite
+    * (SimilaritySpec pins served == in-query); raw embeddings are
+    * never touched at serve time.
+    */
+  def ivfSq8TopKFromCodes(probes: DataFrame, centroids: DataFrame,
+                          cells: DataFrame, stats: DataFrame,
+                          codes: DataFrame, k: Int, nprobe: Int)
+      : DataFrame = {
+    val dq = spreadPartitions(codes).crossJoin(broadcast(stats))
+      .select(col("vec_id").as("cand_id"),
+        graft.plans.Expressions.sq8Dequant(
+          col("codes"), col("mns"), col("mxs")).as("ce"))
+      .withColumn("cn", normScaled(col("ce")))
+    val vecBuckets = cells
+      .select(col("vec_id").as("cand_id"), col("cid"))
+      .join(dq, Seq("cand_id"))
+    val probeBuckets = ivfAssign(probes, centFrame(centroids),
+        "probe_id", nprobe)
+      .withColumnRenamed("embedding", "pe")
+      .withColumn("pn", normScaled(col("pe")))
+    rankBucketCands(
+      vecBuckets.join(broadcast(probeBuckets), Seq("cid")), k)
+  }
+
   /** Product-quantization ANN (asymmetric-distance, inner-product form).
     * The embedding splits into `m` contiguous subspaces; each subspace
     * gets its own codebook (deterministic Lloyd over the sub-vectors —

@@ -301,6 +301,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, f"recall $recall%.3f below bound")
   }
 
+  test("ivf+sq8 served from persisted artifacts (cells + bounds + byte " +
+      "codes) matches the in-query composite row-for-row") {
+    val probes = vecs.filter(col("vec_id") < 10)
+    val cents = Similarity.sampledTrainCentroids(vecs)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivfsq8-serve").toString
+    try {
+      cents.write.parquet(s"$dir/cents")
+      val centsR = spark.read.parquet(s"$dir/cents")
+      Similarity.ivfCells(vecs, centsR).write.parquet(s"$dir/cells")
+      val st = Similarity.sq8Stats(vecs)
+      st.write.parquet(s"$dir/stats")
+      Similarity.sq8Encode(vecs, st).write.parquet(s"$dir/codes")
+      val served = Similarity.ivfSq8TopKFromCodes(probes, centsR,
+          spark.read.parquet(s"$dir/cells"),
+          spark.read.parquet(s"$dir/stats"),
+          spark.read.parquet(s"$dir/codes"), k = 5, nprobe = 8)
+        .orderBy("probe_id", "rank").collect().toSeq
+      val direct = Similarity.ivfSq8TopK(probes, vecs, centsR,
+          k = 5, nprobe = 8)
+        .orderBy("probe_id", "rank").collect().toSeq
+      assert(served == direct)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+  }
+
   test("autoNlist: the √n occupancy rule — floor of 16, monotone, exact " +
       "at perfect squares, and deterministic integer-domain arithmetic") {
     assert(Similarity.autoNlist(0) == 16)
