@@ -51,7 +51,10 @@ object Bench {
     "t32_hybrid_rrf", "hybrid_serving", "n10_ann_sq8", "sq8_serving",
     "n12_ann_filtered", "n13_ann_ivfsq8", "n14_ann_sq8_sampled",
     // r14: the filtered byte-index serve and the adaptive IVF+SQ8 serve
-    "sq8_filtered_serving", "n13_serving")
+    "sq8_filtered_serving", "n13_serving",
+    // r14 second session: the packed-code PQ serves (pq_adc kernel) and
+    // their correctness entry
+    "n15_ann_pq_packed", "n6_packed_serving", "n7_packed_serving")
 
   /** The 2×-criterion twin (r7 verdict #8): time the SAME SQL the oracle
     * runs, in DuckDB, over the SAME parquet — a measurable single-node
@@ -278,9 +281,27 @@ object Bench {
         .orderBy(col("probe_id"), col("rank"))
         .write.format("noop").mode("overwrite").save()
       q6(); q7() // warm
+      // the PACKED byte artifact beside the long form: one binary cell
+      // per candidate, scored by the codegen'd pq_adc kernel — the
+      // m×-fewer-rows serve the packed layout exists for
+      Similarity.pqPackCodes(codesR, cbR).write.mode("overwrite")
+        .parquet(s"$tmp/packed")
+      val packedR = spark.read.parquet(s"$tmp/packed")
+      def q6p(): Unit = Similarity
+        .pqTopKFromPackedCodes(probes, v, cbR, packedR, k = 5)
+        .orderBy(col("probe_id"), col("rank"))
+        .write.format("noop").mode("overwrite").save()
+      def q7p(): Unit = Similarity
+        .ivfPqTopKFromPackedCodes(probes, v, centroids, cellsR, cbR,
+          packedR, k = 5, nprobe = 8)
+        .orderBy(col("probe_id"), col("rank"))
+        .write.format("noop").mode("overwrite").save()
+      q6p(); q7p() // warm
       Map(
         "n6_serving" -> math.min(t(() => q6()), t(() => q6())),
-        "n7_serving" -> math.min(t(() => q7()), t(() => q7())))
+        "n7_serving" -> math.min(t(() => q7()), t(() => q7())),
+        "n6_packed_serving" -> math.min(t(() => q6p()), t(() => q6p())),
+        "n7_packed_serving" -> math.min(t(() => q7p()), t(() => q7p())))
     }
     // SQ8 artifacts: one-row bounds + byte-per-dim codes (no training).
     // The second entry is the FILTERED serve: metadata co-located in

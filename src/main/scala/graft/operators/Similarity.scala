@@ -895,6 +895,163 @@ object Similarity {
       k, m, width, shortlist, dupSafe = true)
   }
 
+  /** Dense re-coding of a trained codebook: training names codewords by
+    * their SEED vec_id (arbitrary longs), but the packed byte artifact
+    * needs contiguous per-subspace ids. Ranks codes within each subspace
+    * (code asc — deterministic, so the pack and every probe LUT agree)
+    * and returns (sub, code, dense, cw). The window runs over the
+    * codebook only (m·kCodes rows, ≤ a few hundred).
+    */
+  def pqDenseBook(codebook: DataFrame): DataFrame =
+    codebook.withColumn("dense",
+      (row_number().over(Window.partitionBy(col("sub"))
+        .orderBy(col("code"))) - 1).cast("long"))
+
+  /** Pack a long-form (vec_id, sub, code) encoding into the byte-laid-out
+    * PQ artifact (vec_id, pcodes binary) — one byte per subspace in sub
+    * order, dense ids from [[pqDenseBook]]. This is the form the packed
+    * ADC kernel serves from: m× fewer artifact rows than the long form,
+    * and a candidate's whole code word reads as one binary cell.
+    * Replica rows collapse to max(dense) per subspace — the same
+    * deterministic pick as the dup-safe [[adcCollapse]]'s max-code,
+    * since dense ranks are monotone in code. Vectors missing a subspace
+    * row (a truncated artifact) are DROPPED, mirroring the long-form
+    * fold where an incomplete candidate NULLs out of the shortlist —
+    * absent, never wrongly scored. >256 codewords per subspace fail
+    * loudly in the byte packer, not alias.
+    */
+  def pqPackCodes(codes: DataFrame, codebook: DataFrame): DataFrame = {
+    val db = pqDenseBook(codebook)
+    val m = db.select(max(col("sub"))).head().getInt(0) + 1
+    codes.select(col("vec_id"), col("sub"), col("code"))
+      .join(broadcast(db.select(col("sub"), col("code"), col("dense"))),
+        Seq("sub", "code"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(max(col("dense")).as("dense"))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("nsub"),
+        array_sort(collect_list(struct(col("sub"), col("dense"))))
+          .as("sd"))
+      .filter(col("nsub") === m)
+      .select(col("vec_id"),
+        graft.plans.Expressions.packBytes(
+          transform(col("sd"), e => e.getField("dense").cast("long")))
+          .as("pcodes"))
+  }
+
+  /** Per-probe FLATTENED lookup table for the packed ADC kernel:
+    * (probe_id, pdots, cns) where both arrays index `sub·K + dense`,
+    * K = max per-subspace codeword count (training drops empty
+    * codewords, so subspaces can be ragged — pad slots hold 0 and are
+    * never indexed, because packed codes only carry dense ids that
+    * exist in the book). Values are the same scaled longs the long-form
+    * LUT carries; only the layout changes.
+    */
+  private def pqProbeLut(probes: DataFrame, db: DataFrame, m: Int,
+                         sub: Int): DataFrame = {
+    val kMax = db.groupBy(col("sub")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    val slots = m * kMax
+    pqSliced(probes, m, sub)
+      .join(broadcast(db.withColumn("cn", normScaled(col("cw")))),
+        Seq("sub"))
+      .select(col("id").as("probe_id"),
+        (col("sub") * kMax + col("dense")).as("slot"),
+        dotScaled(col("sv"), col("cw")).as("pdot"), col("cn"))
+      .groupBy(col("probe_id"))
+      .agg(
+        map_from_entries(collect_list(struct(col("slot"), col("pdot"))))
+          .as("pm"),
+        map_from_entries(collect_list(struct(col("slot"), col("cn"))))
+          .as("cm"))
+      .select(col("probe_id"),
+        transform(sequence(lit(0L), lit(slots - 1L)),
+          i => coalesce(element_at(col("pm"), i), lit(0L))).as("pdots"),
+        transform(sequence(lit(0L), lit(slots - 1L)),
+          i => coalesce(element_at(col("cm"), i), lit(0L))).as("cns"))
+  }
+
+  /** PQ search from the PACKED byte artifact ([[pqPackCodes]]) — the
+    * RAM-layout serving twin of [[pqTopKFromCodes]]: the corpus streams
+    * as ONE row per candidate (m× fewer than the long form), each pair
+    * is scored by a single [[graft.plans.PqAdcKernel]] call inside
+    * whole-stage codegen, and no per-pair aggregation exists at all —
+    * the shuffle the long-form groupBy paid is gone; only the shortlist
+    * ranking window exchanges rows. Integer sums commute, so scores —
+    * and therefore the served ranking — are bit-identical to the
+    * long-form path (parity pinned in SimilaritySpec); the exact
+    * shortlist re-rank is shared code.
+    */
+  def pqTopKFromPackedCodes(probes: DataFrame, vecs: DataFrame,
+                            codebook: DataFrame, packed: DataFrame,
+                            k: Int, shortlist: Int = 50): DataFrame = {
+    val head = codebook.select(max(col("sub")), size(first(col("cw")))).head()
+    val m = head.getInt(0) + 1
+    val width = head.getInt(1)
+    require(width > 0, "pqTopKFromPackedCodes: empty codewords in codebook")
+    val db = pqDenseBook(codebook)
+    val lut = pqProbeLut(probes, db, m, width)
+      .join(probes.select(col("vec_id").as("probe_id"),
+        normScaled(col("embedding")).as("pn")), Seq("probe_id"))
+    // spread the corpus side: the probe LUT broadcasts, so scoring
+    // parallelism is the packed artifact's split count (same starvation
+    // as sq8Cand / lshTopK)
+    val ar = graft.plans.Expressions.pqAdc(
+      col("pcodes"), col("pdots"), col("cns"))
+    val adc = spreadPartitions(
+        packed.select(col("vec_id").as("cand_id"), col("pcodes")))
+      .join(broadcast(lut), col("probe_id") =!= col("cand_id"))
+      .withColumn("ar", ar)
+      .select(col("probe_id"), col("cand_id"),
+        cosineFromScaled(element_at(col("ar"), 1), col("pn"),
+          element_at(col("ar"), 2)).as("acos"))
+    pqShortlistRerank(probes, vecs, adc, k, shortlist)
+  }
+
+  /** IVF+PQ search from PERSISTED cells + the PACKED byte artifact —
+    * the composite serving twin of [[ivfPqTopKFromCodes]] on the packed
+    * layout: cells prune candidates to ~nprobe/nlist of the corpus,
+    * each survivor joins its ONE packed row, and the kernel scores the
+    * pair with no per-pair aggregation. Replica cells rows would
+    * duplicate (probe, cand) pairs and — with no aggregate to absorb
+    * them — double-count shortlist slots, so the pruned pair set dedups
+    * explicitly; that exchange is over the PRUNED pairs (k·probes·
+    * occupancy), never the corpus.
+    */
+  def ivfPqTopKFromPackedCodes(probes: DataFrame, vecs: DataFrame,
+                               centroids: DataFrame, cells: DataFrame,
+                               codebook: DataFrame, packed: DataFrame,
+                               k: Int, nprobe: Int, shortlist: Int = 50)
+      : DataFrame = {
+    val head = codebook.select(max(col("sub")), size(first(col("cw")))).head()
+    val m = head.getInt(0) + 1
+    val width = head.getInt(1)
+    require(width > 0,
+      "ivfPqTopKFromPackedCodes: empty codewords in codebook")
+    val db = pqDenseBook(codebook)
+    val lut = pqProbeLut(probes, db, m, width)
+      .join(probes.select(col("vec_id").as("probe_id"),
+        normScaled(col("embedding")).as("pn")), Seq("probe_id"))
+    val cands = cells.select(col("vec_id").as("cand_id"), col("cid"))
+      .join(broadcast(
+        ivfAssign(probes, centFrame(centroids), "probe_id", nprobe)
+          .select(col("probe_id"), col("cid"))), Seq("cid"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"))
+      .distinct()
+    val ar = graft.plans.Expressions.pqAdc(
+      col("pcodes"), col("pdots"), col("cns"))
+    val adc = cands
+      .join(packed.select(col("vec_id").as("cand_id"), col("pcodes")),
+        Seq("cand_id"))
+      .join(broadcast(lut), Seq("probe_id"))
+      .withColumn("ar", ar)
+      .select(col("probe_id"), col("cand_id"),
+        cosineFromScaled(element_at(col("ar"), 1), col("pn"),
+          element_at(col("ar"), 2)).as("acos"))
+    pqShortlistRerank(probes, vecs, adc, k, shortlist)
+  }
+
   /** Collapse a candidate's m joined code rows into the ADC partials
     * (probe_id, cand_id, adot, rnorm). In-query paths use the plain sums
     * — their codes frames are unique per (cand_id, sub) by construction

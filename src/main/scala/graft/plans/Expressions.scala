@@ -691,6 +691,127 @@ case class Sq8DequantExpr(first: Expression, second: Expression,
   override def prettyName: String = "sq8_dequant"
 }
 
+/** Kernel + expressions for PACKED-code PQ ADC scoring — the byte-laid-out
+  * serving form of the long-form (vec_id, sub, code) ADC in
+  * operators/Similarity (reference behavior: api's trade-similarity
+  * shortlists; layout follows FAISS's public packed-codes convention):
+  * a candidate's m codebook ids live in ONE binary column (one byte per
+  * subspace, dense contiguous ids), and a probe's whole lookup table is
+  * two flattened long arrays — partial dots and codeword norms, indexed
+  * `sub·K + dense`. One kernel call then scores a (probe, candidate)
+  * pair in an m-step loop INSIDE whole-stage codegen, replacing the
+  * long-form path's m-row join + per-pair aggregation — an m× row
+  * reduction before the shuffle. The partial dots/norms are the same
+  * scaled longs [[DotScaledExpr]] produces and integer addition
+  * commutes, so the packed score is bit-identical to the long-form
+  * `adcCollapse` sums (parity pinned in SimilaritySpec).
+  */
+object PqAdcKernel {
+  /** Score one packed candidate against one probe's flattened LUT:
+    * returns [adot, rnorm] (scaled-long approximate dot and
+    * reconstructed-candidate norm). K is derived from the LUT length —
+    * `pdot`/`cn` must be equal-length positive multiples of m, and every
+    * dense code must index inside its subspace block; violations mean
+    * the codes were packed against a DIFFERENT codebook than the LUT was
+    * built from, and fail loudly (the requireDim contract of
+    * [[Sq8Kernel]]) instead of serving garbage neighbors.
+    */
+  def adc(codes: Array[Byte], pdot: ArrayData, cn: ArrayData): ArrayData = {
+    val m = codes.length
+    val lutLen = pdot.numElements()
+    if (m == 0 || lutLen == 0 || lutLen % m != 0 ||
+      cn.numElements() != lutLen)
+      throw new IllegalArgumentException(
+        s"pq_adc: LUT lengths $lutLen/${cn.numElements()} are not equal " +
+          s"positive multiples of m=$m — codes and LUT come from " +
+          "different codebook geometries")
+    val k = lutLen / m
+    var adot = 0L
+    var rnorm = 0L
+    var s = 0
+    while (s < m) {
+      val c = codes(s) & 0xff
+      if (c >= k)
+        throw new IllegalArgumentException(
+          s"pq_adc: dense code $c at subspace $s outside the LUT's " +
+            s"per-subspace range $k — packed against a different codebook")
+      adot += pdot.getLong(s * k + c)
+      rnorm += cn.getLong(s * k + c)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(adot, rnorm))
+  }
+
+  /** Pack an array of dense codebook ids (sub order) into one byte each.
+    * Ids must fit the unsigned byte — PQ serving packs AT MOST 256
+    * codewords per subspace (the FAISS byte-code convention); a wider
+    * codebook fails loudly here rather than aliasing codewords.
+    */
+  def pack(dense: ArrayData): Array[Byte] = {
+    val m = dense.numElements()
+    val out = new Array[Byte](m)
+    var i = 0
+    while (i < m) {
+      val d = dense.getLong(i)
+      if (d < 0L || d > 255L)
+        throw new IllegalArgumentException(
+          s"pack_bytes: dense id $d at subspace $i outside the " +
+            "unsigned-byte domain — packed PQ supports ≤256 codewords " +
+            "per subspace")
+      out(i) = d.toByte
+      i += 1
+    }
+    out
+  }
+}
+
+/** Packed ADC: (binary codes, array<long> pdot LUT, array<long> cn LUT)
+  * → array<long> [adot, rnorm], backed by [[PqAdcKernel]].
+  */
+case class PqAdcExpr(first: Expression, second: Expression,
+                     third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    PqAdcKernel.adc(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"${ev.value} = graft.plans.PqAdcKernel.adc($a, $b, $c);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): PqAdcExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def prettyName: String = "pq_adc"
+}
+
+/** Byte packing: array<long> dense ids → binary, backed by
+  * [[PqAdcKernel.pack]] (loud range check — no silent aliasing).
+  */
+case class PackBytesExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+
+  override def nullSafeEval(a: Any): Any =
+    PqAdcKernel.pack(a.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.PqAdcKernel.pack($a);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : PackBytesExpr = copy(child = newChild)
+
+  override def prettyName: String = "pack_bytes"
+}
+
 /** Session wiring for the custom expressions: an injectable
   * [[org.apache.spark.sql.SparkSessionExtensions]] hook for sessions built
   * with `.withExtensions(new GraftExtensions)` (or the
@@ -768,7 +889,13 @@ object GraftExtensions {
     (FunctionIdentifier("text_profile"),
       new ExpressionInfo(classOf[TextProfileExpr].getName, "text_profile"),
       (args: Seq[Expression]) => TextProfileExpr(args.head,
-        args.tail.map(markerArg))))
+        args.tail.map(markerArg))),
+    (FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[PqAdcExpr].getName, "pq_adc"),
+      (args: Seq[Expression]) => PqAdcExpr(args(0), args(1), args(2))),
+    (FunctionIdentifier("pack_bytes"),
+      new ExpressionInfo(classOf[PackBytesExpr].getName, "pack_bytes"),
+      (args: Seq[Expression]) => PackBytesExpr(args(0))))
 
   /** Register into an already-built session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
@@ -812,6 +939,17 @@ object Expressions {
   def sq8Dequant(codes: Column, mns: Column, mxs: Column): Column =
     Bridge.column(Sq8DequantExpr(Bridge.expression(codes),
       Bridge.expression(mns), Bridge.expression(mxs)))
+
+  /** Column wrapper for [[PqAdcExpr]] (binary packed codes, array<long>
+    * pdot LUT, array<long> cn LUT → array<long> [adot, rnorm]).
+    */
+  def pqAdc(codes: Column, pdot: Column, cn: Column): Column =
+    Bridge.column(PqAdcExpr(Bridge.expression(codes),
+      Bridge.expression(pdot), Bridge.expression(cn)))
+
+  /** Column wrapper for [[PackBytesExpr]] (array<long> → binary). */
+  def packBytes(dense: Column): Column =
+    Bridge.column(PackBytesExpr(Bridge.expression(dense)))
 
   /** Bloom-filter aggregate over LONG hashes (Spark's own
     * BloomFilterAggregate, the engine's runtime-filter sketch — not in

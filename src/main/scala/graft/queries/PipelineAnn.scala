@@ -199,6 +199,24 @@ object PipelineAnn {
         .canonOrder(col("probe_id"), col("rank"))
     },
 
+    // N15: PQ search from the PACKED byte artifact — n6's exact
+    // geometry (same sampled codebook, same codes) re-laid-out as one
+    // binary cell per candidate and scored by the codegen'd pq_adc
+    // kernel: ONE row per (probe, candidate) with the m-step lookup
+    // loop inside whole-stage codegen, where the long form pays an
+    // m-row join + per-pair aggregation before the shuffle. Integer
+    // sums commute, so the scores — and the served ranking — are
+    // bit-identical to n6: the oracle IS n6's SQL, verbatim, and
+    // SimilaritySpec additionally pins packed≡long-form row equality.
+    "n15_ann_pq_packed" -> { (s, d) =>
+      val v = Tables.embeddings(s, d)
+      val cb = Similarity.pqTrainSampled(v, m = 8, iters = 2)
+      val packed = Similarity.pqPackCodes(Similarity.pqEncode(v, cb), cb)
+      Similarity.pqTopKFromPackedCodes(
+        v.filter(col("vec_id") < 10), v, cb, packed, k = 5)
+        .canonOrder(col("probe_id"), col("rank"))
+    },
+
     // N7: IVF+PQ composite — the production serving shape (FAISS
     // IndexIVFPQ minus residual encoding): IVF cells bound how much of
     // the corpus a query touches (~nprobe/nlist), PQ codes make that
@@ -240,20 +258,12 @@ object PipelineAnn {
     },
   )
 
-  val oracles: Map[String, String] = Map(
-    "n2_ann_lsh" -> lshOracle(multiProbe = false),
-    "n5_ann_multiprobe" -> lshOracle(multiProbe = true),
-    // n8: same machinery, graph-tuned (4 tables × 6 bits) and EVERY
-    // vector is a probe — the oracle is the n2 twin with the probe
-    // restriction dropped
-    "n8_knn_graph" -> lshOracle(multiProbe = false, tables = 4,
-      probePred = "TRUE", adaptiveTarget = Some(32)),
-    // n6: PQ training is restricted to the bounded modulus sample (ss)
-    // seeded at the fixed-k modulus (pm2) — both moduli computed from the
-    // same counts the Spark driver reads (sampleModuli), as scalar CTEs.
-    // Only d3 (final encode) and the probe LUT see the full slice table.
-    "n6_ann_pq" ->
-      s"""WITH u AS ($duckUnnest),
+  /** The n6 oracle SQL, shared verbatim with n15_ann_pq_packed — the
+    * packed ADC kernel is bit-identical to the long-form ADC chain
+    * this unrolls (integer sums commute), so one string serves both.
+    */
+  private val n6OracleSql: String =
+    s"""WITH u AS ($duckUnnest),
          sl AS (SELECT vec_id AS id, CAST((i-1)//8 AS BIGINT) AS sub,
                   (i-1)%8 AS pos, x
                 FROM u),
@@ -334,7 +344,21 @@ object PipelineAnn {
                  AS rank FROM sc)
          SELECT probe_id, rank, cand_id AS neighbor_id,
            round(cos, 4) AS cosine
-         FROM r WHERE rank <= 5 ORDER BY probe_id, rank""",
+         FROM r WHERE rank <= 5 ORDER BY probe_id, rank"""
+
+  val oracles: Map[String, String] = Map(
+    "n2_ann_lsh" -> lshOracle(multiProbe = false),
+    "n5_ann_multiprobe" -> lshOracle(multiProbe = true),
+    // n8: same machinery, graph-tuned (4 tables × 6 bits) and EVERY
+    // vector is a probe — the oracle is the n2 twin with the probe
+    // restriction dropped
+    "n8_knn_graph" -> lshOracle(multiProbe = false, tables = 4,
+      probePred = "TRUE", adaptiveTarget = Some(32)),
+    // n6: PQ training is restricted to the bounded modulus sample (ss)
+    // seeded at the fixed-k modulus (pm2) — both moduli computed from the
+    // same counts the Spark driver reads (sampleModuli), as scalar CTEs.
+    // Only d3 (final encode) and the probe LUT see the full slice table.
+    "n6_ann_pq" -> n6OracleSql,
     // n7 = n9's sampled-trained IVF bucketing CTEs (i-prefixed: the
     // centroid-training moduli iprm/iprm2 mirror sampledTrainCentroids'
     // 400/16 from COUNT(*)) + n6's sampled PQ training/encoding CTEs,
@@ -659,5 +683,11 @@ object PipelineAnn {
                  AS rank FROM sc)
          SELECT probe_id, rank, neighbor_id, round(cos, 4) AS cosine
          FROM r WHERE rank <= 5 ORDER BY probe_id, rank""",
+  ) ++ Map(
+    // n15 serves the SAME scores as n6 from the packed byte artifact —
+    // the pq_adc kernel's integer sums commute with the long-form ADC's,
+    // so the oracle is n6's SQL verbatim (the hash gate then proves the
+    // packed layout changed nothing but the physical shape)
+    "n15_ann_pq_packed" -> n6OracleSql
   )
 }

@@ -59,12 +59,16 @@ class PlanLintSpec extends AnyFunSuite {
     *     broadcast against the streaming corpus side)
     *   - n10: n1's probe-batch broadcast over the dequantized corpus
     *     side (the SQ8 search is brute force on a byte-per-dim index)
+    *   - n15: the packed-PQ probe LUT broadcast (probes × two
+    *     m·K-slot long arrays — per-request sized like n1's batch)
+    *     over the streaming packed-codes corpus side
     */
   private val nljOk: Set[String] = Set("d5_embedding_neardup",
     "d11_semantic_decontaminate", "d9_semantic_prune", "n1_ann_topk",
     "n3_ann_ivf", "n4_ann_ivf_trained", "n7_ann_ivfpq",
     "n9_ann_ivf_sampled", "t32_hybrid_rrf", "n10_ann_sq8",
-    "n12_ann_filtered", "n13_ann_ivfsq8", "n14_ann_sq8_sampled")
+    "n12_ann_filtered", "n13_ann_ivfsq8", "n14_ann_sq8_sampled",
+    "n15_ann_pq_packed")
 
   private def isScalarAgg(p: SparkPlan): Boolean = p.collectFirst {
     case a: HashAggregateExec if a.groupingExpressions.isEmpty => true

@@ -711,4 +711,92 @@ class SimilaritySpec extends AnyFunSuite {
     assert(auto == explicit)
     assert(auto.nonEmpty)
   }
+
+  test("packed PQ serve (pq_adc kernel) is bit-identical to the " +
+      "long-form artifact serve; replicas collapse, truncation drops") {
+    val cb = Similarity.pqTrainSampled(vecs, m = 4, iters = 2)
+    val codes = Similarity.pqEncode(vecs, cb)
+    val packed = Similarity.pqPackCodes(codes, cb)
+    val probes = vecs.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "rank", "neighbor_id", "cosine")
+        .as[(Long, Long, Long, Double)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+    val long = rows(Similarity.pqTopKFromCodes(
+      probes, vecs, cb, codes, k = 5))
+    // the m× row reduction is the point of the layout — prove it held
+    assert(packed.count() * 4 == codes.count())
+    // integer sums commute: the packed kernel's served ranking is
+    // IDENTICAL to the long-form ADC chain, not merely close
+    assert(rows(Similarity.pqTopKFromPackedCodes(
+      probes, vecs, cb, packed, k = 5)) == long)
+    // replica long-form rows collapse AT PACK TIME (max dense — the
+    // same deterministic pick as the dup-safe adcCollapse)
+    val packedDup = Similarity.pqPackCodes(
+      codes.union(codes.filter(col("vec_id") % 5 === 0)), cb)
+    assert(rows(Similarity.pqTopKFromPackedCodes(
+      probes, vecs, cb, packedDup, k = 5)) == long)
+    // a truncated artifact (vector missing one subspace row) DROPS the
+    // vector from the packed index — absent, never wrongly scored
+    // (mirrors the long-form fold's NULL-out contract)
+    val truncated = Similarity.pqPackCodes(
+      codes.filter(!(col("vec_id") === 3 && col("sub") === 1)), cb)
+    assert(truncated.filter(col("vec_id") === 3).count() == 0)
+    assert(truncated.count() == packed.count() - 1)
+  }
+
+  test("packed IVF+PQ serve equals the long-form artifact serve; " +
+      "replica cells rows collapse") {
+    val cents = Similarity.sampledTrainCentroids(vecs,
+      targetSample = 400L, kCentroids = 16L, iters = 2)
+    val cells = Similarity.ivfCells(vecs, cents)
+    val cb = Similarity.pqTrainSampled(vecs, m = 4, iters = 2)
+    val codes = Similarity.pqEncode(vecs, cb)
+    val packed = Similarity.pqPackCodes(codes, cb)
+    val probes = vecs.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "rank", "neighbor_id", "cosine")
+        .as[(Long, Long, Long, Double)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+    val long = rows(Similarity.ivfPqTopKFromCodes(probes, vecs, cents,
+      cells, cb, codes, k = 5, nprobe = 8))
+    assert(rows(Similarity.ivfPqTopKFromPackedCodes(probes, vecs, cents,
+      cells, cb, packed, k = 5, nprobe = 8)) == long)
+    // replica cells rows (re-ingested vectors across index slices)
+    // dedup in the pruned pair set, not the served ranking
+    assert(rows(Similarity.ivfPqTopKFromPackedCodes(probes, vecs, cents,
+      cells.union(cells.filter(col("vec_id") % 7 === 0)), cb, packed,
+      k = 5, nprobe = 8)) == long)
+  }
+
+  test("pq_adc kernel contracts: geometry mismatches fail loudly; " +
+      "pack_bytes rejects ids beyond the byte domain") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.plans.PqAdcKernel
+    val pdot = new GenericArrayData(Array(1L, 2L, 3L, 4L))
+    val cn = new GenericArrayData(Array(10L, 20L, 30L, 40L))
+    // m=2, K=2: codes (1,0) → slots 1 and 2
+    val r = PqAdcKernel.adc(Array[Byte](1, 0), pdot, cn)
+    assert(r.getLong(0) == 2L + 3L && r.getLong(1) == 20L + 30L)
+    // dense code outside its subspace block = packed against a
+    // different codebook than the LUT — loud, not garbage neighbors
+    intercept[IllegalArgumentException] {
+      PqAdcKernel.adc(Array[Byte](2, 0), pdot, cn)
+    }
+    // LUT length not a multiple of m
+    intercept[IllegalArgumentException] {
+      PqAdcKernel.adc(Array[Byte](1, 0, 1), pdot, cn)
+    }
+    // ragged pdot/cn
+    intercept[IllegalArgumentException] {
+      PqAdcKernel.adc(Array[Byte](1, 0), pdot,
+        new GenericArrayData(Array(10L, 20L)))
+    }
+    // byte packing: 255 fits (reads back unsigned), 256 refuses
+    assert(PqAdcKernel.pack(new GenericArrayData(Array(0L, 255L))).toSeq
+      == Seq(0.toByte, (-1).toByte))
+    intercept[IllegalArgumentException] {
+      PqAdcKernel.pack(new GenericArrayData(Array(0L, 256L)))
+    }
+  }
 }
