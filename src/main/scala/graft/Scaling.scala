@@ -67,6 +67,11 @@ object Scaling {
     // SQ8 ANN (one decode+score pass — n1's slope on a byte index)
     "t32_hybrid_rrf", "n10_ann_sq8", "n12_ann_filtered",
     "n13_ann_ivfsq8", "n14_ann_sq8_sampled",
+    // r14 second session: the packed-code PQ serve — same sampled
+    // training and encode passes as n6, then the pq_adc kernel scan
+    // instead of the m-row ADC join; the slope should be n6's minus
+    // the per-pair aggregation term
+    "n15_ann_pq_packed",
     // LAST: the skew pairs toggle session confs (broadcast off,
     // skew-join on/off) from inside their builders — keeping them at
     // the tail means nothing downstream inherits the toggles

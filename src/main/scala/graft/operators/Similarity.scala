@@ -995,16 +995,15 @@ object Similarity {
         normScaled(col("embedding")).as("pn")), Seq("probe_id"))
     // spread the corpus side: the probe LUT broadcasts, so scoring
     // parallelism is the packed artifact's split count (same starvation
-    // as sq8Cand / lshTopK)
-    val ar = graft.plans.Expressions.pqAdc(
-      col("pcodes"), col("pdots"), col("cns"))
+    // as sq8Cand / lshTopK). The fused pq_adc_cos kernel emits the
+    // double cosine directly — zero per-pair allocation (the [adot,
+    // rnorm] array form is the parity primitive, not the hot path).
     val adc = spreadPartitions(
         packed.select(col("vec_id").as("cand_id"), col("pcodes")))
       .join(broadcast(lut), col("probe_id") =!= col("cand_id"))
-      .withColumn("ar", ar)
       .select(col("probe_id"), col("cand_id"),
-        cosineFromScaled(element_at(col("ar"), 1), col("pn"),
-          element_at(col("ar"), 2)).as("acos"))
+        graft.plans.Expressions.pqAdcCos(col("pcodes"), col("pdots"),
+          col("cns"), col("pn")).as("acos"))
     pqShortlistRerank(probes, vecs, adc, k, shortlist)
   }
 
@@ -1039,16 +1038,13 @@ object Similarity {
       .filter(col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"))
       .distinct()
-    val ar = graft.plans.Expressions.pqAdc(
-      col("pcodes"), col("pdots"), col("cns"))
     val adc = cands
       .join(packed.select(col("vec_id").as("cand_id"), col("pcodes")),
         Seq("cand_id"))
       .join(broadcast(lut), Seq("probe_id"))
-      .withColumn("ar", ar)
       .select(col("probe_id"), col("cand_id"),
-        cosineFromScaled(element_at(col("ar"), 1), col("pn"),
-          element_at(col("ar"), 2)).as("acos"))
+        graft.plans.Expressions.pqAdcCos(col("pcodes"), col("pdots"),
+          col("cns"), col("pn")).as("acos"))
     pqShortlistRerank(probes, vecs, adc, k, shortlist)
   }
 

@@ -743,6 +743,44 @@ object PqAdcKernel {
       Array(adot, rnorm))
   }
 
+  /** Fused ADC cosine — [[adc]]'s lookup loop folded with the final
+    * cosine division (adot / (sqrt(pn) · sqrt(rnorm)), the exact IEEE
+    * operation order of Similarity.cosineFromScaled, so results are
+    * bit-identical to composing the primitives): returns ONE double and
+    * allocates NOTHING per scored pair. This is the serving hot path —
+    * the array-returning [[adc]] stays as the parity-testable primitive
+    * (the contracts spec pins adcCos ≡ cosine∘adc); the small loop is
+    * duplicated rather than shared through a tuple so neither form pays
+    * an allocation it doesn't need.
+    */
+  def adcCos(codes: Array[Byte], pdot: ArrayData, cn: ArrayData,
+             pn: Long): Double = {
+    val m = codes.length
+    val lutLen = pdot.numElements()
+    if (m == 0 || lutLen == 0 || lutLen % m != 0 ||
+      cn.numElements() != lutLen)
+      throw new IllegalArgumentException(
+        s"pq_adc_cos: LUT lengths $lutLen/${cn.numElements()} are not " +
+          s"equal positive multiples of m=$m — codes and LUT come from " +
+          "different codebook geometries")
+    val k = lutLen / m
+    var adot = 0L
+    var rnorm = 0L
+    var s = 0
+    while (s < m) {
+      val c = codes(s) & 0xff
+      if (c >= k)
+        throw new IllegalArgumentException(
+          s"pq_adc_cos: dense code $c at subspace $s outside the LUT's " +
+            s"per-subspace range $k — packed against a different codebook")
+      adot += pdot.getLong(s * k + c)
+      rnorm += cn.getLong(s * k + c)
+      s += 1
+    }
+    adot.toDouble / (java.lang.Math.sqrt(pn.toDouble) *
+      java.lang.Math.sqrt(rnorm.toDouble))
+  }
+
   /** Pack an array of dense codebook ids (sub order) into one byte each.
     * Ids must fit the unsigned byte — PQ serving packs AT MOST 256
     * codewords per subspace (the FAISS byte-code convention); a wider
@@ -789,6 +827,33 @@ case class PqAdcExpr(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 
   override def prettyName: String = "pq_adc"
+}
+
+/** Fused packed-ADC cosine: (binary codes, array<long> pdot LUT,
+  * array<long> cn LUT, long probe norm) → double, backed by
+  * [[PqAdcKernel.adcCos]] — the allocation-free serving form.
+  */
+case class PqAdcCosExpr(first: Expression, second: Expression,
+                        third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    PqAdcKernel.adcCos(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
+      d.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"${ev.value} = graft.plans.PqAdcKernel.adcCos($a, $b, $c, $d);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression, newFourth: Expression)
+      : PqAdcCosExpr = copy(first = newFirst, second = newSecond,
+    third = newThird, fourth = newFourth)
+
+  override def prettyName: String = "pq_adc_cos"
 }
 
 /** Byte packing: array<long> dense ids → binary, backed by
@@ -893,6 +958,10 @@ object GraftExtensions {
     (FunctionIdentifier("pq_adc"),
       new ExpressionInfo(classOf[PqAdcExpr].getName, "pq_adc"),
       (args: Seq[Expression]) => PqAdcExpr(args(0), args(1), args(2))),
+    (FunctionIdentifier("pq_adc_cos"),
+      new ExpressionInfo(classOf[PqAdcCosExpr].getName, "pq_adc_cos"),
+      (args: Seq[Expression]) =>
+        PqAdcCosExpr(args(0), args(1), args(2), args(3))),
     (FunctionIdentifier("pack_bytes"),
       new ExpressionInfo(classOf[PackBytesExpr].getName, "pack_bytes"),
       (args: Seq[Expression]) => PackBytesExpr(args(0))))
@@ -946,6 +1015,16 @@ object Expressions {
   def pqAdc(codes: Column, pdot: Column, cn: Column): Column =
     Bridge.column(PqAdcExpr(Bridge.expression(codes),
       Bridge.expression(pdot), Bridge.expression(cn)))
+
+  /** Column wrapper for [[PqAdcCosExpr]] (binary packed codes,
+    * array<long> pdot LUT, array<long> cn LUT, long probe norm →
+    * double fused ADC cosine).
+    */
+  def pqAdcCos(codes: Column, pdot: Column, cn: Column,
+               pn: Column): Column =
+    Bridge.column(PqAdcCosExpr(Bridge.expression(codes),
+      Bridge.expression(pdot), Bridge.expression(cn),
+      Bridge.expression(pn)))
 
   /** Column wrapper for [[PackBytesExpr]] (array<long> → binary). */
   def packBytes(dense: Column): Column =

@@ -812,6 +812,51 @@ object Streams {
                       codesPath: String): Unit =
     Compaction.rewrite(spark, codesPath, "vec_id BIGINT, codes BINARY")
 
+  /** Streaming PACKED-PQ index maintenance — the packed-layout twin of
+    * [[annIndexMaintenance]]'s codes leg: arriving vectors are
+    * PQ-encoded against the TRAINED codebook and byte-packed
+    * ([[graft.operators.Similarity.pqPackCodes]]) per micro-batch,
+    * appending to the binary artifact
+    * [[graft.operators.Similarity.pqTopKFromPackedCodes]] serves from.
+    * Train rarely, encode continuously: a batch costs one broadcast of
+    * the (m × kCodes) codebook plus a map-side encode + two
+    * batch-bounded pack aggregations; the served byte index grows
+    * without retraining. Packing is per-vector deterministic, so the
+    * union of per-batch packs is EXACTLY the one-shot pack of the union
+    * (StreamingSpec pins grown-slices ≡ from-scratch on the served
+    * top-k). Writes read only the train-time codebook — no staging —
+    * and each batch overwrites its own `batch=<id>` partition so
+    * checkpoint retries are idempotent (a replica packed row would
+    * collapse in the serve's shortlist only by luck of identical
+    * scores; idempotent writes keep it out of the artifact entirely).
+    * Same `_stream_id` fail-fast as the other maintenance streams.
+    */
+  def pqPackedIndexMaintenance(vecs: DataFrame, codebookPath: String,
+                               packedPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Similarity
+    val spark = vecs.sparkSession
+    val ensureGuarded = guardOnce(spark, checkpoint, Seq(packedPath))
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ensureGuarded()
+        val book = spark.read.parquet(codebookPath)
+        Similarity.pqPackCodes(Similarity.pqEncode(batch, book), book)
+          .write.mode("overwrite").parquet(s"$packedPath/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** Compact the packed-PQ maintenance slices (row-disjoint — plain
+    * rewrite; the binary cells pass through untouched).
+    */
+  def compactPackedCodes(spark: org.apache.spark.sql.SparkSession,
+                         packedPath: String): Unit =
+    Compaction.rewrite(spark, packedPath, "vec_id BIGINT, pcodes BINARY")
+
   /** Compact the BM25 maintenance index: postings rows are disjoint
     * per slice (rewrite); dict and meta are ADDITIVE partials the serve
     * path sums, so compaction pre-folds them — serve output unchanged

@@ -1,0 +1,91 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Similarity
+
+/** Packed-vs-long-form PQ serving cost across scale decades: at each
+  * fixture, build the index artifacts ONCE (sampled codebook, long-form
+  * codes, packed byte codes, sampled-centroid cells — all persisted to
+  * parquet and read back, the real serving lifecycle), then time
+  * min-of-2 warm serves of
+  *   - pqTopKFromCodes        (long form: m-row LUT join + per-pair agg)
+  *   - pqTopKFromPackedCodes  (pq_adc_cos kernel, no per-pair agg)
+  *   - ivfPqTopKFromCodes / ivfPqTopKFromPackedCodes (the IVF-pruned pair)
+  * Prints one line per (fixture, variant); merge into SCALING.json notes
+  * by hand (the Recall tool convention). At sf0.1 all four sit on the
+  * dispatch floor — the decades are where the m× row reduction shows.
+  *
+  *   java -cp "<classes>:<spark jars>" graft.tools.ServeScaling \
+  *     /root/testdata/sf0.1=1 /tmp/graftsf/sf1=10 ...
+  */
+object ServeScaling {
+  def main(args: Array[String]): Unit = {
+    val dirs: Seq[(String, Double)] = args.toSeq.map { a =>
+      val Array(d, f) = a.split("="); (d, f.toDouble)
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def t(fn: () => Unit): Double = {
+      val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e9
+    }
+    def serve(df: DataFrame): Unit =
+      df.orderBy(col("probe_id"), col("rank"))
+        .write.format("noop").mode("overwrite").save()
+
+    dirs.foreach { case (dir, factor) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-servescale").toString
+      try {
+        val v = Tables.embeddings(spark, dir)
+        val n = v.count()
+        val probes = v.filter(col("vec_id") < 10)
+        val cents = Similarity.sampledTrainCentroids(v,
+          targetSample = 400L, kCentroids = 16L, iters = 2)
+        val cb = Similarity.pqTrainSampled(v, m = 8, iters = 2)
+        cb.write.mode("overwrite").parquet(s"$tmp/codebook")
+        val cbR = spark.read.parquet(s"$tmp/codebook")
+        Similarity.pqEncode(v, cbR).write.mode("overwrite")
+          .parquet(s"$tmp/codes")
+        val codesR = spark.read.parquet(s"$tmp/codes")
+        Similarity.pqPackCodes(codesR, cbR).write.mode("overwrite")
+          .parquet(s"$tmp/packed")
+        val packedR = spark.read.parquet(s"$tmp/packed")
+        Similarity.ivfCells(v, cents).write.mode("overwrite")
+          .parquet(s"$tmp/cells")
+        val cellsR = spark.read.parquet(s"$tmp/cells")
+        def report(name: String, fn: () => Unit): Unit = {
+          fn() // warm
+          val sec = math.min(t(fn), t(fn))
+          println(f"[serve] ${factor}%.0fx n=$n%d $name%-16s ${sec}%.2f s")
+        }
+        report("pq_long", () => serve(
+          Similarity.pqTopKFromCodes(probes, v, cbR, codesR, k = 5)))
+        report("pq_packed", () => serve(
+          Similarity.pqTopKFromPackedCodes(probes, v, cbR, packedR,
+            k = 5)))
+        report("ivfpq_long", () => serve(
+          Similarity.ivfPqTopKFromCodes(probes, v, cents, cellsR, cbR,
+            codesR, k = 5, nprobe = 8)))
+        report("ivfpq_packed", () => serve(
+          Similarity.ivfPqTopKFromPackedCodes(probes, v, cents, cellsR,
+            cbR, packedR, k = 5, nprobe = 8)))
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
+    }
+    spark.stop()
+  }
+}

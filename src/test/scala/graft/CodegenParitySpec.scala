@@ -109,4 +109,23 @@ class CodegenParitySpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq
     assert(kernel.collect().map(_.toString).toSeq == viaColumns)
   }
+
+  test("pq_adc / pq_adc_cos / pack_bytes kernels: codegen == interpreted") {
+    import graft.plans.Expressions
+    // synthetic geometry: m=4 subspaces × K=8 dense codes, LUT literals,
+    // codes derived from vec_id so every row exercises different slots
+    val m = 4
+    val k = 8
+    val lutP = array((0 until m * k).map(i => lit((i * 7 + 3).toLong)): _*)
+    val lutC = array((0 until m * k).map(i => lit((i * 11 + 5).toLong)): _*)
+    assertParity("pqAdc+pqAdcCos+packBytes") {
+      embs.select(col("vec_id"),
+          Expressions.packBytes(array((0 until m).map(j =>
+            pmod(col("vec_id") + lit(j), lit(k.toLong))): _*)).as("pc"))
+        .select(col("vec_id"),
+          Expressions.pqAdc(col("pc"), lutP, lutC).as("ar"),
+          Expressions.pqAdcCos(col("pc"), lutP, lutC,
+            col("vec_id") + lit(1L)).as("ac"))
+    }
+  }
 }

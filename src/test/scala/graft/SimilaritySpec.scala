@@ -778,6 +778,13 @@ class SimilaritySpec extends AnyFunSuite {
     // m=2, K=2: codes (1,0) → slots 1 and 2
     val r = PqAdcKernel.adc(Array[Byte](1, 0), pdot, cn)
     assert(r.getLong(0) == 2L + 3L && r.getLong(1) == 20L + 30L)
+    // the fused serving form is EXACTLY cosine ∘ adc (same IEEE order
+    // as cosineFromScaled) — bit-identical, not approximately equal
+    assert(PqAdcKernel.adcCos(Array[Byte](1, 0), pdot, cn, 7L) ==
+      5L.toDouble / (math.sqrt(7L.toDouble) * math.sqrt(50L.toDouble)))
+    intercept[IllegalArgumentException] {
+      PqAdcKernel.adcCos(Array[Byte](2, 0), pdot, cn, 7L)
+    }
     // dense code outside its subspace block = packed against a
     // different codebook than the LUT — loud, not garbage neighbors
     intercept[IllegalArgumentException] {

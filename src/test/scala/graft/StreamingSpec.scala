@@ -723,6 +723,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/codes").count() == all.count())
   }
 
+  test("streaming packed-PQ index maintenance: incrementally grown byte " +
+      "cells serve identically to a from-scratch pack under the same " +
+      "codebook") {
+    // train the codebook on the initial corpus, stream the rest in two
+    // ticks through pqPackedIndexMaintenance, serve from the grown
+    // packed artifact — must match the one-shot encode+pack of the full
+    // corpus under the SAME frozen codebook (packing is per-vector
+    // deterministic, so batch slices compose exactly)
+    import graft.operators.Similarity
+    val all = Tables.embeddings(spark, sfDir)
+    val initial = all.filter(col("vec_id") < 300)
+    val arriving = all.filter(col("vec_id") >= 300)
+    val dir = tmpDir("graft-pqm")
+    val cb = Similarity.pqTrainSampled(initial, m = 4, iters = 2)
+    cb.write.parquet(s"$dir/codebook")
+    val cbR = spark.read.parquet(s"$dir/codebook")
+    Similarity.pqPackCodes(Similarity.pqEncode(initial, cbR), cbR)
+      .write.parquet(s"$dir/packed/batch=-1")
+
+    val land = tmpDir("graft-pqm-land")
+    val ckpt = tmpDir("graft-pqm-ckpt")
+    def tick(name: String, rows: org.apache.spark.sql.DataFrame): Unit = {
+      rows.coalesce(1).write.parquet(s"$land/$name")
+      Streams.pqPackedIndexMaintenance(
+        spark.readStream
+          .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+          .option("recursiveFileLookup", "true").parquet(land),
+        s"$dir/codebook", s"$dir/packed", ckpt).awaitTermination()
+    }
+    tick("t1", arriving.filter(col("vec_id") < 400))
+    tick("t2", arriving.filter(col("vec_id") >= 400))
+
+    // grown packed cells == one-shot pack of the full corpus under the
+    // frozen codebook, byte for byte
+    def cellSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), hex(col("pcodes")))
+        .as[(Long, String)].collect().toSet
+    val oneShot =
+      Similarity.pqPackCodes(Similarity.pqEncode(all, cbR), cbR)
+    assert(cellSet(spark.read.parquet(s"$dir/packed")) ==
+      cellSet(oneShot))
+    // served search over the grown artifact == from-scratch build
+    val probes = all.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "rank", "neighbor_id", "cosine")
+        .as[(Long, Long, Long, Double)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+    val served = rows(Similarity.pqTopKFromPackedCodes(probes, all, cbR,
+      spark.read.parquet(s"$dir/packed"), k = 5))
+    assert(served ==
+      rows(Similarity.pqTopKFromPackedCodes(probes, all, cbR, oneShot,
+        k = 5)))
+    // compaction invariance (stream drained): slices fold into one
+    // partition without moving a served bit
+    Streams.compactPackedCodes(spark, s"$dir/packed")
+    assert(rows(Similarity.pqTopKFromPackedCodes(probes, all, cbR,
+      spark.read.parquet(s"$dir/packed"), k = 5)) == served)
+    assert(spark.read.parquet(s"$dir/packed").count() == all.count())
+  }
+
   test("T5: stateful continuity carries close across micro-batches") {
     // two landing dirs processed as two micro-batches of one stream:
     // batch 2's first candle must open at batch 1's last close (the
