@@ -54,7 +54,10 @@ object Bench {
     "sq8_filtered_serving", "n13_serving",
     // r14 second session: the packed-code PQ serves (pq_adc kernel) and
     // their correctness entry
-    "n15_ann_pq_packed", "n6_packed_serving", "n7_packed_serving")
+    "n15_ann_pq_packed", "n6_packed_serving", "n7_packed_serving",
+    // r14 third session: the two-level coarse-quantized IVF build —
+    // the 1000×+ geometry for the adaptive √n-cell rule
+    "n16_ann_twolevel")
 
   /** The 2×-criterion twin (r7 verdict #8): time the SAME SQL the oracle
     * runs, in DuckDB, over the SAME parquet — a measurable single-node

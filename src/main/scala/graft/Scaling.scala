@@ -72,6 +72,11 @@ object Scaling {
     // instead of the m-row ADC join; the slope should be n6's minus
     // the per-pair aggregation term
     "n15_ann_pq_packed",
+    // r14 third session: the two-level coarse-quantized IVF build —
+    // the fix for the adaptive rule's measured 1000× limit (flat
+    // O(n·√n) assignment killed at 2M vectors; two ~n^(1/4)-wide hops
+    // replace it). The 1000× point is the entry's reason to exist.
+    "n16_ann_twolevel",
     // LAST: the skew pairs toggle session confs (broadcast off,
     // skew-join on/off) from inside their builders — keeping them at
     // the tail means nothing downstream inherits the toggles

@@ -516,11 +516,25 @@ object Similarity {
     * (count → nlist → sample/seed moduli) are scalar-count arithmetic
     * the DuckDB oracle replays from COUNT(*).
     */
-  def adaptiveTrainCentroids(vecs: DataFrame, iters: Int = 2): DataFrame = {
+  def adaptiveTrainCentroids(vecs: DataFrame, iters: Int = 2): DataFrame =
+    adaptiveTrainGeom(vecs, iters)._1
+
+  /** [[adaptiveTrainCentroids]] plus the GEOMETRY the two-level
+    * assignment path needs: (trained cells, seed modulus, coarse
+    * group size g = max(1, ⌈√nlist⌉)). The seed modulus is the same
+    * `prm2.sd` the oracle derives, so `vec_id % (sd·g) = 0` — every
+    * g-th SEED — is a deterministic coarse-centroid subset both
+    * engines agree on without ranking the trained cells (no global
+    * window, no extra scalar count).
+    */
+  def adaptiveTrainGeom(vecs: DataFrame, iters: Int = 2)
+      : (DataFrame, Long, Long) = {
     val n = vecs.select(count(lit(1))).head().getLong(0)
     val nl = autoNlist(n)
-    sampledTrainCentroids(vecs, targetSample = 32L * nl,
-      kCentroids = nl, iters)
+    val (mod, seedMod) = sampleModuli(vecs, 32L * nl, nl)
+    val cent = kmeansCentroids(vecs.filter(col("vec_id") % mod === 0),
+      vecs.filter(col("vec_id") % seedMod === 0), iters)
+    (cent, seedMod, math.max(1L, math.ceil(math.sqrt(nl.toDouble)).toLong))
   }
 
   /** The (sample, seed) moduli of the bounded-training contract, shared
@@ -679,6 +693,149 @@ object Similarity {
       .withColumn("pn", normScaled(col("pe")))
     rankBucketCands(
       vecBuckets.join(broadcast(probeBuckets), Seq("cid")), k)
+  }
+
+  /** Two-level (coarse-quantized) IVF ANN — the 1000×+ BUILD geometry
+    * for the adaptive √n-cell rule. Flat assignment against nlist =
+    * ⌈√n⌉ trained cells costs O(n·√n) dot products: measured as the
+    * adaptive rule's honest limit at 1000× (SCALING `r14_decades` —
+    * 2M vectors × 1414 cells was killed after >12 min while the
+    * fixed-16 geometry sailed through). Here the corpus assigns in two
+    * hops, the FAISS coarse-quantizer / IMI shape:
+    *
+    *   1. coarse: every g-th SEED vector (g = max(1, ⌈√nlist⌉), i.e.
+    *      `vec_id % (seedMod·g) = 0`) is a coarse centroid — ~√nlist ≈
+    *      n^(1/4) of them; each trained cell parents to its nearest
+    *      coarse centroid (nlist·√nlist dots — negligible);
+    *   2. assign: a vector scores the ~n^(1/4) coarse centroids, keeps
+    *      the top `wAssign`, then argmaxes among ONLY those coarse
+    *      groups' member cells (~wAssign·√nlist more dots) — O(n·n^(1/4))
+    *      total instead of O(n·√n): ~12× fewer dots at 1000×, ~550× at
+    *      a 10^11-vector corpus.
+    *
+    * The two-hop argmax is approximate at coarse-group boundaries (a
+    * vector's true nearest cell can parent to a coarse centroid the
+    * vector didn't keep — the exact trade IMI makes; `wAssign` is the
+    * recall knob and SimilaritySpec pins agreement with the flat
+    * assignment). It is DETERMINISTIC end to end — the coarse subset is
+    * modulus arithmetic, every score is the scaled-long cosine, ties
+    * break on ids — so the whole build unrolls into the DuckDB twin
+    * (n16's oracle). Probes hop the same way with their own `wProbe`
+    * before the usual nprobe-bucket search.
+    */
+  def ivfTopKTwoLevel(probes: DataFrame, vecs: DataFrame, k: Int,
+                      nprobe: Int, wAssign: Int = 2, wProbe: Int = 3,
+                      iters: Int = 2): DataFrame = {
+    val (cent, seedMod, g) = adaptiveTrainGeom(vecs, iters)
+    val l1 = coarseFrame(vecs, seedMod * g)
+    val parCent = cellParents(cent, l1)
+    val vecBuckets = twoLevelAssign(vecs, l1, parCent, "cand_id",
+        wAssign, keep = 1)
+      .join(vecs.select(col("vec_id").as("cand_id"),
+        col("embedding").as("ce"), normScaled(col("embedding")).as("cn")),
+        Seq("cand_id"))
+    val probeBuckets = twoLevelAssign(probes, l1, parCent, "probe_id",
+        wProbe, keep = nprobe)
+      .withColumnRenamed("embedding", "pe")
+      .withColumn("pn", normScaled(col("pe")))
+    rankBucketCands(
+      vecBuckets.join(broadcast(probeBuckets), Seq("cid")), k)
+  }
+
+  /** The two-level corpus assignment as a standalone artifact —
+    * (vec_id, cid) cells plus the trained centroids, the
+    * [[ivfCells]]-shaped pair a persisted-index build writes once. Also
+    * the comparison surface SimilaritySpec uses to pin how often the
+    * two-hop argmax agrees with the flat one on the same centroids.
+    */
+  def twoLevelCellsWithCent(vecs: DataFrame, wAssign: Int = 2,
+                            iters: Int = 2): (DataFrame, DataFrame) = {
+    val (cent, seedMod, g) = adaptiveTrainGeom(vecs, iters)
+    val l1 = coarseFrame(vecs, seedMod * g)
+    val parCent = cellParents(cent, l1)
+    (twoLevelAssign(vecs, l1, parCent, "vec_id", wAssign, keep = 1), cent)
+  }
+
+  /** The coarse-centroid frame: every `coarseMod`-th corpus vector
+    * (coarseMod = seedMod·g — a strict subset of the Lloyd seeds, so
+    * the coarse layer needs no training pass of its own and no rank
+    * window over the trained cells; both engines derive membership
+    * from the same modulus). RAW vectors, not trained cells — a coarse
+    * quantizer only routes, and a deterministic sample routes within
+    * ~1 hop of what a trained one would at this fan-out.
+    */
+  private def coarseFrame(vecs: DataFrame, coarseMod: Long): DataFrame =
+    vecs.filter(col("vec_id") % coarseMod === 0)
+      .select(col("vec_id").as("l1cid"), col("embedding").as("l1emb"),
+        normScaled(col("embedding")).as("l1n"))
+
+  /** Each trained cell's nearest coarse centroid — (cid, l1cid, cemb,
+    * cn). Both frames are tiny (≤ nlist rows); the argmax is the
+    * narrow min_by of [[ivfAssign]].
+    */
+  private def cellParents(cent: DataFrame, l1: DataFrame): DataFrame = {
+    val c = centFrame(cent)
+    c.join(broadcast(l1))
+      .withColumn("csim", cosineFromScaled(
+        dotScaled(col("cemb"), col("l1emb")), col("cn"), col("l1n")))
+      .select(col("cid"), col("l1cid"), col("csim"))
+      .groupBy(col("cid"))
+      .agg(min_by(col("l1cid"),
+        struct(negate(col("csim")), col("l1cid"))).as("l1cid"))
+      .join(c, Seq("cid"))
+  }
+
+  /** Top-`w` coarse centroids per vector, as NARROW (id, l1cid) rows.
+    * An aggregate, not a sort window: the per-id candidate rows are
+    * produced map-side by the broadcast join, so collect_list's partial
+    * buffers complete map-side and only ~|L1| small structs per id
+    * cross the wire (|L1| ≈ n^(1/4)); array_sort over (−csim, l1cid)
+    * structs replays the oracle's (csim DESC, l1cid) row_number order.
+    */
+  private def coarseTopW(df: DataFrame, l1: DataFrame, idName: String,
+                         w: Int): DataFrame =
+    spreadPartitions(df.select(col("vec_id").as(idName), col("embedding")))
+      .join(broadcast(l1))
+      .withColumn("csim", cosineFromScaled(
+        dotScaled(col("embedding"), col("l1emb")),
+        normScaled(col("embedding")), col("l1n")))
+      .select(col(idName), col("l1cid"), col("csim"))
+      .groupBy(col(idName))
+      .agg(slice(array_sort(collect_list(struct(
+        negate(col("csim")).as("nc"), col("l1cid").as("l1cid")))),
+        1, w).as("tw"))
+      .select(col(idName), explode(col("tw")).as("t"))
+      .select(col(idName), col("t.l1cid").as("l1cid"))
+
+  /** Two-hop cell assignment. keep=1 is the corpus side — NARROW
+    * (id, cid) out of a min_by argmax over only the kept coarse groups'
+    * member cells (the [[ivfAssign]] narrow-rows policy: embeddings
+    * join back by id, never ride an aggregate). keep=nprobe is the
+    * probe side — few rows, ranking window, keeps the embedding.
+    */
+  private def twoLevelAssign(df: DataFrame, l1: DataFrame,
+                             parCent: DataFrame, idName: String,
+                             wCoarse: Int, keep: Int): DataFrame = {
+    val emb = df.select(col("vec_id").as(idName), col("embedding"))
+    val scored = coarseTopW(df, l1, idName, wCoarse)
+      .join(broadcast(parCent), Seq("l1cid"))
+      .join(emb, Seq(idName))
+      .withColumn("csim", cosineFromScaled(
+        dotScaled(col("embedding"), col("cemb")),
+        normScaled(col("embedding")), col("cn")))
+    if (keep == 1)
+      scored.select(col(idName), col("cid"), col("csim"))
+        .groupBy(col(idName))
+        .agg(min_by(col("cid"),
+          struct(negate(col("csim")), col("cid"))).as("cid"))
+    else {
+      val w = Window.partitionBy(col(idName))
+        .orderBy(col("csim").desc, col("cid"))
+      scored
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .select(col(idName), col("cid"), col("embedding"))
+    }
   }
 
   /** Product-quantization ANN (asymmetric-distance, inner-product form).

@@ -178,6 +178,24 @@ object PipelineAnn {
         .canonOrder(col("probe_id"), col("rank"))
     },
 
+    // N16: two-level (coarse-quantized) IVF — the 1000×+ BUILD geometry
+    // for the adaptive √n-cell rule. n13's flat assignment is O(n·√n)
+    // dots (measured: killed after >12 min at 1000×, SCALING
+    // r14_decades); here every g-th Lloyd SEED (g = ⌈√nlist⌉) is a
+    // coarse centroid, each trained cell parents to its nearest coarse
+    // centroid, and vectors assign in two ~n^(1/4)-wide hops — the
+    // FAISS coarse-quantizer / IMI shape, O(n·n^(1/4)) total. The
+    // two-hop argmax is approximate at coarse-group boundaries (the
+    // IMI trade; SimilaritySpec pins flat-assignment agreement and the
+    // recall floor) but DETERMINISTIC — modulus membership, scaled-long
+    // cosines, id tie-breaks — so the whole build unrolls into SQL.
+    "n16_ann_twolevel" -> { (s, d) =>
+      val v = Tables.embeddings(s, d)
+      Similarity.ivfTopKTwoLevel(v.filter(col("vec_id") < 10), v,
+        k = 5, nprobe = 8, wAssign = 2, wProbe = 3)
+        .canonOrder(col("probe_id"), col("rank"))
+    },
+
     // N6: product-quantization ANN — the corpus compresses to m codebook
     // ids per vector (64 floats → 8 codes, the RAM-residency lever at
     // 100 TB; IVF prunes candidates, PQ shrinks them); queries score the
@@ -622,6 +640,30 @@ object PipelineAnn {
                 FROM cands c
                 JOIN u a ON a.vec_id = c.probe_id
                 JOIN dq b ON b.vec_id = c.cand_id AND a.i = b.i
+                GROUP BY 1, 2),
+         r AS (SELECT probe_id, cand_id, cos, row_number() OVER (
+                 PARTITION BY probe_id ORDER BY cos DESC, cand_id)
+                 AS rank FROM sc)
+         SELECT probe_id, rank, cand_id AS neighbor_id,
+           round(cos, 4) AS cosine
+         FROM r WHERE rank <= 5 ORDER BY probe_id, rank""",
+    // n16: the two-level tail over the same adaptive Lloyd chain —
+    // coarse layer from the seed modulus, cell parents, two-hop corpus
+    // assignment (vr) and probe ranking (vrp), then the usual pruned
+    // exact-scoring tail
+    "n16_ann_twolevel" ->
+      s"""WITH u AS ($duckUnnest),
+         ${duckTwoLevelCells(2, 3)},
+         vb AS (SELECT vec_id AS cand_id, cid FROM vr WHERE rn = 1),
+         pb AS (SELECT vec_id AS probe_id, cid FROM vrp WHERE rn <= 8),
+         cands AS (SELECT DISTINCT probe_id, cand_id
+                   FROM pb JOIN vb USING (cid)
+                   WHERE probe_id <> cand_id),
+         sc AS (SELECT c.probe_id, c.cand_id,
+                  ${duckCos("a.x", "b.x")} AS cos
+                FROM cands c
+                JOIN u a ON a.vec_id = c.probe_id
+                JOIN u b ON b.vec_id = c.cand_id AND a.i = b.i
                 GROUP BY 1, 2),
          r AS (SELECT probe_id, cand_id, cos, row_number() OVER (
                  PARTITION BY probe_id ORDER BY cos DESC, cand_id)

@@ -172,7 +172,7 @@ object PipelineSql {
     * engines, so the whole derivation chain (count → nlist → moduli)
     * replays bit-for-bit.
     */
-  private[queries] val duckAdaptiveCells: String = duckLloydCells(
+  private val duckAdaptivePrelude: String =
     s"""nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
          kl AS (SELECT greatest(16, CAST(ceil(sqrt(CAST(n AS DOUBLE)))
                     AS BIGINT)) AS nl FROM nv),
@@ -181,7 +181,56 @@ object PipelineSql {
          su AS (SELECT u.* FROM u, prm WHERE u.vec_id % prm.md = 0),
          prm2 AS (SELECT prm.md
                     * greatest(1, count(DISTINCT su.vec_id) // kl.nl) AS sd
-                  FROM su, prm, kl GROUP BY prm.md, kl.nl)""")
+                  FROM su, prm, kl GROUP BY prm.md, kl.nl)"""
+
+  private[queries] val duckAdaptiveCells: String =
+    duckLloydCells(duckAdaptivePrelude)
+
+  /** The two-level (coarse-quantized) assignment tail over the adaptive
+    * Lloyd chain — n16's twin of
+    * [[graft.operators.Similarity.ivfTopKTwoLevel]]. The coarse layer is
+    * every g-th SEED (`vec_id % (prm2.sd·g) = 0`, g = max(1, ⌈√nlist⌉)
+    * from the SAME `kl.nl` scalar — no rank window over the trained
+    * cells); each trained cell parents to its nearest coarse centroid;
+    * a vector keeps its top-`wAssign` coarse centroids and argmaxes
+    * among only those groups' member cells. Defines `vr` (corpus cell
+    * ranking — rn = 1 is the assignment) and `vrp` (probe cell ranking
+    * at `wProbe`, filtered to `probePred`).
+    */
+  private[queries] def duckTwoLevelCells(wAssign: Int, wProbe: Int,
+      probePred: String = "vec_id < 10"): String =
+    s"""${duckLloydTrain(duckAdaptivePrelude)},
+         gg AS (SELECT greatest(1, CAST(ceil(sqrt(CAST(nl AS DOUBLE)))
+                  AS BIGINT)) AS g FROM kl),
+         l1 AS (SELECT u.vec_id AS l1cid, u.i, u.x AS lx
+                FROM u, prm2, gg WHERE u.vec_id % (prm2.sd * gg.g) = 0),
+         cp AS (SELECT a.cid, b.l1cid, ${duckCos("a.cx", "b.lx")} AS csim
+                FROM c2 a JOIN l1 b ON a.i = b.i GROUP BY 1, 2),
+         par AS (SELECT cid, l1cid FROM (
+                   SELECT cid, l1cid, row_number() OVER (
+                     PARTITION BY cid ORDER BY csim DESC, l1cid) AS rn
+                   FROM cp) WHERE rn = 1),
+         tw AS (SELECT a.vec_id, b.l1cid, ${duckCos("a.x", "b.lx")} AS csim
+                FROM u a JOIN l1 b ON a.i = b.i GROUP BY 1, 2),
+         twr AS (SELECT vec_id, l1cid, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY csim DESC, l1cid) AS rn
+                 FROM tw),
+         s3 AS (SELECT a.vec_id, par.cid, ${duckCos("a.x", "c.cx")} AS csim
+                FROM twr t JOIN par USING (l1cid)
+                JOIN u a ON a.vec_id = t.vec_id
+                JOIN c2 c ON c.cid = par.cid AND c.i = a.i
+                WHERE t.rn <= $wAssign GROUP BY 1, 2),
+         vr AS (SELECT vec_id, cid, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+                FROM s3),
+         s3p AS (SELECT a.vec_id, par.cid, ${duckCos("a.x", "c.cx")} AS csim
+                FROM twr t JOIN par USING (l1cid)
+                JOIN u a ON a.vec_id = t.vec_id
+                JOIN c2 c ON c.cid = par.cid AND c.i = a.i
+                WHERE t.rn <= $wProbe AND t.$probePred GROUP BY 1, 2),
+         vrp AS (SELECT vec_id, cid, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+                FROM s3p)"""
 
   /** The Lloyd chain shared by the sampled/adaptive cell preludes: the
     * prelude must define `su` (the training sample) and `prm2.sd` (the
@@ -190,6 +239,19 @@ object PipelineSql {
     * ranks every vector's cells).
     */
   private[queries] def duckLloydCells(prelude: String): String =
+    s"""${duckLloydTrain(prelude)},
+         s3 AS (SELECT a.vec_id, b.cid, ${duckCos("a.x", "b.cx")} AS csim
+                FROM u a JOIN c2 b ON a.i = b.i GROUP BY 1, 2),
+         vr AS (SELECT vec_id, cid, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+                FROM s3)"""
+
+  /** The TRAINING half of [[duckLloydCells]] (through the trained
+    * cells `c2`, no corpus assignment) — shared with the two-level
+    * tail, which assigns the corpus through the coarse layer instead
+    * of flat against every cell.
+    */
+  private[queries] def duckLloydTrain(prelude: String): String =
     s"""$prelude,
          c0 AS (SELECT vec_id AS cid, x AS cx, i FROM u, prm2
                 WHERE vec_id % prm2.sd = 0),
@@ -212,12 +274,7 @@ object PipelineSql {
          c2 AS (SELECT a2.cid, su.i,
                   CAST(CAST(SUM(CAST(su.x AS DECIMAL(38,6))) AS DOUBLE)
                     / COUNT(*) AS REAL) AS cx
-                FROM su JOIN a2 USING (vec_id) GROUP BY 1, 2),
-         s3 AS (SELECT a.vec_id, b.cid, ${duckCos("a.x", "b.cx")} AS csim
-                FROM u a JOIN c2 b ON a.i = b.i GROUP BY 1, 2),
-         vr AS (SELECT vec_id, cid, row_number() OVER (
-                  PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
-                FROM s3)"""
+                FROM su JOIN a2 USING (vec_id) GROUP BY 1, 2)"""
 
   /** Shared SQ8 dequantization CTEs (st/dq) — one owner for the n10/n13
     * oracles; mirrors Sq8Kernel's encode floor/clamp + decode, rounded

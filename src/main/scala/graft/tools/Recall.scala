@@ -48,13 +48,16 @@ object Recall {
       val n = v.count()
       val probes = v.filter(col("vec_id") < 10)
       val (truth, _) = timed(pairs(Similarity.bruteForceTopK(probes, v, 5)))
-      def report(name: String, nprobe: Int,
-                 cents: => DataFrame): Unit = {
-        val (got, sec) = timed(pairs(
-          Similarity.ivfTopK(probes, v, cents, k = 5, nprobe = nprobe)))
+      def reportDf(name: String, nprobe: Int,
+                   df: => DataFrame): Unit = {
+        val (got, sec) = timed(pairs(df))
         val recall = (truth & got).size.toDouble / truth.size
         println(f"[recall] ${factor}%.0fx n=$n%d $name%-24s nprobe=$nprobe%-3d recall@5=${recall}%.3f  ${sec}%.2f s")
       }
+      def report(name: String, nprobe: Int,
+                 cents: => DataFrame): Unit =
+        reportDf(name, nprobe,
+          Similarity.ivfTopK(probes, v, cents, k = 5, nprobe = nprobe))
       val nl = Similarity.autoNlist(n)
       report("fixed16_sampled", 8,
         Similarity.sampledTrainCentroids(v, 400L, 16L, 2))
@@ -64,6 +67,14 @@ object Recall {
       // a deployment turns when it widens nlist
       report("adaptive_matched", math.max(8, (nl / 2).toInt),
         Similarity.adaptiveTrainCentroids(v))
+      // two-level coarse-routed build (n16): same adaptive cells, the
+      // O(n·n^(1/4)) assignment — recall should track adaptive_sqrt_n
+      // (identical serve geometry; only boundary assignments differ)
+      reportDf("twolevel_w2", 8,
+        Similarity.ivfTopKTwoLevel(probes, v, k = 5, nprobe = 8))
+      reportDf("twolevel_w2_matched", math.max(8, (nl / 2).toInt),
+        Similarity.ivfTopKTwoLevel(probes, v, k = 5,
+          nprobe = math.max(8, (nl / 2).toInt)))
     }
     spark.stop()
   }

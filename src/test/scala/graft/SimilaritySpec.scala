@@ -381,6 +381,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(results(1)._2 > results(0)._2)
   }
 
+  test("two-level IVF (n16, the 1000×+ build geometry): recall floor at " +
+      "TWO scale factors, and wAssign is the assignment-fidelity knob") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // recall vs brute force at both fixtures — the two-hop build must
+    // not collapse the candidate quality the flat adaptive path has
+    // (measured 0.61 / 0.53 on the isotropic fixture, r14)
+    Seq(sfDir, "/root/testdata/sf0.1").foreach { dir =>
+      val v = Tables.embeddings(spark, dir)
+      val probes = v.filter(col("vec_id") < 50)
+      val truth = pairs(Similarity.bruteForceTopK(probes, v, 5))
+      val got = pairs(Similarity.ivfTopKTwoLevel(probes, v,
+        k = 5, nprobe = 8))
+      val recall = (truth & got).size.toDouble / truth.size
+      info(f"$dir%s: two-level recall@5 = $recall%.3f (nprobe=8)")
+      assert(recall >= 0.3, f"recall $recall%.3f below floor at $dir")
+    }
+    // the two-hop argmax approximates the flat one at coarse-group
+    // boundaries; wAssign widens the kept coarse groups and must
+    // monotonically recover flat agreement (isotropic fixture is the
+    // WORST case — near-equidistant vectors maximize boundary flips;
+    // measured w=2/3/4 → 0.64/0.82/0.93 at sf0.01, r14)
+    val v = Tables.embeddings(spark, sfDir)
+    def agreement(w: Int): Double = {
+      val (tl, cent) = Similarity.twoLevelCellsWithCent(v, wAssign = w)
+      val flat = Similarity.ivfCells(v, cent).withColumnRenamed("cid", "fcid")
+      val j = tl.join(flat, "vec_id").select(
+        (col("cid") === col("fcid")).cast("long").as("ok")).collect()
+      j.map(_.getLong(0)).sum.toDouble / j.length
+    }
+    val a2 = agreement(2)
+    val a4 = agreement(4)
+    info(f"flat-assignment agreement: w=2 $a2%.3f, w=4 $a4%.3f")
+    assert(a2 >= 0.45, f"w=2 agreement $a2%.3f below floor")
+    assert(a4 > a2, "widening wAssign must recover flat agreement")
+  }
+
   test("filtered ANN: pre-filtering keeps k results from the predicate " +
       "universe where post-filtering an unfiltered top-k starves") {
     val probes = vecs.filter(col("vec_id") < 10)
