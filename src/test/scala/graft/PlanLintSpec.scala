@@ -62,13 +62,18 @@ class PlanLintSpec extends AnyFunSuite {
     *   - n15: the packed-PQ probe LUT broadcast (probes × two
     *     m·K-slot long arrays — per-request sized like n1's batch)
     *     over the streaming packed-codes corpus side
+    *   - n16: the two-level build's coarse layer — ~√nlist ≈ n^(1/4)
+    *     rows by the coarseFrame modulus (the WHOLE POINT of the
+    *     entry: the broadcast side shrinks a power below the flat
+    *     assignment's √n centroid table), plus the ≤nlist cell-parent
+    *     frame of the second hop
     */
   private val nljOk: Set[String] = Set("d5_embedding_neardup",
     "d11_semantic_decontaminate", "d9_semantic_prune", "n1_ann_topk",
     "n3_ann_ivf", "n4_ann_ivf_trained", "n7_ann_ivfpq",
     "n9_ann_ivf_sampled", "t32_hybrid_rrf", "n10_ann_sq8",
     "n12_ann_filtered", "n13_ann_ivfsq8", "n14_ann_sq8_sampled",
-    "n15_ann_pq_packed")
+    "n15_ann_pq_packed", "n16_ann_twolevel")
 
   private def isScalarAgg(p: SparkPlan): Boolean = p.collectFirst {
     case a: HashAggregateExec if a.groupingExpressions.isEmpty => true
