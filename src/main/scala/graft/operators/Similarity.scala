@@ -756,6 +756,44 @@ object Similarity {
     (twoLevelAssign(vecs, l1, parCent, "vec_id", wAssign, keep = 1), cent)
   }
 
+  /** The two-level geometry as PERSISTABLE train-time artifacts:
+    * (trained centroids, coarse layer (l1cid, l1emb), cell→coarse
+    * parents (cid, l1cid)). A build persists all three once; incoming
+    * vectors then route two-hop ([[ivfCellsTwoLevel]]) without the
+    * corpus count or moduli the training derivation needed — the
+    * moduli exist only to make training deterministic, the ROUTING
+    * needs just the frames. l1 is ~√nlist ≈ n^(1/4) rows and parents
+    * ≤ nlist rows, so both broadcast at any corpus size.
+    */
+  def twoLevelGeom(vecs: DataFrame, iters: Int = 2)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (cent, seedMod, g) = adaptiveTrainGeom(vecs, iters)
+    val l1 = coarseFrame(vecs, seedMod * g)
+    (cent, l1.select(col("l1cid"), col("l1emb")),
+      cellParents(cent, l1).select(col("cid"), col("l1cid")))
+  }
+
+  /** Two-hop corpus→cell assignment against the persisted
+    * [[twoLevelGeom]] artifacts — the [[ivfCells]] twin at the
+    * adaptive geometry. Per-vector cost is O(|l1| + wAssign·√nlist) ≈
+    * O(n^(1/4)) dots instead of flat assignment's O(nlist) = O(√n):
+    * at a 10^11-vector corpus that is ~560 coarse dots + ~2·560 member
+    * dots per arriving vector vs ~316k — the difference between a
+    * streaming ingest that keeps up and one that cannot (the same
+    * measured gap as the n16 build, SCALING `r14_n16_twolevel`).
+    * Assignment is per-vector deterministic with no cross-vector
+    * state, so the union of per-batch assignments IS the one-shot
+    * assignment of the union (the maintenance claim StreamingSpec
+    * pins).
+    */
+  def ivfCellsTwoLevel(vecs: DataFrame, cent: DataFrame, l1: DataFrame,
+                       parents: DataFrame, wAssign: Int = 2): DataFrame = {
+    val l1n = l1.select(col("l1cid"), col("l1emb"),
+      normScaled(col("l1emb")).as("l1n"))
+    val parCent = parents.join(centFrame(cent), Seq("cid"))
+    twoLevelAssign(vecs, l1n, parCent, "vec_id", wAssign, keep = 1)
+  }
+
   /** The coarse-centroid frame: every `coarseMod`-th corpus vector
     * (coarseMod = seedMod·g — a strict subset of the Lloyd seeds, so
     * the coarse layer needs no training pass of its own and no rank

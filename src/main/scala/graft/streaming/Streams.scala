@@ -796,6 +796,47 @@ object Streams {
       .start()
   }
 
+  /** Streaming TWO-LEVEL cell maintenance — [[annIndexMaintenance]]'s
+    * cells leg at the adaptive √n geometry. Flat per-batch assignment
+    * ([[graft.operators.Similarity.ivfCells]]) scores every arriving
+    * vector against all nlist cells: fine at fixed nlist ≈ 16, but the
+    * adaptive rule grows nlist as √n, so a flat-assigning ingest pays
+    * O(√n) dots PER EVENT — the same wall the n16 build hit at 1000×
+    * (SCALING `r14_decades`). Here each batch routes through the
+    * persisted [[graft.operators.Similarity.twoLevelGeom]] artifacts
+    * instead: ~n^(1/4) coarse dots, then only the kept coarse groups'
+    * member cells — per-event cost a power below flat, with the same
+    * (vec_id, cid) output the geometry-agnostic serve paths
+    * ([[graft.operators.Similarity.ivfSq8TopKFromCodes]] /
+    * `ivfPqTopKFromCodes`) consume unchanged. Assignment reads only
+    * train-time artifacts (no staging needed) and each batch
+    * overwrites its own `batch=<id>` partition, so checkpoint retries
+    * are idempotent; same `_stream_id` fail-fast as the other
+    * maintenance streams.
+    */
+  def twoLevelIndexMaintenance(vecs: DataFrame, centroidsPath: String,
+                               l1Path: String, parentsPath: String,
+                               cellsPath: String, checkpoint: String,
+                               wAssign: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Similarity
+    val spark = vecs.sparkSession
+    val ensureGuarded = guardOnce(spark, checkpoint, Seq(cellsPath))
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ensureGuarded()
+        val cent = spark.read.parquet(centroidsPath)
+        val l1 = spark.read.parquet(l1Path)
+        val parents = spark.read.parquet(parentsPath)
+        Similarity.ivfCellsTwoLevel(batch, cent, l1, parents, wAssign)
+          .write.mode("overwrite").parquet(s"$cellsPath/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Compact the ANN maintenance artifacts' accumulated batch=<id>
     * slices (row-disjoint rows — plain rewrite) into one partition
     * each. Stream stopped, trigger drained — [[Compaction]]'s contract.
@@ -806,6 +847,13 @@ object Streams {
     Compaction.rewrite(spark, codesPath,
       "vec_id BIGINT, sub INT, code BIGINT")
   }
+
+  /** Compact a cells-only maintenance artifact (e.g. the two-level
+    * stream's, which has no codes leg of its own).
+    */
+  def compactAnnCells(spark: org.apache.spark.sql.SparkSession,
+                      cellsPath: String): Unit =
+    Compaction.rewrite(spark, cellsPath, "vec_id BIGINT, cid BIGINT")
 
   /** Compact the SQ8 maintenance codes slices. */
   def compactSq8Codes(spark: org.apache.spark.sql.SparkSession,

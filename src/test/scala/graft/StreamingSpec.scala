@@ -783,6 +783,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/packed").count() == all.count())
   }
 
+  test("streaming two-level cell maintenance: coarse-routed grown cells " +
+      "match the batch two-hop assignment and serve through the SQ8 path") {
+    // train the adaptive geometry on the initial corpus, persist its
+    // three artifacts (centroids, coarse layer, parents), stream the
+    // rest in two ticks through twoLevelIndexMaintenance — the grown
+    // (vec_id, cid) cells must equal the one-shot two-hop assignment of
+    // the full corpus against the SAME artifacts (per-vector routing,
+    // no cross-vector state), and the geometry-agnostic SQ8 serve path
+    // must read the grown cells unchanged
+    import graft.operators.Similarity
+    val all = Tables.embeddings(spark, sfDir)
+    val initial = all.filter(col("vec_id") < 300)
+    val arriving = all.filter(col("vec_id") >= 300)
+    val dir = tmpDir("graft-tlm")
+    val (cent, l1, parents) = Similarity.twoLevelGeom(initial)
+    cent.write.parquet(s"$dir/centroids")
+    l1.write.parquet(s"$dir/l1")
+    parents.write.parquet(s"$dir/parents")
+    Similarity.ivfCellsTwoLevel(initial, cent, l1, parents)
+      .write.parquet(s"$dir/cells/batch=-1")
+
+    val land = tmpDir("graft-tlm-land")
+    val ckpt = tmpDir("graft-tlm-ckpt")
+    def tick(name: String, rows: org.apache.spark.sql.DataFrame): Unit = {
+      rows.coalesce(1).write.parquet(s"$land/$name")
+      Streams.twoLevelIndexMaintenance(
+        spark.readStream
+          .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+          .option("recursiveFileLookup", "true").parquet(land),
+        s"$dir/centroids", s"$dir/l1", s"$dir/parents",
+        s"$dir/cells", ckpt).awaitTermination()
+    }
+    tick("t1", arriving.filter(col("vec_id") < 400))
+    tick("t2", arriving.filter(col("vec_id") >= 400))
+
+    // grown cells == one-shot two-hop assignment of the full corpus
+    // against the same train-time artifacts
+    val centR = spark.read.parquet(s"$dir/centroids")
+    val l1R = spark.read.parquet(s"$dir/l1")
+    val parR = spark.read.parquet(s"$dir/parents")
+    def cellSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cid").as[(Long, Long)].collect().toSet
+    assert(cellSet(spark.read.parquet(s"$dir/cells")) ==
+      cellSet(Similarity.ivfCellsTwoLevel(all, centR, l1R, parR)))
+    // the serve side never sees the geometry: ivfSq8TopKFromCodes over
+    // the GROWN two-level cells == over the batch-assigned cells
+    val stats = Similarity.sq8Stats(all)
+    val codes = Similarity.sq8Encode(all, stats)
+    val probes = all.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "rank", "neighbor_id", "cosine")
+        .as[(Long, Long, Long, Double)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+    assert(rows(Similarity.ivfSq8TopKFromCodes(probes, centR,
+        spark.read.parquet(s"$dir/cells"), stats, codes,
+        k = 5, nprobe = 8)) ==
+      rows(Similarity.ivfSq8TopKFromCodes(probes, centR,
+        Similarity.ivfCellsTwoLevel(all, centR, l1R, parR), stats, codes,
+        k = 5, nprobe = 8)))
+    // compaction invariance: the cells slices fold into one partition
+    // without moving an assignment
+    val before = cellSet(spark.read.parquet(s"$dir/cells"))
+    Streams.compactAnnCells(spark, s"$dir/cells")
+    assert(cellSet(spark.read.parquet(s"$dir/cells")) == before)
+  }
+
   test("T5: stateful continuity carries close across micro-batches") {
     // two landing dirs processed as two micro-batches of one stream:
     // batch 2's first candle must open at batch 1's last close (the
