@@ -720,11 +720,19 @@ object Similarity {
     * assignment). It is DETERMINISTIC end to end — the coarse subset is
     * modulus arithmetic, every score is the scaled-long cosine, ties
     * break on ids — so the whole build unrolls into the DuckDB twin
-    * (n16's oracle). Probes hop the same way with their own `wProbe`
-    * before the usual nprobe-bucket search.
+    * (n16's oracle).
+    *
+    * PROBES bucket FLAT over all nlist cells — the FAISS convention: a
+    * query's cell selection scans the full coarse-centroid table. The
+    * asymmetry is the point: the corpus is n vectors (two-hop routing
+    * saves the O(n·√n) assignment), a probe batch is a few requests
+    * paying a trivial nlist dots each — and routing probes two-hop was
+    * MEASURED to starve occupancy-matched recall (wProbe=3 coarse
+    * groups cannot reach ~nlist/2 spread-out cells: 0.42 recall@5 vs
+    * the flat probe side's 0.96 at 100×, tools/Recall r14).
     */
   def ivfTopKTwoLevel(probes: DataFrame, vecs: DataFrame, k: Int,
-                      nprobe: Int, wAssign: Int = 2, wProbe: Int = 3,
+                      nprobe: Int, wAssign: Int = 2,
                       iters: Int = 2): DataFrame = {
     val (cent, seedMod, g) = adaptiveTrainGeom(vecs, iters)
     val l1 = coarseFrame(vecs, seedMod * g)
@@ -734,8 +742,8 @@ object Similarity {
       .join(vecs.select(col("vec_id").as("cand_id"),
         col("embedding").as("ce"), normScaled(col("embedding")).as("cn")),
         Seq("cand_id"))
-    val probeBuckets = twoLevelAssign(probes, l1, parCent, "probe_id",
-        wProbe, keep = nprobe)
+    val probeBuckets = ivfAssign(probes, centFrame(cent), "probe_id",
+        nprobe)
       .withColumnRenamed("embedding", "pe")
       .withColumn("pn", normScaled(col("pe")))
     rankBucketCands(

@@ -192,7 +192,7 @@ object PipelineAnn {
     "n16_ann_twolevel" -> { (s, d) =>
       val v = Tables.embeddings(s, d)
       Similarity.ivfTopKTwoLevel(v.filter(col("vec_id") < 10), v,
-        k = 5, nprobe = 8, wAssign = 2, wProbe = 3)
+        k = 5, nprobe = 8, wAssign = 2)
         .canonOrder(col("probe_id"), col("rank"))
     },
 
@@ -648,12 +648,13 @@ object PipelineAnn {
            round(cos, 4) AS cosine
          FROM r WHERE rank <= 5 ORDER BY probe_id, rank""",
     // n16: the two-level tail over the same adaptive Lloyd chain —
-    // coarse layer from the seed modulus, cell parents, two-hop corpus
-    // assignment (vr) and probe ranking (vrp), then the usual pruned
+    // coarse layer from the seed modulus, cell parents, two-hop CORPUS
+    // assignment (vr) and FLAT probe ranking (vrp — the FAISS
+    // asymmetry, see duckTwoLevelCells), then the usual pruned
     // exact-scoring tail
     "n16_ann_twolevel" ->
       s"""WITH u AS ($duckUnnest),
-         ${duckTwoLevelCells(2, 3)},
+         ${duckTwoLevelCells(2)},
          vb AS (SELECT vec_id AS cand_id, cid FROM vr WHERE rn = 1),
          pb AS (SELECT vec_id AS probe_id, cid FROM vrp WHERE rn <= 8),
          cands AS (SELECT DISTINCT probe_id, cand_id

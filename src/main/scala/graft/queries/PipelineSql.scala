@@ -194,10 +194,15 @@ object PipelineSql {
     * cells); each trained cell parents to its nearest coarse centroid;
     * a vector keeps its top-`wAssign` coarse centroids and argmaxes
     * among only those groups' member cells. Defines `vr` (corpus cell
-    * ranking — rn = 1 is the assignment) and `vrp` (probe cell ranking
-    * at `wProbe`, filtered to `probePred`).
+    * ranking — rn = 1 is the assignment) and `vrp` (probe cell
+    * ranking, filtered to `probePred`). Probes rank FLAT over all
+    * trained cells — the engine's FAISS-convention asymmetry
+    * ([[graft.operators.Similarity.ivfTopKTwoLevel]]): only the
+    * n-sized corpus routes two-hop; a probe pays a trivial nlist dots
+    * (two-hop probe routing measured 0.42-vs-0.96 recall starvation
+    * at the occupancy-matched nprobe, tools/Recall r14).
     */
-  private[queries] def duckTwoLevelCells(wAssign: Int, wProbe: Int,
+  private[queries] def duckTwoLevelCells(wAssign: Int,
       probePred: String = "vec_id < 10"): String =
     s"""${duckLloydTrain(duckAdaptivePrelude)},
          gg AS (SELECT greatest(1, CAST(ceil(sqrt(CAST(nl AS DOUBLE)))
@@ -223,11 +228,9 @@ object PipelineSql {
          vr AS (SELECT vec_id, cid, row_number() OVER (
                   PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
                 FROM s3),
-         s3p AS (SELECT a.vec_id, par.cid, ${duckCos("a.x", "c.cx")} AS csim
-                FROM twr t JOIN par USING (l1cid)
-                JOIN u a ON a.vec_id = t.vec_id
-                JOIN c2 c ON c.cid = par.cid AND c.i = a.i
-                WHERE t.rn <= $wProbe AND t.$probePred GROUP BY 1, 2),
+         s3p AS (SELECT a.vec_id, c.cid, ${duckCos("a.x", "c.cx")} AS csim
+                FROM u a JOIN c2 c ON c.i = a.i
+                WHERE a.$probePred GROUP BY 1, 2),
          vrp AS (SELECT vec_id, cid, row_number() OVER (
                   PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
                 FROM s3p)"""

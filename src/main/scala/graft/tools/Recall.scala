@@ -68,8 +68,11 @@ object Recall {
       report("adaptive_matched", math.max(8, (nl / 2).toInt),
         Similarity.adaptiveTrainCentroids(v))
       // two-level coarse-routed build (n16): same adaptive cells, the
-      // O(n·n^(1/4)) assignment — recall should track adaptive_sqrt_n
-      // (identical serve geometry; only boundary assignments differ)
+      // O(n·n^(1/4)) CORPUS assignment, flat probe bucketing — recall
+      // should track adaptive_sqrt_n / adaptive_matched (identical
+      // serve geometry; only coarse-boundary CORPUS assignments
+      // differ). The r14 two-hop-probe variant measured 0.42 vs 0.96
+      // at 100× matched — that starvation is why probes stay flat.
       reportDf("twolevel_w2", 8,
         Similarity.ivfTopKTwoLevel(probes, v, k = 5, nprobe = 8))
       reportDf("twolevel_w2_matched", math.max(8, (nl / 2).toInt),
