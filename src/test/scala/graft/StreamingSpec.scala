@@ -842,6 +842,10 @@ class StreamingSpec extends AnyFunSuite {
       rows(Similarity.ivfSq8TopKFromCodes(probes, centR,
         Similarity.ivfCellsTwoLevel(all, centR, l1R, parR), stats, codes,
         k = 5, nprobe = 8)))
+    // an empty tick (a landing file with zero rows) writes an empty
+    // slice and leaves the grown cells unchanged
+    tick("t3", arriving.filter(col("vec_id") >= 400).limit(0))
+    assert(spark.read.parquet(s"$dir/cells").count() == all.count())
     // compaction invariance: the cells slices fold into one partition
     // without moving an assignment
     val before = cellSet(spark.read.parquet(s"$dir/cells"))
