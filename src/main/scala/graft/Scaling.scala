@@ -77,6 +77,12 @@ object Scaling {
     // O(n·√n) assignment killed at 2M vectors; two ~n^(1/4)-wide hops
     // replace it). The 1000× point is the entry's reason to exist.
     "n16_ann_twolevel",
+    // r14 fourth session: the mergeable-sketch pair — a23's two passes
+    // are both corpus-linear (sketch aggregate + candidate-pruned
+    // recount; the shuffled volume is ≤k·|groups| either way), a24's
+    // one sketch pass + |groups|²-bounded pairs join should track the
+    // plain a1 aggregate's slope
+    "a23_heavy_hitters", "a24_set_overlap",
     // LAST: the skew pairs toggle session confs (broadcast off,
     // skew-join on/off) from inside their builders — keeping them at
     // the tail means nothing downstream inherits the toggles

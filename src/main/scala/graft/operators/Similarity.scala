@@ -19,7 +19,7 @@ import graft.functions.Core._
   * scaled integers in double with an expression shape mirrored exactly in
   * the oracle SQL.
   */
-object Similarity {
+object Similarity extends SimilarityPq {
 
   /** Σ floor(a[i]·b[i]·1e16) as LONG (order-independent exact integer).
     * Backed by the codegen'd [[graft.plans.DotScaledExpr]] — the lambda
@@ -153,7 +153,7 @@ object Similarity {
     * same tax dot_scaled eliminated. ONE owner of the round-trip
     * composition, so the n10/n13 entries can't drift apart.
     */
-  private def sq8Cand(vecs: DataFrame, stats: DataFrame): DataFrame =
+  private[operators] def sq8Cand(vecs: DataFrame, stats: DataFrame): DataFrame =
     spreadPartitions(vecs).crossJoin(broadcast(stats))
       .select(col("vec_id").as("cand_id"),
         graft.plans.Expressions.sq8Dequant(
@@ -546,7 +546,7 @@ object Similarity {
     * `count()`s are map-side-combined scalar aggregates — no corpus data
     * ever reaches the driver.
     */
-  private def sampleModuli(vecs: DataFrame, targetSample: Long,
+  private[operators] def sampleModuli(vecs: DataFrame, targetSample: Long,
                            kSeeds: Long): (Long, Long) = {
     val n = vecs.select(count(lit(1))).head().getLong(0)
     val mod = math.max(1L, n / targetSample)
@@ -581,7 +581,7 @@ object Similarity {
     * keep=nprobe is the probe side (few rows — ranking window, keeps
     * the embedding).
     */
-  private def ivfAssign(df: DataFrame, cent: DataFrame, idName: String,
+  private[operators] def ivfAssign(df: DataFrame, cent: DataFrame, idName: String,
                         keep: Int): DataFrame = {
     if (keep == 1) {
       spreadPartitions(df.select(col("vec_id").as(idName), col("embedding")))
@@ -608,7 +608,7 @@ object Similarity {
     }
   }
 
-  private def centFrame(centroids: DataFrame): DataFrame =
+  private[operators] def centFrame(centroids: DataFrame): DataFrame =
     centroids.select(col("vec_id").as("cid"),
       col("embedding").as("cemb"), normScaled(col("embedding")).as("cn"))
 
@@ -894,574 +894,6 @@ object Similarity {
     }
   }
 
-  /** Product-quantization ANN (asymmetric-distance, inner-product form).
-    * The embedding splits into `m` contiguous subspaces; each subspace
-    * gets its own codebook (deterministic Lloyd over the sub-vectors —
-    * all m subspaces train TOGETHER in one long-form frame, so an
-    * iteration is ONE broadcast join + ONE aggregation over the corpus,
-    * not m of each); the corpus is then ENCODED as m small codes. That
-    * encoding is the point at 100 TB: a 64-float vector becomes m=4
-    * codebook ids (≈4 bytes, 64× smaller), so the searchable corpus is
-    * RAM-resident where raw embeddings are not — IVF prunes candidates,
-    * PQ shrinks them.
-    *
-    * Query path (ADC): each probe precomputes an m×|codebook| lookup
-    * table of scaled-long partial dots, and every candidate scores as m
-    * integer table-lookups + an integer sum. Scaled-long floors are
-    * additive over the subspace concatenation, so adot and the
-    * reconstruction norm are EXACTLY dotScaled/normScaled of probe ×
-    * reconstructed candidate — order-independent and bit-identical across
-    * partitionings. Codeword assignment minimizes L2 in the same integer
-    * domain: argmin ‖sv−cw‖² = argmin (‖cw‖²·1e16 − 2·dotScaled(sv,cw)),
-    * no division, (d2, code) total order. The ADC approximate cosine
-    * selects a per-probe shortlist that stage 2 re-ranks exactly (see
-    * [[pqTopK]]); recall vs brute force is bounded in SimilaritySpec
-    * (the approximation has no SQL oracle).
-    */
-  /** Long-form subspace slicing: (id, sub, sv) with sub ∈ [0, m). */
-  private def pqSliced(df: DataFrame, m: Int, sub: Int): DataFrame = df
-    .select(col("vec_id").as("id"),
-      posexplode(array((0 until m).map(j =>
-        slice(col("embedding"), j * sub + 1, sub)): _*)))
-    .select(col("id"), col("pos").as("sub"), col("col").as("sv"))
-
-  /** Nearest-codeword assignment for every (id, sub) sub-vector, in the
-    * scaled-long integer domain: argmin ‖sv−cw‖² = argmin
-    * (normScaled(cw) − 2·dotScaled(sv, cw)) — no division, (d2, code)
-    * total order, so assignments are bit-identical across partitionings.
-    */
-  private def pqAssign(slices: DataFrame, book: DataFrame,
-                       keepSv: Boolean = false): DataFrame = {
-    // aggregate argmin, not a sort window: min_by over the lexicographic
-    // (d2, code) struct picks the identical codeword but partial-
-    // aggregates map-side — one survivor per (id, sub) group leaves each
-    // partition, the candidate rows themselves never cross the wire.
-    // Default output is NARROW (id, sub, code): the sub-vector is
-    // projected away before the aggregate — with sv inside the min_by
-    // value struct the per-(codebook-candidate) rows carried the array
-    // through the SortAggregate's sorts (the same measured 100× term as
-    // ivfAssign's wide argmax), and the corpus-scale callers (encode,
-    // search) never read sv. keepSv=true keeps the r8 wide form for the
-    // ONE consumer that needs sv back — the Lloyd mean recompute — whose
-    // input is sample-bounded by contract, where the wide struct is
-    // cheaper than two extra join stages per training iteration.
-    val base =
-      if (keepSv) slices
-      else spreadPartitions(slices)
-    val scored = base
-      .join(broadcast(book.withColumn("cn", normScaled(col("cw")))),
-        Seq("sub"))
-      .withColumn("d2", col("cn") - lit(2L) * dotScaled(col("sv"), col("cw")))
-    if (keepSv)
-      scored.groupBy(col("id"), col("sub"))
-        .agg(min_by(struct(col("code"), col("sv")),
-          struct(col("d2"), col("code"))).as("pick"))
-        .select(col("id"), col("sub"),
-          col("pick.code").as("code"), col("pick.sv").as("sv"))
-    else
-      scored.select(col("id"), col("sub"), col("code"), col("d2"))
-        .groupBy(col("id"), col("sub"))
-        .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
-  }
-
-  /** Train the m per-subspace codebooks — deterministic Lloyd, all m
-    * subspaces TOGETHER in one long-form frame, so an iteration is ONE
-    * broadcast join + ONE aggregation over the corpus, not m of each.
-    * Seeding follows the n3/n4 convention (sub-vectors of every
-    * `sampleStride`-th vec_id); empty codewords drop out. Returns
-    * (sub, code, cw).
-    */
-  def pqTrain(vecs: DataFrame, m: Int = 4, iters: Int = 2,
-              sampleStride: Long = 50L): DataFrame = {
-    val dim = vecs.select(size(col("embedding"))).head().getInt(0)
-    require(dim % m == 0, s"pqTrain: dim $dim not divisible into $m subspaces")
-    pqTrainSliced(pqSliced(vecs, m, dim / m), iters, sampleStride)
-  }
-
-  /** Sample-bounded PQ codebook training — the PQ analogue of
-    * [[sampledTrainCentroids]] and, since r12, the geometry [[pqTopK]]
-    * and [[ivfPqTopK]] actually ship (the retired fixed-stride seed made
-    * the codebook size ∝ n and ran Lloyd over the FULL corpus — O(n²)
-    * training, measured 75/64 s at 10× in SCALING.json). The training
-    * set is every `mod`-th vector with `mod = max(1, n/targetSample)` —
-    * ≤ ~2·targetSample rows whatever the corpus size — and seeds are
-    * every `max(1, sn/kCodes)`-th sample member, so training is
-    * O(targetSample · kCodes · m · iters), CONSTANT in corpus size;
-    * encoding stays the one linear pass PQ always pays. Both moduli are
-    * pure vec_id arithmetic ([[sampleModuli]]), so the DuckDB oracle
-    * derives them from COUNT(*) and replays training bit-for-bit.
-    */
-  def pqTrainSampled(vecs: DataFrame, m: Int = 8, iters: Int = 2,
-                     targetSample: Long = 400L, kCodes: Long = 40L)
-      : DataFrame = {
-    val dim = vecs.select(size(col("embedding"))).head().getInt(0)
-    require(dim % m == 0,
-      s"pqTrainSampled: dim $dim not divisible into $m subspaces")
-    val (mod, seedMod) = sampleModuli(vecs, targetSample, kCodes)
-    pqTrainSliced(pqSliced(vecs, m, dim / m).filter(col("id") % mod === 0),
-      iters, seedMod)
-  }
-
-  /** [[pqTrain]] over an already-sliced corpus — lets [[pqTopK]] share one
-    * dimension probe and one slicing across train + encode instead of
-    * re-deriving both (each `select(size).head` is a driver job; the
-    * search path strings a dozen such stages together, so redundant ones
-    * show up directly in latency).
-    */
-  private def pqTrainSliced(corpus: DataFrame, iters: Int,
-                            sampleStride: Long): DataFrame = {
-    var cb = corpus.filter(col("id") % sampleStride === 0)
-      .select(col("sub"), col("id").as("code"), col("sv").as("cw"))
-    for (_ <- 1 to iters) {
-      // keepSv: the training corpus is sample-bounded by contract, so
-      // the wide argmin is cheaper here than two join stages per
-      // iteration (the corpus-scale encode path stays narrow)
-      cb = pqAssign(corpus, cb, keepSv = true)
-        .select(col("sub"), col("code"), posexplode(col("sv")))
-        .groupBy(col("sub"), col("code"), col("pos"))
-        .agg(graft.functions.Core.dsum(col("col")).as("s"),
-          count(lit(1)).as("n"))
-        .withColumn("mv", (col("s") / col("n")).cast("float"))
-        .groupBy(col("sub"), col("code"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("mv")))),
-          e => e.getField("mv")).as("cw"))
-        // tiny codebook, but consumers (encode + the ADC lookup table)
-        // would otherwise each re-run every Lloyd iteration — truncate
-        .localCheckpoint(true)
-    }
-    cb
-  }
-
-  /** Encode the corpus against a trained codebook: (vec_id, sub, code) —
-    * m small ids per vector, the 64×-compressed searchable form that is
-    * the artifact a real corpus build persists.
-    */
-  def pqEncode(vecs: DataFrame, codebook: DataFrame): DataFrame = {
-    val dim = vecs.select(size(col("embedding"))).head().getInt(0)
-    val head = codebook.select(max(col("sub")), size(first(col("cw")))).head()
-    val m = head.getInt(0) + 1
-    // mirror pqTrain's guard: a codebook trained on different-dimension
-    // vectors would otherwise silently slice() off the tail dimensions
-    require(dim % m == 0, s"pqEncode: dim $dim not divisible into $m subspaces")
-    require(head.getInt(1) == dim / m,
-      s"pqEncode: codeword width ${head.getInt(1)} != subspace width ${dim / m}")
-    pqAssign(pqSliced(vecs, m, dim / m), codebook)
-      .select(col("id").as("vec_id"), col("sub"), col("code"))
-  }
-
-  /** Two-stage PQ search, the standard serving shape: stage 1 scores the
-    * WHOLE corpus from its m-code encodings by integer table-lookup (ADC)
-    * and keeps a `shortlist` per probe; stage 2 re-ranks only the
-    * shortlist with the exact scaled-long cosine against raw embeddings.
-    * Raw vectors are touched for shortlist rows alone — at 100 TB the
-    * codes live in RAM and the embeddings on slow storage, which is the
-    * entire point of PQ. Reported cosines are exact (stage 2), so hits
-    * agree with brute force; recall = P(true neighbor survives the ADC
-    * shortlist), bounded in SimilaritySpec.
-    *
-    * Training is SAMPLE-BOUNDED since r12 ([[pqTrainSampled]]'s moduli —
-    * a fixed ~kCodes codebook trained on ≤ ~2·targetSample vectors), so
-    * the in-query train stage is constant-cost in corpus size; the
-    * retired fixed-stride geometry (codebook ∝ n, full-corpus Lloyd) was
-    * measured O(n²) at 10× in SCALING.json.
-    */
-  def pqTopK(probes: DataFrame, vecs: DataFrame, k: Int, m: Int = 8,
-             iters: Int = 2, targetSample: Long = 400L,
-             kCodes: Long = 40L, shortlist: Int = 50): DataFrame = {
-    val dim = vecs.select(size(col("embedding"))).head().getInt(0)
-    require(dim % m == 0, s"pqTopK: dim $dim not divisible into $m subspaces")
-    val corpus = pqSliced(vecs, m, dim / m)
-    val (mod, seedMod) = sampleModuli(vecs, targetSample, kCodes)
-    val cb = pqTrainSliced(corpus.filter(col("id") % mod === 0),
-      iters, seedMod)
-    val codes = pqAssign(corpus, cb)
-      .select(col("id").as("cand_id"), col("sub"), col("code"))
-    pqSearch(probes, vecs, cb, codes, k, m, dim / m, shortlist)
-  }
-
-  /** PQ search against PERSISTED build artifacts — the real serving
-    * lifecycle: `pqTrain` + `pqEncode` run once per corpus build and land
-    * as parquet (codes are deterministic, so the artifacts are stable
-    * across rebuilds — SimilaritySpec proves the write/read round-trip);
-    * every query then pays ONLY the ADC scan + shortlist re-rank, never
-    * retraining. `codes` is the (vec_id, sub, code) frame pqEncode
-    * produces; `vecs` supplies raw embeddings for the exact re-rank of
-    * shortlist rows alone. Replica code rows in the artifact (re-ingested
-    * vectors, retried writes) are collapsed by the dup-safe ADC
-    * ([[adcCollapse]]) instead of double-counting.
-    */
-  def pqTopKFromCodes(probes: DataFrame, vecs: DataFrame,
-                      codebook: DataFrame, codes: DataFrame, k: Int,
-                      shortlist: Int = 50): DataFrame = {
-    // geometry comes from the CODEBOOK (m subspaces × codeword width),
-    // never from probes.head() — an empty probe batch is routine serving
-    // input and must yield an empty result, not a driver exception;
-    // probes of the wrong dimension still fail loudly in pqSliced's
-    // slice arithmetic via the encode-side guards
-    val head = codebook.select(max(col("sub")), size(first(col("cw")))).head()
-    val m = head.getInt(0) + 1
-    val width = head.getInt(1)
-    require(width > 0, "pqTopKFromCodes: empty codewords in codebook")
-    pqSearch(probes, vecs, codebook,
-      codes.select(col("vec_id").as("cand_id"), col("sub"), col("code")),
-      k, m, width, shortlist, dupSafe = true)
-  }
-
-  /** Dense re-coding of a trained codebook: training names codewords by
-    * their SEED vec_id (arbitrary longs), but the packed byte artifact
-    * needs contiguous per-subspace ids. Ranks codes within each subspace
-    * (code asc — deterministic, so the pack and every probe LUT agree)
-    * and returns (sub, code, dense, cw). The window runs over the
-    * codebook only (m·kCodes rows, ≤ a few hundred).
-    */
-  def pqDenseBook(codebook: DataFrame): DataFrame =
-    codebook.withColumn("dense",
-      (row_number().over(Window.partitionBy(col("sub"))
-        .orderBy(col("code"))) - 1).cast("long"))
-
-  /** Pack a long-form (vec_id, sub, code) encoding into the byte-laid-out
-    * PQ artifact (vec_id, pcodes binary) — one byte per subspace in sub
-    * order, dense ids from [[pqDenseBook]]. This is the form the packed
-    * ADC kernel serves from: m× fewer artifact rows than the long form,
-    * and a candidate's whole code word reads as one binary cell.
-    * Replica rows collapse to max(dense) per subspace — the same
-    * deterministic pick as the dup-safe [[adcCollapse]]'s max-code,
-    * since dense ranks are monotone in code. Vectors missing a subspace
-    * row (a truncated artifact) are DROPPED, mirroring the long-form
-    * fold where an incomplete candidate NULLs out of the shortlist —
-    * absent, never wrongly scored. >256 codewords per subspace fail
-    * loudly in the byte packer, not alias.
-    */
-  def pqPackCodes(codes: DataFrame, codebook: DataFrame): DataFrame = {
-    val db = pqDenseBook(codebook)
-    val m = db.select(max(col("sub"))).head().getInt(0) + 1
-    codes.select(col("vec_id"), col("sub"), col("code"))
-      .join(broadcast(db.select(col("sub"), col("code"), col("dense"))),
-        Seq("sub", "code"))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(max(col("dense")).as("dense"))
-      .groupBy(col("vec_id"))
-      .agg(count(lit(1)).as("nsub"),
-        array_sort(collect_list(struct(col("sub"), col("dense"))))
-          .as("sd"))
-      .filter(col("nsub") === m)
-      .select(col("vec_id"),
-        graft.plans.Expressions.packBytes(
-          transform(col("sd"), e => e.getField("dense").cast("long")))
-          .as("pcodes"))
-  }
-
-  /** Per-probe FLATTENED lookup table for the packed ADC kernel:
-    * (probe_id, pdots, cns) where both arrays index `sub·K + dense`,
-    * K = max per-subspace codeword count (training drops empty
-    * codewords, so subspaces can be ragged — pad slots hold 0 and are
-    * never indexed, because packed codes only carry dense ids that
-    * exist in the book). Values are the same scaled longs the long-form
-    * LUT carries; only the layout changes.
-    */
-  private def pqProbeLut(probes: DataFrame, db: DataFrame, m: Int,
-                         sub: Int): DataFrame = {
-    val kMax = db.groupBy(col("sub")).count()
-      .agg(max(col("count"))).head().getLong(0)
-    val slots = m * kMax
-    pqSliced(probes, m, sub)
-      .join(broadcast(db.withColumn("cn", normScaled(col("cw")))),
-        Seq("sub"))
-      .select(col("id").as("probe_id"),
-        (col("sub") * kMax + col("dense")).as("slot"),
-        dotScaled(col("sv"), col("cw")).as("pdot"), col("cn"))
-      .groupBy(col("probe_id"))
-      .agg(
-        map_from_entries(collect_list(struct(col("slot"), col("pdot"))))
-          .as("pm"),
-        map_from_entries(collect_list(struct(col("slot"), col("cn"))))
-          .as("cm"))
-      .select(col("probe_id"),
-        transform(sequence(lit(0L), lit(slots - 1L)),
-          i => coalesce(element_at(col("pm"), i), lit(0L))).as("pdots"),
-        transform(sequence(lit(0L), lit(slots - 1L)),
-          i => coalesce(element_at(col("cm"), i), lit(0L))).as("cns"))
-  }
-
-  /** PQ search from the PACKED byte artifact ([[pqPackCodes]]) — the
-    * RAM-layout serving twin of [[pqTopKFromCodes]]: the corpus streams
-    * as ONE row per candidate (m× fewer than the long form), each pair
-    * is scored by a single [[graft.plans.PqAdcKernel]] call inside
-    * whole-stage codegen, and no per-pair aggregation exists at all —
-    * the shuffle the long-form groupBy paid is gone; only the shortlist
-    * ranking window exchanges rows. Integer sums commute, so scores —
-    * and therefore the served ranking — are bit-identical to the
-    * long-form path (parity pinned in SimilaritySpec); the exact
-    * shortlist re-rank is shared code.
-    */
-  def pqTopKFromPackedCodes(probes: DataFrame, vecs: DataFrame,
-                            codebook: DataFrame, packed: DataFrame,
-                            k: Int, shortlist: Int = 50): DataFrame = {
-    val head = codebook.select(max(col("sub")), size(first(col("cw")))).head()
-    val m = head.getInt(0) + 1
-    val width = head.getInt(1)
-    require(width > 0, "pqTopKFromPackedCodes: empty codewords in codebook")
-    val db = pqDenseBook(codebook)
-    val lut = pqProbeLut(probes, db, m, width)
-      .join(probes.select(col("vec_id").as("probe_id"),
-        normScaled(col("embedding")).as("pn")), Seq("probe_id"))
-    // spread the corpus side: the probe LUT broadcasts, so scoring
-    // parallelism is the packed artifact's split count (same starvation
-    // as sq8Cand / lshTopK). The fused pq_adc_cos kernel emits the
-    // double cosine directly — zero per-pair allocation (the [adot,
-    // rnorm] array form is the parity primitive, not the hot path).
-    val adc = spreadPartitions(
-        packed.select(col("vec_id").as("cand_id"), col("pcodes")))
-      .join(broadcast(lut), col("probe_id") =!= col("cand_id"))
-      .select(col("probe_id"), col("cand_id"),
-        graft.plans.Expressions.pqAdcCos(col("pcodes"), col("pdots"),
-          col("cns"), col("pn")).as("acos"))
-    pqShortlistRerank(probes, vecs, adc, k, shortlist)
-  }
-
-  /** IVF+PQ search from PERSISTED cells + the PACKED byte artifact —
-    * the composite serving twin of [[ivfPqTopKFromCodes]] on the packed
-    * layout: cells prune candidates to ~nprobe/nlist of the corpus,
-    * each survivor joins its ONE packed row, and the kernel scores the
-    * pair with no per-pair aggregation. Replica cells rows would
-    * duplicate (probe, cand) pairs and — with no aggregate to absorb
-    * them — double-count shortlist slots, so the pruned pair set dedups
-    * explicitly; that exchange is over the PRUNED pairs (k·probes·
-    * occupancy), never the corpus.
-    */
-  def ivfPqTopKFromPackedCodes(probes: DataFrame, vecs: DataFrame,
-                               centroids: DataFrame, cells: DataFrame,
-                               codebook: DataFrame, packed: DataFrame,
-                               k: Int, nprobe: Int, shortlist: Int = 50)
-      : DataFrame = {
-    val head = codebook.select(max(col("sub")), size(first(col("cw")))).head()
-    val m = head.getInt(0) + 1
-    val width = head.getInt(1)
-    require(width > 0,
-      "ivfPqTopKFromPackedCodes: empty codewords in codebook")
-    val db = pqDenseBook(codebook)
-    val lut = pqProbeLut(probes, db, m, width)
-      .join(probes.select(col("vec_id").as("probe_id"),
-        normScaled(col("embedding")).as("pn")), Seq("probe_id"))
-    val cands = cells.select(col("vec_id").as("cand_id"), col("cid"))
-      .join(broadcast(
-        ivfAssign(probes, centFrame(centroids), "probe_id", nprobe)
-          .select(col("probe_id"), col("cid"))), Seq("cid"))
-      .filter(col("probe_id") =!= col("cand_id"))
-      .select(col("probe_id"), col("cand_id"))
-      .distinct()
-    val adc = cands
-      .join(packed.select(col("vec_id").as("cand_id"), col("pcodes")),
-        Seq("cand_id"))
-      .join(broadcast(lut), Seq("probe_id"))
-      .select(col("probe_id"), col("cand_id"),
-        graft.plans.Expressions.pqAdcCos(col("pcodes"), col("pdots"),
-          col("cns"), col("pn")).as("acos"))
-    pqShortlistRerank(probes, vecs, adc, k, shortlist)
-  }
-
-  /** Collapse a candidate's m joined code rows into the ADC partials
-    * (probe_id, cand_id, adot, rnorm). In-query paths use the plain sums
-    * — their codes frames are unique per (cand_id, sub) by construction
-    * (one pqAssign row each). The artifact-serving `*FromCodes` paths
-    * set `dupSafe`: caller-provided cells/codes parquet can legitimately
-    * carry replica rows (a vector re-ingested across index slices, a
-    * retried artifact write), and sum() over a duplicated (cand_id, sub)
-    * row inflates adot/rnorm ~2× and corrupts the shortlist. The
-    * dup-safe form picks ONE row per subspace — max over the
-    * (code, pdot, cn) struct — so bit-identical replicas collapse at the
-    * same single shuffle (no pre-dedup exchange over the corpus-scale
-    * codes frame). Conflicting duplicates (same vec re-encoded to a
-    * DIFFERENT code without compaction) deterministically pick the max
-    * code; a served index with conflicts needs last-wins compaction, not
-    * search-side repair.
-    */
-  private def adcCollapse(joined: DataFrame, m: Int, dupSafe: Boolean)
-      : DataFrame = {
-    if (!dupSafe)
-      joined.groupBy(col("probe_id"), col("cand_id"))
-        .agg(sum(col("pdot")).as("adot"), sum(col("cn")).as("rnorm"))
-    else {
-      val picks = (0 until m).map { s =>
-        max(when(col("sub") === lit(s),
-          struct(col("code"), col("pdot"), col("cn")))).as(s"w$s")
-      }
-      val fold = (f: String) =>
-        (0 until m).map(s => col(s"w$s").getField(f)).reduce(_ + _)
-      joined.groupBy(col("probe_id"), col("cand_id"))
-        .agg(picks.head, picks.tail: _*)
-        // a candidate missing a subspace row folds to NULL adot/rnorm →
-        // NULL acos, which desc-sorts last and never reaches the
-        // shortlist (a truncated artifact can't fake a high score)
-        .select(col("probe_id"), col("cand_id"),
-          fold("pdot").as("adot"), fold("cn").as("rnorm"))
-    }
-  }
-
-  /** Shared PQ query path: ADC scoring of the encoded corpus + exact
-    * re-rank of the shortlist. `codes` carries (cand_id, sub, code);
-    * `dupSafe` per [[adcCollapse]] for artifact-provided codes.
-    */
-  private def pqSearch(probes: DataFrame, vecs: DataFrame, cb: DataFrame,
-                       codes: DataFrame, k: Int, m: Int, sub: Int,
-                       shortlist: Int, dupSafe: Boolean = false)
-      : DataFrame = {
-    val book = cb.withColumn("cn", normScaled(col("cw")))
-    // ADC lookup table: per-(probe, sub, code) scaled-long partial dot +
-    // codeword norm — nprobes × m × |codebook| rows, tiny, broadcast
-    val lut = pqSliced(probes, m, sub)
-      .join(broadcast(book), Seq("sub"))
-      .select(col("id").as("probe_id"), col("sub"), col("code"),
-        dotScaled(col("sv"), col("cw")).as("pdot"), col("cn"))
-    val pn = probes.select(col("vec_id").as("probe_id"),
-      normScaled(col("embedding")).as("pn"))
-    // scaled-long floors are additive over the subspace concatenation, so
-    // these integer sums are EXACTLY dotScaled/normScaled of probe ×
-    // reconstructed candidate — order-independent across partitionings
-    val adc = adcCollapse(codes.join(broadcast(lut), Seq("sub", "code")),
-        m, dupSafe)
-      .filter(col("probe_id") =!= col("cand_id"))
-      .join(broadcast(pn), Seq("probe_id"))
-      .withColumn("acos",
-        cosineFromScaled(col("adot"), col("pn"), col("rnorm")))
-    pqShortlistRerank(probes, vecs, adc, k, shortlist)
-  }
-
-  /** Shared stage-2 of the PQ searches: keep the `shortlist` best ADC
-    * scores per probe, exact-score ONLY those against raw embeddings,
-    * return dense top-k. `adc` carries (probe_id, cand_id, acos).
-    */
-  private def pqShortlistRerank(probes: DataFrame, vecs: DataFrame,
-                                adc: DataFrame, k: Int, shortlist: Int)
-      : DataFrame = {
-    val aw = Window.partitionBy(col("probe_id"))
-      .orderBy(col("acos").desc, col("cand_id"))
-    val short = adc.withColumn("arank", row_number().over(aw))
-      .filter(col("arank") <= shortlist)
-      .select(col("probe_id"), col("cand_id"))
-    val pv = probes.select(col("vec_id").as("probe_id"),
-      col("embedding").as("pe"), normScaled(col("embedding")).as("pn"))
-    val cv = vecs.select(col("vec_id").as("cand_id"),
-      col("embedding").as("ce"), normScaled(col("embedding")).as("cn"))
-    val exact = broadcast(short).join(cv, Seq("cand_id"))
-      .join(broadcast(pv), Seq("probe_id"))
-      .withColumn("cos", cosineFromScaled(
-        dotScaled(col("pe"), col("ce")), col("pn"), col("cn")))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("cand_id"))
-    exact
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank").cast("long").as("rank"),
-        col("cand_id").as("neighbor_id"), round4(col("cos")).as("cosine"))
-  }
-
-  /** IVF+PQ composite — the production ANN serving shape (FAISS's
-    * IndexIVFPQ minus residual encoding, which would couple the codebook
-    * to the partition layout): IVF bucketing prunes the candidate set to
-    * the probe's `nprobe` nearest cells, PQ codes compress what remains,
-    * ADC scores ONLY the pruned candidates by integer table-lookup, and
-    * the shortlist re-ranks exactly. The two levers compose: at 100 TB,
-    * IVF bounds how much of the corpus a query touches (~nprobe/nlist)
-    * and PQ makes that slice RAM-resident. Every stage is deterministic
-    * integer/decimal arithmetic, so the whole composite — bucketing,
-    * training, encoding, pruned ADC, re-rank — unrolls into SQL and is
-    * hash-verified like n3/n4/n6.
-    */
-  def ivfPqTopK(probes: DataFrame, vecs: DataFrame, centroids: DataFrame,
-                k: Int, nprobe: Int, m: Int = 8, iters: Int = 2,
-                targetSample: Long = 400L, kCodes: Long = 40L,
-                shortlist: Int = 50): DataFrame = {
-    val dim = vecs.select(size(col("embedding"))).head().getInt(0)
-    require(dim % m == 0,
-      s"ivfPqTopK: dim $dim not divisible into $m subspaces")
-    val cent = centFrame(centroids)
-    val cands = ivfAssign(vecs, cent, "cand_id", 1)
-      .join(broadcast(ivfAssign(probes, cent, "probe_id", nprobe)
-        .select(col("probe_id"), col("cid"))), Seq("cid"))
-      .filter(col("probe_id") =!= col("cand_id"))
-      // (probe_id, cand_id) pairs are unique by construction — one cell
-      // per candidate (keep=1), distinct cells per probe — so no dedup
-      .select(col("probe_id"), col("cand_id"))
-    val corpus = pqSliced(vecs, m, dim / m)
-    // sample-bounded codebook training, like pqTopK (r12): fixed ~kCodes
-    // codewords from ≤ ~2·targetSample vectors, constant in corpus size
-    val (mod, seedMod) = sampleModuli(vecs, targetSample, kCodes)
-    val cb = pqTrainSliced(corpus.filter(col("id") % mod === 0),
-      iters, seedMod)
-    val codes = pqAssign(corpus, cb)
-      .select(col("id").as("cand_id"), col("sub"), col("code"))
-    val book = cb.withColumn("cn", normScaled(col("cw")))
-    val lut = pqSliced(probes, m, dim / m)
-      .join(broadcast(book), Seq("sub"))
-      .select(col("id").as("probe_id"), col("sub"), col("code"),
-        dotScaled(col("sv"), col("cw")).as("pdot"), col("cn"))
-    val pn = probes.select(col("vec_id").as("probe_id"),
-      normScaled(col("embedding")).as("pn"))
-    // ADC over the IVF-pruned pairs only: candidates join their m codes,
-    // each code looks up the probe's partial dot in the broadcast LUT
-    val adc = cands.join(codes, Seq("cand_id"))
-      .join(broadcast(lut), Seq("probe_id", "sub", "code"))
-      .groupBy(col("probe_id"), col("cand_id"))
-      .agg(sum(col("pdot")).as("adot"), sum(col("cn")).as("rnorm"))
-      .join(broadcast(pn), Seq("probe_id"))
-      .withColumn("acos",
-        cosineFromScaled(col("adot"), col("pn"), col("rnorm")))
-    pqShortlistRerank(probes, vecs, adc, k, shortlist)
-  }
-
-  /** Corpus→cell assignment as a persistable artifact: (vec_id, cid).
-    * The third build artifact of an IVF+PQ index next to the codebook
-    * and codes — a real corpus build runs this once and serves from it.
-    */
-  def ivfCells(vecs: DataFrame, centroids: DataFrame): DataFrame =
-    ivfAssign(vecs, centFrame(centroids), "vec_id", 1)
-
-  /** IVF+PQ search against PERSISTED build artifacts — the serving twin
-    * of [[ivfPqTopK]], like [[pqTopKFromCodes]] is of [[pqTopK]]: cells
-    * ([[ivfCells]]), codebook ([[pqTrain]]) and codes ([[pqEncode]]) are
-    * parquet artifacts built once; a query pays only probe bucketing +
-    * pruned ADC + shortlist re-rank. Centroids are still needed (tiny —
-    * they bucket the probes); raw `vecs` only re-ranks the shortlist.
-    */
-  def ivfPqTopKFromCodes(probes: DataFrame, vecs: DataFrame,
-                         centroids: DataFrame, cells: DataFrame,
-                         codebook: DataFrame, codes: DataFrame, k: Int,
-                         nprobe: Int, shortlist: Int = 50): DataFrame = {
-    // codebook carries the geometry (see pqTopKFromCodes) — empty probe
-    // batches serve an empty result instead of throwing on .head()
-    val head = codebook.select(max(col("sub")), size(first(col("cw")))).head()
-    val m = head.getInt(0) + 1
-    val width = head.getInt(1)
-    require(width > 0, "ivfPqTopKFromCodes: empty codewords in codebook")
-    val dim = m * width
-    val cands = cells.select(col("vec_id").as("cand_id"), col("cid"))
-      .join(broadcast(
-        ivfAssign(probes, centFrame(centroids), "probe_id", nprobe)
-          .select(col("probe_id"), col("cid"))), Seq("cid"))
-      .filter(col("probe_id") =!= col("cand_id"))
-      // replica cells rows (re-ingested vectors across index slices)
-      // duplicate (probe, cand) pairs here; they collapse in the
-      // dup-safe [[adcCollapse]] below at no extra shuffle
-      .select(col("probe_id"), col("cand_id"))
-    val book = codebook.withColumn("cn", normScaled(col("cw")))
-    val lut = pqSliced(probes, m, dim / m)
-      .join(broadcast(book), Seq("sub"))
-      .select(col("id").as("probe_id"), col("sub"), col("code"),
-        dotScaled(col("sv"), col("cw")).as("pdot"), col("cn"))
-    val pn = probes.select(col("vec_id").as("probe_id"),
-      normScaled(col("embedding")).as("pn"))
-    val adc = adcCollapse(cands
-        .join(codes.select(col("vec_id").as("cand_id"), col("sub"),
-          col("code")), Seq("cand_id"))
-        .join(broadcast(lut), Seq("probe_id", "sub", "code")),
-        m, dupSafe = true)
-      .join(broadcast(pn), Seq("probe_id"))
-      .withColumn("acos",
-        cosineFromScaled(col("adot"), col("pn"), col("rnorm")))
-    pqShortlistRerank(probes, vecs, adc, k, shortlist)
-  }
 
   /** SemDeDup-style semantic pruning: assign every vector to its nearest
     * centroid, generate candidate pairs WITHIN clusters only, exact-score

@@ -964,7 +964,11 @@ object GraftExtensions {
         PqAdcCosExpr(args(0), args(1), args(2), args(3))),
     (FunctionIdentifier("pack_bytes"),
       new ExpressionInfo(classOf[PackBytesExpr].getName, "pack_bytes"),
-      (args: Seq[Expression]) => PackBytesExpr(args(0))))
+      (args: Seq[Expression]) => PackBytesExpr(args(0))),
+    (FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(classOf[HeavyHittersAgg].getName, "heavy_hitters"),
+      (args: Seq[Expression]) =>
+        HeavyHittersAgg(args(0), intArg(args(1)))))
 
   /** Register into an already-built session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

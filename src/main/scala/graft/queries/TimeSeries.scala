@@ -314,6 +314,72 @@ object TimeSeries {
         .canonOrder(col("event_type"))
     },
 
+    // A23: heavy hitters via the native Misra–Gries mergeable aggregate
+    // (plans/HeavyHittersAgg) — "which user_ids exceed 1% of a type's
+    // events" (the reference's hot-wallet screens, api/routes/
+    // tokens.js:1303-1332, as a sketch) WITHOUT materializing the full
+    // (event_type, user_id) aggregate. Stage 1 shuffles one ≤128-counter
+    // summary per group (map-side partial merge, the PODS'12 mergeable
+    // form); stage 2 re-counts ONLY the ≤128 candidates per group exactly
+    // via a broadcast semi-join and thresholds on exact counts. The MG
+    // guarantee (every item with true count > n/129 survives the sketch,
+    // under any merge order) ⊇ the n/100 threshold, so the output is
+    // partition-invariant and EQUAL to the exact heavy-hitter set the
+    // oracle computes. SketchSpec pins the guarantee on zipf-skewed data
+    // and the merge associativity the shuffle relies on.
+    "a23_heavy_hitters" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"), col("user_id"))
+      val sk = ev.groupBy(col("event_type"))
+        .agg(graft.plans.HeavyHittersAgg.heavyHitters(col("user_id"), 128)
+          .as("cand"), count(lit(1)).as("n_type"))
+        .select(col("event_type"), col("n_type"),
+          explode(col("cand")).as("user_id"))
+      ev.join(broadcast(sk.select("event_type", "user_id")),
+          Seq("event_type", "user_id"), "left_semi")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .join(broadcast(sk), Seq("event_type", "user_id"))
+        .filter(col("cnt") * 100L > col("n_type"))
+        .select(col("event_type"), col("user_id"), col("cnt"), col("n_type"))
+        .canonOrder(col("event_type"), col("user_id"))
+    },
+
+    // A24: audience-overlap matrix via mergeable HLL sketches — |A∩B|
+    // estimated by inclusion–exclusion over per-group sketches. Only one
+    // tiny sketch per event_type crosses the pairs join; the per-pair
+    // distinct-user sets are never shuffled — at 100 TB the sketch pass
+    // is a single map-side-combined aggregate while the exact form
+    // shuffles every (type, user) pair twice. Self-verified like a2/a20:
+    // the exact overlap (distinct self-join — the path the sketch
+    // replaces) rides along at verify scale and the estimate must land
+    // within 5% + 16 absolute.
+    "a24_set_overlap" -> { (s, d) =>
+      val du = Tables.events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
+      val sk = Tables.events(s, d).groupBy(col("event_type"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      val est = sk.as("a").join(sk.as("b"),
+          col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"),
+          (expr("hll_sketch_estimate(a.sk)")
+            + expr("hll_sketch_estimate(b.sk)")
+            - expr("hll_sketch_estimate(hll_union(a.sk, b.sk))"))
+            .as("est_overlap"))
+      val exact = du.as("x").join(du.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("overlap"))
+      est.join(exact, Seq("type_a", "type_b"))
+        .select(col("type_a"), col("type_b"), col("overlap"),
+          (abs(col("est_overlap") - col("overlap"))
+            <= greatest(lit(16d),
+              col("overlap").cast("double") * 0.05)).as("hll_ok"))
+        .canonOrder(col("type_a"), col("type_b"))
+    },
+
     // A15: first-seen timestamps (jobs/token-security.js:89-99).
     "a15_first_seen" -> { (s, d) =>
       Tables.events(s, d)
@@ -502,6 +568,24 @@ object TimeSeries {
            count(DISTINCT e.user_id) AS exact_uniques, TRUE AS hll_ok
          FROM d JOIN e ON e.event_type = d.event_type
            AND e.day <= d.day AND e.day >= d.day - 518400
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // exact heavy-hitter set: the MG guarantee makes the sketch+recount
+    // pipeline equal to this full aggregate
+    "a23_heavy_hitters" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         t AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_type
+           FROM c GROUP BY 1)
+         SELECT c.event_type, c.user_id, c.cnt, t.n_type
+         FROM c JOIN t USING (event_type)
+         WHERE c.cnt * 100 > t.n_type
+         ORDER BY event_type, user_id""",
+    "a24_set_overlap" ->
+      """WITH du AS (SELECT DISTINCT event_type, user_id FROM events)
+         SELECT x.event_type AS type_a, y.event_type AS type_b,
+           count(*) AS overlap, TRUE AS hll_ok
+         FROM du x JOIN du y
+           ON x.user_id = y.user_id AND x.event_type < y.event_type
          GROUP BY 1, 2 ORDER BY 1, 2""",
     "a3_argmax_latest" ->
       """SELECT user_id, max_by(value, event_id) AS last_value,

@@ -1157,6 +1157,90 @@ object Streams {
       .start()
   }
 
+  /** Continuously maintained heavy-hitter summaries — the streaming twin
+    * of a23's Misra–Gries sketch (plans/HeavyHittersAgg): each
+    * micro-batch writes one per-group MG summary slice (`entries` —
+    * (grp, item, cnt) lower-bound counters, ≤k rows per group per batch)
+    * plus one per-group row-count slice (`totals`). Both are additive
+    * under any batch split, and the pigeonhole argument makes the folded
+    * union SOUND: an item with global count > Σnᵢ/(k+1) must exceed
+    * nᵢ/(k+1) in at least one batch, so it survives that batch's sketch
+    * and appears in the union — [[serveHeavyHitters]] never misses a
+    * true heavy hitter no matter how ingest was batched. Slice growth is
+    * ≤ k·|groups| rows per batch (corpus-size-independent);
+    * [[compactHeavyHitterSlices]] folds history to one ≤k·|groups|-row
+    * partition. Same discipline as [[cardMaintenance]]: batch=<id>
+    * overwrite exactly-once, `_stream_id` fail-fast, append-only rows
+    * (a re-delivered row double-counts).
+    */
+  def heavyHittersMaintenance(rows: DataFrame, groupCol: String,
+                              itemCol: String, k: Int, indexDir: String,
+                              checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = rows.sparkSession
+    val entriesPath = s"$indexDir/entries"
+    val totalsPath = s"$indexDir/totals"
+    val ensureGuarded = guardOnce(spark, checkpoint,
+      Seq(entriesPath, totalsPath))
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ensureGuarded()
+        val summary = batch
+          .groupBy(col(groupCol).as("grp"))
+          .agg(graft.plans.HeavyHittersAgg
+            .heavyHittersSummary(col(itemCol), k).as("hh"))
+          .persist()
+        summary
+          .select(col("grp"), explode(col("hh.entries")).as("e"))
+          .select(col("grp"), col("e.item").as("item"),
+            col("e.cnt").as("cnt"))
+          .write.mode("overwrite").parquet(s"$entriesPath/batch=$batchId")
+        summary.select(col("grp"), col("hh.n").as("n"))
+          .write.mode("overwrite").parquet(s"$totalsPath/batch=$batchId")
+        summary.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  /** Fold the accumulated heavy-hitter slices: per-(grp, item) summed
+    * lower-bound counts beside per-group totals. The candidate set
+    * (⊇ every item with global count > n/(k+1), by the maintenance
+    * pigeonhole) feeds an exact recount exactly like a23's batch stage 2
+    * — candidates are ≤ k·batches per group, so the recount's semi-join
+    * side stays broadcastable at any corpus size.
+    */
+  def serveHeavyHitters(spark: SparkSession, indexDir: String): DataFrame = {
+    val e = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "grp STRING, item BIGINT, cnt BIGINT, batch BIGINT"))
+      .parquet(s"$indexDir/entries")
+      .groupBy(col("grp"), col("item")).agg(sum(col("cnt")).as("cnt_lb"))
+    val t = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "grp STRING, n BIGINT, batch BIGINT"))
+      .parquet(s"$indexDir/totals")
+      .groupBy(col("grp")).agg(sum(col("n")).as("n"))
+    e.join(t, Seq("grp"))
+  }
+
+  /** Compact both heavy-hitter slice dirs through the shared rename-aside
+    * swap; the additive fold is the same per-key sum [[serveHeavyHitters]]
+    * applies, so a serve before and after compaction reads identical
+    * values.
+    */
+  def compactHeavyHitterSlices(spark: SparkSession, indexDir: String): Unit = {
+    Compaction.swapFolded(spark, s"$indexDir/entries",
+      "grp STRING, item BIGINT, cnt BIGINT",
+      df => df.groupBy(col("grp"), col("item"))
+        .agg(sum(col("cnt")).as("cnt")))
+    Compaction.swapFolded(spark, s"$indexDir/totals",
+      "grp STRING, n BIGINT",
+      df => df.groupBy(col("grp")).agg(sum(col("n")).as("n")))
+  }
+
   /** T5: candle continuity with explicit state — open of the first candle
     * of each batch continues from the PREVIOUS batch's last close, exactly
     * the reference's lastCloseByPool map, surviving restarts via the

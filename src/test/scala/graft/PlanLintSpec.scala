@@ -67,13 +67,18 @@ class PlanLintSpec extends AnyFunSuite {
     *     entry: the broadcast side shrinks a power below the flat
     *     assignment's √n centroid table), plus the ≤nlist cell-parent
     *     frame of the second hop
+    *   - a24: the pairwise-overlap join crosses ONE ≤1KB HLL sketch row
+    *     per group — group count is the overlap matrix's dimension, a
+    *     user-chosen handful by the query's nature (the corpus-sized
+    *     frame is consumed map-side by the sketch aggregate and never
+    *     reaches this join)
     */
   private val nljOk: Set[String] = Set("d5_embedding_neardup",
     "d11_semantic_decontaminate", "d9_semantic_prune", "n1_ann_topk",
     "n3_ann_ivf", "n4_ann_ivf_trained", "n7_ann_ivfpq",
     "n9_ann_ivf_sampled", "t32_hybrid_rrf", "n10_ann_sq8",
     "n12_ann_filtered", "n13_ann_ivfsq8", "n14_ann_sq8_sampled",
-    "n15_ann_pq_packed", "n16_ann_twolevel")
+    "n15_ann_pq_packed", "n16_ann_twolevel", "a24_set_overlap")
 
   private def isScalarAgg(p: SparkPlan): Boolean = p.collectFirst {
     case a: HashAggregateExec if a.groupingExpressions.isEmpty => true
@@ -313,6 +318,38 @@ class PlanLintSpec extends AnyFunSuite {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(p, true)
     }
+  }
+
+  test("runtime bloom-filter injection fires for a selective-dim shuffle " +
+      "join (Spark's 100 TB semi-join reduction lever is available and " +
+      "our scan shapes don't defeat it)") {
+    import org.apache.spark.sql.functions.col
+    // thresholds exist for real clusters; at fixture scale the application
+    // side is tiny and the join would broadcast, so force the shuffle-join
+    // world the rule targets and drop the size floors — the PIN is that
+    // the optimizer can see through our reader stack (normTs projections,
+    // nanos filters) well enough to inject, not the thresholds themselves
+    val saves = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = Tables.lineitem(spark, sfDir)
+      val ord = Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") || opt.contains("bloom_filter"),
+        s"no runtime bloom filter injected into the fact side:\n$opt")
+    } finally saves.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
   test("no query plan carries an unjustified scale anti-pattern") {

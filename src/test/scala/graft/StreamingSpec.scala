@@ -1299,4 +1299,63 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy(col("source"), col("lang")).collect().toSeq
     assert(widened == widenedDirect)
   }
+
+  test("streamed Misra–Gries slices + exact recount reproduce the batch " +
+      "a23 heavy hitters under uneven batching and compaction") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"))
+    val land = tmpDir("graft-hh-land")
+    val idx = tmpDir("graft-hh-idx") + "/hh"
+    val ckpt = tmpDir("graft-hh-ckpt")
+    val k = 128
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("event_type STRING, user_id BIGINT")
+        .option("recursiveFileLookup", "true").parquet(land)
+      Streams.heavyHittersMaintenance(stream, "event_type", "user_id",
+        k, idx, ckpt).awaitTermination()
+    }
+    // three deliberately uneven ticks: per-batch item counts differ, so
+    // the folded union exercises the pigeonhole, not a single sketch
+    ev.filter(col("user_id") % 5 < 2).coalesce(1).write.parquet(s"$land/t1")
+    runOnce()
+    ev.filter(col("user_id") % 5 === 2).coalesce(1).write.parquet(s"$land/t2")
+    runOnce()
+    ev.filter(col("user_id") % 5 > 2).coalesce(1).write.parquet(s"$land/t3")
+    runOnce()
+    def recounted(): Seq[String] = {
+      val cand = Streams.serveHeavyHitters(spark, idx)
+        .withColumnRenamed("grp", "event_type")
+        .withColumnRenamed("item", "user_id")
+      ev.join(broadcast(cand.select("event_type", "user_id")),
+          Seq("event_type", "user_id"), "left_semi")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .join(broadcast(cand.select(col("event_type"), col("user_id"),
+          col("n").as("n_type"))), Seq("event_type", "user_id"))
+        .filter(col("cnt") * 100L > col("n_type"))
+        .select(col("event_type"), col("user_id"), col("cnt"),
+          col("n_type"))
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val served = recounted()
+    val direct = SparkEntry.queries("a23_heavy_hitters")(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(served == direct,
+      "streamed sketch + recount diverged from batch a23")
+    assert(served.nonEmpty)
+    // candidate volume stays sketch-bounded: ≤ k per group per batch
+    val candCount = Streams.serveHeavyHitters(spark, idx).count()
+    assert(candCount <= 3L * k * 5,
+      s"candidate volume $candCount exceeds the k·batches·groups bound")
+    // retry idempotence: no new files → no batch → unchanged serve
+    runOnce()
+    assert(recounted() == served)
+    // compaction folds slices without changing a single served value
+    Streams.compactHeavyHitterSlices(spark, idx)
+    assert(recounted() == served)
+    val entrySlices = new java.io.File(s"$idx/entries").listFiles()
+      .count(_.getName.startsWith("batch="))
+    assert(entrySlices == 1, s"expected one folded slice, got $entrySlices")
+  }
 }
