@@ -7,9 +7,10 @@ import graft.Tables
 import graft.streaming.Streams
 
 /** Streaming-maintenance growth measurement (r10 verdict task #9): for
-  * each of the three INDEX-maintenance paths — near-dup ingest (reads
-  * the accumulated index every batch), ANN cells/codes and BM25
-  * postings (write-only slices) — stream a corpus in B equal ticks and
+  * each of the INDEX-maintenance paths — near-dup ingest (reads the
+  * accumulated index every batch), ANN cells/codes and BM25 postings
+  * (write-only slices), and (r14) the Misra–Gries heavy-hitter summary
+  * (write-only ≤k·|groups| slices) — stream a corpus in B equal ticks and
   * record per-tick wall latency against the index size accumulated
   * BEFORE the tick. The question the curve answers: does batch N+1 pay
   * for the N batches before it? Expected from the plan shapes: neardup
@@ -35,6 +36,13 @@ object StreamScaling {
       val Array(d, f) = a.split("=")
       (d, f.toDouble)
     }
+    // SPARK_GRAFT_STREAMSCALE_PATHS=hh,ann — measure a subset of the
+    // maintenance paths (default all); warm-up warms only selected paths
+    val pathOn: String => Boolean =
+      sys.env.get("SPARK_GRAFT_STREAMSCALE_PATHS") match {
+        case Some(s) => s.split(",").map(_.trim).toSet
+        case None => (_: String) => true
+      }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -84,25 +92,39 @@ object StreamScaling {
       val land = tmp("graft-ss-warm-land")
       val art = tmp("graft-ss-warm-art")
       val cks = Seq(tmp("graft-ss-warm-ck1"), tmp("graft-ss-warm-ck2"),
-        tmp("graft-ss-warm-ck3"))
+        tmp("graft-ss-warm-ck3"), tmp("graft-ss-warm-ck4"))
       try {
         wdocs.write.parquet(s"$land/docs")
         wvecs.write.parquet(s"$land/vecs")
-        val dstream = spark.readStream.schema(docsSchema)
+        def dstream = spark.readStream.schema(docsSchema)
           .option("recursiveFileLookup", "true").parquet(s"$land/docs")
         val vstream = spark.readStream.schema(vecsSchema)
           .option("recursiveFileLookup", "true").parquet(s"$land/vecs")
         import graft.operators.Similarity
-        Similarity.sampledTrainCentroids(wvecs)
-          .write.parquet(s"$art/centroids")
-        Similarity.pqTrainSampled(wvecs).write.parquet(s"$art/codebook")
-        Streams.neardupIngest(dstream, s"$art/ndidx", s"$art/accepted",
-          cks(0)).awaitTermination()
-        Streams.annIndexMaintenance(vstream, s"$art/centroids",
-          s"$art/codebook", s"$art/cells", s"$art/codes",
-          cks(1)).awaitTermination()
-        Streams.postingsMaintenance(dstream, s"$art/bm25",
-          cks(2)).awaitTermination()
+        if (pathOn("neardup"))
+          Streams.neardupIngest(dstream, s"$art/ndidx", s"$art/accepted",
+            cks(0)).awaitTermination()
+        if (pathOn("ann")) {
+          Similarity.sampledTrainCentroids(wvecs)
+            .write.parquet(s"$art/centroids")
+          Similarity.pqTrainSampled(wvecs).write.parquet(s"$art/codebook")
+          Streams.annIndexMaintenance(vstream, s"$art/centroids",
+            s"$art/codebook", s"$art/cells", s"$art/codes",
+            cks(1)).awaitTermination()
+        }
+        if (pathOn("postings"))
+          Streams.postingsMaintenance(dstream, s"$art/bm25",
+            cks(2)).awaitTermination()
+        if (pathOn("hh")) {
+          val wev = Tables.events(spark, wdir)
+            .select(col("event_type"), col("user_id")).limit(200)
+          wev.write.parquet(s"$land/ev")
+          Streams.heavyHittersMaintenance(
+            spark.readStream.schema("event_type STRING, user_id BIGINT")
+              .option("recursiveFileLookup", "true").parquet(s"$land/ev"),
+            "event_type", "user_id", 128, s"$art/hh",
+            cks(3)).awaitTermination()
+        }
         System.err.println("[streamscale] warm-up done")
       } finally {
         val conf = spark.sparkContext.hadoopConfiguration
@@ -121,7 +143,7 @@ object StreamScaling {
       val vecsSchema = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
 
       // ---- near-dup ingest: probe reads the accumulated index --------
-      locally {
+      if (pathOn("neardup")) locally {
         val land = tmp("graft-ss-ndi-land")
         val idx = tmp("graft-ss-ndi-idx") + "/idx"
         val out = tmp("graft-ss-ndi-out") + "/accepted"
@@ -141,7 +163,7 @@ object StreamScaling {
       }
 
       // ---- ANN maintenance: write-only cells/codes slices ------------
-      locally {
+      if (pathOn("ann")) locally {
         import graft.operators.Similarity
         val art = tmp("graft-ss-ann-art")
         val land = tmp("graft-ss-ann-land")
@@ -168,7 +190,7 @@ object StreamScaling {
       }
 
       // ---- postings maintenance: write-only index slices -------------
-      locally {
+      if (pathOn("postings")) locally {
         val land = tmp("graft-ss-post-land")
         val idx = tmp("graft-ss-post-idx") + "/bm25"
         val ckpt = tmp("graft-ss-post-ckpt")
@@ -182,6 +204,31 @@ object StreamScaling {
               .option("recursiveFileLookup", "true").parquet(land),
             idx, ckpt).awaitTermination()
           report("postings_maintenance", factor, t,
+            (System.nanoTime() - t0) / 1e9, before)
+        }
+      }
+
+      // ---- heavy-hitter maintenance: k-bounded summary slices --------
+      // (r14) per-tick cost should track the tick's row count only: the
+      // sketch aggregate is one map-side-combined pass over the batch
+      // and the written slice is ≤k·|groups| rows — nothing reads the
+      // accumulated index, so the curve must stay flat like ANN/postings
+      locally {
+        val ev = Tables.events(spark, dir)
+          .select(col("event_type"), col("user_id"))
+        val land = tmp("graft-ss-hh-land")
+        val idx = tmp("graft-ss-hh-idx") + "/hh"
+        val ckpt = tmp("graft-ss-hh-ckpt")
+        for (t <- 0 until ticks) {
+          ev.filter(col("user_id") % ticks === t)
+            .write.parquet(s"$land/t$t")
+          val before = rowsIn(s"$idx/entries", "grp STRING")
+          val t0 = System.nanoTime()
+          Streams.heavyHittersMaintenance(
+            spark.readStream.schema("event_type STRING, user_id BIGINT")
+              .option("recursiveFileLookup", "true").parquet(land),
+            "event_type", "user_id", 128, idx, ckpt).awaitTermination()
+          report("hh_maintenance", factor, t,
             (System.nanoTime() - t0) / 1e9, before)
         }
       }
