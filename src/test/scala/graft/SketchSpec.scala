@@ -107,6 +107,16 @@ class SketchSpec extends AnyFunSuite {
     assert(out.forall(_.getSeq[Long](1).size <= 8))
   }
 
+  test("null items are skipped: neither counted in n nor eligible as " +
+      "candidates") {
+    val df = Seq[(java.lang.Long, Int)]((1L, 0), (1L, 0), (null, 0),
+      (2L, 0), (null, 0)).toDF("item", "g")
+    val out = df.groupBy($"g")
+      .agg(heavyHitters($"item", 4).as("cand"))
+      .head.getSeq[Long](1).toSet
+    assert(out == Set(1L, 2L))
+  }
+
   test("HLL inclusion–exclusion overlap is near-exact at coupon-mode " +
       "cardinalities (the a24 bound is conservative)") {
     // two 400-element sets with a 150-element intersection
