@@ -334,11 +334,14 @@ object TimeSeries {
           .as("cand"), count(lit(1)).as("n_type"))
         .select(col("event_type"), col("n_type"),
           explode(col("cand")).as("user_id"))
-      ev.join(broadcast(sk.select("event_type", "user_id")),
-          Seq("event_type", "user_id"), "left_semi")
-        .groupBy(col("event_type"), col("user_id"))
+      // ONE broadcast inner join prunes the recount scan to candidate
+      // rows AND carries n_type through (constant per group, so grouping
+      // by it is free) — two scans total: the sketch pass and the
+      // pruned recount; a semi-join + join-back would evaluate the
+      // sketch aggregate twice
+      ev.join(broadcast(sk), Seq("event_type", "user_id"))
+        .groupBy(col("event_type"), col("user_id"), col("n_type"))
         .agg(count(lit(1)).as("cnt"))
-        .join(broadcast(sk), Seq("event_type", "user_id"))
         .filter(col("cnt") * 100L > col("n_type"))
         .select(col("event_type"), col("user_id"), col("cnt"), col("n_type"))
         .canonOrder(col("event_type"), col("user_id"))
