@@ -408,11 +408,21 @@ object Dedup {
     * keep flag (ratio <= 1/2 — a doc that is mostly boilerplate is
     * dropped outright, matching the common pipeline gate).
     *
-    * Scale: chunking is the map-side codegen shingle kernel at stride w;
-    * the profile is two hash aggregations on the (source, chunk) key and
-    * one shuffled join back — volume tracks corpus token count, never
-    * pairs. No broadcast: the boilerplate set is per-source unbounded
-    * (a big crawl source can contribute millions of repeated chunks).
+    * Scale: chunking is the map-side codegen shingle kernel at stride w.
+    * The raw chunk stream is shuffled ONCE, into per-(source, chunk,
+    * doc) counts — every later stage (the boilerplate set, the join
+    * back, the per-doc profile) works on that reduced frame, whose row
+    * count is bounded by distinct (gram, doc) pairs rather than total
+    * chunk volume. (The r14 rework, measured at 1000× ≈ 5M docs: the
+    * earlier shape consumed the full exploded stream twice — once for
+    * the countDistinct, once for the join — keyed on raw gram STRINGS,
+    * and its per-unit cost GREW across decades, 0.023 → 0.066 → 0.164
+    * s/unit at 10×/30×/1000×, as string hash tables spilled; the
+    * single-shuffle pre-reduction alone was worth ~10% (165 → 150 s),
+    * the hashed key the rest: 165 → 65 s at 1000×, marginal 0.047 →
+    * 0.064 s/unit across 30×→1000× instead of 2.5×.) No broadcast: the
+    * boilerplate set is per-source unbounded (a big crawl source can
+    * contribute millions of repeated chunks).
     */
   def boilerplateProfile(docs: DataFrame, w: Int, minDocs: Int)
       : DataFrame = {
@@ -421,14 +431,28 @@ object Dedup {
         posexplode(Text.shingles(col("text"), w)))
       .filter(col("pos") % w === 0)
       .select(col("doc_id"), col("source"), col("col").as("g"))
-    val boiler = chunks.groupBy(col("source"), col("g"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
+    // the ONE corpus-volume shuffle, keyed on the 64-bit hash of
+    // (source, gram) rather than the strings (the d4 convention, :51):
+    // 8-byte shuffle keys and integer compares where the string form
+    // moved ~20-byte grams and spilled growing string hash tables.
+    // Duplicate grams within a doc collapse to a count, so boiler-set
+    // membership (distinct docs per gram == row count here) and the
+    // per-doc totals (sum of c) are both derivable without touching the
+    // raw stream again
+    val perDocGram = chunks
+      .select(col("doc_id"),
+        xxhash64(col("source"), col("g")).as("gh"))
+      .groupBy(col("gh"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val boiler = perDocGram.groupBy(col("gh"))
+      .agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs)
-      .select(col("source"), col("g"), lit(1).as("bp"))
-    chunks.join(boiler, Seq("source", "g"), "left_outer")
+      .select(col("gh"), lit(1).as("bp"))
+    perDocGram.join(boiler, Seq("gh"), "left_outer")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_chunks"),
-        count(col("bp")).as("n_boiler"))
+      .agg(sum(col("c")).as("n_chunks"),
+        sum(when(col("bp").isNotNull, col("c")).otherwise(0L))
+          .as("n_boiler"))
       .withColumn("boiler_ratio", round4(
         col("n_boiler").cast("double") / col("n_chunks")))
       .withColumn("keep", col("n_boiler") * 2 <= col("n_chunks"))
