@@ -587,35 +587,37 @@ object Dedup {
     * shift-robust dedup signal. Expected chunk length = 16 chars + the
     * window tail.
     *
-    * Shape: the rolling window is the codegen'd char-ngram kernel, hashed
-    * per ROW after posexplode (md5 stays in whole-stage codegen; no
-    * interpreted per-gram lambda), boundary positions fold with ONE hash
-    * aggregate on doc_id, and chunk reassembly is array arithmetic on the
-    * per-doc boundary list (bounded by the doc's chunk count). No
-    * cross-doc shuffle anywhere — the aggregate and the join back to the
-    * normalized text both partition on doc_id.
+    * Shape (r14): the whole boundary scan is ONE codegen'd kernel call
+    * per doc — plans/CdcKernel.ends emits the per-doc end-position array
+    * directly, so the chain is map-side from scan to chunk rows with NO
+    * explode-per-character, NO boundary aggregate, and NO join back.
+    * (The retired shape posexploded every w-char window — one row per
+    * corpus CHARACTER, ~2.5B rows at the 1000× replica — md5'd each,
+    * folded the 1/16 survivors with a hash aggregate, and joined the
+    * ends back onto the text: measured 216 → 147 s at 1000× for t25 and
+    * 455 → 298 s for d18 after the kernel replaced it. Boundary rule
+    * and all downstream arithmetic unchanged — the DuckDB twin still
+    * replays md5 windows verbatim.)
     *
     * Output: (doc_id, chunk_ix, start, len, chunk_fp), 1-based start.
     */
   def cdcChunks(docs: DataFrame, w: Int = 8): DataFrame = {
     val nrm = spreadPartitions(docs)
       .select(col("doc_id"), Text.normalize(col("text")).as("t"))
-    val ends = nrm
-      .select(col("doc_id"),
-        posexplode_outer(graft.plans.Expressions.charNgrams(col("t"), w)))
-      .filter(col("col").isNotNull &&
-        substring(md5(col("col")), 1, 1) === "0")
-      // pos is 0-based; the window covers chars [pos+1, pos+w] 1-based,
-      // so the chunk ending at this boundary closes at char pos+w
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("pos") + w)).as("ends"))
-    nrm.join(ends, Seq("doc_id"), "left_outer")
+    nrm
       .select(col("doc_id"), col("t"),
         concat(array(lit(1)),
-          transform(coalesce(col("ends"),
-            array().cast("array<int>")), e => e + 1)).as("starts"))
+          transform(graft.plans.Expressions.cdcEnds(col("t"), w),
+            e => e + 1)).as("starts"))
+      // posexplode_outer, NOT posexplode: starts is never empty (it
+      // always carries the leading 1), and the non-outer form makes the
+      // optimizer infer a size(starts)>0 filter that re-evaluates the
+      // whole normalize+kernel chain per row (the t9 gotcha; with the
+      // retired join shape starts was a materialized join column, so
+      // the inferred filter was cheap — with the expression form it
+      // tripled the kernel work, measured 10.9 vs 3.6 s at 30×)
       .select(col("doc_id"), col("t"), col("starts"),
-        posexplode(col("starts")))
+        posexplode_outer(col("starts")))
       // try_element_at, not element_at: ANSI mode throws on the last
       // chunk's out-of-bounds next-start probe
       .withColumn("nxt",

@@ -877,6 +877,96 @@ case class PackBytesExpr(child: Expression)
   override def prettyName: String = "pack_bytes"
 }
 
+/** Kernel for the CDC boundary scan (Dedup.cdcChunks): one pass over the
+  * normalized text emitting the chunk END positions — code-point index +
+  * w for every w-char window whose md5 hex digest starts with '0'
+  * (exactly `substring(md5(window), 1, 1) === "0"`, i.e. the digest's
+  * top nibble is zero — the 1/16 boundary rule the DuckDB twin replays
+  * verbatim). Replaces the posexplode(charNgrams) → filter(md5) →
+  * groupBy(collect_list) → join-back chain: that shape materialized one
+  * row PER CHARACTER of the corpus (~2.5B rows at the 1000× replica)
+  * just to throw 15/16 of them away, and the join forced a second scan
+  * of the normalized frame. Here the boundary set never leaves the row.
+  * ASCII fast path digests windows straight from the UTF-8 bytes with
+  * zero per-window allocation; the general path walks code points like
+  * CharNgramKernel.
+  */
+object CdcKernel {
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def ends(text: org.apache.spark.unsafe.types.UTF8String,
+           w: Int): ArrayData = {
+    val digest = mdLocal.get()
+    val bytes = text.getBytes
+    val s = text.toString
+    val cp = s.codePointCount(0, s.length)
+    val m = cp - w + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Int])
+    val out = scala.collection.mutable.ArrayBuilder.make[Int]
+    if (bytes.length == cp) {
+      // all-ASCII: code points == bytes; digest windows in place
+      var i = 0
+      while (i < m) {
+        digest.reset()
+        digest.update(bytes, i, w)
+        if ((digest.digest()(0) & 0xf0) == 0) out += i + w
+        i += 1
+      }
+    } else {
+      // general path: code-point boundaries as UTF-16 offsets
+      val b = new Array[Int](cp + 1)
+      var i = 0
+      var off = 0
+      while (i < cp) {
+        b(i) = off
+        off += Character.charCount(s.codePointAt(off))
+        i += 1
+      }
+      b(cp) = s.length
+      i = 0
+      while (i < m) {
+        digest.reset()
+        val wb = s.substring(b(i), b(i + w))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if ((digest.digest(wb)(0) & 0xf0) == 0) out += i + w
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.result())
+  }
+}
+
+/** array<int> of CDC chunk end positions — see [[CdcKernel.ends]]. */
+case class CdcEndsExpr(child: Expression, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (w < 1) TypeCheckResult.TypeCheckFailure(
+      s"cdc_ends: w must be >= 1, got $w")
+    else super.checkInputDataTypes()
+
+  override def nullSafeEval(a: Any): Any =
+    CdcKernel.ends(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.CdcKernel.ends($a, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : CdcEndsExpr = copy(child = newChild)
+
+  override def prettyName: String = "cdc_ends"
+}
+
 /** Session wiring for the custom expressions: an injectable
   * [[org.apache.spark.sql.SparkSessionExtensions]] hook for sessions built
   * with `.withExtensions(new GraftExtensions)` (or the
@@ -968,7 +1058,10 @@ object GraftExtensions {
     (FunctionIdentifier("heavy_hitters"),
       new ExpressionInfo(classOf[HeavyHittersAgg].getName, "heavy_hitters"),
       (args: Seq[Expression]) =>
-        HeavyHittersAgg(args(0), intArg(args(1)))))
+        HeavyHittersAgg(args(0), intArg(args(1)))),
+    (FunctionIdentifier("cdc_ends"),
+      new ExpressionInfo(classOf[CdcEndsExpr].getName, "cdc_ends"),
+      (args: Seq[Expression]) => CdcEndsExpr(args(0), intArg(args(1)))))
 
   /** Register into an already-built session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
@@ -1058,6 +1151,12 @@ object Expressions {
   /** Column wrapper for [[CharNgramsExpr]] (input: string). */
   def charNgrams(text: Column, n: Int): Column =
     Bridge.column(CharNgramsExpr(Bridge.expression(text), n))
+
+  /** Column wrapper for [[CdcEndsExpr]] (input: string; output
+    * array<int> of chunk end positions).
+    */
+  def cdcEnds(text: Column, w: Int): Column =
+    Bridge.column(CdcEndsExpr(Bridge.expression(text), w))
 
   /** Column wrapper for [[TextProfileExpr]] (input: string; output struct
     * (wc, alpha, counts) with counts aligned to `markers`).

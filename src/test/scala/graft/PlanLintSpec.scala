@@ -206,13 +206,13 @@ class PlanLintSpec extends AnyFunSuite {
     val planStr = finalPlan.toString
     assert(planStr.contains("ReusedExchange"),
       s"no ReusedExchange in d18's final plan:\n$planStr")
-    // cdcChunks itself scans documents twice (the nrm ⋈ ends boundary
-    // join), so ONE chain = 2 scans; a broken reuse duplicates the
-    // whole chain → 4
+    // cdcChunks is map-side since the r14 CdcKernel (the boundary scan
+    // no longer joins ends back onto the text), so ONE chain = 1 scan;
+    // a broken reuse duplicates the whole chain → 2
     val scanLines = planStr.split("\n").count(_.contains("FileScan"))
-    assert(scanLines == 2,
-      s"d18's final plan has $scanLines file scans (expected 2 = one " +
-        s"chunking chain; 4 would mean the self-join re-ran it):\n$planStr")
+    assert(scanLines == 1,
+      s"d18's final plan has $scanLines file scans (expected 1 = one " +
+        s"chunking chain; 2 would mean the self-join re-ran it):\n$planStr")
   }
 
   test("j5's correlated scalar decorrelates to j4's aggregate + " +
