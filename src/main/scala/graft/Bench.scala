@@ -528,6 +528,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Scale-derived shuffle width (see Tune): at sf0.1 this resolves to
+    // the core-count floor (identical to the historical fixed 32), at
+    // the replica decades it grows with the data — the policy change
+    // that keeps the gram/chunk families' sort runs in memory at 1000×.
+    val width = Tune.applyShuffleWidth(spark, sfDir)
+    System.err.println(s"[graft] shuffle width for $sfDir: $width")
     // Warm-up pass at the smallest SF: JIT-compiles the codegen'd plans so
     // the timed pass below measures steady-state execution, not first-call
     // compilation (the first few queries otherwise absorb multi-second

@@ -286,10 +286,27 @@ object Scaling {
       }
     }
 
+    // Scale-derived shuffle width per fixture dir (see Tune): the r14
+    // sweep measured the gram/chunk families' 1000× marginals doubling
+    // purely from sort spill against the fixed core-count width. Width
+    // is a function of the data being timed, so it is set per dir, and
+    // cached — one filesystem probe per fixture.
+    val widthFor: String => Int = {
+      val cache = scala.collection.mutable.Map.empty[String, Int]
+      dir => cache.getOrElseUpdate(dir, {
+        val w = Tune.shuffleWidth(Tune.inputBytes(spark, dir),
+          spark.sparkContext.defaultParallelism)
+        System.err.println(s"[scaling] shuffle width for $dir: $w")
+        w
+      })
+    }
+
     // min-of-2 per (query, dir): this host has neighbor contention
     // (see Bench.scala) — a single sample can be 4x off
     def timeOne(name: String, dir: String, factor: Double)
         : Option[Double] = {
+      spark.conf.set("spark.sql.shuffle.partitions",
+        widthFor(dir).toString)
       val fn: Option[String => org.apache.spark.sql.DataFrame] =
         SparkEntry.queries.get(name).map(q => (d: String) => q(spark, d))
           .orElse(adaptiveQueries.get(name)

@@ -423,6 +423,19 @@ object Dedup {
     * 0.064 s/unit across 30×→1000× instead of 2.5×.) No broadcast: the
     * boilerplate set is per-source unbounded (a big crawl source can
     * contribute millions of repeated chunks).
+    *
+    * Hashed-key tradeoff, stated: keying on xxhash64(source, gram)
+    * makes the profile APPROXIMATE at the 2⁻⁶⁴ level — a collision
+    * merges two distinct (source, gram) keys (including across
+    * sources), inflating the touched docs' n_boiler by the collided
+    * chunk's counts. At fixture scale expected collisions are ~0; at
+    * 100 TB (~10¹⁰ distinct grams) birthday math gives ~(10¹⁰)²/2⁶⁵
+    * ≈ 2.7 expected collisions corpus-wide — a handful of single-doc
+    * ratio nudges, which the keep gate at 1/2 tolerates by
+    * construction. A caller needing exactness at that scale should
+    * widen the key with a second independent 64-bit hash (e.g.
+    * xxhash64 with a distinct seed; rate → ~2⁻¹²⁸) and pay the doubled
+    * shuffle-key width; this boilerplate GATE is not that caller.
     */
   def boilerplateProfile(docs: DataFrame, w: Int, minDocs: Int)
       : DataFrame = {

@@ -941,7 +941,15 @@ object CdcKernel {
   }
 }
 
-/** array<int> of CDC chunk end positions — see [[CdcKernel.ends]]. */
+/** array<int> of CDC chunk end positions — see [[CdcKernel.ends]].
+  * The StringType input contract is enforced where the expression is
+  * built: Dedup.cdcChunks passes a string column and the SQL
+  * registration (GraftExtensions) wraps the argument in
+  * Cast(_, StringType), so a non-castable argument fails Cast's
+  * analysis-time check instead of ClassCastException-ing inside
+  * nullSafeEval on executors, and a numeric one is coerced exactly as
+  * the DataFrame API would coerce it.
+  */
 case class CdcEndsExpr(child: Expression, w: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
@@ -1055,13 +1063,23 @@ object GraftExtensions {
     (FunctionIdentifier("pack_bytes"),
       new ExpressionInfo(classOf[PackBytesExpr].getName, "pack_bytes"),
       (args: Seq[Expression]) => PackBytesExpr(args(0))),
+    // heavy_hitters/cdc_ends: the SQL arg is cast to the kernel's input
+    // type exactly like the Column wrappers cast it (r14 advice) — the
+    // Cast carries the type contract, so a non-castable argument fails
+    // at analysis instead of ClassCastException-ing on executors
     (FunctionIdentifier("heavy_hitters"),
       new ExpressionInfo(classOf[HeavyHittersAgg].getName, "heavy_hitters"),
       (args: Seq[Expression]) =>
-        HeavyHittersAgg(args(0), intArg(args(1)))),
+        HeavyHittersAgg(
+          org.apache.spark.sql.catalyst.expressions.Cast(args(0),
+            org.apache.spark.sql.types.LongType),
+          intArg(args(1)))),
     (FunctionIdentifier("cdc_ends"),
       new ExpressionInfo(classOf[CdcEndsExpr].getName, "cdc_ends"),
-      (args: Seq[Expression]) => CdcEndsExpr(args(0), intArg(args(1)))))
+      (args: Seq[Expression]) => CdcEndsExpr(
+        org.apache.spark.sql.catalyst.expressions.Cast(args(0),
+          org.apache.spark.sql.types.StringType),
+        intArg(args(1)))))
 
   /** Register into an already-built session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

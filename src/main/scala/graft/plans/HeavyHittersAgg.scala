@@ -88,7 +88,12 @@ final class MgBuffer(val k: Int) extends Serializable {
   * oracle-checkable while the full-cardinality aggregate is never built.
   *
   * Items are LONGs (ids); hash strings first (xxhash64) like the rest of
-  * the sketch family.
+  * the sketch family. The LongType contract is enforced by the builders:
+  * both the Column wrappers below and the SQL registration
+  * (GraftExtensions) wrap the item in Cast(_, LongType), so a mistyped
+  * column fails Cast's ANALYSIS-time check — before r15 the SQL path
+  * passed the raw child and a string column threw ClassCastException on
+  * the executors inside `update` instead.
   */
 case class HeavyHittersAgg(child: Expression, k: Int,
                            emitCounts: Boolean = false,

@@ -328,7 +328,14 @@ object TimeSeries {
     // oracle computes. SketchSpec pins the guarantee on zipf-skewed data
     // and the merge associativity the shuffle relies on.
     "a23_heavy_hitters" -> { (s, d) =>
-      val ev = Tables.events(s, d).select(col("event_type"), col("user_id"))
+      // NULL user_ids are excluded EXPLICITLY on both engines (r14
+      // advice): the MG update skips nulls and the candidate inner join
+      // can never match a NULL key, while a bare GROUP BY user_id on the
+      // oracle side would keep a NULL group — the two sides agree by
+      // construction only with the filter written down.
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .select(col("event_type"), col("user_id"))
       val sk = ev.groupBy(col("event_type"))
         .agg(graft.plans.HeavyHittersAgg.heavyHitters(col("user_id"), 128)
           .as("cand"), count(lit(1)).as("n_type"))
@@ -573,10 +580,11 @@ object TimeSeries {
            AND e.day <= d.day AND e.day >= d.day - 518400
          GROUP BY 1, 2 ORDER BY 1, 2""",
     // exact heavy-hitter set: the MG guarantee makes the sketch+recount
-    // pipeline equal to this full aggregate
+    // pipeline equal to this full aggregate. user_id IS NOT NULL on both
+    // sides by construction (see the Spark entry's null note)
     "a23_heavy_hitters" ->
       """WITH c AS (SELECT event_type, user_id, count(*) AS cnt
-           FROM events GROUP BY 1, 2),
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
          t AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_type
            FROM c GROUP BY 1)
          SELECT c.event_type, c.user_id, c.cnt, t.n_type

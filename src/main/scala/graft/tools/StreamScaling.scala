@@ -213,7 +213,7 @@ object StreamScaling {
       // sketch aggregate is one map-side-combined pass over the batch
       // and the written slice is ≤k·|groups| rows — nothing reads the
       // accumulated index, so the curve must stay flat like ANN/postings
-      locally {
+      if (pathOn("hh")) locally {
         val ev = Tables.events(spark, dir)
           .select(col("event_type"), col("user_id"))
         val land = tmp("graft-ss-hh-land")
