@@ -506,6 +506,44 @@ object Similarity extends SimilarityPq {
   def autoNlist(n: Long): Long =
     math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)
 
+  /** Sentinel for "derive nprobe from the index geometry" — the default
+    * of every IVF serving path since r15 (see [[autoNprobe]]).
+    */
+  val AutoProbe: Int = -1
+
+  /** The recall-retention companion of [[autoNlist]]: nprobe derived
+    * from the CELL COUNT at a target probed share of the index, instead
+    * of a constant that silently loses recall as the index grows.
+    * Measured (tools/Recall, SCALING `r14_adaptive_nlist_recall`): a
+    * fixed nprobe=8 over the adaptive ⌈√n⌉-cell geometry decays
+    * recall@5 from 0.56 to 0.24 across 1×→100× — the probed share
+    * shrinks as 8/√n — while the occupancy-matched rule (share pinned,
+    * nprobe grows with nlist) holds 0.86-0.96 across the same decades.
+    *
+    * The default share (1/2) is calibrated to THIS fixture's isotropic
+    * embeddings, where recall@k ≈ probed share by construction (no
+    * cluster structure to exploit — the honest worst case). Clustered
+    * real-world corpora hold recall at far smaller shares (0.02-0.1 is
+    * the usual IVF operating range); `probedShare` is the knob a
+    * deployment turns DOWN as its data's clusterability earns it. The
+    * floor of 8 keeps small indexes at the historical oracle-pinned
+    * behavior; the nlist cap makes share=1 exactly brute force.
+    */
+  def autoNprobe(nlist: Long, probedShare: Double = 0.5): Int = {
+    require(probedShare > 0d && probedShare <= 1d,
+      s"autoNprobe: probedShare must be in (0,1], got $probedShare")
+    math.min(nlist,
+      math.max(8L, math.ceil(nlist * probedShare).toLong)).toInt
+  }
+
+  /** `nprobe` argument resolution shared by the IVF paths: explicit
+    * values pass through; [[AutoProbe]] derives [[autoNprobe]] from the
+    * centroid frame's count — nlist rows, a trivially cheap scalar job
+    * against an artifact that is broadcast anyway.
+    */
+  private[operators] def resolveNprobe(nprobe: Int, cent: DataFrame): Int =
+    if (nprobe != AutoProbe) nprobe else autoNprobe(cent.count())
+
   /** [[sampledTrainCentroids]] with the cell count DERIVED from the
     * corpus size by [[autoNlist]] instead of fixed — the production
     * geometry for the IVF-family entries (n12/n13): the training
@@ -613,15 +651,16 @@ object Similarity extends SimilarityPq {
       col("embedding").as("cemb"), normScaled(col("embedding")).as("cn"))
 
   def ivfTopK(probes: DataFrame, vecs: DataFrame, centroids: DataFrame,
-              k: Int, nprobe: Int): DataFrame = {
+              k: Int, nprobe: Int = AutoProbe): DataFrame = {
     val cent = centFrame(centroids)
+    val np = resolveNprobe(nprobe, cent)
     // assignment is narrow (cand_id, cid); the candidate vectors join
     // back by id for exact scoring — narrow⋈narrow equi-join, linear
     val vecBuckets = ivfAssign(vecs, cent, "cand_id", 1)
       .join(vecs.select(col("vec_id").as("cand_id"),
         col("embedding").as("ce"),
         normScaled(col("embedding")).as("cn")), Seq("cand_id"))
-    val probeBuckets = ivfAssign(probes, cent, "probe_id", nprobe)
+    val probeBuckets = ivfAssign(probes, cent, "probe_id", np)
       .withColumnRenamed("embedding", "pe")
       .withColumn("pn", normScaled(col("pe")))
     // probe buckets are |probes|×nprobe rows — BROADCAST them: `cid` has
@@ -651,13 +690,14 @@ object Similarity extends SimilarityPq {
     * DuckDB oracle; recall bounded in SimilaritySpec.
     */
   def ivfSq8TopK(probes: DataFrame, vecs: DataFrame, centroids: DataFrame,
-                 k: Int, nprobe: Int): DataFrame = {
+                 k: Int, nprobe: Int = AutoProbe): DataFrame = {
     val cent = centFrame(centroids)
+    val np = resolveNprobe(nprobe, cent)
     val dq = sq8Cand(vecs, sq8Stats(vecs))
       .withColumn("cn", normScaled(col("ce")))
     val vecBuckets = ivfAssign(vecs, cent, "cand_id", 1)
       .join(dq, Seq("cand_id"))
-    val probeBuckets = ivfAssign(probes, cent, "probe_id", nprobe)
+    val probeBuckets = ivfAssign(probes, cent, "probe_id", np)
       .withColumnRenamed("embedding", "pe")
       .withColumn("pn", normScaled(col("pe")))
     rankBucketCands(
@@ -677,7 +717,8 @@ object Similarity extends SimilarityPq {
     */
   def ivfSq8TopKFromCodes(probes: DataFrame, centroids: DataFrame,
                           cells: DataFrame, stats: DataFrame,
-                          codes: DataFrame, k: Int, nprobe: Int)
+                          codes: DataFrame, k: Int,
+                          nprobe: Int = AutoProbe)
       : DataFrame = {
     val dq = spreadPartitions(codes).crossJoin(broadcast(stats))
       .select(col("vec_id").as("cand_id"),
@@ -688,7 +729,7 @@ object Similarity extends SimilarityPq {
       .select(col("vec_id").as("cand_id"), col("cid"))
       .join(dq, Seq("cand_id"))
     val probeBuckets = ivfAssign(probes, centFrame(centroids),
-        "probe_id", nprobe)
+        "probe_id", resolveNprobe(nprobe, centroids))
       .withColumnRenamed("embedding", "pe")
       .withColumn("pn", normScaled(col("pe")))
     rankBucketCands(
@@ -732,7 +773,7 @@ object Similarity extends SimilarityPq {
     * the flat probe side's 0.96 at 100×, tools/Recall r14).
     */
   def ivfTopKTwoLevel(probes: DataFrame, vecs: DataFrame, k: Int,
-                      nprobe: Int, wAssign: Int = 2,
+                      nprobe: Int = AutoProbe, wAssign: Int = 2,
                       iters: Int = 2): DataFrame = {
     val (cent, seedMod, g) = adaptiveTrainGeom(vecs, iters)
     val l1 = coarseFrame(vecs, seedMod * g)
@@ -743,7 +784,7 @@ object Similarity extends SimilarityPq {
         col("embedding").as("ce"), normScaled(col("embedding")).as("cn")),
         Seq("cand_id"))
     val probeBuckets = ivfAssign(probes, centFrame(cent), "probe_id",
-        nprobe)
+        resolveNprobe(nprobe, cent))
       .withColumnRenamed("embedding", "pe")
       .withColumn("pn", normScaled(col("pe")))
     rankBucketCands(
@@ -801,6 +842,32 @@ object Similarity extends SimilarityPq {
     val parCent = parents.join(centFrame(cent), Seq("cid"))
     twoLevelAssign(vecs, l1n, parCent, "vec_id", wAssign, keep = 1)
   }
+
+  /** Route-selected cell assignment against a persisted geometry: flat
+    * ([[ivfCells]]) below `flatBelowNlist` cells, two-hop
+    * ([[ivfCellsTwoLevel]]) at or above it — decided from the geometry
+    * the caller already holds (one count of the nlist-row centroid
+    * frame), never asked of the caller. The threshold sits in the
+    * measured crossover band (tools/RouteScaling, SCALING
+    * `r14_route_scaling`: flat wins 2× at nlist=45 — the route's coarse
+    * hop is pure overhead when one broadcast scores every cell — they
+    * tie around nlist≈245-448, and the route wins 16.7× at nlist=1415;
+    * flat per-vector cost grows as nlist=√n vs the route's ~n^(1/4),
+    * so the gap widens a decade per decade). 256 is the power of two
+    * inside the tie band.
+    *
+    * The two paths differ at coarse-group boundaries (the documented
+    * IMI trade of [[ivfTopKTwoLevel]]), so switching routes as an index
+    * grows changes SOME assignments — exactly as retraining the
+    * geometry does; cells remain per-vector deterministic at any FIXED
+    * geometry, which is the idempotent-retry contract the maintenance
+    * stream needs.
+    */
+  def autoRouteCells(vecs: DataFrame, cent: DataFrame, l1: DataFrame,
+                     parents: DataFrame, wAssign: Int = 2,
+                     flatBelowNlist: Long = 256L): DataFrame =
+    if (cent.count() < flatBelowNlist) ivfCells(vecs, cent)
+    else ivfCellsTwoLevel(vecs, cent, l1, parents, wAssign)
 
   /** The coarse-centroid frame: every `coarseMod`-th corpus vector
     * (coarseMod = seedMod·g — a strict subset of the Lloyd seeds, so

@@ -352,7 +352,8 @@ trait SimilarityPq { this: Similarity.type =>
   def ivfPqTopKFromPackedCodes(probes: DataFrame, vecs: DataFrame,
                                centroids: DataFrame, cells: DataFrame,
                                codebook: DataFrame, packed: DataFrame,
-                               k: Int, nprobe: Int, shortlist: Int = 50)
+                               k: Int, nprobe: Int = Similarity.AutoProbe,
+                               shortlist: Int = 50)
       : DataFrame = {
     val head = codebook.select(max(col("sub")), size(first(col("cw")))).head()
     val m = head.getInt(0) + 1
@@ -365,7 +366,8 @@ trait SimilarityPq { this: Similarity.type =>
         normScaled(col("embedding")).as("pn")), Seq("probe_id"))
     val cands = cells.select(col("vec_id").as("cand_id"), col("cid"))
       .join(broadcast(
-        ivfAssign(probes, centFrame(centroids), "probe_id", nprobe)
+        ivfAssign(probes, centFrame(centroids), "probe_id",
+            Similarity.resolveNprobe(nprobe, centroids))
           .select(col("probe_id"), col("cid"))), Seq("cid"))
       .filter(col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"))
@@ -489,7 +491,8 @@ trait SimilarityPq { this: Similarity.type =>
     * hash-verified like n3/n4/n6.
     */
   def ivfPqTopK(probes: DataFrame, vecs: DataFrame, centroids: DataFrame,
-                k: Int, nprobe: Int, m: Int = 8, iters: Int = 2,
+                k: Int, nprobe: Int = Similarity.AutoProbe,
+                m: Int = 8, iters: Int = 2,
                 targetSample: Long = 400L, kCodes: Long = 40L,
                 shortlist: Int = 50): DataFrame = {
     val dim = vecs.select(size(col("embedding"))).head().getInt(0)
@@ -497,7 +500,8 @@ trait SimilarityPq { this: Similarity.type =>
       s"ivfPqTopK: dim $dim not divisible into $m subspaces")
     val cent = centFrame(centroids)
     val cands = ivfAssign(vecs, cent, "cand_id", 1)
-      .join(broadcast(ivfAssign(probes, cent, "probe_id", nprobe)
+      .join(broadcast(ivfAssign(probes, cent, "probe_id",
+          Similarity.resolveNprobe(nprobe, cent))
         .select(col("probe_id"), col("cid"))), Seq("cid"))
       .filter(col("probe_id") =!= col("cand_id"))
       // (probe_id, cand_id) pairs are unique by construction — one cell
@@ -547,7 +551,8 @@ trait SimilarityPq { this: Similarity.type =>
   def ivfPqTopKFromCodes(probes: DataFrame, vecs: DataFrame,
                          centroids: DataFrame, cells: DataFrame,
                          codebook: DataFrame, codes: DataFrame, k: Int,
-                         nprobe: Int, shortlist: Int = 50): DataFrame = {
+                         nprobe: Int = Similarity.AutoProbe,
+                         shortlist: Int = 50): DataFrame = {
     // codebook carries the geometry (see pqTopKFromCodes) — empty probe
     // batches serve an empty result instead of throwing on .head()
     val head = codebook.select(max(col("sub")), size(first(col("cw")))).head()
@@ -557,7 +562,8 @@ trait SimilarityPq { this: Similarity.type =>
     val dim = m * width
     val cands = cells.select(col("vec_id").as("cand_id"), col("cid"))
       .join(broadcast(
-        ivfAssign(probes, centFrame(centroids), "probe_id", nprobe)
+        ivfAssign(probes, centFrame(centroids), "probe_id",
+            Similarity.resolveNprobe(nprobe, centroids))
           .select(col("probe_id"), col("cid"))), Seq("cid"))
       .filter(col("probe_id") =!= col("cand_id"))
       // replica cells rows (re-ingested vectors across index slices)

@@ -802,9 +802,13 @@ object Streams {
     * vector against all nlist cells: fine at fixed nlist ≈ 16, but the
     * adaptive rule grows nlist as √n, so a flat-assigning ingest pays
     * O(√n) dots PER EVENT — the same wall the n16 build hit at 1000×
-    * (SCALING `r14_decades`). Here each batch routes through the
-    * persisted [[graft.operators.Similarity.twoLevelGeom]] artifacts
-    * instead: ~n^(1/4) coarse dots, then only the kept coarse groups'
+    * (SCALING `r14_decades`). Here each batch picks its route FROM THE
+    * PERSISTED GEOMETRY ([[graft.operators.Similarity.autoRouteCells]],
+    * r15): flat below the measured nlist crossover — where the two-hop
+    * route's coarse hop is pure overhead, 2× slower at nlist=45
+    * (`r14_route_scaling`) — and two-hop through the
+    * [[graft.operators.Similarity.twoLevelGeom]] artifacts above it:
+    * ~n^(1/4) coarse dots, then only the kept coarse groups'
     * member cells — per-event cost a power below flat, with the same
     * (vec_id, cid) output the geometry-agnostic serve paths
     * ([[graft.operators.Similarity.ivfSq8TopKFromCodes]] /
@@ -830,7 +834,14 @@ object Streams {
         val cent = spark.read.parquet(centroidsPath)
         val l1 = spark.read.parquet(l1Path)
         val parents = spark.read.parquet(parentsPath)
-        Similarity.ivfCellsTwoLevel(batch, cent, l1, parents, wAssign)
+        // route selection from the persisted geometry (r14 verdict #7):
+        // RouteScaling measured the two-hop route 2x SLOWER at small
+        // nlist (its coarse hop is pure overhead when one broadcast
+        // scores every cell) and 16.7x faster at nlist=1415 — the
+        // stream picks the winning side per batch from the nlist it is
+        // already reading, so callers configure nothing as the index
+        // crosses the crossover
+        Similarity.autoRouteCells(batch, cent, l1, parents, wAssign)
           .write.mode("overwrite").parquet(s"$cellsPath/batch=$batchId")
         ()
       }

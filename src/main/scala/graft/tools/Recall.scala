@@ -78,6 +78,17 @@ object Recall {
       reportDf("twolevel_w2_matched", math.max(8, (nl / 2).toInt),
         Similarity.ivfTopKTwoLevel(probes, v, k = 5,
           nprobe = math.max(8, (nl / 2).toInt)))
+      // r15: the DEFAULTS rows — nprobe OMITTED, so the AutoProbe
+      // sentinel derives the occupancy-matched value from the trained
+      // cell count inside the operator (Similarity.autoNprobe). These
+      // are the lines the r14 verdict asked to hold flat across
+      // decades: a deployment that changes nothing as its index grows
+      // should keep its recall.
+      reportDf("adaptive_autoprobe", Similarity.autoNprobe(nl),
+        Similarity.ivfTopK(probes, v,
+          Similarity.adaptiveTrainCentroids(v), k = 5))
+      reportDf("twolevel_autoprobe", Similarity.autoNprobe(nl),
+        Similarity.ivfTopKTwoLevel(probes, v, k = 5))
     }
     spark.stop()
   }

@@ -71,9 +71,13 @@ object RouteScaling {
       val nlist = Similarity.autoNlist(n)
       val flat = timed(Similarity.ivfCells(batch, centC))
       val two = timed(Similarity.ivfCellsTwoLevel(batch, centC, l1C, parC))
+      // r15: the shipped default — autoRouteCells picks the side from
+      // the persisted geometry's nlist; its time should track
+      // min(flat, twolevel) at every decade (plus one trivial count)
+      val auto = timed(Similarity.autoRouteCells(batch, centC, l1C, parC))
       println(f"[routescale] ${factor}%.0fx n=$n%d nlist=$nlist%d " +
         f"batch=$bn%d train=${trainSec}%.2f s flat=${flat}%.2f s " +
-        f"twolevel=${two}%.2f s")
+        f"twolevel=${two}%.2f s auto=${auto}%.2f s")
       centC.unpersist(); l1C.unpersist(); parC.unpersist()
     }
     spark.stop()

@@ -80,6 +80,45 @@ object ServeScaling {
         report("ivfpq_packed", () => serve(
           Similarity.ivfPqTopKFromPackedCodes(probes, v, cents, cellsR,
             cbR, packedR, k = 5, nprobe = 8)))
+        // r15 (verdict #5): the SQ8 serving family's decades — n10's
+        // flat byte serve, n12's filtered serve (label predicate on the
+        // meta-bearing codes artifact, pushdown-pruned), and n13's
+        // adaptive-geometry IVF+SQ8 serve at fixed nprobe=8 and at the
+        // AutoProbe default. The n13 CELLS artifact builds through
+        // autoRouteCells: flat assignment against the adaptive nlist is
+        // exactly the path measured dead at 1000× (r14_decades), so the
+        // build routes two-hop there and flat below the crossover.
+        val sqStats = Similarity.sq8Stats(v)
+        sqStats.write.mode("overwrite").parquet(s"$tmp/sq8stats")
+        val statsR = spark.read.parquet(s"$tmp/sq8stats")
+        Similarity.sq8Encode(v, statsR).write.mode("overwrite")
+          .parquet(s"$tmp/sq8codes")
+        val sqCodesR = spark.read.parquet(s"$tmp/sq8codes")
+        Similarity.sq8EncodeWithMeta(v, statsR, Seq("label"))
+          .sortWithinPartitions("label")
+          .write.mode("overwrite").parquet(s"$tmp/sq8meta")
+        val sqMetaR = spark.read.parquet(s"$tmp/sq8meta")
+        report("sq8_flat", () => serve(
+          Similarity.sq8TopKFromCodes(probes, statsR, sqCodesR, k = 5)))
+        report("sq8_filtered", () => serve(
+          Similarity.sq8TopKFromCodes(probes, statsR,
+            sqMetaR.filter(col("label") < 3), k = 5)))
+        val (acent, l1, parents) = Similarity.twoLevelGeom(v)
+        acent.write.mode("overwrite").parquet(s"$tmp/acents")
+        l1.write.mode("overwrite").parquet(s"$tmp/al1")
+        parents.write.mode("overwrite").parquet(s"$tmp/aparents")
+        val acentR = spark.read.parquet(s"$tmp/acents")
+        Similarity.autoRouteCells(v, acentR,
+            spark.read.parquet(s"$tmp/al1"),
+            spark.read.parquet(s"$tmp/aparents"))
+          .write.mode("overwrite").parquet(s"$tmp/acells")
+        val acellsR = spark.read.parquet(s"$tmp/acells")
+        report("ivfsq8_np8", () => serve(
+          Similarity.ivfSq8TopKFromCodes(probes, acentR, acellsR,
+            statsR, sqCodesR, k = 5, nprobe = 8)))
+        report("ivfsq8_auto", () => serve(
+          Similarity.ivfSq8TopKFromCodes(probes, acentR, acellsR,
+            statsR, sqCodesR, k = 5)))
       } finally {
         val p = new org.apache.hadoop.fs.Path(tmp)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration)

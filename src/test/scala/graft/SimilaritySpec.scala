@@ -266,6 +266,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("dimension"))
   }
 
+  test("AutoProbe defaults: the occupancy-matched nprobe rule holds the " +
+      "recall floor at two SFs with no per-SF tuning") {
+    // the r14 measurement this codifies (SCALING r14_adaptive_nlist_
+    // recall): fixed nprobe=8 decays 0.56->0.24 across decades as the
+    // probed share shrinks 8/sqrt(n); nprobe=ceil(nlist/2) holds
+    // 0.86-0.96. AutoProbe (the nprobe default since r15) derives the
+    // matched value from the trained cell count inside the operator,
+    // so an untouched deployment keeps its recall as the index grows.
+    Seq(sfDir, "/root/testdata/sf0.1").foreach { d =>
+      val v = Tables.embeddings(spark, d)
+      val probes = v.filter(col("vec_id") < 10)
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select("probe_id", "neighbor_id").as[(Long, Long)]
+          .collect().toSet
+      val truth = pairs(Similarity.bruteForceTopK(probes, v, 5))
+      val got = pairs(Similarity.ivfTopK(probes, v,
+        Similarity.adaptiveTrainCentroids(v), k = 5)) // nprobe OMITTED
+      val recall = (truth & got).size.toDouble / truth.size
+      info(f"autoprobe recall@5 at $d = $recall%.3f")
+      assert(recall >= 0.5, f"recall $recall%.3f below the matched floor")
+    }
+    // the rule's arithmetic, pinned: floor 8 at the small-index end,
+    // ceil(nlist/2) in the adaptive range, share=1 = brute force
+    assert(Similarity.autoNprobe(16) == 8)
+    assert(Similarity.autoNprobe(45) == 23)
+    assert(Similarity.autoNprobe(1415) == 708)
+    assert(Similarity.autoNprobe(16, probedShare = 1.0) == 16)
+  }
+
   test("ivfSq8TopK: recall floor vs brute force; hits stay inside the " +
       "probed-cell universe (the IVF prune is real under SQ8 scoring)") {
     val probes = vecs.filter(col("vec_id") < 50)

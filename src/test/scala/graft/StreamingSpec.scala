@@ -783,15 +783,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/packed").count() == all.count())
   }
 
-  test("streaming two-level cell maintenance: coarse-routed grown cells " +
-      "match the batch two-hop assignment and serve through the SQ8 path") {
+  test("streaming two-level cell maintenance: route-selected grown cells " +
+      "match the one-shot auto assignment and serve through the SQ8 path") {
     // train the adaptive geometry on the initial corpus, persist its
     // three artifacts (centroids, coarse layer, parents), stream the
-    // rest in two ticks through twoLevelIndexMaintenance — the grown
-    // (vec_id, cid) cells must equal the one-shot two-hop assignment of
-    // the full corpus against the SAME artifacts (per-vector routing,
-    // no cross-vector state), and the geometry-agnostic SQ8 serve path
-    // must read the grown cells unchanged
+    // rest in two ticks through twoLevelIndexMaintenance — the stream
+    // picks flat/two-hop FROM the persisted nlist (autoRouteCells, r15;
+    // at this fixture nlist=18 < 256 so it routes flat, the measured
+    // winner at small indexes), and the grown (vec_id, cid) cells must
+    // equal the one-shot auto assignment of the full corpus against the
+    // SAME artifacts (per-vector routing, no cross-vector state); the
+    // geometry-agnostic SQ8 serve path must read the grown cells
+    // unchanged
     import graft.operators.Similarity
     val all = Tables.embeddings(spark, sfDir)
     val initial = all.filter(col("vec_id") < 300)
@@ -801,7 +804,7 @@ class StreamingSpec extends AnyFunSuite {
     cent.write.parquet(s"$dir/centroids")
     l1.write.parquet(s"$dir/l1")
     parents.write.parquet(s"$dir/parents")
-    Similarity.ivfCellsTwoLevel(initial, cent, l1, parents)
+    Similarity.autoRouteCells(initial, cent, l1, parents)
       .write.parquet(s"$dir/cells/batch=-1")
 
     val land = tmpDir("graft-tlm-land")
@@ -826,6 +829,14 @@ class StreamingSpec extends AnyFunSuite {
     def cellSet(df: org.apache.spark.sql.DataFrame) =
       df.select("vec_id", "cid").as[(Long, Long)].collect().toSet
     assert(cellSet(spark.read.parquet(s"$dir/cells")) ==
+      cellSet(Similarity.autoRouteCells(all, centR, l1R, parR)))
+    // the route pin itself: below the crossover the auto path IS the
+    // flat assignment; forcing the threshold to 1 makes it the two-hop
+    // one — both sides byte-equal to their named routes
+    assert(cellSet(Similarity.autoRouteCells(all, centR, l1R, parR)) ==
+      cellSet(Similarity.ivfCells(all, centR)))
+    assert(cellSet(Similarity.autoRouteCells(all, centR, l1R, parR,
+        flatBelowNlist = 1L)) ==
       cellSet(Similarity.ivfCellsTwoLevel(all, centR, l1R, parR)))
     // the serve side never sees the geometry: ivfSq8TopKFromCodes over
     // the GROWN two-level cells == over the batch-assigned cells
@@ -840,7 +851,7 @@ class StreamingSpec extends AnyFunSuite {
         spark.read.parquet(s"$dir/cells"), stats, codes,
         k = 5, nprobe = 8)) ==
       rows(Similarity.ivfSq8TopKFromCodes(probes, centR,
-        Similarity.ivfCellsTwoLevel(all, centR, l1R, parR), stats, codes,
+        Similarity.autoRouteCells(all, centR, l1R, parR), stats, codes,
         k = 5, nprobe = 8)))
     // an empty tick (a landing file with zero rows) writes an empty
     // slice and leaves the grown cells unchanged
