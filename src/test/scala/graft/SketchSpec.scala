@@ -107,6 +107,36 @@ class SketchSpec extends AnyFunSuite {
     assert(out.forall(_.getSeq[Long](1).size <= 8))
   }
 
+  test("SQL registrations carry the input-type contract: numeric args " +
+      "coerce like the Column wrappers, mistyped args fail at analysis") {
+    // (r14 advice) the SQL builders wrap args in Cast: before the fix a
+    // string column reached HeavyHittersAgg.update untyped and threw
+    // ClassCastException ON EXECUTORS; now coercible types cast exactly
+    // as the wrapper's .cast("long") and a non-castable type fails the
+    // Cast's analysis check with a named error
+    graft.plans.GraftExtensions.register(spark)
+    Seq((1, "a"), (1, "b"), (1, "c"), (2, "d")).toDF("x", "s")
+      .createOrReplaceTempView("hh_types")
+    // INT item coerces to long at analysis; the hot item survives
+    val cand = spark.sql(
+      "SELECT heavy_hitters(x, 2) AS c FROM hh_types")
+      .head().getSeq[Long](0)
+    assert(cand.contains(1L))
+    // an array item cannot cast to long — analysis-time failure, not a
+    // ClassCastException from an executor
+    val e = intercept[Exception] {
+      spark.sql("SELECT heavy_hitters(array(x), 2) FROM hh_types")
+        .collect()
+    }
+    assert(!e.isInstanceOf[ClassCastException], s"executor CCE leaked: $e")
+    // cdc_ends: string passes through, and a NUMERIC argument coerces
+    // through Cast-to-string (ANSI allows any type → string — the same
+    // representation the DataFrame API's cast would produce) instead of
+    // ClassCastException-ing inside nullSafeEval on an executor
+    assert(spark.sql("SELECT cdc_ends(s, 2) FROM hh_types").count() == 4)
+    assert(spark.sql("SELECT cdc_ends(x, 2) FROM hh_types").count() == 4)
+  }
+
   test("null items are skipped: neither counted in n nor eligible as " +
       "candidates") {
     val df = Seq[(java.lang.Long, Int)]((1L, 0), (1L, 0), (null, 0),
