@@ -897,9 +897,79 @@ object CdcKernel {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** MD5 round constants (RFC 1321 T table) and per-round left-rotation
+    * amounts — spelled out, not derived from sin(), so the kernel's
+    * bit-identity with `md5` rests on the published spec alone.
+    */
+  private val T: Array[Int] = Array(
+    0xd76aa478, 0xe8c7b756, 0x242070db, 0xc1bdceee,
+    0xf57c0faf, 0x4787c62a, 0xa8304613, 0xfd469501,
+    0x698098d8, 0x8b44f7af, 0xffff5bb1, 0x895cd7be,
+    0x6b901122, 0xfd987193, 0xa679438e, 0x49b40821,
+    0xf61e2562, 0xc040b340, 0x265e5a51, 0xe9b6c7aa,
+    0xd62f105d, 0x02441453, 0xd8a1e681, 0xe7d3fbc8,
+    0x21e1cde6, 0xc33707d6, 0xf4d50d87, 0x455a14ed,
+    0xa9e3e905, 0xfcefa3f8, 0x676f02d9, 0x8d2a4c8a,
+    0xfffa3942, 0x8771f681, 0x6d9d6122, 0xfde5380c,
+    0xa4beea44, 0x4bdecfa9, 0xf6bb4b60, 0xbebfbc70,
+    0x289b7ec6, 0xeaa127fa, 0xd4ef3085, 0x04881d05,
+    0xd9d4d039, 0xe6db99e5, 0x1fa27cf8, 0xc4ac5665,
+    0xf4292244, 0x432aff97, 0xab9423a7, 0xfc93a039,
+    0x655b59c3, 0x8f0ccc92, 0xffeff47d, 0x85845dd1,
+    0x6fa87e4f, 0xfe2ce6e0, 0xa3014314, 0x4e0811a1,
+    0xf7537e82, 0xbd3af235, 0x2ad7d2bb, 0xeb86d391)
+  private val S: Array[Int] = Array(
+    7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22,
+    5, 9, 14, 20, 5, 9, 14, 20, 5, 9, 14, 20, 5, 9, 14, 20,
+    4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23,
+    6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21)
+
+  /** First digest byte of MD5 over `bytes[off, off+len)` for len ≤ 55 —
+    * the whole message fits ONE padded 512-bit block, so this is one
+    * 64-round transform into the caller's reusable 16-int block buffer
+    * with ZERO allocation. The retired MessageDigest loop allocated a
+    * 16-byte digest array PER WINDOW — one allocation per corpus
+    * CHARACTER, ~2.5B at the 1000× replica, measured as a GC-bound
+    * kernel stage (tools/CdcAudit r15; GCLocker retry warnings in the
+    * scaling log). The digest's first byte is the low byte of the final
+    * little-endian A word — all the boundary rule ever reads.
+    */
+  private def md5FirstByte(bytes: Array[Byte], off: Int, len: Int,
+                           block: Array[Int]): Int = {
+    // pack message || 0x80 || zeros || bitlen into 16 little-endian words
+    var wi = 0
+    while (wi < 16) { block(wi) = 0; wi += 1 }
+    var i = 0
+    while (i < len) {
+      block(i >> 2) |= (bytes(off + i) & 0xff) << ((i & 3) << 3)
+      i += 1
+    }
+    block(len >> 2) |= 0x80 << ((len & 3) << 3)
+    block(14) = len << 3 // bit length (len ≤ 55, high word stays 0)
+    var a = 0x67452301
+    var b = 0xefcdab89
+    var c = 0x98badcfe
+    var d = 0x10325476
+    var r = 0
+    while (r < 64) {
+      var f = 0
+      var g = 0
+      if (r < 16) { f = (b & c) | (~b & d); g = r }
+      else if (r < 32) { f = (d & b) | (~d & c); g = (5 * r + 1) & 15 }
+      else if (r < 48) { f = b ^ c ^ d; g = (3 * r + 5) & 15 }
+      else { f = c ^ (b | ~d); g = (7 * r) & 15 }
+      val tmp = d
+      d = c
+      c = b
+      b = b + Integer.rotateLeft(a + f + T(r) + block(g), S(r))
+      a = tmp
+      r += 1
+    }
+    (a + 0x67452301) & 0xff
+  }
+
   def ends(text: org.apache.spark.unsafe.types.UTF8String,
            w: Int): ArrayData = {
-    val digest = mdLocal.get()
     val bytes = text.getBytes
     val s = text.toString
     val cp = s.codePointCount(0, s.length)
@@ -908,17 +978,20 @@ object CdcKernel {
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(
         Array.empty[Int])
     val out = scala.collection.mutable.ArrayBuilder.make[Int]
-    if (bytes.length == cp) {
-      // all-ASCII: code points == bytes; digest windows in place
+    if (bytes.length == cp && w <= 55) {
+      // all-ASCII: code points == bytes; one-block MD5 per window from
+      // the shared byte array, one reused block buffer per CALL — the
+      // hot loop allocates nothing
+      val block = new Array[Int](16)
       var i = 0
       while (i < m) {
-        digest.reset()
-        digest.update(bytes, i, w)
-        if ((digest.digest()(0) & 0xf0) == 0) out += i + w
+        if ((md5FirstByte(bytes, i, w, block) & 0xf0) == 0) out += i + w
         i += 1
       }
     } else {
-      // general path: code-point boundaries as UTF-16 offsets
+      // general path (non-ASCII text or w > one MD5 block):
+      // code-point boundaries as UTF-16 offsets, library MessageDigest
+      val digest = mdLocal.get()
       val b = new Array[Int](cp + 1)
       var i = 0
       var off = 0

@@ -16,6 +16,38 @@ class DedupSpec extends AnyFunSuite {
   import SparkTestSession.{spark, sfDir}
   import spark.implicits._
 
+  test("CdcKernel.ends: the zero-alloc single-block MD5 is bit-identical " +
+      "to library md5 on the ASCII fast path, unicode fallback included") {
+    // (r15) the boundary kernel hand-rolls one-block MD5 to kill the
+    // per-window digest allocation (one per corpus CHARACTER — the
+    // GC-bound stage tools/CdcAudit measured at 1000×); the boundary
+    // rule must stay EXACTLY substring(md5(window),1,1)='0' because the
+    // DuckDB twin replays library md5 verbatim
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def reference(s: String, w: Int): Seq[Int] = {
+      val cps = s.codePointCount(0, s.length)
+      (0 until math.max(0, cps - w + 1)).flatMap { i =>
+        val a = s.offsetByCodePoints(0, i)
+        val b = s.offsetByCodePoints(0, i + w)
+        md.reset()
+        val dg = md.digest(s.substring(a, b).getBytes("UTF-8"))
+        if ((dg(0) & 0xf0) == 0) Some(i + w) else None
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    val samples = (1 to 60).map(_ =>
+      rnd.alphanumeric.take(rnd.nextInt(400)).mkString + " tail words") ++
+      Seq("", "ab", "exactly8", // shorter than / equal to the window
+        "ünïcödé çhünks then a long ascii tail abcdefghijklmnop",
+        "日本語テキストの境界スキャン mixed with ascii")
+    for (s <- samples; w <- Seq(2, 8, 55)) {
+      val got = graft.plans.CdcKernel
+        .ends(org.apache.spark.unsafe.types.UTF8String.fromString(s), w)
+        .toIntArray().toSeq
+      assert(got == reference(s, w), s"mismatch for '${s.take(40)}' w=$w")
+    }
+  }
+
   test("shingleSet builds distinct space-joined word n-grams") {
     val got = Seq("The  quick quick Brown fox").toDF("text")
       .select(Text.shingleSet(col("text"), 3).as("sh"))
