@@ -19,14 +19,18 @@ object Text {
   /** Canonical text normalization: lower, strip leading/trailing
     * whitespace, collapse interior whitespace runs to a single space. The
     * twin of the reference's string normalizers (e.g. the twitter-handle
-    * regexp_replace chain, phase3schema.sql:415-431). Edge stripping is
-    * regexp-based, NOT `trim()` — SQL trim (Spark and DuckDB alike) strips
-    * only spaces, which would leave a leading collapsed space behind a
-    * leading tab and diverge from the shingle kernel's Java trim.
+    * regexp_replace chain, phase3schema.sql:415-431). Semantics are
+    * pinned to `regexp_replace(regexp_replace(lower(c), "^\s+|\s+$", ""),
+    * "\s+", " ")` — the form every DuckDB twin replays — but evaluated
+    * by the single-pass byte kernel [[graft.plans.NormalizeKernel]]
+    * (bit-identity property-tested in TextPropsSpec): the regex chain
+    * round-tripped the whole corpus through java Strings twice per row,
+    * and normalize sits under the fingerprint of EVERY document. Edge
+    * stripping covers all of `\s`, NOT just spaces like SQL trim() —
+    * a leading tab must not leave a collapsed space behind.
     */
   def normalize(c: Column): Column =
-    regexp_replace(
-      regexp_replace(lower(c), "^\\s+|\\s+$", ""), "\\s+", " ")
+    graft.plans.Expressions.normalizeText(c)
 
   /** Whitespace tokenization over normalized text. */
   def words(c: Column): Column = split(normalize(c), " ")

@@ -1048,6 +1048,105 @@ case class CdcEndsExpr(child: Expression, w: Int)
   override def prettyName: String = "cdc_ends"
 }
 
+/** Kernel for Text.normalize: lowercase, strip ASCII-whitespace edges,
+  * collapse interior whitespace runs to a single space — bit-identical
+  * to `regexp_replace(regexp_replace(lower(c), "^\s+|\s+$", ""),
+  * "\s+", " ")`, the form every DuckDB twin replays. The regex chain
+  * round-trips UTF8String→java String→String→UTF8String twice and
+  * allocates a Matcher + StringBuffer per row per regex; with normalize
+  * feeding the fingerprint of EVERY document (d1/t5/t7/t25/d18/pipe1),
+  * that's four full copies of the corpus in UTF-16. Here:
+  *
+  *  - Java regex `\s` (no UNICODE_CHARACTER_CLASS) matches exactly the
+  *    six ASCII bytes {\t \n \x0B \f \r ' '}, and in UTF-8 no byte of a
+  *    multi-byte sequence is < 0x80 — so the strip/collapse pass is a
+  *    plain byte scan, Unicode-safe with no decoding.
+  *  - All-ASCII text (one detection scan): lowercasing fuses into the
+  *    same pass — ONE output allocation total (ICU and the JVM agree
+  *    on A-Z, so the fused branch is collation-exact too).
+  *  - Otherwise: `CollationSupport.Lower.exec` at the UTF8_BINARY
+  *    collation with the session's ICU flag — the EXACT evaluation of
+  *    Spark's `lower()` (4.x maps case via ICU by default;
+  *    `UTF8String.toLowerCase` diverges on Σ-final and İ) — then the
+  *    byte pass: two allocations, zero java-String round-trips, zero
+  *    regex state.
+  */
+object NormalizeKernel {
+  private def isWs(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0d)
+
+  /** Strip/collapse ASCII whitespace over raw UTF-8 bytes; `lowerAscii`
+    * additionally maps A-Z → a-z in the same pass (only valid when the
+    * caller established the text is all-ASCII or already lowered).
+    */
+  private def wsPass(bytes: Array[Byte], lowerAscii: Boolean)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val n = bytes.length
+    val out = new Array[Byte](n)
+    var o = 0
+    var i = 0
+    var pendingSpace = false
+    while (i < n) {
+      val b = bytes(i)
+      if (isWs(b)) {
+        pendingSpace = o > 0 // leading run strips; interior run pends
+      } else {
+        if (pendingSpace) { out(o) = 0x20; o += 1; pendingSpace = false }
+        out(o) = if (lowerAscii && b >= 'A' && b <= 'Z') (b + 32).toByte
+                 else b
+        o += 1
+      }
+      i += 1
+    }
+    // a trailing run never flushed its pending space — stripped for free
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out, 0, o)
+  }
+
+  def normalize(text: org.apache.spark.unsafe.types.UTF8String,
+                useICU: Boolean)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val bytes = text.getBytes
+    var ascii = true
+    var i = 0
+    while (ascii && i < bytes.length) {
+      if (bytes(i) < 0) ascii = false
+      i += 1
+    }
+    if (ascii) wsPass(bytes, lowerAscii = true)
+    else wsPass(
+      org.apache.spark.sql.catalyst.util.CollationSupport.Lower
+        .exec(text, org.apache.spark.sql.catalyst.util.CollationFactory
+          .UTF8_BINARY_COLLATION_ID, useICU)
+        .getBytes,
+      lowerAscii = false)
+  }
+}
+
+case class NormalizeTextExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  // resolved at plan build like Lower's own useICU — baked into codegen
+  // so executors never consult SQLConf
+  private lazy val useICU: Boolean = org.apache.spark.sql.internal.SQLConf
+    .get.getConf(org.apache.spark.sql.internal.SQLConf
+      .ICU_CASE_MAPPINGS_ENABLED)
+
+  override def nullSafeEval(a: Any): Any =
+    NormalizeKernel.normalize(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], useICU)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.NormalizeKernel.normalize($a, $useICU);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : NormalizeTextExpr = copy(child = newChild)
+
+  override def prettyName: String = "normalize_text"
+}
+
 /** Session wiring for the custom expressions: an injectable
   * [[org.apache.spark.sql.SparkSessionExtensions]] hook for sessions built
   * with `.withExtensions(new GraftExtensions)` (or the
@@ -1152,7 +1251,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => CdcEndsExpr(
         org.apache.spark.sql.catalyst.expressions.Cast(args(0),
           org.apache.spark.sql.types.StringType),
-        intArg(args(1)))))
+        intArg(args(1)))),
+    (FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[NormalizeTextExpr].getName,
+        "normalize_text"),
+      (args: Seq[Expression]) => NormalizeTextExpr(
+        org.apache.spark.sql.catalyst.expressions.Cast(args(0),
+          org.apache.spark.sql.types.StringType))))
 
   /** Register into an already-built session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
@@ -1248,6 +1353,10 @@ object Expressions {
     */
   def cdcEnds(text: Column, w: Int): Column =
     Bridge.column(CdcEndsExpr(Bridge.expression(text), w))
+
+  /** Column wrapper for [[NormalizeTextExpr]] (string → string). */
+  def normalizeText(text: Column): Column =
+    Bridge.column(NormalizeTextExpr(Bridge.expression(text)))
 
   /** Column wrapper for [[TextProfileExpr]] (input: string; output struct
     * (wc, alpha, counts) with counts aligned to `markers`).

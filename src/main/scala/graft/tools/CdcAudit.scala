@@ -79,7 +79,10 @@ object CdcAudit {
       val w = Tune.shuffleWidth(Tune.inputBytes(spark, d),
         spark.sparkContext.defaultParallelism)
       spark.conf.set("spark.sql.shuffle.partitions", w.toString)
-      Seq("128MB", "16MB").foreach { mpb =>
+      // the 16MB granularity sweep already ruled scan splits out (r15:
+      // both widths within noise at 100x and 1000x) — keep it opt-in
+      sys.env.getOrElse("GRAFT_CDC_MPB", "128MB")
+          .split(",").toSeq.foreach { mpb =>
         spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
         val splits = Tables.documents(spark, d).rdd.getNumPartitions
         stages.foreach { case (name, q) =>

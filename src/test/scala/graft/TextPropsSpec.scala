@@ -39,6 +39,41 @@ object TextPropsSpec extends Properties("Text") {
       }
     }
 
+  // (r15) normalize is evaluated by the single-pass byte kernel now —
+  // its contract is BIT-IDENTITY with the regex chain the DuckDB twins
+  // replay, so compare against that exact form evaluated by Spark over
+  // a generator that covers what the ASCII-word generator above cannot:
+  // uppercase, all six java-regex \s characters, unicode words (incl.
+  // chars whose lowercase differs), empty and all-whitespace strings.
+  private val anyWord: Gen[String] = Gen.oneOf(
+    Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(Gen.alphaChar, Gen.numChar)).map(_.mkString)),
+    Gen.oneOf("Straße", "ÜNÏCÖDE", "日本語", "İstanbul", "ΣΙΓΜΑΣ", "é è"))
+  private val anyWs: Gen[String] =
+    Gen.choose(1, 3).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf(" ", "\t", "\n", "\u000B", "\f", "\r")).map(_.mkString))
+  private val messyText: Gen[String] = Gen.frequency(
+    1 -> Gen.const(""),
+    1 -> anyWs,
+    8 -> (for {
+      lead <- Gen.oneOf(Gen.const(""), anyWs)
+      words <- Gen.nonEmptyListOf(anyWord)
+      seps <- Gen.listOfN(words.size + 1, anyWs)
+      flags <- Gen.listOfN(words.size + 1, Gen.oneOf(true, false))
+    } yield lead + words.zipAll(seps.zip(flags), "", (" ", true)).map {
+      case (w, (s, keep)) => w + (if (keep) s else "")
+    }.mkString))
+
+  property("normalize kernel is bit-identical to the regex-chain twin") =
+    Prop.forAllNoShrink(Gen.listOfN(8, messyText)) { texts =>
+      val got = texts.toDF("t")
+        .select(Text.normalize(col("t")).as("k"),
+          regexp_replace(regexp_replace(lower(col("t")),
+            "^\\s+|\\s+$", ""), "\\s+", " ").as("r"))
+        .as[(String, String)].collect()
+      got.forall { case (k, r) => k == r }
+    }
+
   property("shingles match scala sliding n-grams (order + duplicates)") =
     Prop.forAllNoShrink(rawText, Gen.choose(1, 4)) { (t, n) =>
       val got = Seq(t).toDF("t")
