@@ -499,10 +499,24 @@ object Dedup {
   def substringRuns(docs: DataFrame, k: Int, minRun: Int,
                     maxDocsPerGram: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // fused gram hashing (r15): posexplode(shingles) + xxhash64(gram)
+    // materialized ~2G shingle STRINGS at the 1000× decade, each built,
+    // UTF-16→UTF-8 encoded, hashed, and discarded — the decade marginal
+    // was allocation-bound. shingleHashes emits the same xxhash64 values
+    // straight off slices of the one normalized buffer (equal bytes ⇒
+    // equal hash; element-wise identity pinned in TextPropsSpec), so the
+    // exploded rows are (doc_id, pos, long) with nothing per-gram.
+    // posexplode_outer, not posexplode: the non-outer form makes the
+    // optimizer infer a size(...)>0 filter that re-evaluates the hash
+    // kernel per row (the cdcChunks/t9 gotcha); short docs DO produce
+    // empty gram arrays here, so the outer form emits one null row for
+    // them and the isNotNull filter drops it after the explode.
     val grams = spreadPartitions(docs)
       .select(col("doc_id"),
-        posexplode(Text.shingles(col("text"), k)))
-      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("gh"))
+        posexplode_outer(
+          graft.plans.Expressions.shingleHashes(col("text"), k)))
+      .select(col("doc_id"), col("pos"), col("col").as("gh"))
+      .filter(col("gh").isNotNull)
     val bounded = maxDocsPerGram match {
       case Some(cap) =>
         val ok = grams.groupBy(col("gh"))
@@ -661,8 +675,14 @@ object Dedup {
     */
   def cdcNearDup(docs: DataFrame, w: Int = 8, minShared: Int = 3,
                  maxDocsPerChunk: Option[Int] = Some(16)): DataFrame = {
+    // join key is the RAW 16-byte md5 (unhex of the kernel's hex form):
+    // hex is injective, so match semantics are exactly chunk_fp equality,
+    // while the distinct/window/join shuffles carry and compare half the
+    // key bytes (the SMJ sort on 32-char hex strings was the widest part
+    // of the fp join at the 1000× decade)
     val ch = cdcChunks(docs, w)
-      .select(col("doc_id"), col("chunk_fp")).distinct()
+      .select(col("doc_id"), unhex(col("chunk_fp")).as("chunk_fp"))
+      .distinct()
     // cap via a WINDOW count, not an aggregate + semi-join: the window
     // form computes the chunking chain once and leaves the frame
     // partitioned on chunk_fp, so the self-join's two sides reuse ONE

@@ -224,6 +224,115 @@ case class ShinglesExpr(child: Expression, n: Int, distinct: Boolean)
   override def prettyName: String = "shingles"
 }
 
+/** Kernel for FUSED shingle hashing: `xxhash64(shingle)` for every word
+  * n-gram of a text column, without ever materializing the shingle
+  * strings. The observation that makes it free: after
+  * [[NormalizeKernel]] normalization (single interior spaces, stripped
+  * edges) the space-joined n-gram of words i..i+n-1 IS the contiguous
+  * byte slice of the normalized text from word i's first byte to word
+  * i+n-1's last byte — so each hash is one `XXH64.hashUnsafeBytes` over
+  * a slice of the ONE normalized buffer, with Spark's string seed (42).
+  *
+  * Bit-compatibility: equal bytes → equal hash, so the output is
+  * element-wise identical to `xxhash64(shingles(text, n)[i])` — pinned
+  * in TextPropsSpec — and every DuckDB twin that joins on the gram
+  * STRING keeps matching (the operator side joins on the hash, the
+  * declared 2⁻⁶⁴ collision tradeoff). The only divergence window is
+  * non-ASCII lowercasing, where this kernel follows `lower()`/ICU (via
+  * NormalizeKernel) while [[ShingleKernel]] uses java ROOT-locale — on
+  * the six Java `\s` whitespace chars and A-Z the two are identical.
+  *
+  * Why it exists (r15): d17_substring_runs exploded ~2G gram STRINGS at
+  * the 1000× decade — StringBuilder + UTF-16→UTF-8 encode + one
+  * UTF8String per gram, all discarded immediately after `xxhash64` —
+  * and its decade marginal was allocation-bound exactly like the CDC
+  * kernel before the single-block MD5 (PLANS.md r15). Here the per-row
+  * allocations are the normalized buffer, one int[] of word starts, and
+  * the output long[] — nothing per-gram.
+  */
+object ShingleHashKernel {
+  def hashes(text: org.apache.spark.unsafe.types.UTF8String, n: Int,
+             useICU: Boolean): ArrayData = {
+    val norm = NormalizeKernel.normalize(text, useICU)
+    val base = norm.getBaseObject
+    val off = norm.getBaseOffset
+    val len = norm.numBytes
+    if (len == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    // word starts: byte 0 and every byte after a space (normalized text
+    // has exactly single interior spaces and no edge whitespace)
+    var words = 1
+    var i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20)
+        words += 1
+      i += 1
+    }
+    val m = words - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val starts = new Array[Int](words)
+    var w = 1
+    i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) {
+        starts(w) = i + 1; w += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](m)
+    var g = 0
+    while (g < m) {
+      val s = starts(g)
+      // end of word g+n-1: next word's start minus the separating space,
+      // or the buffer end for the final window
+      val e = if (g + n < words) starts(g + n) - 1 else len
+      out(g) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + s, e - s, 42L)
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Fused `transform(shingles(text, n), s -> xxhash64(s))` as one native
+  * expression — see [[ShingleHashKernel]] for the zero-per-gram-
+  * allocation argument. Output: array<long>, positions = array index
+  * (posexplode replays the positional-gram shape).
+  */
+case class ShingleHashesExpr(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (n < 1) TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes: n must be >= 1, got $n")
+    else super.checkInputDataTypes()
+
+  // like NormalizeTextExpr: the ICU flag resolves at plan build, so
+  // executors never consult SQLConf
+  private lazy val useICU: Boolean = org.apache.spark.sql.internal.SQLConf
+    .get.getConf(org.apache.spark.sql.internal.SQLConf
+      .ICU_CASE_MAPPINGS_ENABLED)
+
+  override def nullSafeEval(a: Any): Any =
+    ShingleHashKernel.hashes(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, useICU)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.ShingleHashKernel.hashes($a, $n, $useICU);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : ShingleHashesExpr = copy(child = newChild)
+
+  override def prettyName: String = "shingle_hashes"
+}
+
 /** Kernel + expression for the 32-bit SimHash over a words array — the
   * identical math to the SQL form (md5 first 8 hex digits as a 32-bit
   * word hash, per-bit ±1 sums, bit set when positive) in one JVM loop.
@@ -1257,7 +1366,14 @@ object GraftExtensions {
         "normalize_text"),
       (args: Seq[Expression]) => NormalizeTextExpr(
         org.apache.spark.sql.catalyst.expressions.Cast(args(0),
-          org.apache.spark.sql.types.StringType))))
+          org.apache.spark.sql.types.StringType))),
+    (FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashesExpr].getName,
+        "shingle_hashes"),
+      (args: Seq[Expression]) => ShingleHashesExpr(
+        org.apache.spark.sql.catalyst.expressions.Cast(args(0),
+          org.apache.spark.sql.types.StringType),
+        intArg(args(1)))))
 
   /** Register into an already-built session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
@@ -1357,6 +1473,12 @@ object Expressions {
   /** Column wrapper for [[NormalizeTextExpr]] (string → string). */
   def normalizeText(text: Column): Column =
     Bridge.column(NormalizeTextExpr(Bridge.expression(text)))
+
+  /** Column wrapper for [[ShingleHashesExpr]] (string → array<long> of
+    * per-position gram xxhash64s).
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    Bridge.column(ShingleHashesExpr(Bridge.expression(text), n))
 
   /** Column wrapper for [[TextProfileExpr]] (input: string; output struct
     * (wc, alpha, counts) with counts aligned to `markers`).

@@ -74,6 +74,23 @@ object TextPropsSpec extends Properties("Text") {
       got.forall { case (k, r) => k == r }
     }
 
+  // (r15) the fused gram-hash kernel must emit element-wise exactly
+  // xxhash64(shingles(text, n)[i]) — same count, same order, same 64-bit
+  // values — over text with messy whitespace and mixed case (the ASCII
+  // domain where ShingleKernel's ROOT lower and the kernel's normalize
+  // lower coincide; the fixtures and oracles live there)
+  property("shingle_hashes == xxhash64 over shingles, element-wise") =
+    Prop.forAllNoShrink(Gen.listOfN(6, rawText), Gen.choose(1, 4)) {
+      (texts, n) =>
+        val got = texts.toDF("t")
+          .select(
+            graft.plans.Expressions.shingleHashes(col("t"), n).as("f"),
+            transform(Text.shingles(col("t"), n),
+              s => xxhash64(s)).as("r"))
+          .as[(Seq[Long], Seq[Long])].collect()
+        got.forall { case (f, r) => f == r }
+    }
+
   property("shingles match scala sliding n-grams (order + duplicates)") =
     Prop.forAllNoShrink(rawText, Gen.choose(1, 4)) { (t, n) =>
       val got = Seq(t).toDF("t")
