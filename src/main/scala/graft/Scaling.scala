@@ -83,6 +83,10 @@ object Scaling {
     // one sketch pass + |groups|²-bounded pairs join should track the
     // plain a1 aggregate's slope
     "a23_heavy_hitters", "a24_set_overlap",
+    // r15: d17 with the boilerplate-gram cap — the linear counterpart
+    // of the capless oracle form (see the adaptiveQueries entry for the
+    // cross-replica preserved-gram ×K² arithmetic)
+    "d17_capped",
     // LAST: the skew pairs toggle session confs (broadcast off,
     // skew-join on/off) from inside their builders — keeping them at
     // the tail means nothing downstream inherits the toggles
@@ -198,6 +202,19 @@ object Scaling {
           centroids = trained, k = 5, nprobe = 8)
         .orderBy(col("probe_id"), col("rank"))
     },
+    // d17 with the boilerplate-gram cap ON (the d18 pattern): the scaled
+    // fixtures preserve stopword/marker words across replicas, so a
+    // 5-gram of ONLY preserved words is identical in all K replicas and
+    // its pair contribution grows ×K² (sf0.1 carries 3,655 such grams,
+    // Σocc² = 4,320 → ~4.3B matched pairs at 1000× vs ~4.3M within-
+    // replica) — real corpora do the same with boilerplate. The capped
+    // form drops grams shared by >64 docs before the self-join; genuine
+    // within-replica runs (≤4 docs per gram at 1×) are untouched.
+    "d17_capped" -> { (s, d, _) =>
+      graft.operators.Dedup.substringRuns(
+        Tables.documents(s, d), k = 5, minRun = 10,
+        maxDocsPerGram = Some(64))
+    },
     "d16_adaptive_bits" -> { (s, d, f) =>
       import org.apache.spark.sql.functions.col
       graft.operators.Dedup
@@ -286,18 +303,23 @@ object Scaling {
       }
     }
 
-    // Scale-derived shuffle width per fixture dir (see Tune): the r14
-    // sweep measured the gram/chunk families' 1000× marginals doubling
-    // purely from sort spill against the fixed core-count width. Width
-    // is a function of the data being timed, so it is set per dir, and
-    // cached — one filesystem probe per fixture.
-    val widthFor: String => Int = {
-      val cache = scala.collection.mutable.Map.empty[String, Int]
+    // Scale-derived shuffle width + scan split size per fixture dir
+    // (see Tune): the r14 sweep measured the gram/chunk families' 1000×
+    // marginals doubling purely from sort spill against the fixed
+    // core-count width, and the r15 sweep caught the 100× replica's
+    // single-file tables scanning on ~12 of 32 cores under the default
+    // 128 MB split. Both are functions of the data being timed, so both
+    // are set per dir, and cached — one filesystem probe per fixture.
+    val tuneFor: String => (Int, Long) = {
+      val cache = scala.collection.mutable.Map.empty[String, (Int, Long)]
       dir => cache.getOrElseUpdate(dir, {
-        val w = Tune.shuffleWidth(Tune.inputBytes(spark, dir),
-          spark.sparkContext.defaultParallelism)
-        System.err.println(s"[scaling] shuffle width for $dir: $w")
-        w
+        val bytes = Tune.inputBytes(spark, dir)
+        val cores = spark.sparkContext.defaultParallelism
+        val w = Tune.shuffleWidth(bytes, cores)
+        val split = Tune.scanSplitBytes(bytes, cores)
+        System.err.println(
+          s"[scaling] $dir: shuffle width $w, scan split ${split >> 20}MB")
+        (w, split)
       })
     }
 
@@ -305,8 +327,9 @@ object Scaling {
     // (see Bench.scala) — a single sample can be 4x off
     def timeOne(name: String, dir: String, factor: Double)
         : Option[Double] = {
-      spark.conf.set("spark.sql.shuffle.partitions",
-        widthFor(dir).toString)
+      val (w, split) = tuneFor(dir)
+      spark.conf.set("spark.sql.shuffle.partitions", w.toString)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", split.toString)
       val fn: Option[String => org.apache.spark.sql.DataFrame] =
         SparkEntry.queries.get(name).map(q => (d: String) => q(spark, d))
           .orElse(adaptiveQueries.get(name)

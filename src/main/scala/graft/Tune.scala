@@ -66,13 +66,34 @@ object Tune {
     math.min(cap.toLong, math.max(floor.toLong, need)).toInt
   }
 
-  /** Derive the width from `dir`'s size and set it on the session.
-    * Returns the width so harnesses can log the decision.
+  /** Scan-split size companion to [[shuffleWidth]]: the default 128 MB
+    * `spark.sql.files.maxPartitionBytes` gives a 1.5 GB input only ~12
+    * splits — a 32-core executor fleet idles 60% of the machine through
+    * every scan-bound stage (measured: the 100× replica's per-unit scan
+    * cost ran 2-5× the 1000× replica's purely from split count; the
+    * 1000× fixture crosses 32 splits on its own). Target ≥2 splits per
+    * core — `clamp(4 MB, bytes/(2·cores), 128 MB)` — so mid-sized
+    * inputs parallelize fully while huge inputs keep the 128 MB
+    * vectorized-reader sweet spot and small ones don't shatter into
+    * per-row-group confetti. (On a real cluster `cores` is the fleet's
+    * total slots, exactly like the width rule.)
+    */
+  def scanSplitBytes(bytes: Long, cores: Int): Long = {
+    require(cores >= 1, s"scanSplitBytes: cores=$cores")
+    math.min(128L << 20, math.max(4L << 20, bytes / (2L * cores)))
+  }
+
+  /** Derive shuffle width AND scan split size from `dir`'s bytes and
+    * set both on the session. Returns the width so harnesses can log
+    * the decision.
     */
   def applyShuffleWidth(spark: SparkSession, dir: String): Int = {
     val floor = spark.sparkContext.defaultParallelism
-    val w = shuffleWidth(inputBytes(spark, dir), floor)
+    val bytes = inputBytes(spark, dir)
+    val w = shuffleWidth(bytes, floor)
     spark.conf.set("spark.sql.shuffle.partitions", w.toString)
+    spark.conf.set("spark.sql.files.maxPartitionBytes",
+      scanSplitBytes(bytes, floor).toString)
     w
   }
 }

@@ -469,11 +469,25 @@ object Anchors {
       // stream is cut to the matching slice BEFORE the orders join —
       // measured 4.8 → ~2 s at 100× vs joining the full partsupp and
       // filtering after (the fact⋈orders shuffle was carrying 8× rows)
+      val redKeys = Tables.part(s, d)
+        .filter(col("p_name").contains("red")).select(col("p_partkey"))
       val ps = Tables.partsupp(s, d)
-        .join(Tables.part(s, d).filter(col("p_name").contains("red"))
-            .select(col("p_partkey")),
-          col("p_partkey") === col("ps_partkey"))
+        .join(redKeys, col("p_partkey") === col("ps_partkey"))
+      // (r15, tools/Q9Audit) the fact⋈partsupp two-key join was 44-53 s
+      // of b19's ~54 s at 1000× — ALL of lineitem (600M rows, ~30 GB)
+      // shuffled into it while only ~13% survive the red-part slice.
+      // A broadcast LEFT SEMI against the red part KEYS (1M longs ≈
+      // 8 MB at 1000× — dim-key-sized at any shuffle-feasible scale)
+      // drops the non-matching 87% map-side, BEFORE the fact ever
+      // exchanges. At extreme part cardinalities where even the key
+      // slice outgrows a broadcast, the same prefilter becomes a bloom
+      // runtime filter (plans.Expressions.bloomFilterAgg/mightContain
+      // — the d13 decontamination machinery); the join result is
+      // identical either way since semi-filtering only removes rows
+      // the inner join would drop.
       Tables.lineitem(s, d)
+        .join(broadcast(redKeys),
+          col("p_partkey") === col("l_partkey"), "left_semi")
         .join(ps, col("ps_partkey") === col("l_partkey") &&
             col("ps_suppkey") === col("l_suppkey"))
         .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))

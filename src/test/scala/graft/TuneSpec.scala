@@ -36,6 +36,20 @@ class TuneSpec extends AnyFunSuite {
     assert(widths.last == 512)
   }
 
+  test("scanSplitBytes targets >=2 splits per core within [4MB, 128MB]") {
+    // mid-sized input: bytes/(2*cores) inside the clamp band
+    assert(Tune.scanSplitBytes(1536 * MB, cores = 32) == 24 * MB)
+    // small input: the 4 MB floor binds (don't shatter tiny tables)
+    assert(Tune.scanSplitBytes(17 * MB, cores = 32) == 4 * MB)
+    assert(Tune.scanSplitBytes(0L, cores = 32) == 4 * MB)
+    // huge input: the 128 MB vectorized-reader ceiling binds
+    assert(Tune.scanSplitBytes(100L * 1024 * MB, cores = 32) == 128 * MB)
+    // the derived split always yields >= 2*cores splits when the input
+    // is big enough to leave the floor
+    val bytes = 1536 * MB
+    assert(bytes / Tune.scanSplitBytes(bytes, cores = 32) >= 64)
+  }
+
   test("applyShuffleWidth measures the dir and sets the session conf") {
     val dir = java.nio.file.Files.createTempDirectory("tune").toString
     // ~40 MB of payload at the 8 MB target on a 4-core test session ->
@@ -43,10 +57,17 @@ class TuneSpec extends AnyFunSuite {
     val f = java.nio.file.Paths.get(dir, "blob.bin")
     java.nio.file.Files.write(f, new Array[Byte](40 * MB.toInt))
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    val savedSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try {
       val w = Tune.applyShuffleWidth(spark, dir)
       assert(w == 5)
       assert(spark.conf.get("spark.sql.shuffle.partitions") == "5")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+      // 40 MB on the 4-core test session -> 40/(2*4) = 5 MB split
+      assert(spark.conf.get("spark.sql.files.maxPartitionBytes")
+        == (5 * MB).toString)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", saved)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", savedSplit)
+    }
   }
 }
