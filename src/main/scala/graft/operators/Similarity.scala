@@ -584,6 +584,32 @@ object Similarity extends SimilarityPq {
     * `count()`s are map-side-combined scalar aggregates — no corpus data
     * ever reaches the driver.
     */
+  /** Seed ids for sampled training, selected by RANK within the sorted
+    * distinct sample: every `max(1, sn/kSeeds)`-th member. On dense
+    * 0-based ids this picks EXACTLY the historical second-modulus seeds
+    * (sample ids are q·mod, so rank position and id share the stride
+    * arithmetic — the gate fixtures and their oracles are unchanged),
+    * but unlike a second modulus it is bounded at ≤ ~2·kSeeds seeds on
+    * ANY id structure. The failure it fixes (r15, found by the 1000×
+    * ServeScaling build): the scaled replicas offset vec_ids by
+    * R·10,000,000, and because 10M is divisible by every modulus the
+    * rule produced there, EVERY sample member became a seed — ~1000
+    * codewords per subspace from a kCodes=40 ask, which blew
+    * pqPackCodes' unsigned-byte domain (the loud-failure contract
+    * fired, correctly) and the Lloyd cost with it. The sample is
+    * ≤ ~2·targetSample ids by the sampling contract, so the collect is
+    * an artifact-sized driver job (the PqAssignBook precedent).
+    */
+  private[operators] def sampleSeedIds(vecs: DataFrame, mod: Long,
+                                       kSeeds: Long): Array[Long] = {
+    val ids = vecs.filter(col("vec_id") % mod === 0)
+      .select(col("vec_id").cast("long")).distinct()
+      .orderBy(col("vec_id"))
+      .collect().map(_.getLong(0))
+    val stride = math.max(1L, ids.length / kSeeds).toInt
+    ids.zipWithIndex.collect { case (id, q) if q % stride == 0 => id }
+  }
+
   private[operators] def sampleModuli(vecs: DataFrame, targetSample: Long,
                            kSeeds: Long): (Long, Long) = {
     val n = vecs.select(count(lit(1))).head().getLong(0)

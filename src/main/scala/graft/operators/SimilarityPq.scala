@@ -83,6 +83,49 @@ trait SimilarityPq { this: Similarity.type =>
         .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
   }
 
+  /** Corpus-scale assignment through the fused argmin kernel
+    * ([[graft.plans.PqAssignKernel]]): the codebook — artifact-sized by
+    * construction, m × ≤kCodes rows — is collected once to the driver,
+    * packed per subspace with codes ascending, and embedded in a
+    * codegen'd expression that computes all m argmins per vector in one
+    * JVM loop. Emits the same (id, sub, code) long form as [[pqAssign]]
+    * with bit-identical codes (same scaled-long floors, same (d2, code)
+    * order, same truncation semantics — pinned in SimilaritySpec), but
+    * with NO slice explode, NO m·K× candidate join, NO min_by
+    * SortAggregate: the long form put ~640M rows through a sort (a
+    * disk-filling spill) to encode 2M vectors at the 1000× replica,
+    * for an argmin that is m·K·sub multiplies per vector. Training
+    * keeps the long form — its input is sample-bounded by contract and
+    * the Lloyd mean needs the sub-vectors back.
+    */
+  private def pqAssignViaKernel(vecs: DataFrame, book: DataFrame,
+                                m: Int, sub: Int): DataFrame = {
+    val rows = book
+      .select(col("sub").cast("int"), col("code").cast("long"), col("cw"))
+      .collect()
+    val bySub = Array.fill(m)(
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])])
+    rows.foreach { r =>
+      require(r.getInt(0) >= 0 && r.getInt(0) < m,
+        s"pqAssignViaKernel: codebook sub ${r.getInt(0)} outside 0..${m - 1}")
+      bySub(r.getInt(0)) += ((r.getLong(1), r.getSeq[Float](2).toArray))
+    }
+    val sorted = bySub.map(_.sortBy(_._1).toArray)
+    val pb = graft.plans.PqAssignBook(
+      m, sub,
+      sorted.map(_.map(_._1)),
+      sorted.map(_.map(_._2)),
+      // normScaled replayed in the DotScaledExpr math: Σ floor(w²·1e16)
+      sorted.map(_.map { case (_, w) =>
+        w.map(x => math.floor(x.toDouble * x.toDouble * 1e16).toLong).sum
+      }))
+    spreadPartitions(vecs)
+      .select(col("vec_id").as("id"),
+        posexplode_outer(
+          graft.plans.Expressions.pqAssignCodes(col("embedding"), pb)))
+      .select(col("id"), col("pos").as("sub"), col("col").as("code"))
+  }
+
   /** Train the m per-subspace codebooks — deterministic Lloyd, all m
     * subspaces TOGETHER in one long-form frame, so an iteration is ONE
     * broadcast join + ONE aggregation over the corpus, not m of each.
@@ -94,7 +137,8 @@ trait SimilarityPq { this: Similarity.type =>
               sampleStride: Long = 50L): DataFrame = {
     val dim = vecs.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"pqTrain: dim $dim not divisible into $m subspaces")
-    pqTrainSliced(pqSliced(vecs, m, dim / m), iters, sampleStride)
+    pqTrainSliced(pqSliced(vecs, m, dim / m), iters,
+      col("id") % sampleStride === 0)
   }
 
   /** Sample-bounded PQ codebook training — the PQ analogue of
@@ -104,11 +148,15 @@ trait SimilarityPq { this: Similarity.type =>
     * training, measured 75/64 s at 10× in SCALING.json). The training
     * set is every `mod`-th vector with `mod = max(1, n/targetSample)` —
     * ≤ ~2·targetSample rows whatever the corpus size — and seeds are
-    * every `max(1, sn/kCodes)`-th sample member, so training is
-    * O(targetSample · kCodes · m · iters), CONSTANT in corpus size;
-    * encoding stays the one linear pass PQ always pays. Both moduli are
-    * pure vec_id arithmetic ([[sampleModuli]]), so the DuckDB oracle
-    * derives them from COUNT(*) and replays training bit-for-bit.
+    * every `max(1, sn/kCodes)`-th sample member BY RANK
+    * ([[Similarity.sampleSeedIds]] — on dense ids exactly the
+    * historical second modulus; on arithmetically structured id spaces
+    * the modulus collapsed to seeds = the whole sample, r15), so
+    * training is O(targetSample · kCodes · m · iters), CONSTANT in
+    * corpus size. Encoding stays the one linear pass PQ always pays.
+    * The sample modulus is COUNT(*) arithmetic and the seed ranks are
+    * a window over the sample, so the DuckDB oracle replays training
+    * bit-for-bit.
     */
   def pqTrainSampled(vecs: DataFrame, m: Int = 8, iters: Int = 2,
                      targetSample: Long = 400L, kCodes: Long = 40L)
@@ -116,9 +164,15 @@ trait SimilarityPq { this: Similarity.type =>
     val dim = vecs.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0,
       s"pqTrainSampled: dim $dim not divisible into $m subspaces")
-    val (mod, seedMod) = sampleModuli(vecs, targetSample, kCodes)
+    val n = vecs.select(count(lit(1))).head().getLong(0)
+    val mod = math.max(1L, n / targetSample)
+    // rank-based seeds (see Similarity.sampleSeedIds): identical to the
+    // historical second modulus on dense ids, kCodes-bounded on any id
+    // structure — the codebook can never outgrow the packed-code byte
+    // domain again
+    val seeds = sampleSeedIds(vecs, mod, kCodes)
     pqTrainSliced(pqSliced(vecs, m, dim / m).filter(col("id") % mod === 0),
-      iters, seedMod)
+      iters, col("id").isInCollection(seeds))
   }
 
   /** [[pqTrain]] over an already-sliced corpus — lets [[pqTopK]] share one
@@ -128,8 +182,8 @@ trait SimilarityPq { this: Similarity.type =>
     * show up directly in latency).
     */
   private def pqTrainSliced(corpus: DataFrame, iters: Int,
-                            sampleStride: Long): DataFrame = {
-    var cb = corpus.filter(col("id") % sampleStride === 0)
+                            seedFilter: Column): DataFrame = {
+    var cb = corpus.filter(seedFilter)
       .select(col("sub"), col("id").as("code"), col("sv").as("cw"))
     for (_ <- 1 to iters) {
       // keepSv: the training corpus is sample-bounded by contract, so
@@ -165,7 +219,7 @@ trait SimilarityPq { this: Similarity.type =>
     require(dim % m == 0, s"pqEncode: dim $dim not divisible into $m subspaces")
     require(head.getInt(1) == dim / m,
       s"pqEncode: codeword width ${head.getInt(1)} != subspace width ${dim / m}")
-    pqAssign(pqSliced(vecs, m, dim / m), codebook)
+    pqAssignViaKernel(vecs, codebook, m, dim / m)
       .select(col("id").as("vec_id"), col("sub"), col("code"))
   }
 
@@ -191,10 +245,11 @@ trait SimilarityPq { this: Similarity.type =>
     val dim = vecs.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"pqTopK: dim $dim not divisible into $m subspaces")
     val corpus = pqSliced(vecs, m, dim / m)
-    val (mod, seedMod) = sampleModuli(vecs, targetSample, kCodes)
+    val n = vecs.select(count(lit(1))).head().getLong(0)
+    val mod = math.max(1L, n / targetSample)
     val cb = pqTrainSliced(corpus.filter(col("id") % mod === 0),
-      iters, seedMod)
-    val codes = pqAssign(corpus, cb)
+      iters, col("id").isInCollection(sampleSeedIds(vecs, mod, kCodes)))
+    val codes = pqAssignViaKernel(vecs, cb, m, dim / m)
       .select(col("id").as("cand_id"), col("sub"), col("code"))
     pqSearch(probes, vecs, cb, codes, k, m, dim / m, shortlist)
   }
@@ -510,10 +565,11 @@ trait SimilarityPq { this: Similarity.type =>
     val corpus = pqSliced(vecs, m, dim / m)
     // sample-bounded codebook training, like pqTopK (r12): fixed ~kCodes
     // codewords from ≤ ~2·targetSample vectors, constant in corpus size
-    val (mod, seedMod) = sampleModuli(vecs, targetSample, kCodes)
+    val n = vecs.select(count(lit(1))).head().getLong(0)
+    val mod = math.max(1L, n / targetSample)
     val cb = pqTrainSliced(corpus.filter(col("id") % mod === 0),
-      iters, seedMod)
-    val codes = pqAssign(corpus, cb)
+      iters, col("id").isInCollection(sampleSeedIds(vecs, mod, kCodes)))
+    val codes = pqAssignViaKernel(vecs, cb, m, dim / m)
       .select(col("id").as("cand_id"), col("sub"), col("code"))
     val book = cb.withColumn("cn", normScaled(col("cw")))
     val lut = pqSliced(probes, m, dim / m)

@@ -333,6 +333,106 @@ case class ShingleHashesExpr(child: Expression, n: Int)
   override def prettyName: String = "shingle_hashes"
 }
 
+/** Driver-side packed PQ codebook for [[PqAssignExpr]]: per subspace the
+  * code ids ASCENDING (the tie order), their codewords (jagged — a seed
+  * codeword sliced from a truncated vector can be shorter than `sub`,
+  * and dotScaled truncates at the shorter operand), and their
+  * scaled-long norms. Artifact-sized by construction (m × ≤kCodes rows),
+  * so collecting it is one tiny driver job — the n15 LUT-geometry
+  * precedent.
+  */
+case class PqAssignBook(m: Int, sub: Int,
+                        codes: Array[Array[Long]],
+                        words: Array[Array[Array[Float]]],
+                        norms: Array[Array[Long]]) {
+  require(m >= 1 && sub >= 1 && codes.length == m &&
+    words.length == m && norms.length == m,
+    s"PqAssignBook: inconsistent geometry m=$m sub=$sub")
+  (0 until m).foreach { j =>
+    require(codes(j).nonEmpty && codes(j).length == words(j).length &&
+      codes(j).length == norms(j).length,
+      s"PqAssignBook: subspace $j has no codewords or ragged arrays")
+  }
+}
+
+/** Kernel for corpus-scale PQ code assignment: all m per-subspace
+  * argmins of one vector in a single JVM loop against the broadcast-by-
+  * reference codebook. Replaces the long-form shape (slice-explode to
+  * m rows/vector, ×|codebook| candidate join, min_by SortAggregate) for
+  * the ENCODE side — the candidate blow-up was m·K× the corpus
+  * (measured: 640M in-flight rows and a disk-filling sort spill
+  * encoding 2M vectors at the 1000× replica) for an argmin whose math
+  * is m·K·sub multiplies per vector.
+  *
+  * Bit-identity with [[graft.operators.SimilarityPq]]'s pqAssign:
+  * same scaled-long floors (floor(a·b·1e16) per element, the
+  * DotScaledExpr math), same d2 = normScaled(cw) − 2·dotScaled(sv, cw),
+  * same (d2, code) total order (codes scanned ascending, strict <
+  * keeps the lowest code at ties), same truncation semantics for
+  * short vectors/codewords. Pinned in SimilaritySpec.
+  */
+object PqAssignKernel {
+  def assign(e: ArrayData, b: PqAssignBook): ArrayData = {
+    val nA = e.numElements()
+    val out = new Array[Long](b.m)
+    var j = 0
+    while (j < b.m) {
+      val cs = b.codes(j)
+      val ws = b.words(j)
+      val ns = b.norms(j)
+      val base = j * b.sub
+      val avail = math.max(0, math.min(b.sub, nA - base))
+      var bestD2 = Long.MaxValue
+      var best = 0L
+      var c = 0
+      while (c < cs.length) {
+        val w = ws(c)
+        val lim = math.min(avail, w.length)
+        var dot = 0L
+        var i = 0
+        while (i < lim) {
+          dot += math.floor(
+            e.getFloat(base + i).toDouble * w(i).toDouble * 1e16).toLong
+          i += 1
+        }
+        val d2 = ns(c) - 2L * dot
+        if (d2 < bestD2) { bestD2 = d2; best = cs(c) }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** PQ code assignment of an embedding column against a driver-collected
+  * codebook: array<long> of m codes, index = subspace. See
+  * [[PqAssignKernel]] for the explosion-free argument; posexplode
+  * replays the (id, sub, code) long form downstream consumers expect.
+  */
+case class PqAssignExpr(child: Expression, book: PqAssignBook)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    PqAssignKernel.assign(a.asInstanceOf[ArrayData], book)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("pqAssignBook", book,
+      classOf[PqAssignBook].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.PqAssignKernel.assign($a, $b);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : PqAssignExpr = copy(child = newChild)
+
+  override def prettyName: String = "pq_assign"
+}
+
 /** Kernel + expression for the 32-bit SimHash over a words array — the
   * identical math to the SQL form (md5 first 8 hex digits as a 32-bit
   * word hash, per-bit ±1 sums, bit set when positive) in one JVM loop.
@@ -1479,6 +1579,12 @@ object Expressions {
     */
   def shingleHashes(text: Column, n: Int): Column =
     Bridge.column(ShingleHashesExpr(Bridge.expression(text), n))
+
+  /** Column wrapper for [[PqAssignExpr]] (embedding → array<long> of m
+    * PQ codes, index = subspace).
+    */
+  def pqAssignCodes(embedding: Column, book: PqAssignBook): Column =
+    Bridge.column(PqAssignExpr(Bridge.expression(embedding), book))
 
   /** Column wrapper for [[TextProfileExpr]] (input: string; output struct
     * (wc, alpha, counts) with counts aligned to `markers`).

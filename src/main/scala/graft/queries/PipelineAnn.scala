@@ -288,11 +288,13 @@ object PipelineAnn {
          pm AS (SELECT greatest(1, count(*) // 400) AS md
                 FROM embeddings),
          ss AS (SELECT sl.* FROM sl, pm WHERE sl.id % pm.md = 0),
-         pm2 AS (SELECT pm.md * greatest(1, count(DISTINCT ss.id) // 40)
-                   AS sd
-                 FROM ss, pm GROUP BY pm.md),
-         cb0 AS (SELECT sub, id AS code, pos, x AS cw FROM sl, pm2
-                 WHERE id % pm2.sd = 0),
+         pm2 AS (SELECT greatest(1, count(DISTINCT ss.id) // 40) AS st
+                 FROM ss),
+         srk AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS q
+                 FROM (SELECT DISTINCT id FROM ss)),
+         cb0 AS (SELECT sub, sl.id AS code, pos, x AS cw
+                 FROM sl JOIN srk ON sl.id = srk.id, pm2
+                 WHERE srk.q % pm2.st = 0),
          d1 AS (SELECT s.id, s.sub, c.code,
                   SUM(CAST(floor(c.cw*c.cw*1e16) AS BIGINT))
                     - 2*SUM(CAST(floor(s.x*c.cw*1e16) AS BIGINT)) AS d2
@@ -373,8 +375,10 @@ object PipelineAnn {
     "n8_knn_graph" -> lshOracle(multiProbe = false, tables = 4,
       probePred = "TRUE", adaptiveTarget = Some(32)),
     // n6: PQ training is restricted to the bounded modulus sample (ss)
-    // seeded at the fixed-k modulus (pm2) — both moduli computed from the
-    // same counts the Spark driver reads (sampleModuli), as scalar CTEs.
+    // seeded at the fixed-k RANK stride (pm2/srk — every st-th distinct
+    // sample id by rank, the r15 structured-id-proof rule; on the dense
+    // gate fixtures identical to the historical second modulus), both
+    // derived from the same counts the Spark driver reads, as CTEs.
     // Only d3 (final encode) and the probe LUT see the full slice table.
     "n6_ann_pq" -> n6OracleSql,
     // n7 = n9's sampled-trained IVF bucketing CTEs (i-prefixed: the
@@ -428,11 +432,13 @@ object PipelineAnn {
          pm AS (SELECT greatest(1, count(*) // 400) AS md
                 FROM embeddings),
          ss AS (SELECT sl.* FROM sl, pm WHERE sl.id % pm.md = 0),
-         pm2 AS (SELECT pm.md * greatest(1, count(DISTINCT ss.id) // 40)
-                   AS sd
-                 FROM ss, pm GROUP BY pm.md),
-         cb0 AS (SELECT sub, id AS code, pos, x AS cw FROM sl, pm2
-                 WHERE id % pm2.sd = 0),
+         pm2 AS (SELECT greatest(1, count(DISTINCT ss.id) // 40) AS st
+                 FROM ss),
+         srk AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS q
+                 FROM (SELECT DISTINCT id FROM ss)),
+         cb0 AS (SELECT sub, sl.id AS code, pos, x AS cw
+                 FROM sl JOIN srk ON sl.id = srk.id, pm2
+                 WHERE srk.q % pm2.st = 0),
          d1 AS (SELECT s.id, s.sub, c.code,
                   SUM(CAST(floor(c.cw*c.cw*1e16) AS BIGINT))
                     - 2*SUM(CAST(floor(s.x*c.cw*1e16) AS BIGINT)) AS d2

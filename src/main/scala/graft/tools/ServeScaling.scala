@@ -47,20 +47,30 @@ object ServeScaling {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-servescale").toString
       try {
+        // scale-derived shuffle width + scan splits (the r15 policy):
+        // the fixed core-count width let the 1000× build's sorts spill
+        // the disk dry
+        graft.Tune.applyShuffleWidth(spark, dir)
+        def step(s: String): Unit =
+          System.err.println(f"[serve] ${factor}%.0fx build: $s%s")
         val v = Tables.embeddings(spark, dir)
         val n = v.count()
         val probes = v.filter(col("vec_id") < 10)
         val cents = Similarity.sampledTrainCentroids(v,
           targetSample = 400L, kCentroids = 16L, iters = 2)
+        step("pq codebook")
         val cb = Similarity.pqTrainSampled(v, m = 8, iters = 2)
         cb.write.mode("overwrite").parquet(s"$tmp/codebook")
         val cbR = spark.read.parquet(s"$tmp/codebook")
+        step("pq encode")
         Similarity.pqEncode(v, cbR).write.mode("overwrite")
           .parquet(s"$tmp/codes")
         val codesR = spark.read.parquet(s"$tmp/codes")
+        step("pq pack")
         Similarity.pqPackCodes(codesR, cbR).write.mode("overwrite")
           .parquet(s"$tmp/packed")
         val packedR = spark.read.parquet(s"$tmp/packed")
+        step("ivf cells")
         Similarity.ivfCells(v, cents).write.mode("overwrite")
           .parquet(s"$tmp/cells")
         val cellsR = spark.read.parquet(s"$tmp/cells")
@@ -88,12 +98,15 @@ object ServeScaling {
         // autoRouteCells: flat assignment against the adaptive nlist is
         // exactly the path measured dead at 1000× (r14_decades), so the
         // build routes two-hop there and flat below the crossover.
+        step("sq8 stats")
         val sqStats = Similarity.sq8Stats(v)
         sqStats.write.mode("overwrite").parquet(s"$tmp/sq8stats")
         val statsR = spark.read.parquet(s"$tmp/sq8stats")
+        step("sq8 encode")
         Similarity.sq8Encode(v, statsR).write.mode("overwrite")
           .parquet(s"$tmp/sq8codes")
         val sqCodesR = spark.read.parquet(s"$tmp/sq8codes")
+        step("sq8 meta encode")
         Similarity.sq8EncodeWithMeta(v, statsR, Seq("label"))
           .sortWithinPartitions("label")
           .write.mode("overwrite").parquet(s"$tmp/sq8meta")
@@ -103,11 +116,13 @@ object ServeScaling {
         report("sq8_filtered", () => serve(
           Similarity.sq8TopKFromCodes(probes, statsR,
             sqMetaR.filter(col("label") < 3), k = 5)))
+        step("two-level geom")
         val (acent, l1, parents) = Similarity.twoLevelGeom(v)
         acent.write.mode("overwrite").parquet(s"$tmp/acents")
         l1.write.mode("overwrite").parquet(s"$tmp/al1")
         parents.write.mode("overwrite").parquet(s"$tmp/aparents")
         val acentR = spark.read.parquet(s"$tmp/acents")
+        step("auto-route cells")
         Similarity.autoRouteCells(v, acentR,
             spark.read.parquet(s"$tmp/al1"),
             spark.read.parquet(s"$tmp/aparents"))

@@ -99,6 +99,68 @@ class SimilaritySpec extends AnyFunSuite {
       again.sortBy(r => (r._1, r._2)).toSeq)
   }
 
+  // (r15) pqEncode assigns through the fused driver-book kernel now —
+  // pin bit-identity against the long-form shape it replaced (slice
+  // explode → ×codebook broadcast join → min_by over (d2, code)),
+  // replayed here as SQL over the same frames, including a truncated
+  // vector (kernel must truncate the dot exactly like dotScaled)
+  test("pq kernel assignment == long-form argmin, incl. truncated vectors") {
+    import org.apache.spark.sql.functions._
+    val withTrunc = vecs.select(col("vec_id"),
+      when(col("vec_id") === 3L, slice(col("embedding"), 1, 37))
+        .otherwise(col("embedding")).as("embedding"))
+    val cb = Similarity.pqTrain(withTrunc, m = 4, iters = 2)
+    val m = 4
+    val sub = 16
+    val sliced = withTrunc.select(col("vec_id").as("id"),
+      posexplode(array((0 until m).map(j =>
+        slice(col("embedding"), j * sub + 1, sub)): _*)))
+      .select(col("id"), col("pos").as("sub"), col("col").as("sv"))
+    val longForm = sliced
+      .join(broadcast(cb.withColumn("cn",
+        Similarity.normScaled(col("cw")))), Seq("sub"))
+      .withColumn("d2", col("cn") - lit(2L) *
+        Similarity.dotScaled(col("sv"), col("cw")))
+      .groupBy(col("id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+      .select("id", "sub", "code").as[(Long, Int, Long)].collect().sorted
+    val kernel = Similarity.pqEncode(withTrunc, cb)
+      .select("vec_id", "sub", "code").as[(Long, Int, Long)].collect().sorted
+    assert(kernel.toSeq == longForm.toSeq)
+  }
+
+  // (r15) sampled-PQ seeds select by RANK in the sorted sample now —
+  // on dense ids that is provably the historical second modulus (codes
+  // ARE seed vec_ids, so the codebook pins the selection), and on the
+  // replica-offset id structure that collapsed the modulus rule (every
+  // sample member ≡ 0 mod anything, ~1000 codewords from a kCodes=40
+  // ask — the 1000× pack failure) the codebook stays kCodes-bounded
+  // and packable.
+  test("pq sampled seeding: rank == modulus on dense ids; kCodes-bounded " +
+      "and packable on offset ids") {
+    import org.apache.spark.sql.functions._
+    // dense fixture: seeds must be every stride-th multiple of mod
+    val n = vecs.count()
+    val mod = math.max(1L, n / 400L)
+    val sampleIds = (0L until n).filter(_ % mod == 0)
+    val stride = math.max(1L, sampleIds.length / 40L)
+    val expected = sampleIds.zipWithIndex
+      .collect { case (id, q) if q % stride == 0 => id }.toSet
+    val cb = Similarity.pqTrainSampled(vecs, m = 4, iters = 2)
+    assert(cb.select("code").as[Long].collect().toSet == expected)
+    // offset ids (the scale_fixtures structure): R*10M + small j
+    val offset = vecs.select(
+      (col("vec_id") * lit(10000000L)).as("vec_id"), col("embedding"))
+    val cbO = Similarity.pqTrainSampled(offset, m = 4, iters = 2)
+    val perSub = cbO.groupBy("sub").count().select("count")
+      .as[Long].collect()
+    assert(perSub.nonEmpty && perSub.forall(_ <= 80L),
+      s"codebook not kCodes-bounded: ${perSub.mkString(",")}")
+    val codes = Similarity.pqEncode(offset, cbO)
+    // the pack step's unsigned-byte contract must hold by construction
+    assert(Similarity.pqPackCodes(codes, cbO).count() == n)
+  }
+
   test("ivfPqTopK: dense ranks, recall floor; pruning composes with ADC") {
     val probes = vecs.filter(col("vec_id") < 50)
     def pairs(df: org.apache.spark.sql.DataFrame) =
