@@ -180,11 +180,35 @@ object Dedup {
     * Output: (id, comp) for every vertex that appears in an edge, comp =
     * the component's minimum vertex id.
     */
-  def connectedComponents(edges: DataFrame): DataFrame = {
+  def connectedComponents(edges: DataFrame): DataFrame =
+    connectedComponentsLogged(edges, null)
+
+  /** [[connectedComponents]] with a round-by-round log hook — the
+    * tools/D14Audit instrumentation surface (V/E sizes, per-round
+    * seconds). A null hook costs nothing: the guard skips the V/E
+    * count jobs entirely on the production path.
+    */
+  private[graft] def connectedComponentsLogged(edges: DataFrame,
+                                               log: String => Unit)
+      : DataFrame = {
+    // symmetrize via explode, NOT union of two projections: the union
+    // form evaluates the whole upstream EDGE-GENERATION chain once per
+    // branch inside the checkpoint job — for d8/d14 that chain is the
+    // full MinHash+LSH candidate pipeline, so the union was paying the
+    // corpus-scale pair generation TWICE (r16 audit finding; ~2× the
+    // dominant stage at every decade)
+    val c0 = edges.columns(0)
+    val c1 = edges.columns(1)
     val sym = edges
-      .select(col(edges.columns(0)).as("id"), col(edges.columns(1)).as("nbr"))
-      .union(edges
-        .select(col(edges.columns(1)).as("id"), col(edges.columns(0)).as("nbr")))
+      // explode_outer, not explode: the 2-element literal array is
+      // never empty, and the non-outer form makes the optimizer infer
+      // a size(...)>0 filter that re-builds the array per row (the t9
+      // gotcha)
+      .select(explode_outer(array(
+        struct(col(c0).as("id"), col(c1).as("nbr")),
+        struct(col(c1).as("id"), col(c0).as("nbr"))))
+        .as("e"))
+      .select(col("e.id"), col("e.nbr"))
       .distinct()
       .localCheckpoint(true)
     // seed labels with round 1 already applied: min(id, Γ(id)) comes from
@@ -206,8 +230,12 @@ object Dedup {
       if (s == null) java.math.BigDecimal.ZERO else s
     }
     var prevSum = labelSum(labels)
+    if (log != null) log(s"cc: E(sym)=${sym.count()} V=${labels.count()}")
     var changed = true
+    var round = 0
     while (changed) {
+      round += 1
+      val t0 = System.nanoTime()
       val nbrLabels = sym
         .join(labels.select(col("id").as("nbr"), col("comp")), "nbr")
         .select(col("id"), col("comp"))
@@ -232,6 +260,9 @@ object Dedup {
       changed = s.compareTo(prevSum) != 0
       prevSum = s
       labels = next
+      if (log != null)
+        log(f"cc: round $round%d ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          f"changed=$changed%s")
     }
     labels
   }

@@ -478,9 +478,17 @@ object Similarity extends SimilarityPq {
   def sampledTrainCentroids(vecs: DataFrame, targetSample: Long = 400L,
                             kCentroids: Long = 16L, iters: Int = 2)
       : DataFrame = {
-    val (mod, seedMod) = sampleModuli(vecs, targetSample, kCentroids)
+    val n = vecs.select(count(lit(1))).head().getLong(0)
+    val mod = math.max(1L, n / targetSample)
+    // rank-based seeds (see sampleSeedIds): identical to the historical
+    // second modulus on dense ids, kCentroids-bounded on ANY id
+    // structure — the r15 ServeScaling replicas (ids offset by R·10M,
+    // divisible by every derived modulus) turned the second-modulus
+    // rule into seeds = the whole sample, silently training
+    // ~sample-size centroids from a kCentroids=16 ask
+    val seeds = sampleSeedIds(vecs, mod, kCentroids)
     kmeansCentroids(vecs.filter(col("vec_id") % mod === 0),
-      vecs.filter(col("vec_id") % seedMod === 0), iters)
+      vecs.filter(col("vec_id").isInCollection(seeds)), iters)
   }
 
   /** The adaptive cell-count rule: nlist = max(16, ⌈√n⌉), from ONE
@@ -558,32 +566,35 @@ object Similarity extends SimilarityPq {
     adaptiveTrainGeom(vecs, iters)._1
 
   /** [[adaptiveTrainCentroids]] plus the GEOMETRY the two-level
-    * assignment path needs: (trained cells, seed modulus, coarse
-    * group size g = max(1, ⌈√nlist⌉)). The seed modulus is the same
-    * `prm2.sd` the oracle derives, so `vec_id % (sd·g) = 0` — every
-    * g-th SEED — is a deterministic coarse-centroid subset both
-    * engines agree on without ranking the trained cells (no global
-    * window, no extra scalar count).
+    * assignment path needs: (trained cells, coarse-centroid ids). The
+    * coarse layer is every g-th Lloyd SEED by rank (g = max(1,
+    * ⌈√nlist⌉)) — ~√nlist ≈ n^(1/4) ids, a strict subset of the
+    * ≤ ~2·nlist seed ids [[sampleSeedIds]] already collected, so the
+    * driver never holds more than the artifact-sized seed list. On
+    * dense 0-based ids this is exactly the historical
+    * `vec_id % (seedMod·g) = 0` subset (seed j has id j·mod·stride);
+    * on structured id spaces the modulus form collapsed (r15 — every
+    * replica id divisible by the derived modulus), which for the
+    * coarse layer would have made l1 corpus-sized.
     */
   def adaptiveTrainGeom(vecs: DataFrame, iters: Int = 2)
-      : (DataFrame, Long, Long) = {
+      : (DataFrame, Array[Long]) = {
     val n = vecs.select(count(lit(1))).head().getLong(0)
     val nl = autoNlist(n)
-    val (mod, seedMod) = sampleModuli(vecs, 32L * nl, nl)
+    val mod = math.max(1L, n / targetSampleFor(nl))
+    val seeds = sampleSeedIds(vecs, mod, nl)
     val cent = kmeansCentroids(vecs.filter(col("vec_id") % mod === 0),
-      vecs.filter(col("vec_id") % seedMod === 0), iters)
-    (cent, seedMod, math.max(1L, math.ceil(math.sqrt(nl.toDouble)).toLong))
+      vecs.filter(col("vec_id").isInCollection(seeds)), iters)
+    val g = math.max(1L, math.ceil(math.sqrt(nl.toDouble)).toLong).toInt
+    (cent, seeds.zipWithIndex.collect { case (id, j) if j % g == 0 => id })
   }
 
-  /** The (sample, seed) moduli of the bounded-training contract, shared
-    * by [[sampledTrainCentroids]] and the sampled PQ paths: sample every
-    * `mod`-th vector with `mod = max(1, n/targetSample)` (≤ ~2·targetSample
-    * rows whatever the corpus size), seed every `max(1, sn/kSeeds)`-th
-    * SAMPLE member (a second modulus over vec_id, so both filters are
-    * pure arithmetic a SQL oracle derives from COUNT(*)). The two
-    * `count()`s are map-side-combined scalar aggregates — no corpus data
-    * ever reaches the driver.
+  /** Training-sample target of the adaptive geometry: 32 points per
+    * centroid (the FAISS 30-50/centroid rule), shared with the oracle
+    * prelude's `prm` CTE.
     */
+  private def targetSampleFor(nl: Long): Long = 32L * nl
+
   /** Seed ids for sampled training, selected by RANK within the sorted
     * distinct sample: every `max(1, sn/kSeeds)`-th member. On dense
     * 0-based ids this picks EXACTLY the historical second-modulus seeds
@@ -606,17 +617,16 @@ object Similarity extends SimilarityPq {
       .select(col("vec_id").cast("long")).distinct()
       .orderBy(col("vec_id"))
       .collect().map(_.getLong(0))
+    // loud failure AT the sampling contract: a sparse/odd id space with
+    // no id divisible by `mod` would otherwise surface far downstream
+    // as an empty initial codebook (PqAssignBook's "subspace has no
+    // codewords" — a confusing distance from the root cause)
+    require(ids.nonEmpty,
+      s"sampleSeedIds: no vec_id satisfies vec_id % $mod == 0 — the " +
+        "sampling contract assumes dense-ish ids from 0; re-key the " +
+        "corpus or lower targetSample")
     val stride = math.max(1L, ids.length / kSeeds).toInt
     ids.zipWithIndex.collect { case (id, q) if q % stride == 0 => id }
-  }
-
-  private[operators] def sampleModuli(vecs: DataFrame, targetSample: Long,
-                           kSeeds: Long): (Long, Long) = {
-    val n = vecs.select(count(lit(1))).head().getLong(0)
-    val mod = math.max(1L, n / targetSample)
-    val sn = vecs.filter(col("vec_id") % mod === 0)
-      .select(count(lit(1))).head().getLong(0)
-    (mod, mod * math.max(1L, sn / kSeeds))
   }
 
   /** IVF-style bucketed ANN: assign every vector to its nearest centroid
@@ -770,8 +780,9 @@ object Similarity extends SimilarityPq {
     * fixed-16 geometry sailed through). Here the corpus assigns in two
     * hops, the FAISS coarse-quantizer / IMI shape:
     *
-    *   1. coarse: every g-th SEED vector (g = max(1, ⌈√nlist⌉), i.e.
-    *      `vec_id % (seedMod·g) = 0`) is a coarse centroid — ~√nlist ≈
+    *   1. coarse: every g-th SEED vector BY RANK (g = max(1, ⌈√nlist⌉);
+    *      on dense ids exactly the historical `vec_id % (seedMod·g) = 0`
+    *      subset) is a coarse centroid — ~√nlist ≈
     *      n^(1/4) of them; each trained cell parents to its nearest
     *      coarse centroid (nlist·√nlist dots — negligible);
     *   2. assign: a vector scores the ~n^(1/4) coarse centroids, keeps
@@ -785,7 +796,8 @@ object Similarity extends SimilarityPq {
     * vector didn't keep — the exact trade IMI makes; `wAssign` is the
     * recall knob and SimilaritySpec pins agreement with the flat
     * assignment). It is DETERMINISTIC end to end — the coarse subset is
-    * modulus arithmetic, every score is the scaled-long cosine, ties
+    * rank arithmetic over the sorted seeds, every score is the
+    * scaled-long cosine, ties
     * break on ids — so the whole build unrolls into the DuckDB twin
     * (n16's oracle).
     *
@@ -801,8 +813,8 @@ object Similarity extends SimilarityPq {
   def ivfTopKTwoLevel(probes: DataFrame, vecs: DataFrame, k: Int,
                       nprobe: Int = AutoProbe, wAssign: Int = 2,
                       iters: Int = 2): DataFrame = {
-    val (cent, seedMod, g) = adaptiveTrainGeom(vecs, iters)
-    val l1 = coarseFrame(vecs, seedMod * g)
+    val (cent, coarseIds) = adaptiveTrainGeom(vecs, iters)
+    val l1 = coarseFrame(vecs, coarseIds)
     val parCent = cellParents(cent, l1)
     val vecBuckets = twoLevelAssign(vecs, l1, parCent, "cand_id",
         wAssign, keep = 1)
@@ -825,8 +837,8 @@ object Similarity extends SimilarityPq {
     */
   def twoLevelCellsWithCent(vecs: DataFrame, wAssign: Int = 2,
                             iters: Int = 2): (DataFrame, DataFrame) = {
-    val (cent, seedMod, g) = adaptiveTrainGeom(vecs, iters)
-    val l1 = coarseFrame(vecs, seedMod * g)
+    val (cent, coarseIds) = adaptiveTrainGeom(vecs, iters)
+    val l1 = coarseFrame(vecs, coarseIds)
     val parCent = cellParents(cent, l1)
     (twoLevelAssign(vecs, l1, parCent, "vec_id", wAssign, keep = 1), cent)
   }
@@ -842,8 +854,8 @@ object Similarity extends SimilarityPq {
     */
   def twoLevelGeom(vecs: DataFrame, iters: Int = 2)
       : (DataFrame, DataFrame, DataFrame) = {
-    val (cent, seedMod, g) = adaptiveTrainGeom(vecs, iters)
-    val l1 = coarseFrame(vecs, seedMod * g)
+    val (cent, coarseIds) = adaptiveTrainGeom(vecs, iters)
+    val l1 = coarseFrame(vecs, coarseIds)
     (cent, l1.select(col("l1cid"), col("l1emb")),
       cellParents(cent, l1).select(col("cid"), col("l1cid")))
   }
@@ -895,16 +907,17 @@ object Similarity extends SimilarityPq {
     if (cent.count() < flatBelowNlist) ivfCells(vecs, cent)
     else ivfCellsTwoLevel(vecs, cent, l1, parents, wAssign)
 
-  /** The coarse-centroid frame: every `coarseMod`-th corpus vector
-    * (coarseMod = seedMod·g — a strict subset of the Lloyd seeds, so
-    * the coarse layer needs no training pass of its own and no rank
-    * window over the trained cells; both engines derive membership
-    * from the same modulus). RAW vectors, not trained cells — a coarse
-    * quantizer only routes, and a deterministic sample routes within
-    * ~1 hop of what a trained one would at this fan-out.
+  /** The coarse-centroid frame: every g-th Lloyd seed by rank (the id
+    * subset [[adaptiveTrainGeom]] returns — a strict subset of the
+    * seeds, so the coarse layer needs no training pass of its own;
+    * ~n^(1/4) ids, an InSet filter over the corpus scan). RAW vectors,
+    * not trained cells — a coarse quantizer only routes, and a
+    * deterministic sample routes within ~1 hop of what a trained one
+    * would at this fan-out.
     */
-  private def coarseFrame(vecs: DataFrame, coarseMod: Long): DataFrame =
-    vecs.filter(col("vec_id") % coarseMod === 0)
+  private def coarseFrame(vecs: DataFrame, coarseIds: Array[Long])
+      : DataFrame =
+    vecs.filter(col("vec_id").isInCollection(coarseIds))
       .select(col("vec_id").as("l1cid"), col("embedding").as("l1emb"),
         normScaled(col("embedding")).as("l1n"))
 

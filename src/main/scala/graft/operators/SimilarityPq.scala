@@ -203,7 +203,13 @@ trait SimilarityPq { this: Similarity.type =>
         // would otherwise each re-run every Lloyd iteration — truncate
         .localCheckpoint(true)
     }
-    cb
+    // contract: the returned frame is ALWAYS a materialized
+    // localCheckpoint (iters=0 would otherwise hand back the lazy seed
+    // filter), so the two-consumer pattern every search path uses —
+    // pqAssignViaKernel's artifact-sized collect + pqSearch's LUT join —
+    // re-reads ~m·kCodes checkpointed rows instead of re-running
+    // training
+    if (iters == 0) cb.localCheckpoint(true) else cb
   }
 
   /** Encode the corpus against a trained codebook: (vec_id, sub, code) —

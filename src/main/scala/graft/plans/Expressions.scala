@@ -353,6 +353,29 @@ case class PqAssignBook(m: Int, sub: Int,
       codes(j).length == norms(j).length,
       s"PqAssignBook: subspace $j has no codewords or ragged arrays")
   }
+
+  // case-class equality over nested Arrays degrades to reference
+  // identity, which would defeat expression canonicalization /
+  // subexpression elimination on two logically identical PqAssignExprs
+  // (r15 advice) — compare and hash by CONTENT
+  override def equals(other: Any): Boolean = other match {
+    case o: PqAssignBook =>
+      m == o.m && sub == o.sub &&
+        java.util.Arrays.deepEquals(
+          codes.asInstanceOf[Array[AnyRef]], o.codes.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.deepEquals(
+          words.asInstanceOf[Array[AnyRef]], o.words.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.deepEquals(
+          norms.asInstanceOf[Array[AnyRef]], o.norms.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override def hashCode(): Int = {
+    var h = 31 * m + sub
+    h = 31 * h + java.util.Arrays.deepHashCode(codes.asInstanceOf[Array[AnyRef]])
+    h = 31 * h + java.util.Arrays.deepHashCode(words.asInstanceOf[Array[AnyRef]])
+    31 * h + java.util.Arrays.deepHashCode(norms.asInstanceOf[Array[AnyRef]])
+  }
 }
 
 /** Kernel for corpus-scale PQ code assignment: all m per-subspace

@@ -469,6 +469,13 @@ object Anchors {
       // stream is cut to the matching slice BEFORE the orders join —
       // measured 4.8 → ~2 s at 100× vs joining the full partsupp and
       // filtering after (the fact⋈orders shuffle was carrying 8× rows)
+      // deliberately NOT persisted/checkpointed although three
+      // consumers scan it (the partsupp prune, the fact prefilter, the
+      // guard count): part is a DIM and each scan is column-pruned to
+      // (p_partkey, p_name) with the name filter pushed — an eager
+      // checkpoint or cache would hide that pushdown behind an
+      // InMemoryTableScan (PlanLintSpec pins it visible) to save three
+      // ~1%-of-corpus pruned scans
       val redKeys = Tables.part(s, d)
         .filter(col("p_name").contains("red")).select(col("p_partkey"))
       val ps = Tables.partsupp(s, d)
@@ -477,17 +484,28 @@ object Anchors {
       // of b19's ~54 s at 1000× — ALL of lineitem (600M rows, ~30 GB)
       // shuffled into it while only ~13% survive the red-part slice.
       // A broadcast LEFT SEMI against the red part KEYS (1M longs ≈
-      // 8 MB at 1000× — dim-key-sized at any shuffle-feasible scale)
-      // drops the non-matching 87% map-side, BEFORE the fact ever
-      // exchanges. At extreme part cardinalities where even the key
-      // slice outgrows a broadcast, the same prefilter becomes a bloom
-      // runtime filter (plans.Expressions.bloomFilterAgg/mightContain
-      // — the d13 decontamination machinery); the join result is
-      // identical either way since semi-filtering only removes rows
-      // the inner join would drop.
-      Tables.lineitem(s, d)
-        .join(broadcast(redKeys),
-          col("p_partkey") === col("l_partkey"), "left_semi")
+      // 8 MB at 1000×) drops the non-matching 87% map-side, BEFORE the
+      // fact ever exchanges. The broadcast hint is GUARDED by a key
+      // count (a map-side-combined scalar agg): past the
+      // shuffle-feasible broadcast size the same prefilter becomes a
+      // bloom runtime filter sized at ~10 bits/key (the d12/d13
+      // decontamination machinery). Either form only removes rows the
+      // inner join would drop — bloom false positives just ride through
+      // to the exact two-key join — so the result is identical.
+      val nRed = redKeys.count()
+      val fact =
+        if (nRed <= 30_000_000L)
+          Tables.lineitem(s, d).join(broadcast(redKeys),
+            col("p_partkey") === col("l_partkey"), "left_semi")
+        else {
+          val bloom = redKeys.agg(graft.plans.Expressions
+            .bloomFilterAgg(xxhash64(col("p_partkey")), nRed,
+              math.max(16384L, 10L * nRed)).as("bf"))
+            .scalar()
+          Tables.lineitem(s, d).filter(graft.plans.Expressions
+            .mightContain(bloom, xxhash64(col("l_partkey"))))
+        }
+      fact
         .join(ps, col("ps_partkey") === col("l_partkey") &&
             col("ps_suppkey") === col("l_suppkey"))
         .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))

@@ -382,19 +382,26 @@ object PipelineAnn {
     // Only d3 (final encode) and the probe LUT see the full slice table.
     "n6_ann_pq" -> n6OracleSql,
     // n7 = n9's sampled-trained IVF bucketing CTEs (i-prefixed: the
-    // centroid-training moduli iprm/iprm2 mirror sampledTrainCentroids'
-    // 400/16 from COUNT(*)) + n6's sampled PQ training/encoding CTEs,
-    // with the ADC stage restricted to the IVF-pruned candidate pairs
+    // centroid-training sample modulus iprm mirrors
+    // sampledTrainCentroids' 400 from COUNT(*); seeds are the fixed-16
+    // RANK stride over the sample — ist/isrk/isd, the same
+    // structured-id-proof rule as n6's pm2/srk) + n6's sampled PQ
+    // training/encoding CTEs, with the ADC stage restricted to the
+    // IVF-pruned candidate pairs
     "n7_ann_ivfpq" ->
       s"""WITH u AS ($duckUnnest),
          iprm AS (SELECT greatest(1, count(*) // 400) AS md
                   FROM embeddings),
          isu AS (SELECT u.* FROM u, iprm WHERE u.vec_id % iprm.md = 0),
-         iprm2 AS (SELECT iprm.md
-                     * greatest(1, count(DISTINCT isu.vec_id) // 16) AS sd
-                   FROM isu, iprm GROUP BY iprm.md),
-         ic0 AS (SELECT vec_id AS cid, x AS cx, i FROM u, iprm2
-                 WHERE vec_id % iprm2.sd = 0),
+         ist AS (SELECT greatest(1, count(DISTINCT isu.vec_id) // 16)
+                   AS st FROM isu),
+         isrk AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1
+                    AS q
+                  FROM (SELECT DISTINCT vec_id FROM isu)),
+         isd AS (SELECT isrk.vec_id FROM isrk, ist
+                 WHERE isrk.q % ist.st = 0),
+         ic0 AS (SELECT u.vec_id AS cid, u.x AS cx, u.i
+                 FROM u JOIN isd ON u.vec_id = isd.vec_id),
          is1 AS (SELECT a.vec_id, b.cid, ${duckCos("a.x", "b.cx")} AS csim
                  FROM isu a JOIN ic0 b ON a.i = b.i GROUP BY 1, 2),
          ia1 AS (SELECT vec_id, cid FROM (
@@ -559,9 +566,10 @@ object PipelineAnn {
            round(cos, 4) AS cosine
          FROM r WHERE rank <= 5 ORDER BY probe_id, rank""",
     // n9: the n4 oracle with training restricted to the bounded modulus
-    // sample (su) and seeds to the fixed-k modulus (prm2) — both moduli
-    // computed from the same counts the Spark driver reads, as scalar
-    // CTEs. Only s3 (final assignment) sees the full corpus.
+    // sample (su) and seeds to the fixed-16 RANK stride over the sample
+    // (st0/srk0/sd0) — derived from the same counts the Spark driver
+    // reads, as scalar CTEs. Only s3 (final assignment) sees the full
+    // corpus.
     "n9_ann_ivf_sampled" ->
       s"""WITH u AS ($duckUnnest),
          $duckSampledCells,

@@ -160,9 +160,25 @@ object PipelineSql {
     s"""prm AS (SELECT greatest(1, count(*) // 400) AS md
                  FROM embeddings),
          su AS (SELECT u.* FROM u, prm WHERE u.vec_id % prm.md = 0),
-         prm2 AS (SELECT prm.md * greatest(1, count(DISTINCT su.vec_id) // 16)
-                    AS sd
-                  FROM su, prm GROUP BY prm.md)""")
+         ${duckSeedRank("16")}""")
+
+  /** Rank-based Lloyd seed CTEs (st0/srk0/sd0): every st-th DISTINCT
+    * sample member by rank, st = max(1, sampleCount // k) — the SQL
+    * twin of [[graft.operators.Similarity.sampleSeedIds]] (on dense ids
+    * exactly the retired second modulus; bounded at ~k seeds on ANY id
+    * structure — the r15 replica id spaces collapsed the modulus form
+    * to seeds = the whole sample). The prelude using it must define
+    * `su`; `kExpr` is the seed-count expression (a literal, or a scalar
+    * subquery like `(SELECT nl FROM kl)` for the adaptive geometry).
+    */
+  private def duckSeedRank(kExpr: String): String =
+    s"""st0 AS (SELECT greatest(1, count(DISTINCT su.vec_id) // $kExpr)
+                  AS st FROM su),
+         srk0 AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1
+                    AS q
+                  FROM (SELECT DISTINCT vec_id FROM su)),
+         sd0 AS (SELECT srk0.vec_id FROM srk0, st0
+                 WHERE srk0.q % st0.st = 0)"""
 
   /** The ADAPTIVE-nlist prelude (n12/n13 since r14): same sampled-Lloyd
     * chain, but the seed count derives from COUNT(*) via the
@@ -179,9 +195,7 @@ object PipelineSql {
          prm AS (SELECT greatest(1, nv.n // (32 * kl.nl)) AS md
                  FROM nv, kl),
          su AS (SELECT u.* FROM u, prm WHERE u.vec_id % prm.md = 0),
-         prm2 AS (SELECT prm.md
-                    * greatest(1, count(DISTINCT su.vec_id) // kl.nl) AS sd
-                  FROM su, prm, kl GROUP BY prm.md, kl.nl)"""
+         ${duckSeedRank("(SELECT nl FROM kl)")}"""
 
   private[queries] val duckAdaptiveCells: String =
     duckLloydCells(duckAdaptivePrelude)
@@ -189,7 +203,7 @@ object PipelineSql {
   /** The two-level (coarse-quantized) assignment tail over the adaptive
     * Lloyd chain — n16's twin of
     * [[graft.operators.Similarity.ivfTopKTwoLevel]]. The coarse layer is
-    * every g-th SEED (`vec_id % (prm2.sd·g) = 0`, g = max(1, ⌈√nlist⌉)
+    * every g-th SEED by rank (`sd0` rank % g = 0, g = max(1, ⌈√nlist⌉)
     * from the SAME `kl.nl` scalar — no rank window over the trained
     * cells); each trained cell parents to its nearest coarse centroid;
     * a vector keeps its top-`wAssign` coarse centroids and argmaxes
@@ -207,8 +221,12 @@ object PipelineSql {
     s"""${duckLloydTrain(duckAdaptivePrelude)},
          gg AS (SELECT greatest(1, CAST(ceil(sqrt(CAST(nl AS DOUBLE)))
                   AS BIGINT)) AS g FROM kl),
+         l1s AS (SELECT s.vec_id FROM (
+                   SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1
+                     AS sq FROM sd0) s, gg
+                 WHERE s.sq % gg.g = 0),
          l1 AS (SELECT u.vec_id AS l1cid, u.i, u.x AS lx
-                FROM u, prm2, gg WHERE u.vec_id % (prm2.sd * gg.g) = 0),
+                FROM u JOIN l1s ON u.vec_id = l1s.vec_id),
          cp AS (SELECT a.cid, b.l1cid, ${duckCos("a.cx", "b.lx")} AS csim
                 FROM c2 a JOIN l1 b ON a.i = b.i GROUP BY 1, 2),
          par AS (SELECT cid, l1cid FROM (
@@ -236,8 +254,8 @@ object PipelineSql {
                 FROM s3p)"""
 
   /** The Lloyd chain shared by the sampled/adaptive cell preludes: the
-    * prelude must define `su` (the training sample) and `prm2.sd` (the
-    * seed modulus); the chain runs two decimal-exact iterations over
+    * prelude must define `su` (the training sample) and `sd0` (the
+    * seed id set); the chain runs two decimal-exact iterations over
     * `su`, then assigns the WHOLE corpus to the trained centroids (vr
     * ranks every vector's cells).
     */
@@ -256,8 +274,8 @@ object PipelineSql {
     */
   private[queries] def duckLloydTrain(prelude: String): String =
     s"""$prelude,
-         c0 AS (SELECT vec_id AS cid, x AS cx, i FROM u, prm2
-                WHERE vec_id % prm2.sd = 0),
+         c0 AS (SELECT u.vec_id AS cid, u.x AS cx, u.i
+                FROM u JOIN sd0 ON u.vec_id = sd0.vec_id),
          s1 AS (SELECT a.vec_id, b.cid, ${duckCos("a.x", "b.cx")} AS csim
                 FROM su a JOIN c0 b ON a.i = b.i GROUP BY 1, 2),
          a1 AS (SELECT vec_id, cid FROM (
