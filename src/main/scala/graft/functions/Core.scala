@@ -124,17 +124,31 @@ object Core {
   def txHash(c: Column): Column = upper(sha2(c, 256))
 
   /** Spread a frame across the cluster's cores before a compute-heavy
-    * map chain, IF the scan gives fewer splits than cores. A small parquet
-    * file reads as ONE split, so a per-row kernel (minhash signatures,
-    * scaled-long dots) serializes in a single task no matter how many
-    * cores exist; at real scale the file count already exceeds the
-    * cluster and this is a no-op — the conditional keeps the big-data
-    * path free of a pointless full-corpus shuffle.
+    * map chain, unless the scan already oversubscribes them. A small
+    * parquet file reads as ONE split, so a per-row kernel (minhash
+    * signatures, scaled-long dots) serializes in a single task no
+    * matter how many cores exist; at real scale the file count already
+    * exceeds the cluster and this is a no-op — the conditional keeps
+    * the big-data path free of a pointless full-corpus shuffle.
+    *
+    * The threshold is 4× the core count, NOT the core count: planned
+    * splits are BYTE RANGES, not guaranteed work units — a parquet
+    * reader assigns a row group to the split holding its MIDPOINT, so
+    * a file with fewer row groups than splits leaves most splits
+    * empty. The r16 CdcAudit caught exactly this: the 1000× fixture
+    * (5M rows, ONE file, 5 × 1M-row row groups) planned 32 splits for
+    * 32 cores — `32 < 32` was false, spread no-op'd, and the whole
+    * CDC MD5 kernel chain ran 5-way serialized (85 s where 32-way
+    * costs ~8). Demanding ≥4× oversubscription before trusting the
+    * scan costs at most one corpus exchange when wrong (~3 s at that
+    * decade, the measured spread stage) against a cores/rowGroups×
+    * kernel serialization when right; at cluster scale (thousands of
+    * files) splits ≫ 4×cores and the no-op path is unchanged.
     */
   def spreadPartitions(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    if (df.rdd.getNumPartitions < 4 * par) df.repartition(par) else df
   }
 
   /** Collect `max(ts) - sec` as a literal timestamp. The reference anchors

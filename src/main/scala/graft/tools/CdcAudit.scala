@@ -111,8 +111,9 @@ object CdcAudit {
         sum(when(col("occ") > 16, lit(1)).otherwise(lit(0))).as("hot_fps"),
         sum(when(col("occ") > 16, col("occ")).otherwise(lit(0)))
           .as("hot_rows"),
-        sum(when(col("occ") <= 16, col("occ") * (col("occ") - 1) / 2)
-          .otherwise(lit(0))).as("join_pairs"),
+        sum(when(col("occ") <= 16,
+            (col("occ") * (col("occ") - 1) / 2).cast("long"))
+          .otherwise(lit(0L))).as("join_pairs"),
         sum(when(col("reps") > 1, lit(1)).otherwise(lit(0)))
           .as("xrep_fps"),
         sum(when(col("reps") > 1, col("occ")).otherwise(lit(0)))
