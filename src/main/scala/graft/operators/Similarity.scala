@@ -414,6 +414,23 @@ object Similarity extends SimilarityPq {
     */
   def kmeansCentroids(vecs: DataFrame, init: DataFrame, iters: Int)
       : DataFrame = {
+    // r16: below the driver-local bounds the whole Lloyd loop runs in
+    // one JVM pass over collected rows — bit-identical (LocalTrainSpec)
+    // and free of the per-iteration exchange/checkpoint stages. The
+    // count is one metadata-cheap aggregate; above the row bound the
+    // distributed loop below is untouched. The pair budget is checked
+    // after the (row-bounded) collects: a huge init × sample product
+    // computes faster on the cluster than on one driver core.
+    val n = vecs.select(count(lit(1))).head().getLong(0)
+    if (n <= LocalTrainMaxRows) {
+      val sample = collectSampleVecs(vecs, 1L)
+      val initRows = collectSampleVecs(
+        init.select(col("vec_id"), col("embedding")), 1L)
+      if (sample.length.toLong * math.max(1, initRows.length)
+          <= LocalTrainMaxPairs)
+        return localVecsDf(vecs.sparkSession,
+          graft.operators.LocalTrain.kmeans(sample, initRows, iters))
+    }
     var cent = init.select(col("vec_id").as("cid"),
       col("embedding").as("cemb"))
     for (_ <- 1 to iters) {
@@ -480,15 +497,32 @@ object Similarity extends SimilarityPq {
       : DataFrame = {
     val n = vecs.select(count(lit(1))).head().getLong(0)
     val mod = math.max(1L, n / targetSample)
-    // rank-based seeds (see sampleSeedIds): identical to the historical
-    // second modulus on dense ids, kCentroids-bounded on ANY id
-    // structure — the r15 ServeScaling replicas (ids offset by R·10M,
-    // divisible by every derived modulus) turned the second-modulus
-    // rule into seeds = the whole sample, silently training
-    // ~sample-size centroids from a kCentroids=16 ask
-    val seeds = sampleSeedIds(vecs, mod, kCentroids)
-    kmeansCentroids(vecs.filter(col("vec_id") % mod === 0),
-      vecs.filter(col("vec_id").isInCollection(seeds)), iters)
+    if (localTrainFits(n, targetSample, kCentroids)) {
+      // driver-local trainer (r16): the sample is artifact-sized by the
+      // mod contract and its ID LIST was already a driver collect
+      // (sampleSeedIds); collecting the vectors too and running the
+      // bit-identical JVM loop removes every training-loop Spark stage
+      // and makes the returned centroids a LocalRelation (downstream
+      // broadcasts build with no job). Byte equality with the
+      // distributed loop is pinned in LocalTrainSpec; the IVF oracles
+      // replay the same training in SQL.
+      val sample = collectSampleVecs(vecs, mod)
+      val seeds = seedsByRank(sample.map(_._1).distinct.sorted,
+        kCentroids, mod).toSet
+      localVecsDf(vecs.sparkSession,
+        graft.operators.LocalTrain.kmeans(sample,
+          sample.filter { case (id, _) => seeds(id) }, iters))
+    } else {
+      // rank-based seeds (see sampleSeedIds): identical to the historical
+      // second modulus on dense ids, kCentroids-bounded on ANY id
+      // structure — the r15 ServeScaling replicas (ids offset by R·10M,
+      // divisible by every derived modulus) turned the second-modulus
+      // rule into seeds = the whole sample, silently training
+      // ~sample-size centroids from a kCentroids=16 ask
+      val seeds = sampleSeedIds(vecs, mod, kCentroids)
+      kmeansCentroids(vecs.filter(col("vec_id") % mod === 0),
+        vecs.filter(col("vec_id").isInCollection(seeds)), iters)
+    }
   }
 
   /** The adaptive cell-count rule: nlist = max(16, ⌈√n⌉), from ONE
@@ -582,9 +616,25 @@ object Similarity extends SimilarityPq {
     val n = vecs.select(count(lit(1))).head().getLong(0)
     val nl = autoNlist(n)
     val mod = math.max(1L, n / targetSampleFor(nl))
-    val seeds = sampleSeedIds(vecs, mod, nl)
-    val cent = kmeansCentroids(vecs.filter(col("vec_id") % mod === 0),
-      vecs.filter(col("vec_id").isInCollection(seeds)), iters)
+    val target = targetSampleFor(nl)
+    val (cent, seeds) =
+      if (localTrainFits(n, target, nl)) {
+        // driver-local trainer under the same bounds as
+        // sampledTrainCentroids: the adaptive sample is 32·√n rows and
+        // the assignment work 32·nl² dots, so the gate trips to the
+        // distributed loop around n ≈ 10⁵-10⁶ vectors — exactly where
+        // one driver core would lose to the cluster
+        val sample = collectSampleVecs(vecs, mod)
+        val sd = seedsByRank(sample.map(_._1).distinct.sorted, nl, mod)
+        val sdSet = sd.toSet
+        (localVecsDf(vecs.sparkSession,
+          graft.operators.LocalTrain.kmeans(sample,
+            sample.filter { case (id, _) => sdSet(id) }, iters)), sd)
+      } else {
+        val sd = sampleSeedIds(vecs, mod, nl)
+        (kmeansCentroids(vecs.filter(col("vec_id") % mod === 0),
+          vecs.filter(col("vec_id").isInCollection(sd)), iters), sd)
+      }
     val g = math.max(1L, math.ceil(math.sqrt(nl.toDouble)).toLong).toInt
     (cent, seeds.zipWithIndex.collect { case (id, j) if j % g == 0 => id })
   }
@@ -612,11 +662,21 @@ object Similarity extends SimilarityPq {
     * an artifact-sized driver job (the PqAssignBook precedent).
     */
   private[operators] def sampleSeedIds(vecs: DataFrame, mod: Long,
-                                       kSeeds: Long): Array[Long] = {
-    val ids = vecs.filter(col("vec_id") % mod === 0)
-      .select(col("vec_id").cast("long")).distinct()
-      .orderBy(col("vec_id"))
-      .collect().map(_.getLong(0))
+                                       kSeeds: Long): Array[Long] =
+    seedsByRank(
+      vecs.filter(col("vec_id") % mod === 0)
+        .select(col("vec_id").cast("long")).distinct()
+        .orderBy(col("vec_id"))
+        .collect().map(_.getLong(0)),
+      kSeeds, mod)
+
+  /** The rank-stride seed rule over an already-collected sorted distinct
+    * sample id list — shared by [[sampleSeedIds]] (distributed collect)
+    * and the driver-local training paths (which already hold the sample
+    * rows).
+    */
+  private[operators] def seedsByRank(ids: Array[Long], kSeeds: Long,
+                                     mod: Long): Array[Long] = {
     // loud failure AT the sampling contract: a sparse/odd id space with
     // no id divisible by `mod` would otherwise surface far downstream
     // as an empty initial codebook (PqAssignBook's "subspace has no
@@ -627,6 +687,65 @@ object Similarity extends SimilarityPq {
         "corpus or lower targetSample")
     val stride = math.max(1L, ids.length / kSeeds).toInt
     ids.zipWithIndex.collect { case (id, q) if q % stride == 0 => id }
+  }
+
+  /** Row bound for the driver-local sampled trainers ([[LocalTrain]]):
+    * 2¹⁸ rows ≈ 70 MB of (id, 64-float vector) — the same order as the
+    * sample ID LIST collects the sampled paths already perform, far
+    * under the driver heap; past it the distributed Lloyd loop is the
+    * right engine shape (the adaptive 32·√n sample crosses this around
+    * n ≈ 8M vectors). Both paths are bit-identical (LocalTrainSpec), so
+    * the switch never changes a result.
+    */
+  private[operators] val LocalTrainMaxRows: Long = 1L << 18
+
+  /** Work bound for the driver-local trainers: sample rows × centroid
+    * (or codeword) count. 2²³ pairs ≈ 0.5 G multiplies per iteration at
+    * 64 dims — a fraction of a second on one core; past it the
+    * cluster's parallel loop wins even with its per-stage dispatch.
+    */
+  private[operators] val LocalTrainMaxPairs: Long = 1L << 23
+
+  /** The driver-local training gate: expected sample rows within the
+    * collect bound AND expected assignment pairs within the work
+    * budget. Pure scalar arithmetic over counts the callers already
+    * hold — both trainers are bit-identical, so the route never changes
+    * a result.
+    */
+  private[operators] def localTrainFits(n: Long, targetSample: Long,
+                                        kSeeds: Long): Boolean = {
+    val rows = math.min(n, 2 * targetSample + 1)
+    rows <= LocalTrainMaxRows && rows * math.max(1L, kSeeds) <=
+      LocalTrainMaxPairs
+  }
+
+  /** Collect the mod-sample's (vec_id, embedding) rows for the
+    * driver-local trainers — bounded by the caller's
+    * [[LocalTrainMaxRows]] gate.
+    */
+  private[operators] def collectSampleVecs(vecs: DataFrame, mod: Long)
+      : Array[(Long, Array[Float])] =
+    vecs.filter(col("vec_id") % mod === 0)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  /** (vec_id, embedding) rows as a LocalRelation — the centroid frame
+    * shape every consumer broadcasts (a LocalRelation broadcast builds
+    * driver-side with no Spark job).
+    */
+  private[operators] def localVecsDf(
+      spark: org.apache.spark.sql.SparkSession,
+      rows: Array[(Long, Array[Float])]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = true),
+        nullable = true)))
+    spark.createDataFrame(
+      rows.toSeq.map { case (id, e) => Row(id, e.toSeq) }.asJava, schema)
   }
 
   /** IVF-style bucketed ANN: assign every vector to its nearest centroid

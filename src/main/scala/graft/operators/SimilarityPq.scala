@@ -38,7 +38,7 @@ trait SimilarityPq { this: Similarity.type =>
     * (the approximation has no SQL oracle).
     */
   /** Long-form subspace slicing: (id, sub, sv) with sub ∈ [0, m). */
-  private def pqSliced(df: DataFrame, m: Int, sub: Int): DataFrame = df
+  private[operators] def pqSliced(df: DataFrame, m: Int, sub: Int): DataFrame = df
     .select(col("vec_id").as("id"),
       posexplode(array((0 until m).map(j =>
         slice(col("embedding"), j * sub + 1, sub)): _*)))
@@ -164,15 +164,56 @@ trait SimilarityPq { this: Similarity.type =>
     val dim = vecs.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0,
       s"pqTrainSampled: dim $dim not divisible into $m subspaces")
+    pqSampledBook(vecs, m, dim / m, iters, targetSample, kCodes)
+  }
+
+  /** The sample-bounded codebook shared by [[pqTrainSampled]],
+    * [[pqTopK]] and [[ivfPqTopK]]: below
+    * [[Similarity.LocalTrainMaxRows]] expected sample rows the whole
+    * train loop runs driver-local ([[LocalTrain.pqTrain]] — the sample
+    * id list was already a driver collect; byte equality with the
+    * distributed loop pinned in LocalTrainSpec) and the returned
+    * codebook is a LocalRelation, so the two-consumer pattern
+    * (pqAssignViaKernel's collect + the LUT join broadcast) costs no
+    * Spark jobs at all. Above the bound: the distributed loop, with
+    * rank-based seeds (see Similarity.sampleSeedIds — identical to the
+    * historical second modulus on dense ids, kCodes-bounded on any id
+    * structure, so the codebook can never outgrow the packed-code byte
+    * domain).
+    */
+  private def pqSampledBook(vecs: DataFrame, m: Int, sub: Int, iters: Int,
+                            targetSample: Long, kCodes: Long): DataFrame = {
     val n = vecs.select(count(lit(1))).head().getLong(0)
     val mod = math.max(1L, n / targetSample)
-    // rank-based seeds (see Similarity.sampleSeedIds): identical to the
-    // historical second modulus on dense ids, kCodes-bounded on any id
-    // structure — the codebook can never outgrow the packed-code byte
-    // domain again
-    val seeds = sampleSeedIds(vecs, mod, kCodes)
-    pqTrainSliced(pqSliced(vecs, m, dim / m).filter(col("id") % mod === 0),
-      iters, col("id").isInCollection(seeds))
+    if (Similarity.localTrainFits(n, targetSample, kCodes)) {
+      val sample = collectSampleVecs(vecs, mod)
+      val seeds = seedsByRank(sample.map(_._1).distinct.sorted, kCodes, mod)
+      localBookDf(vecs.sparkSession,
+        graft.operators.LocalTrain.pqTrain(sample, m, sub, seeds, iters))
+    } else {
+      val seeds = sampleSeedIds(vecs, mod, kCodes)
+      pqTrainSliced(pqSliced(vecs, m, sub).filter(col("id") % mod === 0),
+        iters, col("id").isInCollection(seeds))
+    }
+  }
+
+  /** (sub, code, cw) rows as a LocalRelation — the codebook shape the
+    * search paths consume (sub matches pqSliced's posexplode INT).
+    */
+  private def localBookDf(spark: org.apache.spark.sql.SparkSession,
+                          rows: Array[(Int, Long, Array[Float])])
+      : DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("sub", IntegerType, nullable = false),
+      StructField("code", LongType, nullable = false),
+      StructField("cw", ArrayType(FloatType, containsNull = true),
+        nullable = true)))
+    spark.createDataFrame(
+      rows.toSeq.map { case (s, c, w) => Row(s, c, w.toSeq) }.asJava,
+      schema)
   }
 
   /** [[pqTrain]] over an already-sliced corpus — lets [[pqTopK]] share one
@@ -181,8 +222,8 @@ trait SimilarityPq { this: Similarity.type =>
     * search path strings a dozen such stages together, so redundant ones
     * show up directly in latency).
     */
-  private def pqTrainSliced(corpus: DataFrame, iters: Int,
-                            seedFilter: Column): DataFrame = {
+  private[operators] def pqTrainSliced(corpus: DataFrame, iters: Int,
+                                       seedFilter: Column): DataFrame = {
     var cb = corpus.filter(seedFilter)
       .select(col("sub"), col("id").as("code"), col("sv").as("cw"))
     for (_ <- 1 to iters) {
@@ -250,11 +291,7 @@ trait SimilarityPq { this: Similarity.type =>
              kCodes: Long = 40L, shortlist: Int = 50): DataFrame = {
     val dim = vecs.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"pqTopK: dim $dim not divisible into $m subspaces")
-    val corpus = pqSliced(vecs, m, dim / m)
-    val n = vecs.select(count(lit(1))).head().getLong(0)
-    val mod = math.max(1L, n / targetSample)
-    val cb = pqTrainSliced(corpus.filter(col("id") % mod === 0),
-      iters, col("id").isInCollection(sampleSeedIds(vecs, mod, kCodes)))
+    val cb = pqSampledBook(vecs, m, dim / m, iters, targetSample, kCodes)
     val codes = pqAssignViaKernel(vecs, cb, m, dim / m)
       .select(col("id").as("cand_id"), col("sub"), col("code"))
     pqSearch(probes, vecs, cb, codes, k, m, dim / m, shortlist)
@@ -568,13 +605,9 @@ trait SimilarityPq { this: Similarity.type =>
       // (probe_id, cand_id) pairs are unique by construction — one cell
       // per candidate (keep=1), distinct cells per probe — so no dedup
       .select(col("probe_id"), col("cand_id"))
-    val corpus = pqSliced(vecs, m, dim / m)
     // sample-bounded codebook training, like pqTopK (r12): fixed ~kCodes
     // codewords from ≤ ~2·targetSample vectors, constant in corpus size
-    val n = vecs.select(count(lit(1))).head().getLong(0)
-    val mod = math.max(1L, n / targetSample)
-    val cb = pqTrainSliced(corpus.filter(col("id") % mod === 0),
-      iters, col("id").isInCollection(sampleSeedIds(vecs, mod, kCodes)))
+    val cb = pqSampledBook(vecs, m, dim / m, iters, targetSample, kCodes)
     val codes = pqAssignViaKernel(vecs, cb, m, dim / m)
       .select(col("id").as("cand_id"), col("sub"), col("code"))
     val book = cb.withColumn("cn", normScaled(col("cw")))

@@ -88,11 +88,16 @@ object PipelineMedia {
       // brief's literal media-column shape. At 100 TB this stage is a
       // storage read instead of a synthesis; the column shape and the
       // decode stage below are unchanged.
-      val encoded = Tables.documents(s, d)
+      // spread BEFORE the codec chain (r16): documents at this SF is a
+      // single parquet split, so the whole encode→decode ran as ONE task
+      // (profiled: 2 tasks, max_task ≈ wall, 3% core utilization); the
+      // per-doc ImageIO work is embarrassingly parallel and at cluster
+      // scale the file count exceeds 4× cores and spread no-ops
+      val encoded = spreadPartitions(Tables.documents(s, d)
         // a null payload would NPE the codec kernel executor-side; the
         // contract (both engines) is decode-only-present, row-for-row
         .filter(col("text").isNotNull)
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .select(col("doc_id"), col("text"))).as[(Long, String)]
         .mapPartitions { it =>
           val digest = java.security.MessageDigest.getInstance("MD5")
           it.map { case (id, text) =>
@@ -165,9 +170,11 @@ object PipelineMedia {
     // sampled not enumerated).
     "m3_frame_sample" -> { (s, d) =>
       import s.implicits._
-      val encoded = Tables.documents(s, d)
+      // spread before the GIF encode/decode chain — same single-split
+      // serialization as m2 (r16; no-op at cluster-scale split counts)
+      val encoded = spreadPartitions(Tables.documents(s, d)
         .filter(col("text").isNotNull) // null payload contract, as m2
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .select(col("doc_id"), col("text"))).as[(Long, String)]
         .mapPartitions { it =>
           val digest = java.security.MessageDigest.getInstance("MD5")
           val writer = javax.imageio.ImageIO
@@ -249,9 +256,11 @@ object PipelineMedia {
     // the fit-to-224 arithmetic and pins resize_ok = true.
     "m4_media_resize" -> { (s, d) =>
       import s.implicits._
-      Tables.documents(s, d)
+      // spread before the resize kernel — same single-split serialization
+      // as m2/m3 (r16; no-op at cluster-scale split counts)
+      spreadPartitions(Tables.documents(s, d)
         .filter(col("text").isNotNull) // same null contract as m2
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .select(col("doc_id"), col("text"))).as[(Long, String)]
         .mapPartitions { it =>
           val digest = java.security.MessageDigest.getInstance("MD5")
           it.grouped(64).flatMap { chunk =>
