@@ -211,6 +211,47 @@ object Dedup {
       .select(col("e.id"), col("e.nbr"))
       .distinct()
       .localCheckpoint(true)
+    // r16: a bounded edge set runs union-find driver-side. The edges
+    // are already materialized (the checkpoint above), so the count is
+    // one cheap job; below the bound, the seed aggregate + N×(join +
+    // union + groupBy + pointer-jump + checkpoint + Σcomp probe) rounds
+    // — ~10-15 tiny all-core stages on dup-pair-sized frames — collapse
+    // into one collect. The fixpoint is EXACTLY the component minimum
+    // on both paths (min-label propagation converges to it; union-by-
+    // min-root IS it), pinned in DedupSpec local≡distributed. Above the
+    // bound (4M edges ≈ 64 MB — corpus-scale dup graphs) the
+    // distributed loop below is untouched; the audit hook (log != null)
+    // also keeps the distributed loop, since rounds are what it
+    // measures.
+    if (log == null && sym.count() <= (1L << 22)) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      sym.select(col("id").cast("long"), col("nbr").cast("long"))
+        .collect().foreach { row =>
+          val a = row.getLong(0); val b = row.getLong(1)
+          parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+          val ra = find(a); val rb = find(b)
+          // union by MIN id: the surviving root is the component min,
+          // so find() returns the label directly
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+      import scala.jdk.CollectionConverters._
+      val out = parent.keySet().asScala.toSeq.map { id =>
+        org.apache.spark.sql.Row(id, find(id)) }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("comp",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      return edges.sparkSession.createDataFrame(out.asJava, schema)
+    }
     // seed labels with round 1 already applied: min(id, Γ(id)) comes from
     // ONE aggregate over the symmetric edges — the identity seeding would
     // spend a full join+aggregate round computing exactly this

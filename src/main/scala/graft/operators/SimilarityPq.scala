@@ -100,30 +100,100 @@ trait SimilarityPq { this: Similarity.type =>
     */
   private def pqAssignViaKernel(vecs: DataFrame, book: DataFrame,
                                 m: Int, sub: Int): DataFrame = {
-    val rows = book
-      .select(col("sub").cast("int"), col("code").cast("long"), col("cw"))
-      .collect()
-    val bySub = Array.fill(m)(
-      scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])])
-    rows.foreach { r =>
-      require(r.getInt(0) >= 0 && r.getInt(0) < m,
-        s"pqAssignViaKernel: codebook sub ${r.getInt(0)} outside 0..${m - 1}")
-      bySub(r.getInt(0)) += ((r.getLong(1), r.getSeq[Float](2).toArray))
-    }
-    val sorted = bySub.map(_.sortBy(_._1).toArray)
-    val pb = graft.plans.PqAssignBook(
-      m, sub,
-      sorted.map(_.map(_._1)),
-      sorted.map(_.map(_._2)),
-      // normScaled replayed in the DotScaledExpr math: Σ floor(w²·1e16)
-      sorted.map(_.map { case (_, w) =>
-        w.map(x => math.floor(x.toDouble * x.toDouble * 1e16).toLong).sum
-      }))
+    val pb = assignBook(collectBookRows(book), m, sub, dense = false)
     spreadPartitions(vecs)
       .select(col("vec_id").as("id"),
         posexplode_outer(
           graft.plans.Expressions.pqAssignCodes(col("embedding"), pb)))
       .select(col("id"), col("pos").as("sub"), col("col").as("code"))
+  }
+
+  /** One driver-side read of the artifact-sized codebook — shared by
+    * the kernel paths and the packed-serving geometry so a query never
+    * pays separate max(sub)/first(cw)/window/kMax jobs over the same
+    * few-hundred-row frame (r16; on a LocalRelation codebook from the
+    * local trainer this collect is job-free).
+    */
+  private def collectBookRows(book: DataFrame)
+      : Array[(Int, Long, Array[Float])] =
+    book.select(col("sub").cast("int"), col("code").cast("long"),
+        col("cw"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
+
+  /** Build the [[graft.plans.PqAssignBook]] from collected rows; with
+    * `dense` the code ids are relabeled to their per-subspace dense
+    * rank (0..K−1 in code-ascending order — [[pqDenseBook]]'s exact
+    * rule). The relabeling is order-preserving, so the (d2, code)
+    * argmin picks the identical codeword and the kernel emits the
+    * dense id directly.
+    */
+  private def assignBook(rows: Array[(Int, Long, Array[Float])], m: Int,
+                         sub: Int, dense: Boolean)
+      : graft.plans.PqAssignBook = {
+    val bySub = Array.fill(m)(
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])])
+    rows.foreach { case (s, c, w) =>
+      require(s >= 0 && s < m,
+        s"pqAssignViaKernel: codebook sub $s outside 0..${m - 1}")
+      bySub(s) += ((c, w))
+    }
+    val sorted = bySub.map(_.sortBy(_._1).toArray)
+    graft.plans.PqAssignBook(
+      m, sub,
+      if (dense) sorted.map(a => Array.tabulate(a.length)(_.toLong))
+      else sorted.map(_.map(_._1)),
+      sorted.map(_.map(_._2)),
+      // normScaled replayed in the DotScaledExpr math: Σ floor(w²·1e16)
+      sorted.map(_.map { case (_, w) =>
+        w.map(x => math.floor(x.toDouble * x.toDouble * 1e16).toLong).sum
+      }))
+  }
+
+  /** The collected codebook's dense geometry: (m, width of the first
+    * collected codeword — the same probe the head-job form read, kMax =
+    * max per-subspace codeword count, and the dense book rows
+    * (sub, code, dense, cw)).
+    */
+  private def denseGeom(rows: Array[(Int, Long, Array[Float])])
+      : (Int, Int, Long, Array[(Int, Long, Long, Array[Float])]) = {
+    require(rows.nonEmpty, "pq geometry: empty codebook")
+    val m = rows.iterator.map(_._1).max + 1
+    val width = rows.head._3.length
+    val denseRows = rows.groupBy(_._1).toArray.flatMap { case (s, rs) =>
+      rs.sortBy(_._2).zipWithIndex.map { case ((_, c, w), d) =>
+        (s, c, d.toLong, w) }
+    }
+    val kMax = denseRows.groupBy(_._1).valuesIterator.map(_.length).max
+    (m, width, kMax.toLong, denseRows)
+  }
+
+  /** Encode + pack in ONE map-side kernel pass: the dense-relabeled
+    * [[assignBook]] makes [[graft.plans.PqAssignKernel]] emit each
+    * vector's m dense ids directly, and packBytes lays them out as the
+    * binary cell — no slice explode, no dense-book join, no
+    * groupBy(vec_id, sub)/groupBy(vec_id) re-assembly exchanges
+    * (the two corpus-wide shuffles `pqPackCodes(pqEncode(...))` pays to
+    * arrive at the same bytes; SimilaritySpec pins byte equality).
+    * The long-form [[pqPackCodes]] stays for ARTIFACT codes, where
+    * replica rows and truncated artifacts need the dup-safe collapse.
+    */
+  def pqEncodePacked(vecs: DataFrame, codebook: DataFrame): DataFrame = {
+    val rows = collectBookRows(codebook)
+    val (m, width, _, _) = denseGeom(rows)
+    // pqEncode's loud guards, unchanged: a codebook trained on
+    // different-dimension vectors must not silently slice off the tail
+    val dim = vecs.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0,
+      s"pqEncodePacked: dim $dim not divisible into $m subspaces")
+    require(width == dim / m,
+      s"pqEncodePacked: codeword width $width != subspace width ${dim / m}")
+    val pb = assignBook(rows, m, dim / m, dense = true)
+    spreadPartitions(vecs)
+      .select(col("vec_id"),
+        graft.plans.Expressions.packBytes(
+          graft.plans.Expressions.pqAssignCodes(col("embedding"), pb))
+          .as("pcodes"))
   }
 
   /** Train the m per-subspace codebooks — deterministic Lloyd, all m
@@ -195,6 +265,26 @@ trait SimilarityPq { this: Similarity.type =>
       pqTrainSliced(pqSliced(vecs, m, sub).filter(col("id") % mod === 0),
         iters, col("id").isInCollection(seeds))
     }
+  }
+
+  /** (sub, code, dense, cw) rows as a LocalRelation — [[pqDenseBook]]'s
+    * output shape from already-collected rows (no window exchange).
+    */
+  private def localDenseBookDf(spark: org.apache.spark.sql.SparkSession,
+                               rows: Array[(Int, Long, Long, Array[Float])])
+      : DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("sub", IntegerType, nullable = false),
+      StructField("code", LongType, nullable = false),
+      StructField("dense", LongType, nullable = false),
+      StructField("cw", ArrayType(FloatType, containsNull = true),
+        nullable = true)))
+    spark.createDataFrame(
+      rows.toSeq.map { case (s, c, d, w) => Row(s, c, d, w.toSeq) }.asJava,
+      schema)
   }
 
   /** (sub, code, cw) rows as a LocalRelation — the codebook shape the
@@ -351,8 +441,11 @@ trait SimilarityPq { this: Similarity.type =>
     * loudly in the byte packer, not alias.
     */
   def pqPackCodes(codes: DataFrame, codebook: DataFrame): DataFrame = {
-    val db = pqDenseBook(codebook)
-    val m = db.select(max(col("sub"))).head().getInt(0) + 1
+    // dense book + m from ONE collect of the artifact-sized codebook
+    // (r16) — the window/max-head form paid two extra Spark jobs per
+    // call (per MICRO-BATCH on the streaming maintenance path)
+    val (m, _, _, denseRows) = denseGeom(collectBookRows(codebook))
+    val db = localDenseBookDf(codebook.sparkSession, denseRows)
     codes.select(col("vec_id"), col("sub"), col("code"))
       .join(broadcast(db.select(col("sub"), col("code"), col("dense"))),
         Seq("sub", "code"))
@@ -378,9 +471,7 @@ trait SimilarityPq { this: Similarity.type =>
     * LUT carries; only the layout changes.
     */
   private def pqProbeLut(probes: DataFrame, db: DataFrame, m: Int,
-                         sub: Int): DataFrame = {
-    val kMax = db.groupBy(col("sub")).count()
-      .agg(max(col("count"))).head().getLong(0)
+                         sub: Int, kMax: Long): DataFrame = {
     val slots = m * kMax
     pqSliced(probes, m, sub)
       .join(broadcast(db.withColumn("cn", normScaled(col("cw")))),
@@ -415,12 +506,13 @@ trait SimilarityPq { this: Similarity.type =>
   def pqTopKFromPackedCodes(probes: DataFrame, vecs: DataFrame,
                             codebook: DataFrame, packed: DataFrame,
                             k: Int, shortlist: Int = 50): DataFrame = {
-    val head = codebook.select(max(col("sub")), size(first(col("cw")))).head()
-    val m = head.getInt(0) + 1
-    val width = head.getInt(1)
+    // geometry + dense book + kMax from ONE codebook collect (r16 —
+    // replaces the head job, the dense-rank window and the kMax
+    // aggregate, three Spark jobs over the same few-hundred-row frame)
+    val (m, width, kMax, denseRows) = denseGeom(collectBookRows(codebook))
     require(width > 0, "pqTopKFromPackedCodes: empty codewords in codebook")
-    val db = pqDenseBook(codebook)
-    val lut = pqProbeLut(probes, db, m, width)
+    val db = localDenseBookDf(codebook.sparkSession, denseRows)
+    val lut = pqProbeLut(probes, db, m, width, kMax)
       .join(probes.select(col("vec_id").as("probe_id"),
         normScaled(col("embedding")).as("pn")), Seq("probe_id"))
     // spread the corpus side: the probe LUT broadcasts, so scoring
@@ -453,13 +545,13 @@ trait SimilarityPq { this: Similarity.type =>
                                k: Int, nprobe: Int = Similarity.AutoProbe,
                                shortlist: Int = 50)
       : DataFrame = {
-    val head = codebook.select(max(col("sub")), size(first(col("cw")))).head()
-    val m = head.getInt(0) + 1
-    val width = head.getInt(1)
+    // one codebook collect for geometry + dense book + kMax (r16, same
+    // as pqTopKFromPackedCodes)
+    val (m, width, kMax, denseRows) = denseGeom(collectBookRows(codebook))
     require(width > 0,
       "ivfPqTopKFromPackedCodes: empty codewords in codebook")
-    val db = pqDenseBook(codebook)
-    val lut = pqProbeLut(probes, db, m, width)
+    val db = localDenseBookDf(codebook.sparkSession, denseRows)
+    val lut = pqProbeLut(probes, db, m, width, kMax)
       .join(probes.select(col("vec_id").as("probe_id"),
         normScaled(col("embedding")).as("pn")), Seq("probe_id"))
     val cands = cells.select(col("vec_id").as("cand_id"), col("cid"))

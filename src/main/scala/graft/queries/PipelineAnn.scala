@@ -229,7 +229,11 @@ object PipelineAnn {
     "n15_ann_pq_packed" -> { (s, d) =>
       val v = Tables.embeddings(s, d)
       val cb = Similarity.pqTrainSampled(v, m = 8, iters = 2)
-      val packed = Similarity.pqPackCodes(Similarity.pqEncode(v, cb), cb)
+      // fused encode+pack (r16): the dense-relabeled assign kernel emits
+      // each vector's packed bytes map-side — the long-form
+      // pqPackCodes(pqEncode(...)) chain paid two corpus-wide reassembly
+      // shuffles to reach the same bytes (SimilaritySpec pins equality)
+      val packed = Similarity.pqEncodePacked(v, cb)
       Similarity.pqTopKFromPackedCodes(
         v.filter(col("vec_id") < 10), v, cb, packed, k = 5)
         .canonOrder(col("probe_id"), col("rank"))

@@ -148,6 +148,29 @@ class DedupSpec extends AnyFunSuite {
     assert(gotChain == (0L to 12L).map(_ -> 0L).toMap)
   }
 
+  test("r16 driver-local CC gate ≡ the distributed min-label loop") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // a non-null log hook forces the distributed loop (the audit path);
+    // the default route takes the driver-local union-find below the
+    // edge bound — both must land the identical component-min fixpoint
+    val edgeGen = for {
+      n <- Gen.choose(1, 40)
+      es <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 25L), Gen.choose(0L, 25L)))
+    } yield es.filter(e => e._1 != e._2)
+    (1 to 8).foreach { i =>
+      val edges = edgeGen.apply(Gen.Parameters.default, Seed(100L + i)).get
+      if (edges.nonEmpty) {
+        val df = edges.toDF("doc_a", "doc_b")
+        val local = Dedup.connectedComponents(df)
+          .as[(Long, Long)].collect().toMap
+        val dist = Dedup.connectedComponentsLogged(df, _ => ())
+          .as[(Long, Long)].collect().toMap
+        assert(local == dist, s"edges: $edges")
+      }
+    }
+  }
+
   test("large-star/small-star collapses a deep chain within its round bound") {
     // a 60-deep chain needs 60 propagation rounds under min-label but
     // O(log² n) LS/SS rounds — maxRounds=12 would abort propagation-like

@@ -99,6 +99,18 @@ class LocalTrainSpec extends AnyFunSuite {
       distributedBook(ragged, 4, 2, 150L, 8L)))
   }
 
+  test("pqEncodePacked ≡ pqPackCodes(pqEncode(...)), byte exact") {
+    val cb = Similarity.pqTrainSampled(vecs, m = 4, iters = 2)
+    def bytesOf(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Byte]] =
+      df.select(col("vec_id").cast("long"), col("pcodes"))
+        .as[(Long, Array[Byte])].collect()
+        .map { case (id, b) => id -> b.toSeq }.toMap
+    val fused = bytesOf(Similarity.pqEncodePacked(vecs, cb))
+    val longForm = bytesOf(
+      Similarity.pqPackCodes(Similarity.pqEncode(vecs, cb), cb))
+    assert(fused == longForm)
+  }
+
   test("adaptive geometry: local path matches distributed cells + coarse") {
     val (centL, coarseL) = Similarity.adaptiveTrainGeom(vecs, 2)
     // distributed twin of the same derivation
