@@ -51,16 +51,21 @@ object Retrieval {
       size(Text.words(col("text"))).cast("long").as("dl"))
 
   /** Per-doc tf columns (`tf_<term>`) for the fixed term list, restricted
-    * to docs containing at least one query term.
+    * to docs containing at least one query term — WITH the doc length
+    * carried through (r16): dl rides the map side into the group key, so
+    * the scorer needs no corpus-scale tf⋈dl join and the tokenizer runs
+    * once here instead of once per consumer (a matching doc's text is
+    * non-null by construction, so dl is never null in the output).
     */
   private def termFreqs(docs: DataFrame, terms: Seq[String]): DataFrame = {
     val words = spreadPartitions(docs)
-      .select(col("doc_id"), explode_outer(Text.words(col("text")))
-        .as("word"))
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        explode_outer(col("w")).as("word"))
       .filter(col("word").isin(terms: _*))
     val aggs = terms.map(t =>
       sum(when(col("word") === t, 1L).otherwise(0L)).as(s"tf_$t"))
-    words.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    words.groupBy(col("doc_id"), col("dl")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** The fixed-order BM25 score column over `tf_<t>`/`df_<t>`/`dl`/
@@ -98,15 +103,19 @@ object Retrieval {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
 
-  /** Top-k docs for `terms`, scored directly from the corpus. */
+  /** Top-k docs for `terms`, scored directly from the corpus. One
+    * corpus tokenize feeds the tf aggregate (dl carried through its
+    * group key — no tf⋈dl join, r16) and one feeds the N/L constants;
+    * the df aggregate reuses tf's exchange.
+    */
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
-    val dl = docLengths(docs)
-    val consts = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("l_tot"))
+    val consts = docLengths(docs)
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("l_tot"))
     val tf = termFreqs(docs, terms)
     val dfAggs = terms.map(t =>
       sum(when(col(s"tf_$t") > 0L, 1L).otherwise(0L)).as(s"df_$t"))
     val dfs = tf.agg(dfAggs.head, dfAggs.tail: _*)
-    val scored = tf.join(dl, "doc_id")
+    val scored = tf
       .crossJoin(broadcast(consts))
       .crossJoin(broadcast(dfs))
       .withColumn("score", scoreCol(terms))

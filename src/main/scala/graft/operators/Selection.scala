@@ -96,8 +96,11 @@ object Selection {
     * made serve() lose features — or whole documents — whose bucket the
     * accumulated model had not seen yet).
     */
-  private def weightsFrom(feats: DataFrame, model: DataFrame,
-                          cutCentibits: Int, nBuckets: Int): DataFrame = {
+  /** The smoothed per-bucket weight table (bkt, sb) for every bucket in
+    * [0, nBuckets) — see [[weightsFrom]] for why absent buckets get the
+    * zero-count weight instead of dropping out.
+    */
+  private def bucketWeights(model: DataFrame, nBuckets: Int): DataFrame = {
     val spark = model.sparkSession
     val full = spark.range(nBuckets).select(col("id").as("bkt"))
       .join(model, Seq("bkt"), "left")
@@ -105,21 +108,30 @@ object Selection {
         coalesce(col("cnt_t"), lit(0L)).as("cnt_t"))
     val tot = full.agg(coalesce(sum(col("cnt_a")), lit(0L)).as("s_tot"),
       coalesce(sum(col("cnt_t")), lit(0L)).as("t_tot"))
-    val bt = full.crossJoin(broadcast(tot))
+    full.crossJoin(broadcast(tot))
       .select(col("bkt"),
         ((flog(col("cnt_t") + 1) + flog(col("s_tot") + nBuckets))
           - (flog(col("cnt_a") + 1) + flog(col("t_tot") + nBuckets)))
           .as("sb"))
-    feats.join(broadcast(bt), Seq("bkt"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_feat"), sum(col("sb")).as("score_bits"))
-      .select(col("doc_id"), col("n_feat"), col("score_bits"),
-        graft.functions.Core.round4(
-          col("score_bits").cast("double") / col("n_feat"))
-          .as("avg_bits"),
-        (col("score_bits") * 100 > col("n_feat") * cutCentibits)
-          .as("keep"))
   }
+
+  /** The shared per-doc projection from summed feature bits. */
+  private def docScores(perDocBits: DataFrame, cutCentibits: Int)
+      : DataFrame = perDocBits
+    .select(col("doc_id"), col("n_feat"), col("score_bits"),
+      graft.functions.Core.round4(
+        col("score_bits").cast("double") / col("n_feat"))
+        .as("avg_bits"),
+      (col("score_bits") * 100 > col("n_feat") * cutCentibits)
+        .as("keep"))
+
+  private def weightsFrom(feats: DataFrame, model: DataFrame,
+                          cutCentibits: Int, nBuckets: Int): DataFrame =
+    docScores(
+      feats.join(broadcast(bucketWeights(model, nBuckets)), Seq("bkt"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_feat"), sum(col("sb")).as("score_bits")),
+      cutCentibits)
 
   /** Per-doc DSIR weights against the target predicate. Returns
     * (doc_id, n_feat, score_bits, avg_bits, keep) where keep applies
@@ -128,8 +140,28 @@ object Selection {
     */
   def dsirWeights(docs: DataFrame, isTarget: Column, hash: FeatureHash,
                   cutCentibits: Int = -8): DataFrame = {
-    val feats = features(docs, isTarget, hash)
-    weightsFrom(feats, modelSlice(feats), cutCentibits, hash.nBuckets)
+    // r16: reduce the feature stream to per-(doc, bkt) counts FIRST and
+    // derive BOTH the model and the scoring from that one frame — the
+    // two consumers share the (doc_id, tgt, bkt) exchange (Spark's
+    // exchange reuse), so the md5-per-feature extraction kernel runs
+    // ONCE where weightsFrom(feats, modelSlice(feats), ...) evaluated it
+    // twice (model pass + scoring pass — the dominant kernel of the
+    // query at every scale). Arithmetic identical: Σ_occurrences sb =
+    // Σ_bkt c·sb, n_feat = Σ_bkt c, and the model counts are the same
+    // integer sums one level up.
+    val perDoc = features(docs, isTarget, hash)
+      .groupBy(col("doc_id"), col("tgt"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+    val model = perDoc.groupBy(col("bkt"))
+      .agg(sum(col("c")).as("cnt_a"),
+        sum(when(col("tgt"), col("c")).otherwise(0L)).as("cnt_t"))
+    docScores(
+      perDoc
+        .join(broadcast(bucketWeights(model, hash.nBuckets)), Seq("bkt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_feat"),
+          sum(col("c") * col("sb")).as("score_bits")),
+      cutCentibits)
   }
 
   /** Serve weights for `docs` from the slices a streamed

@@ -98,8 +98,8 @@ object Tokenize {
     * words) — or None when no mergeable pair remains (exhausted or empty
     * vocab), at which point training stops early.
     */
-  private def step(words: DataFrame): Option[(String, String, Long, Long,
-      DataFrame)] = {
+  private def step(words: DataFrame, before: Long)
+      : Option[(String, String, Long, Long, DataFrame)] = {
     val top = pairs(words)
       .orderBy(col("cnt").desc, col("l"), col("r"))
       .limit(1).collect()
@@ -112,9 +112,15 @@ object Tokenize {
       // O(k²) recompute and unbounded expression nesting for large k
       val next = words.withColumn("syms", applyMerge(l, r))
         .localCheckpoint(true)
-      val after = next
-        .agg(sum(col("freq") * size(col("syms")))).head().getLong(0)
-      Some((l, r, cnt, after, next))
+      // n_syms_after arithmetically (r16): with l ≠ r matches never
+      // overlap, so EVERY counted (l, r) position merges and each merge
+      // removes exactly one symbol — after = before − pair_count. The
+      // retired Σ freq·|syms| aggregate re-scanned the vocab once per
+      // step for a number the argmax already knows; trainLocal computes
+      // the same value incrementally and TokenizeSpec pins the two
+      // trainers equal, so a drift here fails the suite (and the t27
+      // oracle re-derives every intermediate in SQL).
+      Some((l, r, cnt, before - cnt, next))
     }
   }
 
@@ -138,13 +144,18 @@ object Tokenize {
       : (Vector[(Long, String, String, String, Long, Long)], DataFrame) = {
     var words = vocab.withColumn("syms", initSyms)
       .localCheckpoint(true)
+    // one initial Σ freq·|syms| — each step then derives its
+    // n_syms_after arithmetically (see step()); sum over an EMPTY vocab
+    // is null (the streamed serve path can fold zero slices)
+    val symsRow = words.agg(sum(col("freq") * size(col("syms")))).head()
+    var syms = if (symsRow.isNullAt(0)) 0L else symsRow.getLong(0)
     var rows = Vector.empty[(Long, String, String, String, Long, Long)]
     var n = 1
     var more = true
-    while (n <= k && more) step(words) match {
+    while (n <= k && more) step(words, syms) match {
       case Some((l, r, cnt, after, next)) =>
         rows = rows :+ ((n.toLong, l, r, l + r, cnt, after))
-        words = next; n += 1
+        words = next; syms = after; n += 1
       case None => more = false
     }
     (rows, words)
