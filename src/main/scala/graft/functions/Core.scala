@@ -49,6 +49,20 @@ object Core {
       floor(c * lit(scale) + lit(0.5d)).cast("long")) / lit(scale)
   }
 
+  /** [[xsum]] as a WINDOW aggregate (r16): same exact-decimal Int128Sum
+    * over the window's partition. Needed because xsum's Column is
+    * aggregate ÷ scale — `.over` on it would wrap the division, not the
+    * aggregate. Lets a correlated per-group scalar (b15's 20%-of-mean
+    * threshold) compute in the SAME pass as the rows it gates instead
+    * of a groupBy + join-back re-scanning the fact.
+    */
+  def xsumOver(c: Column, dp: Int,
+               w: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    val scale = math.pow(10d, dp)
+    graft.plans.Int128Sum.int128Sum(
+      floor(c * lit(scale) + lit(0.5d)).cast("long")).over(w) / lit(scale)
+  }
+
   /** dsum over a conditional — ClickHouse `sumIf` (SURVEY §2.4 A1). */
   def dsumIf(c: Column, cond: Column): Column =
     dsum(when(cond, c).otherwise(lit(0d)))

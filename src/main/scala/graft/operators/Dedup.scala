@@ -47,7 +47,12 @@ object Dedup {
     * beyond small corpora.
     */
   def jaccardBruteForce(docs: DataFrame, n: Int, theta: Double): DataFrame = {
-    val sf = shingleFrame(docs, n)
+    // r16: checkpoint the shingle frame — it feeds FOUR subtrees (both
+    // self-join sides + both size lookups), and without materialization
+    // Spark re-ran the normalize+shingle kernel corpus pass once per
+    // subtree (4 scans in the before-plan). One kernel pass, three
+    // cache reads.
+    val sf = shingleFrame(docs, n).localCheckpoint()
     // join on the shingle's 64-bit hash, not the string: same counts
     // (collision odds ~(distinct²)/2⁶⁵), far cheaper shuffle keys
     val ex = sf.select(col("doc_id"), explode(col("sh")).as("s0"))
@@ -105,7 +110,14 @@ object Dedup {
     */
   def minhashCandidates(sf: DataFrame, numHashes: Int, bands: Int,
                         maxBucket: Option[Int] = None): DataFrame = {
-    val banded = bandFrame(sf, numHashes, bands)
+    // r16: checkpoint the banded frame — the self-join consumes it on
+    // BOTH sides (and the maxBucket guard twice more), and each
+    // consumer otherwise re-runs the whole 128-hash signature kernel
+    // over the corpus (the dominant CPU of the d2/d6/d7/d8/d10 family;
+    // AQE broadcast one side at sf0.1 so no exchange was ever reused).
+    // The materialized frame is docs × bands × ~24 B — the same volume
+    // the bucket join must move anyway.
+    val banded = bandFrame(sf, numHashes, bands).localCheckpoint()
     val bounded = maxBucket match {
       case Some(cap) =>
         // one aggregate over the banded keys, then a semi-join keeps only
@@ -143,10 +155,25 @@ object Dedup {
   def minhashNearDup(docs: DataFrame, n: Int, theta: Double,
                      numHashes: Int = 128, bands: Int = 32): DataFrame = {
     val sf = shingleFrame(docs, n)
-    val cands = minhashCandidates(sf, numHashes, bands)
+    // r16: checkpoint the candidate pairs (they feed the id-set
+    // extraction below AND the verify join), then build the verify-side
+    // shingle sets ONLY for docs that appear in some candidate pair —
+    // a semi-join on the (small, dup-bounded) candidate id set before
+    // the shingle kernel. The old shape joined the FULL corpus shingle
+    // frame twice, so the kernel ran over every doc 4× per query (2
+    // band sides + 2 verify sides, 4 scans in the d6 before-plan);
+    // now it runs over the corpus once (banded checkpoint, see
+    // minhashCandidates) plus the candidate subset twice. Set values
+    // per doc are unchanged, so verified pairs and Jaccards are
+    // identical.
+    val cands = minhashCandidates(sf, numHashes, bands).localCheckpoint()
+    val candIds = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val vs = shingleFrame(docs.join(candIds, Seq("doc_id"), "left_semi"), n)
+      .localCheckpoint() // consumed twice (doc_a / doc_b sides)
     cands
-      .join(sf.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
-      .join(sf.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+      .join(vs.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+      .join(vs.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
       .withColumn("jaccard_raw",
         size(array_intersect(col("sa"), col("sb"))) /
           size(array_union(col("sa"), col("sb"))))
@@ -480,12 +507,14 @@ object Dedup {
     * keep flag (ratio <= 1/2 — a doc that is mostly boilerplate is
     * dropped outright, matching the common pipeline gate).
     *
-    * Scale: chunking is the map-side codegen shingle kernel at stride w.
-    * The raw chunk stream is shuffled ONCE, into per-(source, chunk,
-    * doc) counts — every later stage (the boilerplate set, the join
-    * back, the per-doc profile) works on that reduced frame, whose row
-    * count is bounded by distinct (gram, doc) pairs rather than total
-    * chunk volume. (The r14 rework, measured at 1000× ≈ 5M docs: the
+    * Scale: chunking is the map-side codegen STRIDED shingle-hash kernel
+    * (r16) — only the w-word non-overlapping windows are hashed, straight
+    * off the normalized byte buffer, no gram strings. The chunk stream is
+    * shuffled ONCE, into per-(source-gram-hash, doc) counts — the
+    * boilerplate membership is a count window over that reduced frame
+    * (r16; the former groupBy + join-back made Spark run the whole corpus
+    * pipeline twice), whose row count is bounded by distinct (gram, doc)
+    * pairs rather than total chunk volume. (The r14 rework, measured at 1000× ≈ 5M docs: the
     * earlier shape consumed the full exploded stream twice — once for
     * the countDistinct, once for the join — keyed on raw gram STRINGS,
     * and its per-unit cost GREW across decades, 0.023 → 0.066 → 0.164
@@ -511,32 +540,39 @@ object Dedup {
     */
   def boilerplateProfile(docs: DataFrame, w: Int, minDocs: Int)
       : DataFrame = {
-    val chunks = spreadPartitions(docs)
-      .select(col("doc_id"), col("source"),
-        posexplode(Text.shingles(col("text"), w)))
-      .filter(col("pos") % w === 0)
-      .select(col("doc_id"), col("source"), col("col").as("g"))
+    import org.apache.spark.sql.expressions.Window
     // the ONE corpus-volume shuffle, keyed on the 64-bit hash of
     // (source, gram) rather than the strings (the d4 convention, :51):
     // 8-byte shuffle keys and integer compares where the string form
     // moved ~20-byte grams and spilled growing string hash tables.
+    // r16: the stride-w hash kernel hashes ONLY the full non-overlapping
+    // windows straight off the normalized byte buffer — the old
+    // posexplode(shingles) + `pos % w = 0` shape built and exploded w×
+    // as many gram STRINGS and filtered the surplus after the fact.
     // Duplicate grams within a doc collapse to a count, so boiler-set
     // membership (distinct docs per gram == row count here) and the
     // per-doc totals (sum of c) are both derivable without touching the
     // raw stream again
-    val perDocGram = chunks
-      .select(col("doc_id"),
-        xxhash64(col("source"), col("g")).as("gh"))
+    val perDocGram = spreadPartitions(docs)
+      .select(col("doc_id"), col("source"),
+        explode(graft.plans.Expressions.shingleHashes(col("text"), w, w))
+          .as("h"))
+      .select(col("doc_id"), xxhash64(col("source"), col("h")).as("gh"))
       .groupBy(col("gh"), col("doc_id"))
       .agg(count(lit(1)).as("c"))
-    val boiler = perDocGram.groupBy(col("gh"))
-      .agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select(col("gh"), lit(1).as("bp"))
-    perDocGram.join(boiler, Seq("gh"), "left_outer")
+    // r16: boiler membership as a count window over the reduced
+    // (gh, doc) frame instead of a groupBy(gh) + join back — the join
+    // form made Spark evaluate the WHOLE corpus pipeline twice (two
+    // scans, two explodes, two corpus-volume aggregates: plan operators
+    // 1-8 vs 9-19 in plans/r16/d15_boilerplate_before.txt), and at
+    // sf0.1 AQE silently BROADCAST the boiler set the scaladoc says is
+    // per-source unbounded. The window costs one reduced-frame exchange
+    // + sort and shares the single corpus pass; nothing broadcasts.
+    perDocGram
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("gh"))))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_chunks"),
-        sum(when(col("bp").isNotNull, col("c")).otherwise(0L))
+        sum(when(col("nd") >= minDocs, col("c")).otherwise(0L))
           .as("n_boiler"))
       .withColumn("boiler_ratio", round4(
         col("n_boiler").cast("double") / col("n_chunks")))
@@ -700,36 +736,27 @@ object Dedup {
     *
     * Output: (doc_id, chunk_ix, start, len, chunk_fp), 1-based start.
     */
-  def cdcChunks(docs: DataFrame, w: Int = 8): DataFrame = {
-    val nrm = spreadPartitions(docs)
-      .select(col("doc_id"), Text.normalize(col("text")).as("t"))
-    nrm
-      .select(col("doc_id"), col("t"),
-        concat(array(lit(1)),
-          transform(graft.plans.Expressions.cdcEnds(col("t"), w),
-            e => e + 1)).as("starts"))
-      // posexplode_outer, NOT posexplode: starts is never empty (it
-      // always carries the leading 1), and the non-outer form makes the
-      // optimizer infer a size(starts)>0 filter that re-evaluates the
-      // whole normalize+kernel chain per row (the t9 gotcha; with the
-      // retired join shape starts was a materialized join column, so
-      // the inferred filter was cheap — with the expression form it
-      // tripled the kernel work, measured 10.9 vs 3.6 s at 30×)
-      .select(col("doc_id"), col("t"), col("starts"),
-        posexplode_outer(col("starts")))
-      // try_element_at, not element_at: ANSI mode throws on the last
-      // chunk's out-of-bounds next-start probe
-      .withColumn("nxt",
-        coalesce(try_element_at(col("starts"), col("pos") + 2),
-          length(col("t")) + 1))
-      .filter(col("nxt") > col("col"))
+  def cdcChunks(docs: DataFrame, w: Int = 8): DataFrame =
+    // r16: the starts/posexplode/try_element_at/md5(substr) chain is now
+    // ONE fused kernel call per doc (plans/CdcChunkKernel) emitting the
+    // final chunk rows — the chain form dragged the full normalized
+    // text + starts array through the Generate on EVERY chunk row, ran
+    // the `transform(_+1)` lambda interpreted, and paid a substring
+    // copy + a fresh commons-codec digest + hex round trip per chunk.
+    // Field values are bit-identical (DedupSpec pins kernel == chain).
+    // explode_outer + isNotNull, NOT explode: the non-outer form makes
+    // the optimizer infer a size(...)>0 filter that re-evaluates the
+    // whole normalize+kernel chain per row (the t9 gotcha); the null
+    // filter on the generator OUTPUT is free and reproduces the
+    // zero-chunk behavior (empty text emits no rows).
+    spreadPartitions(docs)
       .select(col("doc_id"),
-        col("pos").cast("long").as("chunk_ix"),
-        col("col").cast("long").as("start"),
-        (col("nxt") - col("col")).cast("long").as("len"),
-        md5(col("t").substr(col("col"), col("nxt") - col("col")))
-          .as("chunk_fp"))
-  }
+        explode_outer(graft.plans.Expressions.cdcChunkRows(
+          Text.normalize(col("text")), w)).as("c"))
+      .filter(col("c").isNotNull)
+      .select(col("doc_id"), col("c.chunk_ix").as("chunk_ix"),
+        col("c.start").as("start"), col("c.len").as("len"),
+        col("c.chunk_fp").as("chunk_fp"))
 
   /** CDC-chunk near-dup pairs: docs sharing >= `minShared` distinct chunk
     * fingerprints. The candidate generator the chunking exists for —

@@ -1155,7 +1155,15 @@ object Similarity extends SimilarityPq {
         struct(negate(col("csim")), col("cid"))).as("cid"))
     val assigned = picked
       .join(vecs.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    // r16: checkpoint the assigned frame — it feeds THREE subtrees
+    // (both within-cluster self-join sides + the anti-join keep side),
+    // and each otherwise re-ran the whole broadcast-centroid argmin
+    // assignment over the corpus (nlist dot products per vector; 8
+    // embedding scans in the d9 before-plan). The materialized frame is
+    // one embedding + 24 B per vector — the same volume the cluster
+    // self-join shuffles anyway.
     val v = assigned.withColumn("nn", normScaled(col("embedding")))
+      .localCheckpoint()
     val drop = v.as("a")
       .join(v.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
@@ -1164,7 +1172,7 @@ object Similarity extends SimilarityPq {
         col("a.nn"), col("b.nn")))
       .filter(col("cos") >= theta)
       .select(col("b.vec_id").as("vec_id")).distinct()
-    picked.join(drop, Seq("vec_id"), "left_anti")
+    v.select(col("vec_id"), col("cid")).join(drop, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cid").as("cluster_id"))
   }
 

@@ -252,7 +252,19 @@ case class ShinglesExpr(child: Expression, n: Int, distinct: Boolean)
   */
 object ShingleHashKernel {
   def hashes(text: org.apache.spark.unsafe.types.UTF8String, n: Int,
-             useICU: Boolean): ArrayData = {
+             useICU: Boolean): ArrayData = hashes(text, n, 1, useICU)
+
+  /** Strided variant (r16): emit only every `stride`-th window — window
+    * starts 0, stride, 2·stride, … — for NON-OVERLAPPING chunkers
+    * (d15's w-word boilerplate chunks use stride = n). Equivalent to
+    * taking every stride-th element of the stride-1 output (pinned in
+    * TextPropsSpec), but skipped windows are never hashed, so a
+    * stride-n caller does 1/n of the hash work and emits 1/n of the
+    * rows the old posexplode + `pos % n = 0` filter shape exploded and
+    * then threw away.
+    */
+  def hashes(text: org.apache.spark.unsafe.types.UTF8String, n: Int,
+             stride: Int, useICU: Boolean): ArrayData = {
     val norm = NormalizeKernel.normalize(text, useICU)
     val base = norm.getBaseObject
     val off = norm.getBaseOffset
@@ -269,8 +281,8 @@ object ShingleHashKernel {
         words += 1
       i += 1
     }
-    val m = words - n + 1
-    if (m <= 0)
+    val total = words - n + 1
+    if (total <= 0)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(
         Array.empty[Any])
     val starts = new Array[Int](words)
@@ -282,16 +294,19 @@ object ShingleHashKernel {
       }
       i += 1
     }
+    val m = (total - 1) / stride + 1
     val out = new Array[Long](m)
+    var gi = 0
     var g = 0
-    while (g < m) {
+    while (gi < m) {
       val s = starts(g)
       // end of word g+n-1: next word's start minus the separating space,
       // or the buffer end for the final window
       val e = if (g + n < words) starts(g + n) - 1 else len
-      out(g) = org.apache.spark.sql.catalyst.expressions.XXH64
+      out(gi) = org.apache.spark.sql.catalyst.expressions.XXH64
         .hashUnsafeBytes(base, off + s, e - s, 42L)
-      g += 1
+      gi += 1
+      g += stride
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
@@ -302,15 +317,15 @@ object ShingleHashKernel {
   * allocation argument. Output: array<long>, positions = array index
   * (posexplode replays the positional-gram shape).
   */
-case class ShingleHashesExpr(child: Expression, n: Int)
+case class ShingleHashesExpr(child: Expression, n: Int, stride: Int = 1)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (n < 1) TypeCheckResult.TypeCheckFailure(
-      s"shingle_hashes: n must be >= 1, got $n")
+    if (n < 1 || stride < 1) TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes: n and stride must be >= 1, got n=$n stride=$stride")
     else super.checkInputDataTypes()
 
   // like NormalizeTextExpr: the ICU flag resolves at plan build, so
@@ -321,11 +336,13 @@ case class ShingleHashesExpr(child: Expression, n: Int)
 
   override def nullSafeEval(a: Any): Any =
     ShingleHashKernel.hashes(
-      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, useICU)
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, stride,
+      useICU)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.plans.ShingleHashKernel.hashes($a, $n, $useICU);")
+      s"${ev.value} = graft.plans.ShingleHashKernel.hashes(" +
+        s"$a, $n, $stride, $useICU);")
 
   override protected def withNewChildInternal(newChild: Expression)
       : ShingleHashesExpr = copy(child = newChild)
@@ -1280,6 +1297,127 @@ case class CdcEndsExpr(child: Expression, w: Int)
   override def prettyName: String = "cdc_ends"
 }
 
+/** Fused CDC chunk rows (r16): the whole
+  * `starts = [1] ++ (cdc_ends+1)` / `posexplode` / `try_element_at`
+  * next-start probe / `md5(substr(t, start, len))` chain of
+  * Dedup.cdcChunks as ONE kernel pass per document, emitting the final
+  * per-chunk rows directly: array<struct<chunk_ix, start, len,
+  * chunk_fp>>, 1-based code-point `start`, lowercase-hex MD5 over the
+  * chunk's UTF-8 bytes — field-identical to the expression chain
+  * (pinned in DedupSpec).
+  *
+  * Why: in the chain form every exploded row dragged the full
+  * normalized text plus the starts array through the Generate, the
+  * `transform(_+1)` lambda ran interpreted, and each chunk paid a
+  * `substr` copy + a commons-codec MessageDigest + hex round trip
+  * (t25/d18 are the only unexplained growing 1000× marginals left —
+  * VERDICT r15 #1/#2). Here the ASCII fast path hashes chunk byte
+  * slices straight out of the ONE normalized buffer (no substring
+  * copies), one reused ThreadLocal digest, and the Generate input is
+  * the compact struct array — the text never crosses the explode.
+  */
+object CdcChunkKernel {
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HEX = "0123456789abcdef".toCharArray
+
+  private def hex16(d: Array[Byte]): org.apache.spark.unsafe.types.UTF8String = {
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HEX((d(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = HEX(d(i) & 0xf).toByte
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
+  }
+
+  def chunkRows(text: org.apache.spark.unsafe.types.UTF8String,
+                w: Int): ArrayData = {
+    val endsArr = CdcKernel.ends(text, w)
+    val nEnds = endsArr.numElements()
+    val nChars = text.numChars()
+    // starts (1-based code points): 1, then each end + 1
+    val starts = new Array[Int](nEnds + 1)
+    starts(0) = 1
+    var i = 0
+    while (i < nEnds) { starts(i + 1) = endsArr.getInt(i) + 1; i += 1 }
+    val md = mdLocal.get()
+    val bytes = text.getBytes
+    val ascii = bytes.length == nChars
+    val rows = scala.collection.mutable.ArrayBuilder.make[Any]
+    // general path: per-code-point byte offsets for substring slicing
+    var cpOff: Array[Int] = null
+    if (!ascii) {
+      cpOff = new Array[Int](nChars + 1)
+      var c = 0
+      var o = 0
+      while (c < nChars) {
+        cpOff(c) = o
+        o += org.apache.spark.unsafe.types.UTF8String
+          .numBytesForFirstByte(bytes(o))
+        c += 1
+      }
+      cpOff(nChars) = bytes.length
+    }
+    i = 0
+    while (i <= nEnds) {
+      val st = starts(i)
+      val nxt = if (i + 1 <= nEnds) starts(i + 1) else nChars + 1
+      if (nxt > st) {
+        md.reset()
+        if (ascii) md.update(bytes, st - 1, nxt - st)
+        else md.update(bytes, cpOff(st - 1), cpOff(nxt - 1) - cpOff(st - 1))
+        rows += new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](i.toLong, st.toLong,
+            (nxt - st).toLong, hex16(md.digest())))
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.result())
+  }
+}
+
+/** array<struct<chunk_ix,start,len,chunk_fp>> of CDC chunks — see
+  * [[CdcChunkKernel.chunkRows]]. Same StringType input contract as
+  * [[CdcEndsExpr]].
+  */
+case class CdcChunkRowsExpr(child: Expression, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("chunk_ix", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("start", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("len", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("chunk_fp",
+        org.apache.spark.sql.types.StringType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (w < 1) TypeCheckResult.TypeCheckFailure(
+      s"cdc_chunk_rows: w must be >= 1, got $w")
+    else super.checkInputDataTypes()
+
+  override def nullSafeEval(a: Any): Any =
+    CdcChunkKernel.chunkRows(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.CdcChunkKernel.chunkRows($a, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : CdcChunkRowsExpr = copy(child = newChild)
+
+  override def prettyName: String = "cdc_chunk_rows"
+}
+
 /** Kernel for Text.normalize: lowercase, strip ASCII-whitespace edges,
   * collapse interior whitespace runs to a single space — bit-identical
   * to `regexp_replace(regexp_replace(lower(c), "^\s+|\s+$", ""),
@@ -1593,6 +1731,12 @@ object Expressions {
   def cdcEnds(text: Column, w: Int): Column =
     Bridge.column(CdcEndsExpr(Bridge.expression(text), w))
 
+  /** Column wrapper for [[CdcChunkRowsExpr]] (string → array<struct<
+    * chunk_ix,start,len,chunk_fp>> of CDC chunks).
+    */
+  def cdcChunkRows(text: Column, w: Int): Column =
+    Bridge.column(CdcChunkRowsExpr(Bridge.expression(text), w))
+
   /** Column wrapper for [[NormalizeTextExpr]] (string → string). */
   def normalizeText(text: Column): Column =
     Bridge.column(NormalizeTextExpr(Bridge.expression(text)))
@@ -1602,6 +1746,12 @@ object Expressions {
     */
   def shingleHashes(text: Column, n: Int): Column =
     Bridge.column(ShingleHashesExpr(Bridge.expression(text), n))
+
+  /** Strided form: hash only every `stride`-th window (window starts 0,
+    * stride, 2·stride, …) — the non-overlapping-chunk shape.
+    */
+  def shingleHashes(text: Column, n: Int, stride: Int): Column =
+    Bridge.column(ShingleHashesExpr(Bridge.expression(text), n, stride))
 
   /** Column wrapper for [[PqAssignExpr]] (embedding → array<long> of m
     * PQ codes, index = subspace).

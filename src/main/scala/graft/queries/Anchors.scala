@@ -355,14 +355,23 @@ object Anchors {
     // optimizer should reach, written directly. The threshold is exact
     // decimal mean × 0.2 in double (commutative with the twin's 0.2 ×
     // mean), so the < comparison cannot flip between engines.
+    // r16: the threshold as a WINDOW aggregate over l_partkey instead of
+    // a groupBy + join-back — the join form scanned the brand-pruned
+    // fact TWICE (plan operators 1 vs 8 in
+    // plans/r16/b15_tpch_q17_before.txt; the r15 verdict's two-full-
+    // fact-passes finding at the 1000× decade). One fact pass, one
+    // exchange on l_partkey; the mean (exact Int128 sum ÷ count) and
+    // every comparison are value-identical.
     "b15_tpch_q17" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
       val pk = Tables.part(s, d).filter(col("p_brand") === "Brand#23")
         .select(col("p_partkey"))
       val li = Tables.lineitem(s, d)
         .join(pk, col("l_partkey") === col("p_partkey"), "left_semi")
-      val thr = li.groupBy(col("l_partkey").as("t_pk"))
-        .agg(((xsum(col("l_quantity"), dp = 2) / count(col("l_quantity"))) * 0.2d).as("thr"))
-      li.join(thr, col("l_partkey") === col("t_pk"))
+      val w = Window.partitionBy(col("l_partkey"))
+      li.withColumn("thr",
+          (xsumOver(col("l_quantity"), dp = 2, w)
+            / count(col("l_quantity")).over(w)) * 0.2d)
         .filter(col("l_quantity") < col("thr"))
         .agg((xsum(col("l_extendedprice"), dp = 2) / 7.0d).as("avg_yearly"),
           count(lit(1)).as("n"))

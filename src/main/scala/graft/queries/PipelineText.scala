@@ -284,6 +284,15 @@ object PipelineText {
     // never to broadcast; only the scalar doc count is broadcast. The
     // per-doc top-3 window partitions by doc_id (already the tf
     // distribution) with a (score desc, word) total order.
+    // r16: df as a count window over the tf frame instead of a
+    // groupBy(word) + join back — the join form made Spark evaluate the
+    // tokenize+tf corpus pipeline TWICE (two scans, two explodes: plan
+    // operators 1-6 vs 7-15 in plans/r16/t15_tfidf_keywords_before.txt)
+    // and AQE then BROADCAST the vocabulary-sized df side this very
+    // comment says never to broadcast. The window costs one
+    // reduced-frame exchange + sort on word and shares the single
+    // corpus pass; df (rows per word in tf = docs containing the word)
+    // is unchanged.
     "t15_tfidf_keywords" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val words = Tables.documents(s, d)
@@ -291,11 +300,11 @@ object PipelineText {
           .as("word"))
       val tf = words.groupBy(col("doc_id"), col("word"))
         .agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
       val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("word"))
-      tf.join(df, "word")
+      tf.withColumn("df",
+          count(lit(1)).over(Window.partitionBy(col("word"))))
         .crossJoin(broadcast(n))
         .withColumn("score",
           (col("tf") * col("n_docs")).cast("double") / col("df"))
@@ -739,23 +748,32 @@ object PipelineText {
     "pipe2_select_pack" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      val kept = docs.join(
-        graft.operators.Selection.dsirWeights(docs,
-            isTarget = col("lang") === "en",
-            hash = graft.operators.Selection.md5Bucket(1024))
-          .filter(col("keep")).select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
-      val uniq = kept.join(
-        Dedup.exactDedup(kept).select(col("keep_doc_id").as("doc_id")),
-        Seq("doc_id"), "left_semi")
+      // r16: checkpoint the DSIR keep-id set, then compute the
+      // (fp, tok) projection of the survivors ONCE and drive BOTH the
+      // exact-dedup keep rule and the packing window from it — before,
+      // the dedup stage and the final projection each re-ran the
+      // normalize+md5 (and the packing the words kernel) over their
+      // whole upstream chain, which itself re-ran the DSIR scoring pass
+      // (14 scans in plans/r16/pipe2_select_pack_before.txt). The keep
+      // rule is exactDedup's verbatim: min doc_id per normalized-text
+      // md5 group.
+      val dsirIds = graft.operators.Selection.dsirWeights(docs,
+          isTarget = col("lang") === "en",
+          hash = graft.operators.Selection.md5Bucket(1024))
+        .filter(col("keep")).select(col("doc_id")).localCheckpoint()
+      val ft = docs.join(dsirIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("source"),
+          md5(Text.normalize(col("text"))).as("fp"),
+          size(Text.words(col("text"))).cast("long").as("tok"))
+        .localCheckpoint()
+      val keepIds = ft.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
       val budget = 512L
       val w = Window.partitionBy(col("source"), col("shard"))
         .orderBy(col("fp"), col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      uniq
-        .select(col("doc_id"), col("source"),
-          md5(Text.normalize(col("text"))).as("fp"),
-          size(Text.words(col("text"))).cast("long").as("tok"))
+      ft.join(keepIds, Seq("doc_id"), "left_semi")
         .withColumn("shard",
           expr("conv(substring(fp, 1, 1), 16, 10)").cast("long"))
         .withColumn("cum", sum(col("tok")).over(w))
@@ -768,15 +786,28 @@ object PipelineText {
 
     "pipe1_corpus_build" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      val s1 = docs.join(
-        Dedup.exactDedup(docs).select(col("keep_doc_id").as("doc_id")),
-        Seq("doc_id"), "left_semi")
-      val s2 = s1.join(
-        Dedup.boilerplateProfile(s1, w = 2, minDocs = 3)
-          .filter(col("keep")).select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
+      // r16: checkpoint each stage's survivor-id/key frame — the
+      // composition's downstream stages each re-evaluated their whole
+      // upstream chain per consumer (24 scans in
+      // plans/r16/pipe1_corpus_build_before.txt: boilerplate's corpus
+      // pass and the s2 semi-join both re-ran exactDedup; domainMix
+      // consumed s3 twice, re-running the quality kernel). The
+      // checkpointed frames are id-sets (keep1/keep2) and the
+      // text-free survivor projection (s3) — each stage's kernel now
+      // runs exactly once, the real-pipeline stage-materialization
+      // shape.
+      val keep1 = Dedup.exactDedup(docs)
+        .select(col("keep_doc_id").as("doc_id")).localCheckpoint()
+      val s1 = docs.join(keep1, Seq("doc_id"), "left_semi")
+      val keep2 = Dedup.boilerplateProfile(s1, w = 2, minDocs = 3)
+        .filter(col("keep")).select(col("doc_id")).localCheckpoint()
+      val s2 = s1.join(keep2, Seq("doc_id"), "left_semi")
+      // text is not needed past the quality gate — checkpoint the
+      // narrow survivor rows so domainMix's two consumers share them
       val s3 = s2.filter(Text.qualityScore(col("text")) >= 40d &&
-        col("lang").isin("en", "de", "es"))
+          col("lang").isin("en", "de", "es"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .localCheckpoint()
       val s4 = domainMix(s3,
         expr("try_cast(substring(source, 4) AS BIGINT)") % 4 + 1)
       val b0 = conv(substring(md5(

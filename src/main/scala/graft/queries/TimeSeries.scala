@@ -233,9 +233,19 @@ object TimeSeries {
     "a20_rolling_uniques_hll" -> { (s, d) =>
       val ev = Tables.events(s, d).select(col("event_type"),
         bucketSec(col("ts"), 86400L).as("day"), col("user_id"))
+      // r16: checkpoint the (tiny: types × days rows) sketch frame — it
+      // feeds three subtrees (both est self-join sides + the exact
+      // side's day keys) and each re-ran the corpus HLL aggregate (4
+      // events scans in the before-plan). The exact side then joins
+      // per-day DISTINCT users instead of raw events: the rolling
+      // count_distinct sees the same distinct set per (type, day)
+      // window, but the ×7 window expansion shuffles the reduced
+      // per-day-distinct frame, not the corpus.
       val day = ev
         .groupBy(col("event_type"), col("day"))
         .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        .localCheckpoint()
+      val du = ev.distinct()
       val est = day.as("a")
         .join(day.as("b"),
           col("a.event_type") === col("b.event_type") &&
@@ -246,7 +256,7 @@ object TimeSeries {
         .agg(expr("hll_sketch_estimate(hll_union_agg(b.sk))")
           .as("est_uniques"))
       val exact = day.select(col("event_type"), col("day")).as("a")
-        .join(ev.as("b"),
+        .join(du.as("b"),
           col("a.event_type") === col("b.event_type") &&
             col("b.day") <= col("a.day") &&
             col("b.day") >= col("a.day") - 6L * 86400L)

@@ -48,6 +48,46 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("CdcChunkKernel rows == the retired starts/posexplode/md5(substr) " +
+      "chain, field-identical, ASCII and unicode") {
+    // (r16) cdcChunks is one fused kernel; the DuckDB twin still replays
+    // the starts arithmetic + md5(substr) verbatim, so the kernel must
+    // reproduce the chain EXACTLY — chunk_ix, 1-based code-point start,
+    // len, lowercase-hex md5 over the chunk's UTF-8 bytes
+    val rnd = new scala.util.Random(11)
+    val samples = (1 to 40).map(_ =>
+      (1 to rnd.nextInt(60)).map(_ =>
+        rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString)
+        .mkString(" ")) ++
+      Seq("", "ab", "exactly8", "  padded   whitespace  text here ",
+        "ünïcödé çhünks then a long ascii tail abcdefghijklmnop qrs tuv",
+        "日本語テキストの境界スキャン mixed with ascii words for chunks")
+    for (w <- Seq(2, 8)) {
+      val df = samples.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val kernel = Dedup.cdcChunks(df, w)
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      val nrm = df.select(col("doc_id"), Text.normalize(col("text")).as("t"))
+      val chain = nrm
+        .select(col("doc_id"), col("t"),
+          concat(array(lit(1)),
+            transform(graft.plans.Expressions.cdcEnds(col("t"), w),
+              e => e + 1)).as("starts"))
+        .select(col("doc_id"), col("t"), col("starts"),
+          posexplode_outer(col("starts")))
+        .withColumn("nxt",
+          coalesce(try_element_at(col("starts"), col("pos") + 2),
+            length(col("t")) + 1))
+        .filter(col("nxt") > col("col"))
+        .select(col("doc_id"), col("pos").cast("long"),
+          col("col").cast("long"), (col("nxt") - col("col")).cast("long"),
+          md5(col("t").substr(col("col"), col("nxt") - col("col"))))
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      assert(kernel == chain, s"kernel != chain at w=$w")
+      assert(kernel.nonEmpty)
+    }
+  }
+
   test("shingleSet builds distinct space-joined word n-grams") {
     val got = Seq("The  quick quick Brown fox").toDF("text")
       .select(Text.shingleSet(col("text"), 3).as("sh"))

@@ -91,6 +91,25 @@ object TextPropsSpec extends Properties("Text") {
         got.forall { case (f, r) => f == r }
     }
 
+  // (r16) the strided kernel (d15's non-overlapping chunker) must emit
+  // exactly every stride-th element of the stride-1 output — same
+  // values, same order — i.e. skipping windows changes WHICH grams are
+  // hashed, never their hashes
+  property("strided shingle_hashes == every stride-th stride-1 hash") =
+    Prop.forAllNoShrink(Gen.listOfN(6, rawText), Gen.choose(1, 4),
+      Gen.choose(1, 5)) { (texts, n, stride) =>
+        val got = texts.toDF("t")
+          .select(
+            graft.plans.Expressions.shingleHashes(col("t"), n, stride)
+              .as("s"),
+            graft.plans.Expressions.shingleHashes(col("t"), n).as("f"))
+          .as[(Seq[Long], Seq[Long])].collect()
+        got.forall { case (s, f) =>
+          s == f.zipWithIndex.collect {
+            case (h, i) if i % stride == 0 => h }
+        }
+    }
+
   property("shingles match scala sliding n-grams (order + duplicates)") =
     Prop.forAllNoShrink(rawText, Gen.choose(1, 4)) { (t, n) =>
       val got = Seq(t).toDF("t")
