@@ -111,7 +111,12 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     val consts = docLengths(docs)
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("l_tot"))
-    val tf = termFreqs(docs, terms)
+    // r16: checkpoint the (term-filtered, tiny) tf frame — it feeds the
+    // df aggregate AND the scorer, and each consumer otherwise re-ran
+    // the corpus tokenize+explode chain behind it (3 corpus passes per
+    // query; now 2 — this one and the N/L constants, which need
+    // unfiltered per-doc lengths)
+    val tf = termFreqs(docs, terms).localCheckpoint()
     val dfAggs = terms.map(t =>
       sum(when(col(s"tf_$t") > 0L, 1L).otherwise(0L)).as(s"df_$t"))
     val dfs = tf.agg(dfAggs.head, dfAggs.tail: _*)

@@ -440,13 +440,19 @@ object Similarity extends SimilarityPq {
       // member vectors join back by id (min_by's struct buffer is a
       // SortAggregate, and sorting the embedding per scored row was the
       // measured n9/n4 100× term — see ivfAssign)
+      // r16: the vector's own norm projects BEFORE the broadcast join —
+      // inside the joined frame it was re-evaluated once per (vector,
+      // centroid) PAIR, i.e. nlist× per vector, doubling the assignment's
+      // dot-product work (normScaled IS a dot; exact integer, so
+      // hoisting is bit-identical)
       val picked = spreadPartitions(
           vecs.select(col("vec_id"), col("embedding")))
+        .withColumn("nn", normScaled(col("embedding")))
         .join(broadcast(cent.select(col("cid"), col("cemb"),
           normScaled(col("cemb")).as("cn"))))
         .withColumn("csim", cosineFromScaled(
           dotScaled(col("embedding"), col("cemb")),
-          normScaled(col("embedding")), col("cn")))
+          col("nn"), col("cn")))
         .select(col("vec_id"), col("cid"), col("csim"))
         .groupBy(col("vec_id"))
         .agg(min_by(col("cid"),
@@ -776,22 +782,29 @@ object Similarity extends SimilarityPq {
     */
   private[operators] def ivfAssign(df: DataFrame, cent: DataFrame, idName: String,
                         keep: Int): DataFrame = {
+    // r16 (both branches): the vector's own norm projects BEFORE the
+    // broadcast join — inside the joined frame it re-evaluated once per
+    // (vector, centroid) PAIR, nlist× per vector; normScaled IS a dot
+    // product, so this halves the assignment pass's arithmetic
+    // (exact integer → bit-identical hoist)
     if (keep == 1) {
       spreadPartitions(df.select(col("vec_id").as(idName), col("embedding")))
+        .withColumn("nn", normScaled(col("embedding")))
         .join(broadcast(cent))
         .withColumn("csim", cosineFromScaled(
           dotScaled(col("embedding"), col("cemb")),
-          normScaled(col("embedding")), col("cn")))
+          col("nn"), col("cn")))
         .select(col(idName), col("cid"), col("csim"))
         .groupBy(col(idName))
         .agg(min_by(col("cid"),
           struct(negate(col("csim")), col("cid"))).as("cid"))
     } else {
       val scored = df.select(col("vec_id").as(idName), col("embedding"))
+        .withColumn("nn", normScaled(col("embedding")))
         .join(broadcast(cent))
         .withColumn("csim", cosineFromScaled(
           dotScaled(col("embedding"), col("cemb")),
-          normScaled(col("embedding")), col("cn")))
+          col("nn"), col("cn")))
       val w = Window.partitionBy(col(idName))
         .orderBy(col("csim").desc, col("cid"))
       scored
@@ -1065,11 +1078,14 @@ object Similarity extends SimilarityPq {
     */
   private def coarseTopW(df: DataFrame, l1: DataFrame, idName: String,
                          w: Int): DataFrame =
+    // r16: own-norm hoisted above the broadcast join (was per
+    // (vector, coarse-centroid) pair — see ivfAssign)
     spreadPartitions(df.select(col("vec_id").as(idName), col("embedding")))
+      .withColumn("nn", normScaled(col("embedding")))
       .join(broadcast(l1))
       .withColumn("csim", cosineFromScaled(
         dotScaled(col("embedding"), col("l1emb")),
-        normScaled(col("embedding")), col("l1n")))
+        col("nn"), col("l1n")))
       .select(col(idName), col("l1cid"), col("csim"))
       .groupBy(col(idName))
       .agg(slice(array_sort(collect_list(struct(
@@ -1097,13 +1113,17 @@ object Similarity extends SimilarityPq {
   private def twoLevelAssign(df: DataFrame, l1: DataFrame,
                              parCent: DataFrame, idName: String,
                              wCoarse: Int, keep: Int): DataFrame = {
-    val emb = df.select(col("vec_id").as(idName), col("embedding"))
+    // r16: own-norm computed once per vector in the join-back frame —
+    // inside the scored frame it re-evaluated per (vector, member-cell)
+    // pair, ~wAssign·√nlist× per vector (see ivfAssign)
+    val emb = df.select(col("vec_id").as(idName), col("embedding"),
+      normScaled(col("embedding")).as("nn"))
     val scored = coarseTopW(df, l1, idName, wCoarse)
       .join(emb, Seq(idName))
       .join(broadcast(parCent), Seq("l1cid"))
       .withColumn("csim", cosineFromScaled(
         dotScaled(col("embedding"), col("cemb")),
-        normScaled(col("embedding")), col("cn")))
+        col("nn"), col("cn")))
     if (keep == 1)
       scored.select(col(idName), col("cid"), col("csim"))
         .groupBy(col(idName))
@@ -1145,10 +1165,12 @@ object Similarity extends SimilarityPq {
     // spread first so the broadcast centroid join parallelizes past the
     // parquet split count.
     val picked = spreadPartitions(vecs.select(col("vec_id"), col("embedding")))
+      .withColumn("nn", normScaled(col("embedding"))) // r16: per vector,
+      // not per (vector, centroid) pair — see ivfAssign
       .join(broadcast(cent))
       .withColumn("csim", cosineFromScaled(
         dotScaled(col("embedding"), col("cemb")),
-        normScaled(col("embedding")), col("cn")))
+        col("nn"), col("cn")))
       .select(col("vec_id"), col("cid"), col("csim"))
       .groupBy(col("vec_id"))
       .agg(min_by(col("cid"),
